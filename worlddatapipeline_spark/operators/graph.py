@@ -1,0 +1,159 @@
+"""Graph operators: KNN graph construction + connected components.
+
+Reference analog: NavMesh connectivity analysis
+(`navmesh_connectivity.py:19-233`) — sample points, KNN(k=8) candidate edges,
+BFS islands, island-ratio filter, spawn-point selection (SURVEY.md §2.9).
+
+Spark design: connected components as iterative min-label propagation over
+DataFrames (no GraphFrames dependency — it is not baked into this
+environment).  Each iteration is one join + one aggregate; ``localCheckpoint``
+truncates lineage so the loop does not re-execute history.  Convergence is
+O(graph diameter) iterations; for the reference's island graphs (diameter ~
+tens) that is fast, and the same loop is the standard scalable CC formulation
+for billion-edge graphs (cf. the large-star/small-star literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .windows import dist3
+
+
+def knn_edges(
+    points: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    id_col: str = "sample_id",
+    pos_cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """k-nearest-neighbour candidate edges per group.
+
+    Reference analog: `navmesh_connectivity.py:126-135` (all-pairs python
+    loop).  Self cross-join within group + ranking window; at reference N
+    (≤200 samples/map) exact is right; at corpus scale swap in the LSH
+    bucketing from similarity.py (same interface, approximate).
+    Returns (group…, src, dst, dist) with rank ≤ k.
+    """
+    group_cols = group_cols or []
+    x, y, z = pos_cols
+    a = points.alias("a")
+    b = points.alias("b")
+    cond = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        F.col(f"a.{id_col}").alias("src"),
+        F.col(f"b.{id_col}").alias("dst"),
+        dist3(
+            F.col(f"a.{x}"), F.col(f"a.{y}"), F.col(f"a.{z}"),
+            F.col(f"b.{x}"), F.col(f"b.{y}"), F.col(f"b.{z}"),
+        ).alias("dist"),
+    )
+    w = Window.partitionBy(*group_cols, "src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via iterative min-label propagation.
+
+    Reference analog: BFS island detection (`navmesh_connectivity.py:158-180`)
+    — a driver-side BFS with a visited set; here a data-parallel fixpoint:
+    label(v) ← min(label(v), min over neighbours(label(u))) until stable.
+
+    Returns (id, component) where component = min vertex id in the component.
+    Undirected: edges are symmetrized internally.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    if vertices is None:
+        verts = sym.select(F.col("s").alias(id_col)).distinct()
+    else:
+        verts = vertices.select(F.col(id_col)).distinct()
+    labels = verts.select(F.col(id_col), F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbour minimum label
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels[id_col])
+            .groupBy(F.col("s").alias(id_col))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def island_stats(
+    components: DataFrame,
+    min_ratio: float = 0.10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Island sizes/ratios with the ≥ min_ratio filter and largest-island
+    fallback (`navmesh_connectivity.py:182-201`).
+
+    Returns (component, size, ratio, selected) — ``selected`` true for
+    islands passing the ratio bar, or for the single largest island if none
+    pass.
+    """
+    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    total = components.count()
+    sized = sizes.withColumn("ratio", F.col("size") / F.lit(float(total)))
+    max_size = sized.agg(F.max("size")).collect()[0][0]
+    any_pass = sized.filter(F.col("ratio") >= min_ratio).limit(1).count() > 0
+    if any_pass:
+        return sized.withColumn("selected", F.col("ratio") >= min_ratio)
+    return sized.withColumn("selected", F.col("size") == F.lit(max_size))
+
+
+def island_centroid_spawn(
+    points: DataFrame,
+    components: DataFrame,
+    id_col: str = "sample_id",
+    pos_cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """Per-island centroid + the sample point closest to it (min_by) —
+    the 'center' spawn strategy (`navmesh_connectivity.py:236-269`)."""
+    x, y, z = pos_cols
+    joined = points.join(components.withColumnRenamed("id", id_col), id_col)
+    cent = joined.groupBy("component").agg(
+        F.avg(x).alias("cx"), F.avg(y).alias("cy"), F.avg(z).alias("cz")
+    )
+    back = joined.join(cent, "component")
+    d = dist3(F.col(x), F.col(y), F.col(z), F.col("cx"), F.col("cy"), F.col("cz"))
+    return back.groupBy("component").agg(
+        F.first("cx").alias("centroid_x"),
+        F.first("cy").alias("centroid_y"),
+        F.first("cz").alias("centroid_z"),
+        F.min_by(F.col(id_col), d).alias("spawn_id"),
+    )

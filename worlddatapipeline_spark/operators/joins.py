@@ -1,0 +1,244 @@
+"""Join operators.
+
+The reference performs every join as a Python dict/loop join (SURVEY.md §2.3);
+these re-express them as scale-aware DataFrame joins:
+
+- broadcast lookup joins for small dimensions
+  (reference: `scene_scanner.py:225-239`, `batch_bake.py:112-131`),
+- an **as-of (nearest/backward) join** replacing the nearest-keyframe channel
+  sampling (`camera_exporter.py:221-232`),
+- a **range/interval join** replacing the frame→behavior-segment dict expansion
+  (`worker_create.py:720-730`),
+- **first-occurrence dedup** via a ranking window (`scene_copy.py:236-310`),
+- **prefix (startswith) joins** (`run_render_job_headless.py:636-650`,
+  `render_engine.py:87-158`).
+
+Scale design: the as-of join is the union+last-over-window formulation — ONE
+shuffle on the join key, no per-group pandas; the range join offers a bucketed
+equi-join path so Spark never falls back to a broadcast-nested-loop join on
+big interval tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Join a big fact table to a small dimension with an explicit broadcast.
+
+    Reference analog: reverse lookup of a scene row by ``launch_directory``
+    (`scene_scanner.py:225-239`) done per-row in Python; here one broadcast
+    hash join, no shuffle of the fact side.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row pick the right row with the greatest
+    ``right_ts <= left_ts`` (backward) or smallest ``right_ts >= left_ts``
+    (forward), per key ``on``.
+
+    Reference analog: nearest-keyframe channel sampling
+    (`camera_exporter.py:221-232`) — a per-frame linear scan over keys.
+
+    Spark-first formulation (scales to billions of rows): union the two inputs
+    tagged by side, then ``last(value, ignorenulls=True)`` over a window
+    partitioned by key and ordered by time — a single shuffle on ``on``,
+    no per-group pandas, no cross product.  ``merge_asof``-style per-group
+    processing would force all of a key's history through one python worker;
+    this stays in the JVM with whole-stage codegen.
+    """
+    lcols = left.columns
+    tag = "__side"
+    ts = "__ts"
+    # right rows carry the values; left rows carry nulls that get filled
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).cast("double").alias(ts),
+        F.lit(0).alias(tag),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in lcols],
+    )
+    l = left.select(
+        F.col(on).alias(on),
+        F.col(left_ts).cast("double").alias(ts),
+        F.lit(1).alias(tag),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    if direction == "backward":
+        # right row at time t is visible to left rows with ts >= t;
+        # ties: right sorts before left (inclusive match)
+        u = r.unionByName(l)
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts).asc(), F.col(tag).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    elif direction == "forward":
+        u = r.unionByName(l)
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts).desc(), F.col(tag).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        raise ValueError(f"unknown direction: {direction}")
+    filled = u.select(
+        on,
+        ts,
+        tag,
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(f"__l_{c}") for c in lcols],
+    )
+    out = filled.filter(F.col(tag) == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket_size: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: match each point row to interval rows with
+    ``start <= point <= end`` (optionally also equi-matching ``keys``).
+
+    Reference analog: frame→behavior-segment mapping materialized as a python
+    dict per frame (`worker_create.py:720-730,919-924`).
+
+    Two physical strategies:
+    - small ``intervals``: plain theta join — Catalyst broadcasts it
+      (BroadcastNestedLoopJoin), fine up to ~10^5 intervals.
+    - ``bucket_size`` set: bucketed equi-join — each interval is exploded to
+      the buckets it overlaps, points get one bucket, join is a hash join on
+      (keys…, bucket) followed by the exact range filter.  This is the 100 TB
+      path: shuffle instead of nested loop.
+    """
+    keys = keys or []
+    cond = (F.col(f"p.{point_col}") >= F.col(f"i.{start_col}")) & (
+        F.col(f"p.{point_col}") <= F.col(f"i.{end_col}")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
+    if bucket_size is None:
+        p, i = points.alias("p"), intervals.alias("i")
+        dupes = [k for k in keys]
+        out = p.join(i, cond, how)
+        # drop duplicated key columns from the interval side
+        for k in dupes:
+            out = out.drop(F.col(f"i.{k}"))
+        return out
+
+    b = "__bucket"
+    p = points.withColumn(b, F.floor(F.col(point_col) / F.lit(bucket_size))).alias("p")
+    i = (
+        intervals.withColumn(
+            b,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / F.lit(bucket_size)),
+                    F.floor(F.col(end_col) / F.lit(bucket_size)),
+                )
+            ),
+        )
+    ).alias("i")
+    cond2 = (F.col(f"p.{b}") == F.col(f"i.{b}")) & cond
+    out = p.join(i, cond2, how).drop(F.col(f"i.{b}")).drop(F.col(f"p.{b}"))
+    for k in keys:
+        out = out.drop(F.col(f"i.{k}"))
+    return out
+
+
+def prefix_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join where ``left.left_col`` starts with ``right.right_col``.
+
+    Reference analog: sequence→map prefix matching (``Demo`` → ``Demo001``)
+    in `run_render_job_headless.py:636-650` and `render_engine.py:87-158`.
+
+    Physical note: a theta join; Catalyst broadcasts the smaller side.  For a
+    large right side, pre-compute a fixed-length prefix key on both sides to
+    turn it into an equi-join plus residual filter (done here with the
+    length of the right value — equi on nothing is not possible generally, so
+    we keep the broadcast form; callers with huge dims should bucket by an
+    explicit prefix length).
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = F.col(f"l.{left_col}").startswith(F.col(f"r.{right_col}"))
+    return l.join(F.broadcast(r), cond, how)
+
+
+def first_occurrence(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+) -> DataFrame:
+    """Keep one row per key — the first under ``order_cols``.
+
+    Reference analog: first-occurrence Content-dir dedup / shortest fallback
+    path per scene (`scene_copy.py:236-310`), done with python dict insertion
+    order; here ``row_number() over (partition by key order by …) = 1``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group via ranking window (KNN-style truncation).
+
+    Reference analog: k=8 nearest neighbours per sample point
+    (`navmesh_connectivity.py:132-135`).  Map-side partial aggregation of the
+    window is handled by Spark's WindowExec; for extreme skew pre-aggregate
+    with AQE skew handling on.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def anti_diff(
+    source: DataFrame, target: DataFrame, on: list[str]
+) -> DataFrame:
+    """Rows of ``source`` whose key is absent from ``target`` (left_anti).
+
+    Reference analog: skip-if-exists upload diff (`scene_copy.py:408-422`,
+    `bos_manager.py:249-259`) — the incremental-copy primitive.
+    """
+    return source.join(target.select(*on).dropDuplicates(on), on, "left_anti")

@@ -1,0 +1,150 @@
+"""Incremental / reconciliation operators (SURVEY.md §2.8).
+
+The reference's catalog maintenance is SQLite upserts + per-scene existence probes:
+- upsert: ``INSERT … ON CONFLICT DO UPDATE`` (`scene_registry.py:224-239`),
+- inventory reconcile: per-DB-row object-store probe with
+  verified/missing/recovered transitions (`scene_registry.py:466-545`,
+  `bos_manager.py:101-172`),
+- skip-if-exists idempotence (`scene_copy.py:408-422`),
+- delete-then-insert child refresh (`scene_scanner.py:513-524`).
+
+Spark-first restatement: ALL of these are joins + a partitioned-parquet (or
+Delta, when available) rewrite.  The N-per-row probe loop becomes ONE
+full-outer join between catalog and listing — at 100 TB that is the
+difference between N API calls and one shuffle.  Delta Lake's MERGE INTO is
+the production sink; this module implements engine-level merge semantics on
+plain DataFrames so it runs in this environment and the write layer can bind
+to Delta/Iceberg later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE semantics on DataFrames: rows in source update matching target
+    rows (per key) and insert when absent; unmatched target rows pass through.
+
+    Reference analog: scenes/maps/sequences upsert
+    (`scene_registry.py:224-239,306-314,391-404`).  Equivalent SQL:
+    full-outer join + coalesce per column, source wins.
+    """
+    update_cols = update_cols or [c for c in source.columns if c not in keys]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, keys, "full_outer")
+    passthrough = [c for c in target.columns if c not in keys and c not in update_cols]
+    cols = [F.col(k).alias(k) for k in keys]
+    for c in update_cols:
+        if c in target.columns:
+            cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            cols.append(F.col(f"s.{c}").alias(c))
+    for c in passthrough:
+        cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*cols)
+
+
+def inventory_reconcile(
+    catalog: DataFrame,
+    listing: DataFrame,
+    keys: list[str],
+    exists_col: str = "exists_flag",
+    status_col: str = "sync_status",
+) -> DataFrame:
+    """Catalog ⋈ listing full-outer reconcile with status transitions.
+
+    Reference analog: `scene_registry.py:466-545` — statuses:
+    - verified:   in catalog, in listing, was marked existing
+    - recovered:  in catalog, in listing, was marked missing
+    - missing:    in catalog, absent from listing
+    - untracked:  in listing only (backfill candidates,
+                  `sync_baked_scenes.py:83-155`)
+    """
+    c = catalog.alias("c")
+    l = listing.select(*keys).dropDuplicates(keys).withColumn("__in_listing", F.lit(True)).alias("l")
+    joined = c.join(l, keys, "full_outer")
+    in_catalog = F.col(f"c.{keys[0]}").isNotNull() if keys else F.lit(True)
+    # use a definite catalog column to detect presence
+    probe = [col for col in catalog.columns if col not in keys]
+    in_cat = F.col(f"c.{probe[0]}").isNotNull() if probe else in_catalog
+    was_exists = F.coalesce(F.col(f"c.{exists_col}"), F.lit(False)) if exists_col in catalog.columns else F.lit(True)
+    in_listing = F.coalesce(F.col("l.__in_listing"), F.lit(False))
+    status = (
+        F.when(in_listing & was_exists, F.lit("verified"))
+        .when(in_listing & ~was_exists, F.lit("recovered"))
+        .when(~in_listing & in_cat, F.lit("missing"))
+        .otherwise(F.lit("missing"))
+    )
+    # untracked: listing-only rows — catalog side entirely null
+    if probe:
+        status = F.when(F.col(f"c.{probe[0]}").isNull() & in_listing, F.lit("untracked")).otherwise(status)
+    out_cols = [F.col(k).alias(k) for k in keys]
+    out_cols += [F.col(f"c.{c2}").alias(c2) for c2 in catalog.columns if c2 not in keys]
+    return joined.select(*out_cols, status.alias(status_col))
+
+
+def skip_existing(
+    planned: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Idempotent work-list pruning: drop planned rows whose key already
+    exists in the target inventory (`scene_copy.py:408-422`)."""
+    from .joins import anti_diff
+
+    return anti_diff(planned, existing, keys)
+
+
+def changed_rows(
+    current: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    hash_cols: list[str],
+) -> DataFrame:
+    """Change detection by content hash comparison.
+
+    Reference analog: directory-hash vs stored ``content_hash``
+    (`scene_registry.py:254-262,334-350`).  Returns current rows that are new
+    or whose hash columns differ from the snapshot.
+    """
+    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in hash_cols]), 256)
+    cur = current.withColumn("__h", h).alias("cur")
+    snap = snapshot.withColumn("__h", h).select(*keys, "__h").alias("snap")
+    joined = cur.join(snap, keys, "left")
+    return (
+        joined.filter(F.col("snap.__h").isNull() | (F.col("cur.__h") != F.col("snap.__h")))
+        .select(*[F.col(f"cur.{c}").alias(c) for c in current.columns])
+    )
+
+
+def directory_content_hash(
+    files: DataFrame,
+    group_cols: list[str],
+    path_col: str = "path",
+    size_col: str = "size",
+    mtime_col: str = "mtime",
+) -> DataFrame:
+    """SHA-256 over the sorted (relpath, size, mtime) listing per directory —
+    the reference's content-change fingerprint (`scene_registry.py:608-644`).
+
+    Spark form: sort_array(collect_list(struct)) → concat → sha2.  One
+    aggregation; deterministic because the list is sorted before hashing.
+    """
+    entry = F.concat_ws(
+        "|", F.col(path_col), F.col(size_col).cast("string"), F.col(mtime_col).cast("string")
+    )
+    return (
+        files.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(entry)).alias("__entries"))
+        .select(
+            *group_cols,
+            F.sha2(F.concat_ws("\n", F.col("__entries")), 256).alias("content_hash"),
+            F.size("__entries").alias("file_count"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+LLM-data-pipeline extension surface (BASELINE.json north_star): approximate
+nearest neighbours over ``embeddings(vec_id, embedding, label)``.
+
+Two tiers:
+- ``cosine_topk``: brute-force exact cosine top-k for a bounded query set —
+  the correctness baseline.  Query side is broadcast; the corpus is scanned
+  once; per-corpus-partition partial top-k would be the next refinement but
+  the ranking window after a broadcast join is already shuffle-light because
+  only (query, corpus) scores move, not vectors.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the 100 TB path.  Corpus
+  vectors land in sign-pattern buckets; a query only scores its own bucket
+  (and optional multi-probe neighbours).  Hyperplanes are deterministic from
+  a seed so results are reproducible across retries (same requirement as the
+  reference's seeded sequences, `behavior_executor.py:681-696`).
+
+All vector math is expression-level (``F.zip_with`` + ``F.aggregate``), fully
+codegen'd — no Python UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector the k nearest corpus vectors.
+
+    Plan shape: broadcast(queries) × corpus scan → score → ranking window on
+    query_id.  Excludes self-matches when ids collide.
+    Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (public numpy RNG, fixed seed)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit b = sign(vec · plane_b)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+
+    At 100 TB the corpus is hash-partitioned by bucket; each query shuffles to
+    one bucket's partition — candidate count drops by ~2^n_planes.  Recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher recall).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = c.alias("c").join(
+        F.broadcast(q).alias("q"),
+        (F.col("c.__bucket") == F.col("q.__bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q.__qv"), F.col("c.__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

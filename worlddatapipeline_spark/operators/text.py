@@ -1,0 +1,128 @@
+"""Text-analysis operators for the LLM-data-pipeline surface.
+
+These extend the reference's capability set per the repo charter
+(BASELINE.json "north_star"): language ID, quality scoring, token counting,
+document fingerprinting — all over a ``documents(doc_id, text, lang, source,
+n_chars)`` table.
+
+Scale design: every function here is pure Column expressions (whole-stage
+codegen, zero Python in the hot path).  At 100 TB the text column dominates
+I/O — all operators project only the columns they need so parquet column
+pruning kicks in, and none shuffles unless a groupBy is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram language heuristic.
+# Public knowledge (common function words); deliberately small and
+# deterministic so the oracle SQL can replicate them.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count.  ``size(split(trim(text), '\\s+'))`` with the
+    empty-string guard (empty text → 0 tokens)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_like_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces and standalone
+    punctuation/digit runs — ``regexp_count`` over a word/punct alternation."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def uppercase_ratio(text: Column) -> Column:
+    n = F.length(text)
+    u = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(u / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are language stopwords (en markers)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    markers = [F.lit(w) for w in _LANG_MARKERS[lang]]
+    hits = F.size(F.filter(words, lambda w: w.isin([m for m in _LANG_MARKERS[lang]])))
+    total = F.size(words)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits / total)
+
+
+def mean_word_length(text: Column) -> Column:
+    t = F.trim(text)
+    words = F.split(t, r"\s+")
+    total_len = F.length(F.regexp_replace(t, r"\s+", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        total_len / F.size(words)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, extreme
+    punctuation, and shouting.  Deterministic arithmetic only — the DuckDB
+    oracle reproduces it exactly (see queries.py::text_quality)."""
+    n_tokens = token_count(text).cast("double")
+    len_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    upper_pen = F.least(uppercase_ratio(text) * 4.0, F.lit(1.0))
+    return F.round(len_score * (1.0 - 0.5 * punct_pen) * (1.0 - 0.5 * upper_pen), 6)
+
+
+def detect_language(text: Column) -> Column:
+    """N-gram/function-word language heuristic.
+
+    Counts marker-word hits per language over the lowercased token array and
+    returns the argmax language ('und' when no marker hits).  Pure expression
+    — at scale this is a linear scan per doc with no shuffle.
+    """
+    words = F.split(F.lower(F.trim(text)), r"[^a-z]+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(markers)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text.  md5 is available in both Spark and DuckDB, so the
+    fingerprint is oracle-checkable; xxhash64 would be faster Spark-side but
+    is not portable."""
+    t = text
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(t)
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full text profile: one row per doc with every text metric."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_measured"),
+        token_count(t).alias("n_tokens"),
+        word_like_token_count(t).alias("n_word_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(uppercase_ratio(t), 6).alias("upper_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        detect_language(t).alias("lang_detected"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,275 @@
+"""Window / time-series operators (SURVEY.md §2.5) — the numeric core.
+
+All operate on a per-sequence ordered axis; the Spark form is
+``Window.partitionBy(seq).orderBy(frame)``.  Scale rule: **partition by
+sequence, never by frame** — one sequence's frames stay in one task, different
+sequences parallelize.  Everything in this module is pure Column expressions
+(codegen'd, no Python); the genuinely sequential scans live in stateful.py.
+
+Covered:
+- cumulative arc length + path length (`worker_create.py:604-607`),
+- arc-length resampling (`nav_utils.py:233-271`),
+- fixed-speed truncation (`worker_create.py:585-674`),
+- pitch-from-slope / yaw-from-trajectory (`transform_track.py:10-53`),
+- shortest-delta angle lerp (`worker_create.py:850-869`),
+- angle unwrap in closed form (`transform_track.py:133-155`) — the running
+  unwrap is a cumulative sum of per-step shortest deltas, so it IS window-
+  expressible (first + sum(wrap(delta)) over an unbounded-preceding window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dist3(x1, y1, z1, x2, y2, z2) -> "F.Column":
+    """Euclidean 3-D distance (`nav_utils.py:9-13`)."""
+    return F.sqrt(
+        (x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2
+    )
+
+
+def cumulative_distance(
+    df: DataFrame,
+    seq_col: str,
+    order_col: str,
+    pos_cols: tuple[str, str, str] = ("x", "y", "z"),
+    out_col: str = "cum_dist",
+) -> DataFrame:
+    """Cumulative polyline arc length per sequence.
+
+    Reference analog: the running ``total_length`` accumulations in
+    `worker_create.py:604-607` / `behavior_executor.py:361-364`.
+    """
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    x, y, z = (F.col(c) for c in pos_cols)
+    step = dist3(x, y, z, F.lag(x).over(w), F.lag(y).over(w), F.lag(z).over(w))
+    step = F.coalesce(step, F.lit(0.0))
+    cum = F.sum(step).over(
+        Window.partitionBy(seq_col).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("__step", step).withColumn(out_col, cum).drop("__step")
+
+
+def path_length(
+    df: DataFrame, seq_col: str, order_col: str, pos_cols=("x", "y", "z")
+) -> DataFrame:
+    """Total polyline length per sequence (`worker_create.py:604-607`)."""
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    x, y, z = (F.col(c) for c in pos_cols)
+    step = dist3(x, y, z, F.lag(x).over(w), F.lag(y).over(w), F.lag(z).over(w))
+    return (
+        df.select(seq_col, step.alias("__step"))
+        .groupBy(seq_col)
+        .agg(F.round(F.sum("__step"), 6).alias("path_length"))
+    )
+
+
+def wrap_delta(delta: "F.Column") -> "F.Column":
+    """Shortest angular delta in [-180, 180): ``d - 360*floor(d/360 + 0.5)``.
+
+    Reference analog: yaw wraparound normalization
+    (`worker_create.py:855-869`; `behavior_executor.py:144-161`).  The floor
+    form (not round) is used so the half-case d=±180 is deterministic and
+    identical across engines (round-half modes differ between systems).
+    """
+    return delta - 360.0 * F.floor(delta / 360.0 + 0.5)
+
+
+def unwrap_angle(
+    df: DataFrame, seq_col: str, order_col: str, angle_col: str, out_col: str = "unwrapped"
+) -> DataFrame:
+    """Continuous (unwrapped) angle series per sequence.
+
+    Reference analog: `transform_track.py:133-155` (imperative running
+    unwrap).  Closed form: ``a_0 + sum(wrap(a_i - a_{i-1}))`` — a cumulative
+    window sum, NOT a stateful scan, so it stays in codegen.
+    """
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    a = F.col(angle_col)
+    delta = wrap_delta(a - F.lag(a).over(w))
+    return df.withColumn(
+        out_col,
+        F.first(a).over(wcum) + F.coalesce(F.sum(delta).over(wcum), F.lit(0.0)),
+    )
+
+
+def pitch_from_slope(
+    df: DataFrame,
+    seq_col: str,
+    order_col: str,
+    pos_cols=("x", "y", "z"),
+    min_pitch: float = -80.0,
+    max_pitch: float = 80.0,
+    out_col: str = "pitch",
+) -> DataFrame:
+    """Pitch angle from the slope to the NEXT sample, clamped.
+
+    Reference analog: `transform_track.py:27-53` (atan2(dz, horizontal) per
+    consecutive pair).  Last row holds the previous pitch (lead is null →
+    coalesce with lag-based fallback, matching the reference's carry-forward).
+    """
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    x, y, z = (F.col(c) for c in pos_cols)
+    dx, dy, dz = F.lead(x).over(w) - x, F.lead(y).over(w) - y, F.lead(z).over(w) - z
+    horiz = F.sqrt(dx * dx + dy * dy)
+    pitch = F.degrees(F.atan2(dz, horiz))
+    clamped = F.greatest(F.least(pitch, F.lit(max_pitch)), F.lit(min_pitch))
+    df2 = df.withColumn("__p", clamped)
+    # carry last defined pitch forward for the final sample
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df2.withColumn(
+        out_col, F.coalesce(F.col("__p"), F.last("__p", ignorenulls=True).over(wcum), F.lit(0.0))
+    ).drop("__p")
+
+
+def yaw_from_trajectory(
+    df: DataFrame, seq_col: str, order_col: str, pos_cols=("x", "y", "z"), out_col: str = "yaw"
+) -> DataFrame:
+    """Yaw from direction to the NEXT sample (`transform_track.py:10-24`)."""
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    x, y = F.col(pos_cols[0]), F.col(pos_cols[1])
+    yaw = F.degrees(F.atan2(F.lead(y).over(w) - y, F.lead(x).over(w) - x))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    df2 = df.withColumn("__y", yaw)
+    return df2.withColumn(
+        out_col, F.coalesce(F.col("__y"), F.last("__y", ignorenulls=True).over(wcum), F.lit(0.0))
+    ).drop("__y")
+
+
+def arc_length_resample(
+    df: DataFrame,
+    seq_col: str,
+    order_col: str,
+    n_points_col_or_lit,
+    pos_cols=("x", "y", "z"),
+) -> DataFrame:
+    """Resample each sequence's polyline to N points equally spaced in arc
+    length, linear interpolation inside segments.
+
+    Reference analog: `nav_utils.py:233-271` (imperative walk).  Spark form:
+    1. cumulative distance per vertex (window sum),
+    2. generate the target grid ``d_k = k * L/(N-1)`` via sequence+explode,
+    3. as-of match each target to its bracketing segment (window fill),
+    4. lerp.
+    All joins are per-sequence equi-joins — shuffle on seq only.
+    """
+    x, y, z = pos_cols
+    cum = cumulative_distance(df, seq_col, order_col, pos_cols, "__cum")
+    # segment table: start vertex of each segment with its end
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    seg = cum.select(
+        seq_col,
+        F.col("__cum").alias("d0"),
+        F.lead("__cum").over(w).alias("d1"),
+        *[F.col(c).alias(f"{c}0") for c in (x, y, z)],
+        *[F.lead(c).over(w).alias(f"{c}1") for c in (x, y, z)],
+    ).filter(F.col("d1").isNotNull())
+    total = cum.groupBy(seq_col).agg(F.max("__cum").alias("L"))
+    n = (
+        F.lit(n_points_col_or_lit)
+        if isinstance(n_points_col_or_lit, int)
+        else F.col(n_points_col_or_lit)
+    )
+    grid = total.select(
+        seq_col,
+        "L",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("k"),
+    ).withColumn("target_d", F.col("k") * F.col("L") / (n - 1))
+    # match target to segment [d0, d1); last grid point hits the final segment
+    g, s = grid.alias("g"), seg.alias("s")
+    j = g.join(
+        s,
+        (F.col(f"g.{seq_col}") == F.col(f"s.{seq_col}"))
+        & (F.col("g.target_d") >= F.col("s.d0"))
+        & (
+            (F.col("g.target_d") < F.col("s.d1"))
+            | (F.col("g.target_d") == F.col("g.L")) & (F.col("s.d1") == F.col("g.L"))
+        ),
+        "inner",
+    )
+    t = F.when(F.col("s.d1") > F.col("s.d0"), (F.col("g.target_d") - F.col("s.d0")) / (F.col("s.d1") - F.col("s.d0"))).otherwise(F.lit(0.0))
+    out = j.select(
+        F.col(f"g.{seq_col}").alias(seq_col),
+        F.col("g.k").alias("k"),
+        F.col("g.target_d").alias("target_d"),
+        *[
+            (F.col(f"s.{c}0") + t * (F.col(f"s.{c}1") - F.col(f"s.{c}0"))).alias(c)
+            for c in (x, y, z)
+        ],
+    )
+    # duplicate matches can only arise at exact segment boundaries; keep first
+    from .joins import first_occurrence
+
+    return first_occurrence(out, [seq_col, "k"], [F.col("target_d")])
+
+
+def fixed_speed_truncate(
+    df: DataFrame,
+    seq_col: str,
+    order_col: str,
+    speed: float,
+    duration: float,
+    pos_cols=("x", "y", "z"),
+) -> DataFrame:
+    """Truncate each path at distance ``speed*duration`` with a partial-segment
+    lerp boundary point (strict fixed-speed mode).
+
+    Reference analog: `worker_create.py:585-674` — walk the path accumulating
+    distance, cut at max_distance, interpolate the final point.
+    """
+    x, y, z = pos_cols
+    maxd = speed * duration
+    cum = cumulative_distance(df, seq_col, order_col, pos_cols, "__cum")
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    withnext = cum.select(
+        seq_col,
+        order_col,
+        "__cum",
+        *pos_cols,
+        F.lead("__cum").over(w).alias("__next_cum"),
+        *[F.lead(c).over(w).alias(f"__n_{c}") for c in pos_cols],
+    )
+    kept = withnext.filter(F.col("__cum") <= maxd)
+    # boundary row: the last kept vertex whose next vertex crosses maxd
+    crossing = kept.filter(
+        F.col("__next_cum").isNotNull() & (F.col("__next_cum") > maxd)
+    )
+    t = (F.lit(maxd) - F.col("__cum")) / (F.col("__next_cum") - F.col("__cum"))
+    boundary = crossing.select(
+        seq_col,
+        (F.col(order_col) + 0.5).alias(order_col),  # synthetic half-index
+        F.lit(maxd).alias("__cum"),
+        *[
+            (F.col(c) + t * (F.col(f"__n_{c}") - F.col(c))).alias(c)
+            for c in pos_cols
+        ],
+        F.lit(None).cast("double").alias("__next_cum"),
+        *[F.lit(None).cast("double").alias(f"__n_{c}") for c in pos_cols],
+    )
+    return (
+        kept.unionByName(boundary)
+        .select(seq_col, F.col(order_col).cast("double").alias(order_col), F.col("__cum").alias("cum_dist"), *pos_cols)
+    )
+
+
+def frame_grid(
+    sequences: DataFrame,
+    seq_col: str,
+    n_frames_col: str,
+    fps: float = 30.0,
+    interval: int = 1,
+) -> DataFrame:
+    """Generate the (sequence, frame, time) grid — `worker_create.py:684-692`.
+
+    ``sequence() + explode`` keeps generation distributed (one row per input
+    sequence explodes in its own task — no driver-side loop).
+    """
+    return sequences.select(
+        seq_col,
+        F.explode(
+            F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(interval))
+        ).alias("frame"),
+    ).withColumn("time_seconds", F.col("frame") / F.lit(fps))
