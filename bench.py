@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query executes to completion through the noop sink (no result pruning,
+no driver collect overhead) — what a cluster job would do, minus the write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "catalog_stats",
+    "region_rollup",
+    "nation_rollup_sets",
+    "histogram_mode",
+    "top_orders_per_customer",
+    "asof_click_before_purchase",
+    "value_band_range_join",
+    "customer_order_reconcile",
+    "user_event_gaps",
+    "cumulative_user_value",
+    "sessionize",
+    "unwrap_angle_series",
+    "json_props_extract",
+    "doc_text_stats",
+    "doc_quality",
+    "dedup_docs_exact",
+    "ngram_jaccard_pairs",
+    "embedding_topk",
+    "rate_limited_angle",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from worlddatapipeline_spark import get_spark
+    from worlddatapipeline_spark.queries import QUERIES
+
+    spark = get_spark(app_name="wdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    QUERIES["catalog_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

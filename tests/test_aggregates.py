@@ -1,0 +1,72 @@
+"""Aggregation operator tests on literal frames (reference-shaped)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.operators import aggregates
+
+
+def test_conditional_stats(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("b", 2, "x"), ("c", 3, "y")], ["name", "n", "flag"]
+    )
+    out = aggregates.conditional_stats(
+        df,
+        {
+            "total": F.count(F.lit(1)),
+            "flagged": aggregates.count_when(F.col("flag").isNotNull()),
+            "sum_n": F.sum("n"),
+        },
+    ).collect()[0]
+    assert (out["total"], out["flagged"], out["sum_n"]) == (3, 2, 6)
+
+
+def test_aabb(spark):
+    df = spark.createDataFrame(
+        [
+            ("m1", 0.0, 0.0, 0.0, 1.0, 2.0, 3.0),
+            ("m1", 10.0, -5.0, 2.0, 1.0, 1.0, 1.0),
+        ],
+        ["map", "origin_x", "origin_y", "origin_z", "extent_x", "extent_y", "extent_z"],
+    )
+    out = aggregates.aabb(df, ["map"]).collect()[0]
+    assert out["min_x"] == -1.0 and out["max_x"] == 11.0
+    assert out["min_y"] == -6.0 and out["max_y"] == 2.0
+    assert out["min_z"] == -3.0 and out["max_z"] == 3.0
+
+
+def test_grid_mode(spark):
+    rows = [("m", 10.0, 10.0)] * 5 + [("m", 110.0, 10.0)] * 3
+    df = spark.createDataFrame(rows, ["map", "x", "y"])
+    out = aggregates.grid_mode(df, ["map"], "x", "y", 50.0).collect()[0]
+    assert out["center_x"] == pytest.approx(25.0)
+    assert out["cell_count"] == 5
+
+
+def test_histogram_mode(spark):
+    rows = [("m", 0.1)] * 2 + [("m", 5.2)] * 4 + [("m", 5.4)] * 1
+    df = spark.createDataFrame(rows, ["map", "z"])
+    out = aggregates.histogram_mode(df, ["map"], "z", 0.5).collect()[0]
+    # densest bucket floor(z/0.5)=10 holds 5.2 x4 and 5.4... floor(5.4/0.5)=10
+    assert out["bucket"] == 10
+    assert out["bucket_count"] == 5
+    assert out["mode_mean"] == pytest.approx((5.2 * 4 + 5.4) / 5)
+
+
+def test_ratio_classify(spark):
+    rows = [("m1", 5.0)] * 7 + [("m1", -5.0)] * 3 + [("m2", -1.0)] * 10
+    df = spark.createDataFrame(rows, ["map", "z"])
+    out = aggregates.ratio_classify(
+        df, ["map"], F.col("z") > 0, 0.5, "Plain", "Valley"
+    ).collect()
+    got = {r["map"]: (r["ratio"], r["label"]) for r in out}
+    assert got["m1"][0] == pytest.approx(0.7) and got["m1"][1] == "Plain"
+    assert got["m2"][1] == "Valley"
+
+
+def test_argmax(spark):
+    df = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 9, "b"), ("g", 4, "c")], ["grp", "score", "payload"]
+    )
+    out = aggregates.argmax(df, ["grp"], "score", ["payload"]).collect()[0]
+    assert out["max_score"] == 9 and out["payload"] == "b"

@@ -1,0 +1,76 @@
+"""Dedup operator tests: exact, jaccard, minhash recall, simhash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bend"),  # near-dup of 0
+    (2, "completely different content about spark dataframes and shuffle joins"),
+    (3, "THE QUICK  BROWN fox jumps over the lazy dog near the old river bank"),  # exact dup of 0 (normalized)
+    (4, "spark shuffle partitions and adaptive execution tuning notes for jobs"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_rep = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_rep[0] == 2  # docs 0 and 3 collapse
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark), "text", "doc_id", n=3, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert not any({a, b} & {2, 4} and {a, b} & {0, 1, 3} for a, b in pairs)
+
+
+def test_minhash_candidates_recall(spark):
+    """LSH candidates must contain the true near-dup pairs (high-sim docs
+    collide in at least one band with overwhelming probability)."""
+    cand = dedup.minhash_lsh_candidates(
+        _docs(spark), "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # jaccard ~0.8 with 16 bands of 2 rows
+
+
+def test_minhash_verified_by_jaccard(spark):
+    docs = _docs(spark)
+    cand = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, candidate_pairs=cand
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in verified}
+    assert (0, 3) in pairs
+    for r in verified:
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_near_dups(spark):
+    # bands=8 guarantees (pigeonhole) any pair with hamming <= 7 collides in
+    # at least one 8-bit chunk; (0,1) measures hamming 7.
+    out = dedup.simhash_near_dups(
+        _docs(spark), "text", "doc_id", max_hamming=8, bands=8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((0, 3)) == 0  # normalized-identical -> identical signature
+    assert (0, 1) in pairs  # near-dup within hamming 8
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    out = df.select(dedup.shingles(F.col("t"), n=3).alias("sh")).collect()[0]["sh"]
+    assert out == ["a b c", "b c d"]

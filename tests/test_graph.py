@@ -1,0 +1,76 @@
+"""Graph operator tests: KNN edges, connected components, island selection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.operators import graph
+
+
+def test_connected_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)], ["src", "dst"]
+    )
+    out = graph.connected_components(edges).collect()
+    comp = {r["id"]: r["component"] for r in out}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == comp[13] == 10
+    assert comp[1] != comp[10]
+
+
+def test_connected_components_chain_convergence(spark):
+    """A long chain needs multiple propagation rounds."""
+    n = 30
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    out = graph.connected_components(edges).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_connected_components_isolated_vertex(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    verts = spark.createDataFrame([(1,), (2,), (99,)], ["id"])
+    out = graph.connected_components(edges, vertices=verts).collect()
+    comp = {r["id"]: r["component"] for r in out}
+    assert comp[99] == 99 and comp[1] == comp[2] == 1
+
+
+def test_island_stats_ratio_rule(spark):
+    # island A: 9 pts (90%), island B: 1 pt (10% -> passes >= 0.10)
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(9)] + [(100, 100)], ["id", "component"]
+    )
+    out = graph.island_stats(comp, min_ratio=0.10).collect()
+    sel = {r["component"]: r["selected"] for r in out}
+    assert sel[0] is True and sel[100] is True
+
+
+def test_island_stats_fallback_largest(spark):
+    # all islands below ratio 0.9 -> fallback selects only the largest
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(6)] + [(j, 50) for j in range(50, 54)],
+        ["id", "component"],
+    )
+    out = graph.island_stats(comp, min_ratio=0.9).collect()
+    sel = {r["component"]: r["selected"] for r in out}
+    assert sel[0] is True and sel[50] is False
+
+
+def test_knn_edges(spark):
+    pts = spark.createDataFrame(
+        [("m", 0, 0.0, 0.0, 0.0), ("m", 1, 1.0, 0.0, 0.0), ("m", 2, 10.0, 0.0, 0.0)],
+        ["map", "sample_id", "x", "y", "z"],
+    )
+    out = graph.knn_edges(pts, k=1, group_cols=["map"]).collect()
+    nearest = {r["src"]: r["dst"] for r in out}
+    assert nearest[0] == 1 and nearest[1] == 0 and nearest[2] == 1
+
+
+def test_island_centroid_spawn(spark):
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0, 0.0), (1, 2.0, 0.0, 0.0), (2, 4.0, 0.0, 0.0)],
+        ["sample_id", "x", "y", "z"],
+    )
+    comp = spark.createDataFrame([(0, 0), (1, 0), (2, 0)], ["id", "component"])
+    out = graph.island_centroid_spawn(pts, comp).collect()[0]
+    assert out["centroid_x"] == pytest.approx(2.0)
+    assert out["spawn_id"] == 1  # point at x=2 is closest to centroid

@@ -1,0 +1,117 @@
+"""Join operator tests: as-of, range, ranking dedup, anti-diff, prefix."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.operators import joins
+
+
+def test_asof_backward_matches_merge_asof(spark):
+    left = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 10.0, 2), ("a", 0.5, 3), ("b", 7.0, 4)],
+        ["k", "t", "lid"],
+    )
+    right = spark.createDataFrame(
+        [("a", 1.0, 100), ("a", 5.0, 200), ("a", 9.0, 300), ("b", 8.0, 400)],
+        ["k", "rt", "val"],
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", value_cols=["val"]
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+    lp = pd.DataFrame(
+        {"k": ["a", "a", "a", "b"], "t": [5.0, 10.0, 0.5, 7.0], "lid": [1, 2, 3, 4]}
+    ).sort_values("t")
+    rp = pd.DataFrame(
+        {"k": ["a", "a", "a", "b"], "rt": [1.0, 5.0, 9.0, 8.0], "val": [100, 200, 300, 400]}
+    ).sort_values("rt")
+    exp = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", direction="backward"
+    ).sort_values("lid").reset_index(drop=True)
+    assert list(out["val"].fillna(-1)) == list(exp["val"].fillna(-1))
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([("a", 2.0, 1)], ["k", "t", "lid"])
+    right = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 3.0, 30)], ["k", "rt", "val"]
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        value_cols=["val"], direction="forward",
+    ).collect()
+    assert out[0]["val"] == 30
+
+
+def test_asof_inclusive_tie(spark):
+    """Equal timestamps match (inclusive), as in merge_asof default."""
+    left = spark.createDataFrame([("a", 5.0, 1)], ["k", "t", "lid"])
+    right = spark.createDataFrame([("a", 5.0, 99)], ["k", "rt", "val"])
+    out = joins.asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", value_cols=["val"]
+    ).collect()
+    assert out[0]["val"] == 99
+
+
+@pytest.mark.parametrize("bucket", [None, 10.0])
+def test_range_join_both_paths(spark, bucket):
+    points = spark.createDataFrame([(i, float(i)) for i in range(100)], ["pid", "v"])
+    intervals = spark.createDataFrame(
+        [("lo", 0.0, 24.0), ("mid", 25.0, 74.0), ("hi", 75.0, 99.0)],
+        ["band", "lo", "hi"],
+    )
+    out = joins.range_join(
+        points, intervals, "v", "lo", "hi", bucket_size=bucket
+    )
+    counts = {r["band"]: r["n"] for r in out.groupBy("band").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lo": 25, "mid": 50, "hi": 25}
+
+
+def test_range_join_with_keys(spark):
+    points = spark.createDataFrame(
+        [("s1", 5.0, 1), ("s2", 5.0, 2)], ["seq", "frame", "pid"]
+    )
+    intervals = spark.createDataFrame(
+        [("s1", 0.0, 10.0, "walk"), ("s2", 0.0, 3.0, "idle")],
+        ["seq", "start", "end", "behavior"],
+    )
+    out = joins.range_join(
+        points, intervals, "frame", "start", "end", keys=["seq"]
+    ).collect()
+    assert len(out) == 1 and out[0]["behavior"] == "walk"
+
+
+def test_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [("k1", "bbb", 2), ("k1", "aa", 1), ("k2", "c", 3)], ["key", "path", "id"]
+    )
+    out = joins.first_occurrence(df, ["key"], [F.length("path").asc()]).collect()
+    got = {r["key"]: r["path"] for r in out}
+    assert got == {"k1": "aa", "k2": "c"}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(100 - i)) for i in range(10)], ["grp", "id", "score"]
+    )
+    out = joins.top_k_per_group(
+        df, ["grp"], [F.col("score").desc()], k=3, rank_col="rank"
+    ).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2]
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+
+
+def test_anti_diff(spark):
+    src = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    tgt = spark.createDataFrame([(2,), (2,)], ["id"])
+    out = joins.anti_diff(src, tgt, ["id"]).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_prefix_join(spark):
+    seqs = spark.createDataFrame(
+        [("Demo001",), ("Demo002",), ("Other9",)], ["seq_name"]
+    )
+    maps = spark.createDataFrame([("Demo",), ("Map",)], ["map_name"])
+    out = joins.prefix_join(seqs, maps, "seq_name", "map_name").collect()
+    assert sorted(r["seq_name"] for r in out) == ["Demo001", "Demo002"]

@@ -1,0 +1,85 @@
+"""Reconcile / incremental operator tests (reference §2.8 semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.operators import reconcile
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [("s1", "old", 1), ("s2", "keep", 2)], ["scene", "val", "n"]
+    )
+    source = spark.createDataFrame(
+        [("s1", "new"), ("s3", "ins")], ["scene", "val"]
+    )
+    out = reconcile.merge_upsert(target, source, ["scene"], ["val"]).collect()
+    got = {r["scene"]: (r["val"], r["n"]) for r in out}
+    assert got["s1"] == ("new", 1)      # updated, passthrough col kept
+    assert got["s2"] == ("keep", 2)     # untouched
+    assert got["s3"][0] == "ins"        # inserted
+
+
+def test_inventory_reconcile_transitions(spark):
+    catalog = spark.createDataFrame(
+        [
+            ("s1", True, "x"),   # in listing, was exists -> verified
+            ("s2", False, "y"),  # in listing, was missing -> recovered
+            ("s3", True, "z"),   # absent from listing -> missing
+        ],
+        ["scene", "exists_flag", "payload"],
+    )
+    listing = spark.createDataFrame(
+        [("s1",), ("s2",), ("s4",)], ["scene"]
+    )
+    out = reconcile.inventory_reconcile(catalog, listing, ["scene"]).collect()
+    status = {r["scene"]: r["sync_status"] for r in out}
+    assert status == {
+        "s1": "verified",
+        "s2": "recovered",
+        "s3": "missing",
+        "s4": "untracked",
+    }
+
+
+def test_skip_existing(spark):
+    planned = spark.createDataFrame([("a",), ("b",), ("c",)], ["key"])
+    existing = spark.createDataFrame([("b",)], ["key"])
+    out = reconcile.skip_existing(planned, existing, ["key"]).collect()
+    assert sorted(r["key"] for r in out) == ["a", "c"]
+
+
+def test_changed_rows(spark):
+    current = spark.createDataFrame(
+        [("s1", "h1"), ("s2", "h2-new"), ("s3", "h3")], ["scene", "content"]
+    )
+    snapshot = spark.createDataFrame(
+        [("s1", "h1"), ("s2", "h2-old")], ["scene", "content"]
+    )
+    out = reconcile.changed_rows(
+        current, snapshot, ["scene"], ["content"]
+    ).collect()
+    assert sorted(r["scene"] for r in out) == ["s2", "s3"]
+
+
+def test_directory_content_hash_deterministic(spark):
+    files1 = spark.createDataFrame(
+        [("s1", "a.txt", 10, 111), ("s1", "b.txt", 20, 222)],
+        ["scene", "path", "size", "mtime"],
+    )
+    # same files, different row order -> same hash (sorted before hashing)
+    files2 = spark.createDataFrame(
+        [("s1", "b.txt", 20, 222), ("s1", "a.txt", 10, 111)],
+        ["scene", "path", "size", "mtime"],
+    )
+    h1 = reconcile.directory_content_hash(files1, ["scene"]).collect()[0]
+    h2 = reconcile.directory_content_hash(files2, ["scene"]).collect()[0]
+    assert h1["content_hash"] == h2["content_hash"]
+    assert h1["file_count"] == 2
+    # changing mtime changes the hash
+    files3 = spark.createDataFrame(
+        [("s1", "a.txt", 10, 999), ("s1", "b.txt", 20, 222)],
+        ["scene", "path", "size", "mtime"],
+    )
+    h3 = reconcile.directory_content_hash(files3, ["scene"]).collect()[0]
+    assert h3["content_hash"] != h1["content_hash"]

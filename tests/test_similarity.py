@@ -1,0 +1,61 @@
+"""Similarity search tests with numpy goldens."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from worlddatapipeline_spark.operators import similarity
+
+
+def _emb_df(spark, mat):
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)], schema
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((40, 16))
+    corpus = _emb_df(spark, mat)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(corpus, queries, k=4).collect()
+    norms = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf  # self excluded
+        exp = set(np.argsort(-s)[:4])
+        got = {r["vec_id"] for r in out if r["query_id"] == q}
+        assert got == exp
+
+
+def test_lsh_topk_recall(spark):
+    """Approximate top-k finds the planted near-identical vector."""
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((60, 16))
+    mat[42] = mat[0] + 0.001 * rng.standard_normal(16)  # planted near-dup of 0
+    corpus = _emb_df(spark, mat)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(corpus, queries, k=3, dim=16, n_planes=4, seed=1).collect()
+    assert 42 in {r["vec_id"] for r in out}
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], ["a", "b"])
+    row = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.l2_norm(F.col("a")).alias("n"),
+    ).collect()[0]
+    assert row["d"] == pytest.approx(11.0)
+    assert row["n"] == pytest.approx(np.sqrt(5.0))

@@ -1,0 +1,76 @@
+"""Stateful scan tests: rate limiter + unwrap cross-check."""
+
+import numpy as np
+import pytest
+
+from worlddatapipeline_spark.operators import stateful, windows
+
+
+def test_rate_limit_series_property():
+    rng = np.random.default_rng(3)
+    vals = rng.random(200) * 360 - 180
+    out = stateful.rate_limit_series(vals, max_step=5.0)
+    assert np.abs(np.diff(out)).max() <= 5.0 + 1e-12
+    assert out[0] == vals[0]
+
+
+def test_rate_limit_series_clamp():
+    vals = np.array([0.0, 100.0, -100.0])
+    out = stateful.rate_limit_series(vals, max_step=50.0, lo=-30.0, hi=30.0)
+    assert out.min() >= -30.0 and out.max() <= 30.0
+
+
+def test_rate_limit_spark(spark):
+    rows = [("s", i, float((i * 97) % 360 - 180)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["seq", "ord", "v"])
+    out = (
+        stateful.rate_limit(df, "seq", "ord", "v", max_rate=10.0, dt=1.0)
+        .orderBy("ord")
+        .select("limited")
+        .collect()
+    )
+    vals = np.array([r[0] for r in out])
+    assert np.abs(np.diff(vals)).max() <= 10.0 + 1e-9
+    # golden via the numpy scan
+    exp = stateful.rate_limit_series(
+        np.array([r[2] for r in rows]), max_step=10.0
+    )
+    assert np.allclose(vals, exp)
+
+
+def test_unwrap_pandas_matches_window_form(spark):
+    """Differential: applyInPandas numpy unwrap == closed-form window unwrap."""
+    rng = np.random.default_rng(11)
+    angles = (rng.random(300) * 700 - 350).tolist()
+    df = spark.createDataFrame(
+        [("s", i, float(a)) for i, a in enumerate(angles)], ["seq", "ord", "angle"]
+    )
+    a = (
+        stateful.unwrap_pandas(df, "seq", "ord", "angle")
+        .orderBy("ord")
+        .select("unwrapped")
+        .collect()
+    )
+    b = (
+        windows.unwrap_angle(df, "seq", "ord", "angle")
+        .orderBy("ord")
+        .select("unwrapped")
+        .collect()
+    )
+    assert np.allclose([r[0] for r in a], [r[0] for r in b], atol=1e-9)
+
+
+def test_approach_target(spark):
+    df = spark.createDataFrame(
+        [("s", i, 90.0) for i in range(10)], ["seq", "ord", "target"]
+    )
+    out = (
+        stateful.approach_target(df, "seq", "ord", "target", max_rate=300.0, fps=30.0)
+        .orderBy("ord")
+        .select("yaw")
+        .collect()
+    )
+    vals = [r[0] for r in out]
+    # starts at target[0]=90 -> immediately at target and stays
+    assert vals[-1] == pytest.approx(90.0)
+    assert np.abs(np.diff(vals)).max() <= 10.0 + 1e-9

@@ -1,0 +1,161 @@
+"""Window / time-series operator tests with numpy goldens."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.operators import windows
+
+
+def _path_df(spark, pts, seq="s1"):
+    return spark.createDataFrame(
+        [(seq, i, float(x), float(y), float(z)) for i, (x, y, z) in enumerate(pts)],
+        ["seq", "ord", "x", "y", "z"],
+    )
+
+
+def test_cumulative_distance(spark):
+    df = _path_df(spark, [(0, 0, 0), (3, 4, 0), (3, 4, 12)])
+    out = (
+        windows.cumulative_distance(df, "seq", "ord")
+        .orderBy("ord")
+        .select("cum_dist")
+        .collect()
+    )
+    assert [r[0] for r in out] == pytest.approx([0.0, 5.0, 17.0])
+
+
+def test_path_length(spark):
+    df = _path_df(spark, [(0, 0, 0), (1, 0, 0), (1, 1, 0)])
+    out = windows.path_length(df, "seq", "ord").collect()
+    assert out[0]["path_length"] == pytest.approx(2.0)
+
+
+def test_unwrap_matches_numpy(spark):
+    angles = [170.0, -170.0, -150.0, 150.0, 170.0, -170.0, -90.0]
+    df = spark.createDataFrame(
+        [("s", i, a) for i, a in enumerate(angles)], ["seq", "ord", "angle"]
+    )
+    out = (
+        windows.unwrap_angle(df, "seq", "ord", "angle")
+        .orderBy("ord")
+        .select("unwrapped")
+        .collect()
+    )
+    exp = np.degrees(np.unwrap(np.radians(angles)))
+    assert [r[0] for r in out] == pytest.approx(list(exp))
+
+
+def test_unwrap_continuity_property(spark):
+    """Property: consecutive unwrapped steps are < 180° in magnitude."""
+    rng = np.random.default_rng(7)
+    angles = ((rng.random(500) * 720) - 360).tolist()
+    df = spark.createDataFrame(
+        [("s", i, float(a)) for i, a in enumerate(angles)], ["seq", "ord", "angle"]
+    )
+    out = (
+        windows.unwrap_angle(df, "seq", "ord", "angle")
+        .orderBy("ord")
+        .select("unwrapped")
+        .collect()
+    )
+    vals = np.array([r[0] for r in out])
+    assert np.abs(np.diff(vals)).max() <= 180.0 + 1e-9
+
+
+def test_pitch_from_slope(spark):
+    df = _path_df(spark, [(0, 0, 0), (1, 0, 1), (2, 0, 1)])
+    out = (
+        windows.pitch_from_slope(df, "seq", "ord")
+        .orderBy("ord")
+        .select("pitch")
+        .collect()
+    )
+    assert out[0][0] == pytest.approx(45.0)
+    assert out[1][0] == pytest.approx(0.0)
+    assert out[2][0] == pytest.approx(0.0)  # carried forward
+
+
+def test_yaw_from_trajectory(spark):
+    df = _path_df(spark, [(0, 0, 0), (1, 1, 0), (1, 2, 0)])
+    out = (
+        windows.yaw_from_trajectory(df, "seq", "ord")
+        .orderBy("ord")
+        .select("yaw")
+        .collect()
+    )
+    assert out[0][0] == pytest.approx(45.0)
+    assert out[1][0] == pytest.approx(90.0)
+
+
+def _numpy_arc_resample(pts, n):
+    pts = np.asarray(pts, dtype=float)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    targets = np.linspace(0.0, total, n)
+    out = []
+    for t in targets:
+        i = np.searchsorted(cum, t, side="right") - 1
+        i = min(i, len(seg) - 1)
+        f = 0.0 if seg[i] == 0 else (t - cum[i]) / seg[i]
+        out.append(pts[i] + f * (pts[i + 1] - pts[i]))
+    return np.array(out)
+
+
+def test_arc_length_resample_matches_numpy(spark):
+    pts = [(0, 0, 0), (10, 0, 0), (10, 5, 0), (20, 5, 0)]
+    df = _path_df(spark, pts)
+    out = (
+        windows.arc_length_resample(df, "seq", "ord", 7)
+        .orderBy("k")
+        .select("x", "y", "z")
+        .collect()
+    )
+    exp = _numpy_arc_resample(pts, 7)
+    got = np.array([[r["x"], r["y"], r["z"]] for r in out])
+    assert got.shape == exp.shape
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_arc_length_resample_endpoints(spark):
+    pts = [(1, 2, 3), (4, 5, 6), (9, 9, 9)]
+    df = _path_df(spark, pts)
+    out = (
+        windows.arc_length_resample(df, "seq", "ord", 5)
+        .orderBy("k")
+        .collect()
+    )
+    assert (out[0]["x"], out[0]["y"], out[0]["z"]) == pytest.approx((1, 2, 3))
+    assert (out[-1]["x"], out[-1]["y"], out[-1]["z"]) == pytest.approx((9, 9, 9))
+
+
+def test_fixed_speed_truncate(spark):
+    # straight line length 10; speed*duration = 4.5 -> boundary at x=4.5
+    df = _path_df(spark, [(0, 0, 0), (1, 0, 0), (2, 0, 0), (10, 0, 0)])
+    out = (
+        windows.fixed_speed_truncate(df, "seq", "ord", speed=1.5, duration=3.0)
+        .orderBy("ord")
+        .collect()
+    )
+    xs = [r["x"] for r in out]
+    assert xs == pytest.approx([0.0, 1.0, 2.0, 4.5])
+    assert out[-1]["cum_dist"] == pytest.approx(4.5)
+
+
+def test_frame_grid(spark):
+    seqs = spark.createDataFrame([("s1", 5), ("s2", 3)], ["seq", "n_frames"])
+    out = windows.frame_grid(seqs, "seq", "n_frames", fps=30.0).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["seq"], []).append((r["frame"], r["time_seconds"]))
+    assert sorted(per["s1"]) == [(i, pytest.approx(i / 30.0)) for i in range(5)]
+    assert len(per["s2"]) == 3
+
+
+def test_wrap_delta_half_case(spark):
+    df = spark.createDataFrame([(180.0,), (-180.0,), (540.0,), (10.0,)], ["d"])
+    out = df.select(windows.wrap_delta(F.col("d")).alias("w")).collect()
+    assert [r["w"] for r in out] == pytest.approx([-180.0, -180.0, -180.0, 10.0])

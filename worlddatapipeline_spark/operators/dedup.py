@@ -30,6 +30,22 @@ def normalize_text(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input before per-row-expensive shingle work.
+
+    Higher-order array functions (transform/aggregate lambdas) run
+    interpreted, not codegen'd, so shingle construction is the CPU hot spot;
+    a small parquet scan yields 1-2 partitions and would serialize it on one
+    core.  Only widens when the input is narrower than the default
+    parallelism — a 100 TB scan with thousands of splits passes through
+    untouched (no gratuitous text shuffle).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str, keep: str = "min"
 ) -> DataFrame:
@@ -58,8 +74,12 @@ def shingles(text: Column, n: int = 5, word: bool = True) -> Column:
         words = F.split(t, " ")
         num = F.greatest(F.size(words) - (n - 1), F.lit(1))
         idx = F.sequence(F.lit(0), num - 1)
+        # unrolled get() concat: O(1) per shingle vs O(n) slice-copy; F.get is
+        # 0-based and null-safe (short docs yield the partial shingle, like
+        # slice+concat_ws did, instead of an ANSI out-of-bounds error)
         return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
         )
     num = F.greatest(F.length(t) - (n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), num)
@@ -67,7 +87,9 @@ def shingles(text: Column, n: int = 5, word: bool = True) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+    """MinHash signature as a single array expression (for small num_hashes;
+    the scalable path is ``minhash_signatures`` below, which computes all
+    hash functions in ONE pass over exploded shingles).
 
     xxhash64 is a JVM built-in (no Python in the loop); distinct seeds give
     independent hash functions.  Returns array<bigint>(num_hashes).
@@ -79,6 +101,30 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
             ).alias(f"h{s}")
             for s in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature via explode + multi-min aggregation.
+
+    One pass over the exploded shingle rows computes ALL hash functions
+    (num_hashes min-aggregates in a single groupBy) — versus the array-
+    expression form which re-traverses the shingle array per seed.  Shuffle:
+    one, keyed by doc id, carrying 8-byte hashes only.
+    Returns (id, h0..h{n-1}).
+    """
+    sh = _widen(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n=shingle_n))).alias("sh"),
+    )
+    return sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
     )
 
 
@@ -101,8 +147,7 @@ def minhash_lsh_candidates(
     degenerate shingle — e.g. empty docs — not a real near-dup cluster).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), n=shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = with_sig.select(
         "id",
         F.explode(
@@ -114,7 +159,7 @@ def minhash_lsh_candidates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -149,15 +194,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs.
 
-    Without ``candidate_pairs`` the pair space is built by joining docs on
-    shared shingles (posting-list join) — each shingle contributes its doc
-    pairs, then intersection counts come from a groupBy.  This is the exact
-    version of what MinHash approximates; with ``candidate_pairs`` it only
-    verifies the LSH output (the scale path).
+    Without ``candidate_pairs`` the pair space is built from per-shingle
+    posting lists: groupBy shingle → sorted doc-id list → in-array pair
+    generation — one shuffle keyed by shingle, singleton shingles pruned
+    (they cannot contribute to any pair), no self-join fanout.  This is the
+    exact version of what MinHash approximates; with ``candidate_pairs`` it
+    only verifies the LSH output (the scale path).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
     sh = (
-        df.select(
+        _widen(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(F.col(text_col), n=n))).alias("sh"),
         )
@@ -176,10 +222,24 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
+        postings = (
+            sh.groupBy("sh")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        ids = F.col("ids")
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
         inter = (
-            sh.alias("a")
-            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            postings.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     out = (
@@ -198,14 +258,17 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(text_col: Column, shingle_n: int = 3, bits: int = 64) -> Column:
-    """64-bit SimHash of the shingle set.
+def simhash(text_col: Column, shingle_n: int = 3, bits: int = 63) -> Column:
+    """63-bit SimHash of the shingle set, as a non-negative BIGINT.
 
     Per bit b: sum over shingles of (+1 if bit b of xxhash64(shingle) else -1);
-    sign of the sum gives the output bit.  All expression-level (aggregate
-    over the shingle array), no UDF.
+    sign of the sum gives the output bit.  63 bits (not 64) so the signature
+    is a plain non-negative long — all downstream chunk/Hamming math stays in
+    exact integer bitwise ops (decimal/double forms lose low bits above 2^53).
+    All expression-level (aggregate over the shingle array), no UDF.
     """
     sh = F.array_distinct(shingles(text_col, n=shingle_n, word=True))
+
     def bit_sum(b: int):
         return F.aggregate(
             sh,
@@ -213,11 +276,11 @@ def simhash(text_col: Column, shingle_n: int = 3, bits: int = 64) -> Column:
             lambda acc, s: acc
             + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-    return F.aggregate(
-        F.array(*[F.when(bit_sum(b) > 0, F.lit(2**b).cast("decimal(38,0)")).otherwise(F.lit(0).cast("decimal(38,0)")) for b in range(bits - 1)]),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, x: acc + x,
-    )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
 
 
 def simhash_near_dups(
@@ -231,10 +294,11 @@ def simhash_near_dups(
     ``bands`` chunks; pairs sharing any chunk are candidates; verify by true
     Hamming distance <= max_hamming.  (Pigeonhole: hamming<=bands-1 is always
     caught.)"""
-    bits = 64
-    chunk = bits // bands
-    sig64 = simhash(F.col(text_col)).cast("decimal(38,0)")
-    with_sig = df.select(F.col(id_col).alias("id"), sig64.alias("sig"))
+    bits = 63
+    chunk = (bits + bands - 1) // bands
+    sig64 = simhash(F.col(text_col))
+    with_sig = _widen(df).select(F.col(id_col).alias("id"), sig64.alias("sig"))
+    mask = (1 << chunk) - 1
     chunks = with_sig.select(
         "id",
         "sig",
@@ -243,7 +307,9 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        ((F.col("sig") / F.lit(float(2 ** (c * chunk)))).cast("decimal(38,0)") % F.lit(2**chunk)).alias("chunk_val"),
+                        F.shiftrightunsigned(F.col("sig"), c * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
                     )
                     for c in range(bands)
                 ]
@@ -266,12 +332,7 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    # Hamming distance via per-bit comparison of the decimal signatures
-    def bit(col, b):
-        return ((col / F.lit(float(2**b))).cast("decimal(38,0)") % 2).cast("int")
-    ham = sum(
-        (bit(F.col("sig_a"), i) != bit(F.col("sig_b"), i)).cast("int") for i in range(63)
-    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )

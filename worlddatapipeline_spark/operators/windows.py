@@ -116,7 +116,13 @@ def pitch_from_slope(
     dx, dy, dz = F.lead(x).over(w) - x, F.lead(y).over(w) - y, F.lead(z).over(w) - z
     horiz = F.sqrt(dx * dx + dy * dy)
     pitch = F.degrees(F.atan2(dz, horiz))
-    clamped = F.greatest(F.least(pitch, F.lit(max_pitch)), F.lit(min_pitch))
+    # guard the clamp: Spark's least/greatest IGNORE nulls, so clamping the
+    # last row's null pitch would yield max_pitch instead of null and break
+    # the carry-forward below
+    clamped = F.when(
+        pitch.isNotNull(),
+        F.greatest(F.least(pitch, F.lit(max_pitch)), F.lit(min_pitch)),
+    )
     df2 = df.withColumn("__p", clamped)
     # carry last defined pitch forward for the final sample
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -414,8 +414,12 @@ def q_value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = events.select(
         "event_id", F.floor("value").cast("long").alias("v"), "value"
     )
+    # 3-row interval dim → plain broadcast theta join (Catalyst BNLJ on the
+    # broadcast side).  The bucketed equi-join path (bucket_size=...) is for
+    # large interval tables with bounded spans; an open-ended [150, 1e9] band
+    # would explode to 2e7 bucket rows.
     joined = join_ops.range_join(
-        pts, bands, point_col="v", start_col="lo", end_col="hi", bucket_size=50.0
+        pts, bands, point_col="v", start_col="lo", end_col="hi"
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
