@@ -1,0 +1,81 @@
+"""bcecmd-style listing parse + inventory source tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.sources import listings
+
+SAMPLE = [
+    "PRE  raw/SceneA/",
+    "PRE  raw/SceneB/",
+    "2024-01-05 11:22:33    123456  STANDARD  raw/SceneA/Content/Maps/Demo.umap",
+    "2024-01-06 08:00:01    777  STANDARD  raw/SceneA/Content/Mesh/file with spaces.uasset",
+    "2024-01-07 09:10:11    999  COLD  raw/SceneB/data/Content/Props/p.uasset",
+    "TOTAL  3 OBJECTS  124,  some footer",
+    "",
+]
+
+
+def _lines(spark):
+    return spark.createDataFrame([(l,) for l in SAMPLE], ["value"])
+
+
+def test_parse_kinds(spark):
+    out = listings.parse_bos_listing(_lines(spark)).collect()
+    kinds = [r["kind"] for r in out]
+    assert kinds.count("prefix") == 2 and kinds.count("object") == 3
+    assert len(out) == 5  # TOTAL + blank dropped
+
+
+def test_parse_key_with_spaces(spark):
+    out = listings.parse_bos_listing(_lines(spark)).filter(
+        F.col("kind") == "object"
+    ).collect()
+    keys = {r["key"] for r in out}
+    assert "raw/SceneA/Content/Mesh/file with spaces.uasset" in keys
+    sizes = {r["key"]: r["size"] for r in out}
+    assert sizes["raw/SceneA/Content/Maps/Demo.umap"] == 123456
+
+
+def test_parse_prefix_strip(spark):
+    out = listings.parse_bos_listing(_lines(spark)).filter(
+        F.col("kind") == "prefix"
+    ).collect()
+    assert sorted(r["key"] for r in out) == ["raw/SceneA/", "raw/SceneB/"]
+
+
+def test_first_level_folders(spark):
+    objs = listings.parse_bos_listing(_lines(spark)).filter(F.col("kind") == "object")
+    out = listings.first_level_folders(objs).collect()
+    assert sorted(r["folder"] for r in out) == ["raw"]
+
+
+def test_content_subdir_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            ("SceneA/Content/Maps/zz.uasset",),
+            ("SceneA/Content/Maps/a.uasset",),
+            ("SceneA/Content/Mesh/b.uasset",),
+            ("SceneB/data/Content/Props/c.uasset",),
+            ("SceneC/no/content/here.txt",),
+        ],
+        ["key"],
+    )
+    out = listings.content_subdir_first_occurrence(df).collect()
+    got = {(r["scene"], r["content_dir"]): r["first_key"] for r in out}
+    assert got[("SceneA", "Maps")] == "SceneA/Content/Maps/a.uasset"
+    assert ("SceneA", "Mesh") in got
+    assert got[("SceneB", "Props")] == "SceneB/data/Content/Props/c.uasset"
+    assert not any(s == "SceneC" for s, _ in got)
+
+
+def test_scan_directory(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / "sub" / "b.bin").write_bytes(b"12345678")
+    (tmp_path / "sub" / "skip.tmp").write_text("x")
+    out = listings.scan_directory(
+        spark, str(tmp_path), exclude_exts=["tmp"]
+    ).collect()
+    rel = {r["relpath"]: r["size"] for r in out}
+    assert rel == {"a.txt": 5, "sub/b.bin": 8}

@@ -1,0 +1,110 @@
+"""Monitoring operator tests (batch + streaming forms)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.catalog import schemas
+from worlddatapipeline_spark.streaming import monitor
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+NOW = T0 + timedelta(minutes=30)
+
+
+def _status_events(spark):
+    rows = [
+        ("t1", T0, "rendering", 10, "/o"),
+        ("t1", T0 + timedelta(minutes=5), "rendering", 50, "/o"),
+        ("t2", T0, "rendering", 5, "/o"),
+        ("t2", T0 + timedelta(minutes=29), "rendering", 300, "/o"),
+        ("t3", T0, "rendering", 5, "/o"),
+        ("t3", T0 + timedelta(minutes=10), "completed", 600, "/o"),
+    ]
+    return spark.createDataFrame(rows, schemas.TASK_STATUS_EVENTS)
+
+
+def test_latest_task_status(spark):
+    out = {r["task_id"]: r for r in monitor.latest_task_status(_status_events(spark)).collect()}
+    assert out["t1"]["status"] == "rendering" and out["t1"]["max_frame_count"] == 50
+    assert out["t3"]["status"] == "completed"
+
+
+def test_stalled_tasks(spark):
+    out = monitor.stalled_tasks(_status_events(spark), NOW, stall_seconds=300).collect()
+    ids = {r["task_id"] for r in out}
+    # t1 idle 25min -> stalled; t2 idle 1min -> fine; t3 completed -> excluded
+    assert ids == {"t1"}
+    assert out[0]["idle_seconds"] == 25 * 60
+
+
+def test_expired_workers(spark):
+    hb = spark.createDataFrame(
+        [
+            ("w1", NOW - timedelta(seconds=30)),
+            ("w1", NOW - timedelta(seconds=600)),
+            ("w2", NOW - timedelta(seconds=90)),
+        ],
+        schemas.HEARTBEATS,
+    )
+    out = monitor.expired_workers(hb, NOW, ttl_seconds=60).collect()
+    assert [r["worker_id"] for r in out] == ["w2"]
+    assert out[0]["age_seconds"] == 90
+
+
+def test_failure_rate_alerts(spark):
+    rows = []
+    for i in range(20):
+        rows.append(
+            (f"t{i}", None, None, "failed" if i < 5 else "completed",
+             T0 + timedelta(minutes=i), None, None, None)
+        )
+    # second window: low failure rate
+    for i in range(20, 30):
+        rows.append(
+            (f"t{i}", None, None, "completed",
+             T0 + timedelta(hours=2, minutes=i), None, None, None)
+        )
+    tasks = spark.createDataFrame(rows, schemas.TASKS)
+    out = monitor.failure_rate_alerts(tasks, "1 hour", threshold=0.10).collect()
+    assert len(out) == 1
+    assert out[0]["n_failed"] == 5 and out[0]["failure_rate"] == pytest.approx(0.25)
+
+
+def test_status_counts(spark):
+    out = {r["status"]: r["n"] for r in monitor.status_counts(_status_events(spark)).collect()}
+    assert out == {"rendering": 5, "completed": 1}
+
+
+def test_streaming_status_counts(spark, tmp_path):
+    """End-to-end streaming: file-source JSON stream -> windowed counts via
+    availableNow into a memory sink."""
+    import json
+
+    p = tmp_path / "status"
+    p.mkdir()
+    events = [
+        {"task_id": "t1", "event_time": "2024-01-01T12:00:00", "status": "rendering",
+         "frame_count": 10, "output_directory": "/o"},
+        {"task_id": "t1", "event_time": "2024-01-01T12:05:00", "status": "completed",
+         "frame_count": 600, "output_directory": "/o"},
+        {"task_id": "t2", "event_time": "2024-01-01T12:01:00", "status": "rendering",
+         "frame_count": 3, "output_directory": "/o"},
+    ]
+    (p / "drop1.json").write_text("\n".join(json.dumps(e) for e in events))
+    stream = monitor.stream_status_files(
+        spark, str(p), schemas.TASK_STATUS_EVENTS, watermark="10 minutes"
+    )
+    counts = monitor.status_counts(stream)
+    monitor.run_stream_to_memory(counts, "status_counts_test")
+    got = {
+        r["status"]: r["n"]
+        for r in spark.sql("SELECT * FROM status_counts_test").collect()
+    }
+    assert got == {"rendering": 2, "completed": 1}
+
+
+def test_frame_progress(spark):
+    out = monitor.frame_progress(_status_events(spark), "1 hour").collect()
+    per = {r["task_id"]: r["frames_delta"] for r in out}
+    assert per["t1"] == 40 and per["t3"] == 595

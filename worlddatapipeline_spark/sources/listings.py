@@ -1,0 +1,141 @@
+"""Object-store / filesystem listing ingestion (SURVEY.md §2.1).
+
+The reference shells out to `bcecmd bos ls [-r|-a]` and parses the text
+output line-by-line in python (`storage/scene_copy.py:94-145,191-226`,
+`scene_download.py:117-167`, `sync_baked_scenes.py:17-78`).  Line formats:
+
+    PRE  prefix/dir/                      (directory marker, non-recursive ls)
+    2024-01-05 11:22:33    123456  STANDARD  path/to/key with spaces.uasset
+    TOTAL  42 OBJECTS ...                 (footer, skipped)
+
+Here the same parse is a DataFrame over `spark.read.text` — classic
+semi-structured log parsing with `regexp_extract`, fully parallel over the
+listing file splits.  A 100 TB bucket inventory (S3 Inventory-style text) is
+exactly this shape.
+
+Filesystem scans (`scene_scanner.py:84-119,122-160`) become a driver-side
+os.walk that yields a DataFrame — listing is metadata-scale, the heavy
+operators downstream are the distributed part.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 'date time size STORAGE_CLASS key...' — key may contain spaces; storage
+# class is a single token (reference handles this at scene_copy.py:191-226)
+_OBJ_RE = (
+    r"^\s*(\d{4}-\d{2}-\d{2})\s+(\d{2}:\d{2}:\d{2})\s+(\d+)\s+(\S+)\s+(.*\S)\s*$"
+)
+
+
+def parse_bos_listing(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse `bcecmd bos ls` text lines into (kind, key, size, modified,
+    storage_class) rows.
+
+    kind: 'prefix' for `PRE  dir/` lines, 'object' for data lines; TOTAL
+    footers and blanks are dropped.  Reference parse targets:
+    `scene_copy.py:131-135` (PRE strip), `:191-226` (field parse),
+    `sync_baked_scenes.py:50-69`.
+    """
+    v = F.col(value_col)
+    is_pre = v.rlike(r"^\s*PRE\s+")
+    is_total = v.rlike(r"^\s*TOTAL\b")
+    obj_key = F.regexp_extract(v, _OBJ_RE, 5)
+    parsed = lines.filter(~is_total & (F.trim(v) != "")).select(
+        F.when(is_pre, F.lit("prefix")).otherwise(F.lit("object")).alias("kind"),
+        F.when(is_pre, F.regexp_replace(v, r"^\s*PRE\s+", ""))
+        .otherwise(obj_key)
+        .alias("key"),
+        F.when(is_pre, F.lit(None).cast("long"))
+        .otherwise(F.regexp_extract(v, _OBJ_RE, 3).try_cast("long"))
+        .alias("size"),
+        F.when(
+            ~is_pre,
+            F.try_to_timestamp(
+                F.concat_ws(
+                    " ",
+                    F.regexp_extract(v, _OBJ_RE, 1),
+                    F.regexp_extract(v, _OBJ_RE, 2),
+                )
+            ),
+        ).alias("modified"),
+        F.when(~is_pre, F.regexp_extract(v, _OBJ_RE, 4)).alias("storage_class"),
+    )
+    # drop malformed object lines (regexp_extract yields '' on no-match)
+    return parsed.filter((F.col("kind") == "prefix") | (F.col("key") != ""))
+
+
+def read_bos_listing(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.text` + parse — one call for the common case."""
+    return parse_bos_listing(spark.read.text(path))
+
+
+def scan_directory(
+    spark: SparkSession, root: str, exclude_exts: list[str] | None = None
+) -> DataFrame:
+    """Recursive local-directory inventory as a DataFrame
+    (path, relpath, size, mtime) — the engine-side form of
+    `scene_scanner.py:122-160` / `copy_scene_assets.py:172-190`.
+
+    Driver-side walk (listing is metadata-scale); the returned frame feeds
+    the distributed operators (content hash, reconcile, stats).
+    """
+    rows = []
+    exclude_exts = [e.lower() for e in (exclude_exts or [])]
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            full = os.path.join(dirpath, fn)
+            ext = os.path.splitext(fn)[1].lstrip(".").lower()
+            if ext in exclude_exts:
+                continue
+            try:
+                st = os.stat(full)
+            except OSError:
+                continue
+            rows.append(
+                (full, os.path.relpath(full, root), int(st.st_size), int(st.st_mtime))
+            )
+    return spark.createDataFrame(rows, ["path", "relpath", "size", "mtime"])
+
+
+def first_level_folders(listing: DataFrame, key_col: str = "key") -> DataFrame:
+    """Distinct first path segments of object keys
+    (`scene_scanner.py:593-614`)."""
+    return (
+        listing.select(F.split(F.col(key_col), "/")[0].alias("folder"))
+        .filter(F.col("folder") != "")
+        .distinct()
+    )
+
+
+def content_subdir_first_occurrence(
+    listing: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Per scene, the first Content-subdir (shortest, then lexicographic) —
+    the reference's first-occurrence dedup over listing keys
+    (`scene_copy.py:236-310`), via ranking window instead of dict insertion
+    order.  Scene = first segment; content dir = segment after 'Content'."""
+    from ..operators.joins import first_occurrence
+
+    parts = F.split(F.col(key_col), "/")
+    content_idx = F.array_position(parts, "Content")
+    with_dir = (
+        listing.select(
+            parts[0].alias("scene"),
+            F.when(
+                (content_idx > 0) & (F.size(parts) > content_idx),
+                F.element_at(parts, (content_idx + 1).cast("int")),
+            ).alias("content_dir"),
+            F.col(key_col).alias("key"),
+        )
+        .filter(F.col("content_dir").isNotNull() & (F.col("content_dir") != ""))
+    )
+    return first_occurrence(
+        with_dir,
+        ["scene", "content_dir"],
+        [F.length("key").asc(), F.col("key").asc()],
+    ).select("scene", "content_dir", F.col("key").alias("first_key"))

@@ -1,0 +1,143 @@
+"""Task/render monitoring (SURVEY.md §2.10) as Structured Streaming + batch
+analogs.
+
+The reference monitors rendering with polling loops and a designed-but-
+unimplemented Redis queue (`monitor.py:52-249`, `structure.md:199-229`):
+status-file watching, frame-progress stall detection (no new frames for
+5 min ⇒ stalled, `run_render_job_headless.py:255-325`), worker heartbeat TTL
+(60 s, `structure.md:212`), and alert thresholds (queue>1000, failure>10%,
+`structure.md:221-229`).
+
+Spark restatement: the task/status stream is a DataFrame source (file source
+over `.render_status.json` drops, or a task Delta table); every monitor rule
+is a windowed/stateful aggregation.  Each transformation below works on both
+batch frames (driver correctness harness) and streaming frames — streaming
+adds `withWatermark` for late data, which the reference has no answer to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def status_counts(status_events: DataFrame) -> DataFrame:
+    """Per-status task counts (`stats:*` counters, `structure.md:213-216`)."""
+    return status_events.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def latest_task_status(status_events: DataFrame) -> DataFrame:
+    """Last known status per task (batch form: max_by event_time) —
+    the status-file state merge of `monitor.py:117-174`."""
+    return status_events.groupBy("task_id").agg(
+        F.max("event_time").alias("last_event_time"),
+        F.max_by("status", "event_time").alias("status"),
+        F.max("frame_count").alias("max_frame_count"),
+    )
+
+
+def stalled_tasks(
+    status_events: DataFrame,
+    now_ts,
+    stall_seconds: int = 300,
+) -> DataFrame:
+    """Tasks still 'rendering' whose last progress event is older than the
+    stall cutoff (`run_render_job_headless.py:255-325`: 60 checks × 5 s)."""
+    last = latest_task_status(status_events)
+    age = F.unix_timestamp(F.lit(now_ts)) - F.unix_timestamp("last_event_time")
+    return (
+        last.filter(F.col("status") == "rendering")
+        .withColumn("idle_seconds", age)
+        .filter(F.col("idle_seconds") > stall_seconds)
+        .select("task_id", "last_event_time", "max_frame_count", "idle_seconds")
+    )
+
+
+def expired_workers(
+    heartbeats: DataFrame, now_ts, ttl_seconds: int = 60
+) -> DataFrame:
+    """Workers whose newest heartbeat is older than the TTL
+    (`worker:{id}:heartbeat` TTL 60 s, `structure.md:212`)."""
+    last = heartbeats.groupBy("worker_id").agg(F.max("beat_time").alias("last_beat"))
+    age = F.unix_timestamp(F.lit(now_ts)) - F.unix_timestamp("last_beat")
+    return (
+        last.withColumn("age_seconds", age)
+        .filter(F.col("age_seconds") > ttl_seconds)
+        .select("worker_id", "last_beat", "age_seconds")
+    )
+
+
+def failure_rate_alerts(
+    tasks: DataFrame,
+    window_duration: str = "1 hour",
+    threshold: float = 0.10,
+) -> DataFrame:
+    """Failure-rate-over-window alert (>10%, `structure.md:226`).
+
+    Windows on created_at; rate = failed/total per window.  On a stream, add
+    `withWatermark('created_at', …)` upstream and this same expression runs
+    incrementally.
+    """
+    w = F.window("created_at", window_duration)
+    per = tasks.groupBy(w.alias("win")).agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.count(F.when(F.col("status") == "failed", 1)).alias("n_failed"),
+    )
+    return (
+        per.withColumn(
+            "failure_rate", F.round(F.col("n_failed") / F.col("n_tasks"), 6)
+        )
+        .filter(F.col("failure_rate") > threshold)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_tasks",
+            "n_failed",
+            "failure_rate",
+        )
+    )
+
+
+def frame_progress(
+    status_events: DataFrame, window_duration: str = "5 minutes"
+) -> DataFrame:
+    """Frame-count growth per task per time window — the batch/streaming form
+    of the frame-progress poll (`monitor.py:88-95,140-149`)."""
+    w = F.window("event_time", window_duration)
+    return status_events.groupBy(F.col("task_id"), w.alias("win")).agg(
+        F.max("frame_count").alias("frames_max"),
+        F.min("frame_count").alias("frames_min"),
+        (F.max("frame_count") - F.min("frame_count")).alias("frames_delta"),
+    )
+
+
+def stream_status_files(
+    spark,
+    path: str,
+    schema,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """File-source stream over status-JSON drops (`monitor.py:52-63` watch
+    loop → readStream), watermarked on event_time for late data."""
+    return (
+        spark.readStream.schema(schema)
+        .json(path)
+        .withWatermark("event_time", watermark)
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Execute a streaming aggregation with availableNow into an in-memory
+    sink and return the finished query — the test/validation harness for the
+    streaming surface."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
