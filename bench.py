@@ -38,6 +38,13 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_topk",
     "rate_limited_angle",
+    "listing_parse_stats",
+    "content_hash_brands",
+    "brand_argmax",
+    "orders_by_month",
+    "trajectory_angles",
+    "extrinsic_export",
+    "value_band_bucketed",
 ]
 
 

@@ -135,6 +135,24 @@ def excluded_by_patterns(name: Column, patterns: list[str]) -> Column:
     return cond
 
 
+def longest_common_prefix(a: Column, b: Column) -> Column:
+    """Longest common prefix of two strings as a Column expression.
+
+    The reference folds LCP across a path list imperatively
+    (`scene_copy.py:341-369`).  Closed form used here: the LCP of a *set* of
+    strings equals LCP(min, max) under lexicographic order, so a groupBy only
+    needs min/max aggregates (no per-group iteration) and this pairwise
+    expression — O(1) state per group at any scale."""
+    n = F.least(F.length(a), F.length(b))
+    idx = F.array_max(
+        F.filter(
+            F.sequence(F.lit(0), n),
+            lambda i: a.substr(F.lit(1), i) == b.substr(F.lit(1), i),
+        )
+    )
+    return a.substr(F.lit(1), idx)
+
+
 def excluded_system_dir(name: Column, system_dirs: list[str] | None = None) -> Column:
     """UE system-dir / underscore-prefix exclusion (`scene_scanner.py:96-117`)."""
     system_dirs = system_dirs or [

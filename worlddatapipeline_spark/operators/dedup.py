@@ -265,22 +265,39 @@ def simhash(text_col: Column, shingle_n: int = 3, bits: int = 63) -> Column:
     sign of the sum gives the output bit.  63 bits (not 64) so the signature
     is a plain non-negative long — all downstream chunk/Hamming math stays in
     exact integer bitwise ops (decimal/double forms lose low bits above 2^53).
-    All expression-level (aggregate over the shingle array), no UDF.
+    All expression-level (one aggregate over the shingle array with an
+    array<int> accumulator — NOT one aggregate per bit, which builds a
+    63×|shingles| Catalyst tree and dominates runtime in codegen), no UDF.
+    Each shingle is hashed exactly once.
     """
     sh = F.array_distinct(shingles(text_col, n=shingle_n, word=True))
-
-    def bit_sum(b: int):
-        return F.aggregate(
-            sh,
-            F.lit(0),
-            lambda acc, s: acc
-            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    weights = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_near_dups(

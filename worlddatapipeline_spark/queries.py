@@ -966,6 +966,8 @@ def q_arc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "catalog_stats": q_catalog_stats,
@@ -1000,6 +1002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_connected_components,
     "rate_limited_angle": q_rate_limited_angle,
     "arc_resample": q_arc_resample,
+    **EXT_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -1030,4 +1033,5 @@ ORACLES: dict[str, str] = {
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    **EXT_ORACLES,
 }

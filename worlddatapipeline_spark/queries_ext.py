@@ -1,0 +1,502 @@
+"""Extension query registry — second tranche of SURVEY.md §2 operators.
+
+Same conventions as queries.py: every entry runs on the driver tables with a
+DuckDB oracle when ANSI-SQL-expressible; column aliases identical on both
+sides; doubles rounded identically.  Covered here:
+
+- §2.1 object-store listing text parse (`scene_copy.py:94-226` shape)
+- §2.3 common-prefix fold (`scene_copy.py:341-369`)
+- §2.7 directory content hashing (`scene_registry.py:608-644`)
+- §2.7 date/time bucketing (`job_utils.py:53-104` family)
+- §2.6 argmax/min-by (`navmesh_connectivity.py:261`, `navmesh_injector.py:371`)
+- §2.5 yaw-from-trajectory / pitch-from-slope (`transform_track.py:10-53`)
+- §2.5 extrinsic view-matrix export (`camera_exporter.py:253-306`)
+- §1.1 nested document export (`scene_scanner.py:539-574`)
+- §2.3 bucketed range join (100 TB path of `worker_create.py:720-730`)
+- §2.11 seeded behavior simulation (rows-only; `behavior_executor.py:638-857`)
+- SimHash near-dup banding (rows-only; LLM-pipeline extension)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import paths as path_fns
+from .functions.geometry import with_extrinsics
+from .operators import dedup as dedup_ops
+from .operators import joins as join_ops
+from .operators import simulate as sim_gen
+from .operators import windows as win_ops
+from .session import load_tables
+from .sources import listings as listing_src
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, list(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# §2.1 listing text parse
+# ---------------------------------------------------------------------------
+
+def _synth_listing_lines(part: DataFrame) -> DataFrame:
+    """Deterministic bcecmd-style listing text synthesized from `part`:
+    object lines (key contains spaces), PRE prefix lines, a TOTAL footer —
+    the exact line shapes `scene_copy.py:131-135,191-226` handles."""
+    day = F.lpad((F.col("p_partkey") % 27 + 1).cast("string"), 2, "0")
+    size = (F.col("p_partkey") * 100 + F.col("p_size")).cast("string")
+    obj = part.select(
+        F.concat(
+            F.lit("2024-01-"), day, F.lit(" 11:22:33    "), size,
+            F.lit("  STANDARD  scenes/"), F.col("p_brand"), F.lit("/"),
+            F.col("p_name"), F.lit(".uasset"),
+        ).alias("value")
+    )
+    pre = part.select("p_brand").distinct().select(
+        F.concat(F.lit("PRE  scenes/"), F.col("p_brand"), F.lit("/")).alias("value")
+    )
+    total = obj.sparkSession.createDataFrame(
+        [("TOTAL 42 OBJECTS",)], "value string"
+    )
+    return obj.unionByName(pre).unionByName(total)
+
+
+def q_listing_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse bcecmd-style listing text → per (kind, brand) object count and
+    byte total.  Semi-structured log parse fully in expressions
+    (sources/listings.py::parse_bos_listing)."""
+    (part,) = _t(spark, sf_dir, "part")
+    parsed = listing_src.parse_bos_listing(_synth_listing_lines(part))
+    brand = F.element_at(F.split(F.col("key"), "/"), 2).alias("brand")
+    return (
+        parsed.select("kind", brand, "size")
+        .groupBy("kind", "brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_size"))
+    )
+
+
+SQL_LISTING_PARSE_STATS = """
+WITH obj AS (
+  SELECT concat('2024-01-', lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0'),
+                ' 11:22:33    ', CAST(p_partkey * 100 + p_size AS VARCHAR),
+                '  STANDARD  scenes/', p_brand, '/', p_name, '.uasset') AS value
+  FROM part
+), pre AS (
+  SELECT DISTINCT concat('PRE  scenes/', p_brand, '/') AS value FROM part
+), lines AS (
+  SELECT value FROM obj UNION ALL SELECT value FROM pre
+  UNION ALL SELECT 'TOTAL 42 OBJECTS'
+), parsed AS (
+  SELECT CASE WHEN regexp_matches(value, '^\\s*PRE\\s+') THEN 'prefix'
+              ELSE 'object' END AS kind,
+         CASE WHEN regexp_matches(value, '^\\s*PRE\\s+')
+              THEN regexp_replace(value, '^\\s*PRE\\s+', '')
+              ELSE regexp_extract(value,
+                '^\\s*(\\d{4}-\\d{2}-\\d{2})\\s+(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s+(\\S+)\\s+(.*\\S)\\s*$', 5)
+         END AS key,
+         CASE WHEN regexp_matches(value, '^\\s*PRE\\s+') THEN NULL
+              ELSE try_cast(regexp_extract(value,
+                '^\\s*(\\d{4}-\\d{2}-\\d{2})\\s+(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s+(\\S+)\\s+(.*\\S)\\s*$', 3)
+                AS BIGINT)
+         END AS size
+  FROM lines
+  WHERE NOT regexp_matches(value, '^\\s*TOTAL\\b') AND trim(value) <> ''
+)
+SELECT kind, split_part(key, '/', 2) AS brand,
+       count(*) AS n, sum(size) AS total_size
+FROM parsed
+WHERE kind = 'prefix' OR key <> ''
+GROUP BY kind, brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 common-prefix fold
+# ---------------------------------------------------------------------------
+
+def q_common_prefix_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common path prefix per brand via LCP(min,max) — two aggregates
+    plus one O(len) expression instead of the reference's per-path fold."""
+    (part,) = _t(spark, sf_dir, "part")
+    path = F.concat(
+        F.lit("scenes/"), F.col("p_brand"), F.lit("/"), F.col("p_name"),
+        F.lit(".uasset"),
+    )
+    g = part.select(F.col("p_brand"), path.alias("path")).groupBy("p_brand").agg(
+        F.min("path").alias("mn"), F.max("path").alias("mx"),
+        F.count(F.lit(1)).alias("n_paths"),
+    )
+    return g.select(
+        "p_brand",
+        path_fns.longest_common_prefix(F.col("mn"), F.col("mx")).alias("common_prefix"),
+        "n_paths",
+    )
+
+
+SQL_COMMON_PREFIX_FOLD = """
+WITH p AS (
+  SELECT p_brand, concat('scenes/', p_brand, '/', p_name, '.uasset') AS path
+  FROM part
+), g AS (
+  SELECT p_brand, min(path) AS mn, max(path) AS mx, count(*) AS n_paths
+  FROM p GROUP BY p_brand
+)
+SELECT p_brand,
+       substr(mn, 1, list_max(list_filter(range(0, least(length(mn), length(mx)) + 1),
+                                          i -> substr(mn, 1, i) = substr(mx, 1, i))))
+         AS common_prefix,
+       n_paths
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 content hashing (directory-hash change detection)
+# ---------------------------------------------------------------------------
+
+def q_content_hash_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hash per brand: md5 over the sorted (name:size) file listing —
+    the reference's directory-tree change detector (`scene_registry.py:608-644`)
+    as sort_array(collect_list)+md5; the hash is over metadata strings, never
+    file bodies, so the shuffle payload stays tiny at 100 TB."""
+    (part,) = _t(spark, sf_dir, "part")
+    entry = F.concat_ws(
+        ":", F.col("p_name"), (F.col("p_partkey") * 100 + F.col("p_size")).cast("string")
+    )
+    return (
+        part.select(F.col("p_brand"), entry.alias("entry"))
+        .groupBy("p_brand")
+        .agg(
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("entry")))).alias("content_hash"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+
+
+SQL_CONTENT_HASH_BRANDS = """
+SELECT p_brand,
+       md5(string_agg(concat(p_name, ':', CAST(p_partkey * 100 + p_size AS VARCHAR)),
+                      '|' ORDER BY concat(p_name, ':', CAST(p_partkey * 100 + p_size AS VARCHAR))))
+         AS content_hash,
+       count(*) AS n_files
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 date/time bucketing
+# ---------------------------------------------------------------------------
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month bucketing + early-month conditional count — the date-handling
+    family (`job_utils.py:53-104` date suffixing, ISO timestamps §1.3)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.count(F.when(F.dayofmonth("o_orderdate") <= 10, 1)).alias("n_first_decade"),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_value,
+       count(CASE WHEN day(o_orderdate) <= 10 THEN 1 END) AS n_first_decade
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 argmax / min-by
+# ---------------------------------------------------------------------------
+
+def q_brand_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by per group — closest-point-to-centroid / densest-cell
+    argmax family.  Tie-proof ordering: integer score = cents*1e6 + partkey
+    (exact in int64, unique per row)."""
+    (part,) = _t(spark, sf_dir, "part")
+    score = (
+        F.round(F.col("p_retailprice") * 100).cast("long") * 1000000 + F.col("p_partkey")
+    )
+    return (
+        part.select("p_brand", "p_partkey", "p_retailprice", score.alias("score"))
+        .groupBy("p_brand")
+        .agg(
+            F.max_by("p_partkey", "score").alias("priciest_partkey"),
+            F.min_by("p_partkey", "score").alias("cheapest_partkey"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        )
+    )
+
+
+SQL_BRAND_ARGMAX = """
+WITH s AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(round(p_retailprice * 100) AS BIGINT) * 1000000 + p_partkey AS score
+  FROM part
+)
+SELECT p_brand,
+       arg_max(p_partkey, score) AS priciest_partkey,
+       arg_min(p_partkey, score) AS cheapest_partkey,
+       round(max(p_retailprice), 2) AS max_price,
+       round(min(p_retailprice), 2) AS min_price
+FROM s GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 trajectory angles (lead + atan2)
+# ---------------------------------------------------------------------------
+
+def q_trajectory_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yaw-from-trajectory and clamped pitch-from-slope over each user's
+    event trail (windows.py::yaw_from_trajectory / pitch_from_slope —
+    `transform_track.py:10-53`).  Both are single-window lead() expressions;
+    the last row carries the previous value forward like the reference."""
+    (events,) = _t(spark, sf_dir, "events")
+    path = events.select(
+        "user_id",
+        F.col("event_id").alias("ord"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 100).cast("double").alias("y"),
+        (F.col("event_id") % 7).cast("double").alias("z"),
+    )
+    out = win_ops.yaw_from_trajectory(path, "user_id", "ord")
+    out = win_ops.pitch_from_slope(out, "user_id", "ord", min_pitch=-60.0, max_pitch=60.0)
+    return out.select(
+        "user_id",
+        "ord",
+        F.round("yaw", 6).alias("yaw"),
+        F.round("pitch", 6).alias("pitch"),
+    )
+
+
+SQL_TRAJECTORY_ANGLES = """
+WITH path AS (
+  SELECT user_id, event_id AS ord, value AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y,
+         CAST(event_id % 7 AS DOUBLE) AS z
+  FROM events
+), d AS (
+  SELECT user_id, ord, x, y, z,
+         lead(x) OVER w - x AS dx,
+         lead(y) OVER w - y AS dy,
+         lead(z) OVER w - z AS dz
+  FROM path
+  WINDOW w AS (PARTITION BY user_id ORDER BY ord)
+), ang AS (
+  SELECT user_id, ord,
+         degrees(atan2(dy, dx)) AS yaw0,
+         CASE WHEN dz IS NOT NULL
+              THEN greatest(least(degrees(atan2(dz, sqrt(dx*dx + dy*dy))), 60.0), -60.0)
+         END AS pitch0
+  FROM d
+)
+SELECT user_id, ord,
+       round(coalesce(yaw0,
+                      last_value(yaw0 IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ord
+                              ROWS UNBOUNDED PRECEDING),
+                      0.0), 6) AS yaw,
+       round(coalesce(pitch0,
+                      last_value(pitch0 IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ord
+                              ROWS UNBOUNDED PRECEDING),
+                      0.0), 6) AS pitch
+FROM ang
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extrinsic view-matrix export
+# ---------------------------------------------------------------------------
+
+def q_extrinsic_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 4×4 view matrix [Rᵀ | −Rᵀt] from Euler poses
+    (functions/geometry.py::with_extrinsics, Arrow-vectorized pandas UDF) —
+    `camera_exporter.py:253-306`.  Oracle reproduces the trig closed form
+    (roll=0) column-by-column."""
+    (events,) = _t(spark, sf_dir, "events")
+    poses = events.select(
+        F.col("event_id").alias("frame"),
+        (F.col("value") * 100).alias("x"),
+        ((F.col("event_id") % 100) * 10).cast("double").alias("y"),
+        ((F.col("event_id") % 50) * 5).cast("double").alias("z"),
+        ((F.col("event_id") % 120) - 60).cast("double").alias("pitch"),
+        ((F.col("event_id") * 37) % 360 - 180).cast("double").alias("yaw"),
+        F.lit(0.0).alias("roll"),
+    )
+    out = with_extrinsics(poses)
+    cols = [f"m{i}{j}" for i in range(3) for j in range(4)]
+    return out.select(
+        "frame", *[F.round(c, 6).alias(c) for c in cols]
+    )
+
+
+SQL_EXTRINSIC_EXPORT = """
+WITH poses AS (
+  SELECT event_id AS frame,
+         value * 100 AS x,
+         CAST((event_id % 100) * 10 AS DOUBLE) AS y,
+         CAST((event_id % 50) * 5 AS DOUBLE) AS z,
+         radians(CAST((event_id % 120) - 60 AS DOUBLE)) AS p,
+         radians(CAST((event_id * 37) % 360 - 180 AS DOUBLE)) AS yw
+  FROM events
+), t AS (
+  SELECT frame, cos(p) AS cp, sin(p) AS sp, cos(yw) AS cy, sin(yw) AS sy,
+         x * 0.01 AS tx, y * 0.01 AS ty, z * 0.01 AS tz
+  FROM poses
+)
+SELECT frame,
+       round(cy*cp, 6)  AS m00,
+       round(sy*cp, 6)  AS m01,
+       round(-sp, 6)    AS m02,
+       round(-(cy*cp*tx + sy*cp*ty - sp*tz), 6) AS m03,
+       round(-sy, 6)    AS m10,
+       round(cy, 6)     AS m11,
+       CAST(0.0 AS DOUBLE) AS m12,
+       round(sy*tx - cy*ty, 6) AS m13,
+       round(cy*sp, 6)  AS m20,
+       round(sy*sp, 6)  AS m21,
+       round(cp, 6)     AS m22,
+       round(-(cy*sp*tx + sy*sp*ty + cp*tz), 6) AS m23
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# §1.1 nested document export
+# ---------------------------------------------------------------------------
+
+def q_region_nation_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested child export — the scenes.json maps-per-scene nesting
+    (`scene_scanner.py:539-574`) as one join + sorted collect_list, killing
+    the reference's N+1 correlated scan."""
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    j = region.join(
+        F.broadcast(nation), F.col("r_regionkey") == F.col("n_regionkey"), "left"
+    )
+    return j.groupBy("r_name").agg(
+        F.count("n_name").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+SQL_REGION_NATION_NESTED = """
+SELECT r_name,
+       count(n_name) AS n_nations,
+       coalesce(string_agg(n_name, ',' ORDER BY n_name), '') AS nations
+FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 bucketed range join (scale path)
+# ---------------------------------------------------------------------------
+
+def q_value_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bucketed equi-join path
+    (operators/joins.py::range_join with bucket_size): intervals explode to
+    overlapped buckets, points hash-join on bucket, exact range filter after.
+    At 100 TB this replaces the broadcast nested-loop with a shuffle hash
+    join whose fan-out is bounded by span/bucket_size."""
+    (events,) = _t(spark, sf_dir, "events")
+    bands = events.sparkSession.createDataFrame(
+        [(i, i * 25.0, i * 25.0 + 24.99) for i in range(20)],
+        "band_id int, lo double, hi double",
+    )
+    joined = join_ops.range_join(
+        events.select("event_id", "value"),
+        bands,
+        point_col="value",
+        start_col="lo",
+        end_col="hi",
+        bucket_size=25.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SQL_VALUE_BAND_BUCKETED = """
+WITH bands AS (
+  SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 24.99 AS hi
+  FROM range(0, 20) t(i)
+)
+SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN bands ON value >= lo AND value <= hi
+GROUP BY band_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only: seeded simulation, SimHash banding
+# ---------------------------------------------------------------------------
+
+def q_simulate_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded behavior simulation fan-out (operators/simulate.py) — one task
+    per (sequence_id, seed) job row, deterministic per seed; summarized per
+    sequence.  Not SQL-expressible (sequential generator) → rows-only."""
+    jobs = spark.createDataFrame(
+        [(f"seq_{i:03d}", 1000 + i) for i in range(8)],
+        "sequence_id string, seed long",
+    )
+    poses = sim_gen.simulate_jobs(jobs, n_segments=6, steps_per_segment=20)
+    return (
+        poses.groupBy("sequence_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("seg_idx").alias("n_segments"),
+            F.round(F.max("x") - F.min("x"), 4).alias("x_span"),
+            F.max(F.col("aborted").cast("int")).alias("aborted"),
+        )
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups)
+    — 64-bit signature, band-bucket candidate join, exact Hamming verify.
+    Approximate → rows-only."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_dups(
+        documents, "text", "doc_id", max_hamming=6, bands=4
+    )
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "listing_parse_stats": q_listing_parse_stats,
+    "common_prefix_fold": q_common_prefix_fold,
+    "content_hash_brands": q_content_hash_brands,
+    "orders_by_month": q_orders_by_month,
+    "brand_argmax": q_brand_argmax,
+    "trajectory_angles": q_trajectory_angles,
+    "extrinsic_export": q_extrinsic_export,
+    "region_nation_nested": q_region_nation_nested,
+    "value_band_bucketed": q_value_band_bucketed,
+    # rows-only:
+    "simulate_trajectories": q_simulate_trajectories,
+    "simhash_near_dups": q_simhash_near_dups,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "listing_parse_stats": SQL_LISTING_PARSE_STATS,
+    "common_prefix_fold": SQL_COMMON_PREFIX_FOLD,
+    "content_hash_brands": SQL_CONTENT_HASH_BRANDS,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "brand_argmax": SQL_BRAND_ARGMAX,
+    "trajectory_angles": SQL_TRAJECTORY_ANGLES,
+    "extrinsic_export": SQL_EXTRINSIC_EXPORT,
+    "region_nation_nested": SQL_REGION_NATION_NESTED,
+    "value_band_bucketed": SQL_VALUE_BAND_BUCKETED,
+}
