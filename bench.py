@@ -45,6 +45,9 @@ HEADLINE = [
     "trajectory_angles",
     "extrinsic_export",
     "value_band_bucketed",
+    "top_unshipped_orders",
+    "supplier_volume",
+    "catalog_upsert",
 ]
 
 

@@ -59,14 +59,25 @@ def cosine_topk(
     query_id.  Excludes self-matches when ids collide.
     Returns (query_id, vec_id, cosine_sim, rank).
     """
+    # norms are per-row, not per-pair: compute them BEFORE the join so the
+    # pair loop does exactly one dot product (the division below reproduces
+    # dot/(||q||*||c||) in the same IEEE order as the naive form)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -113,11 +124,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     scored = c.alias("c").join(
@@ -126,7 +139,10 @@ def lsh_topk(
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q.__qv"), F.col("c.__cv")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("q.__qv"), F.col("c.__cv")) / (F.col("q.__qn") * F.col("c.__cn")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()

@@ -441,6 +441,138 @@ GROUP BY band_id
 
 
 # ---------------------------------------------------------------------------
+# §2.8 MERGE upsert
+# ---------------------------------------------------------------------------
+
+def q_catalog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert semantics (operators/reconcile.py::merge_upsert —
+    `scene_registry.py:224-239`): customer catalog updated from an
+    orders-derived source; matching rows take the source balance, unmatched
+    keep theirs, source-only keys insert.  Summarized per mktsegment (the
+    full merged relation is the sink in production; aggregating keeps the
+    oracle comparison small)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    from .operators.reconcile import merge_upsert
+
+    base = customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    updates = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("MERGED"))
+    )
+    merged = merge_upsert(base, updates, ["c_custkey"], update_cols=["c_acctbal"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+SQL_CATALOG_UPSERT = """
+WITH updates AS (
+  SELECT o_custkey AS c_custkey,
+         round(sum(o_totalprice), 2) AS c_acctbal
+  FROM orders GROUP BY 1
+), merged AS (
+  SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
+         coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+         b.c_mktsegment
+  FROM customer b FULL OUTER JOIN updates u USING (c_custkey)
+)
+SELECT c_mktsegment, count(*) AS n_rows, round(sum(c_acctbal), 2) AS total_bal
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# large multi-join plans (fact-fact shuffle joins + broadcast dims)
+# ---------------------------------------------------------------------------
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped plan: two fact tables (orders ⋈ lineitem) shuffle-join
+    on orderkey after selective pushed-down filters; customer dim broadcast.
+    The revenue top-10 is a global sort of a small aggregate — driver-safe."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = lineitem.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_UNSHIPPED_ORDERS = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star: lineitem fact shuffle-joined to orders, all four
+    dims (supplier, customer, nation, region) broadcast.  Exercises join
+    reordering + broadcast planning over the full schema."""
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    j = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_SUPPLIER_VOLUME = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only: seeded simulation, SimHash banding
 # ---------------------------------------------------------------------------
 
@@ -484,6 +616,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extrinsic_export": q_extrinsic_export,
     "region_nation_nested": q_region_nation_nested,
     "value_band_bucketed": q_value_band_bucketed,
+    "catalog_upsert": q_catalog_upsert,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "supplier_volume": q_supplier_volume,
     # rows-only:
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
@@ -499,4 +634,7 @@ EXT_ORACLES: dict[str, str] = {
     "extrinsic_export": SQL_EXTRINSIC_EXPORT,
     "region_nation_nested": SQL_REGION_NATION_NESTED,
     "value_band_bucketed": SQL_VALUE_BAND_BUCKETED,
+    "catalog_upsert": SQL_CATALOG_UPSERT,
+    "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
+    "supplier_volume": SQL_SUPPLIER_VOLUME,
 }
