@@ -441,6 +441,88 @@ GROUP BY band_id
 
 
 # ---------------------------------------------------------------------------
+# text fingerprinting + token estimation
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (rolling md5 of normalized text), BPE-ish token
+    estimate (regexp_count over word/digit/punct alternation) and stopword
+    ratio — the text-analysis extension surface (operators/text.py)."""
+    from .operators import text as text_ops
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        text_ops.fingerprint(t).alias("fingerprint"),
+        text_ops.word_like_token_count(t).alias("n_word_tokens"),
+        F.round(text_ops.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+SQL_DOC_FINGERPRINT_TOKENS = """
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         AS n_word_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks,
+                    x -> x IN ('the','and','of','to','in'))) AS DOUBLE)
+                  / len(toks) END, 6) AS stopword_ratio
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 KNN self-join
+# ---------------------------------------------------------------------------
+
+def q_knn_user_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 nearest neighbours among per-user centroid points
+    (operators/graph.py::knn_edges — `navmesh_connectivity.py:126-135`).
+    Centroids first (one aggregate) so the exact self-join is over #users
+    rows, the reference's own N; at corpus scale the LSH path replaces it."""
+    from .operators import graph as graph_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    pts = (
+        events.groupBy(F.col("user_id").alias("sample_id"))
+        .agg(
+            F.avg("value").alias("x"),
+            F.avg(F.col("event_id") % 100).alias("y"),
+        )
+        .withColumn("z", F.lit(0.0))
+    )
+    edges = graph_ops.knn_edges(pts, k=4)
+    return edges.select("src", "dst", F.round("dist", 6).alias("dist"))
+
+
+SQL_KNN_USER_CENTROIDS = """
+WITH pts AS (
+  SELECT user_id AS sample_id,
+         avg(value) AS x,
+         avg(event_id % 100) AS y,
+         0.0 AS z
+  FROM events GROUP BY user_id
+), pairs AS (
+  SELECT a.sample_id AS src, b.sample_id AS dst,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z))
+           AS dist
+  FROM pts a JOIN pts b ON a.sample_id <> b.sample_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+  FROM pairs
+)
+SELECT src, dst, round(dist, 6) AS dist FROM ranked WHERE rn <= 4
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.8 MERGE upsert
 # ---------------------------------------------------------------------------
 
@@ -596,6 +678,18 @@ def q_simulate_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline (operators/multimodal.py): documents →
+    binary media column + typed metadata → Arrow-batched mapInPandas feature
+    extraction.  Decode is the documented deterministic stub (no codec libs
+    in this container); the Spark plumbing is the real path → rows-only."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(documents, "doc_id", "text")
+    return mm.extract_features(media)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups)
     — 64-bit signature, band-bucket candidate join, exact Hamming verify.
@@ -616,12 +710,15 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extrinsic_export": q_extrinsic_export,
     "region_nation_nested": q_region_nation_nested,
     "value_band_bucketed": q_value_band_bucketed,
+    "doc_fingerprint_tokens": q_doc_fingerprint_tokens,
+    "knn_user_centroids": q_knn_user_centroids,
     "catalog_upsert": q_catalog_upsert,
     "top_unshipped_orders": q_top_unshipped_orders,
     "supplier_volume": q_supplier_volume,
     # rows-only:
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
+    "multimodal_features": q_multimodal_features,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -634,6 +731,8 @@ EXT_ORACLES: dict[str, str] = {
     "extrinsic_export": SQL_EXTRINSIC_EXPORT,
     "region_nation_nested": SQL_REGION_NATION_NESTED,
     "value_band_bucketed": SQL_VALUE_BAND_BUCKETED,
+    "doc_fingerprint_tokens": SQL_DOC_FINGERPRINT_TOKENS,
+    "knn_user_centroids": SQL_KNN_USER_CENTROIDS,
     "catalog_upsert": SQL_CATALOG_UPSERT,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
