@@ -1,0 +1,71 @@
+"""Property tests (hypothesis) for the stateful numeric core — SURVEY.md §5
+test-plan item 4.  These target the pure-numpy kernels that back the
+applyInPandas operators, so hundreds of examples run without Spark overhead.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from worlddatapipeline_spark.operators.stateful import _wrap, rate_limit_series
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(finite, min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_rate_limit_step_bound(values):
+    """Every output step is bounded by max_step (the defining invariant of
+    `transform_track.py:215-228`)."""
+    out = rate_limit_series(np.asarray(values, dtype=np.float64), max_step=7.5)
+    steps = np.abs(np.diff(out))
+    assert np.all(steps <= 7.5 + 1e-9)
+
+
+@given(st.lists(finite, min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_rate_limit_range_clamp(values):
+    """With lo/hi set, every output lies inside [lo, hi]
+    (`transform_track.py:233-262` pitch clamp)."""
+    out = rate_limit_series(
+        np.asarray(values, dtype=np.float64), max_step=30.0, lo=-45.0, hi=45.0
+    )
+    assert np.all(out >= -45.0 - 1e-9) and np.all(out <= 45.0 + 1e-9)
+
+
+@given(st.lists(finite, min_size=2, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_rate_limit_converges_when_constant(values):
+    """Feeding a constant target after the prefix converges to that target
+    within |target - start| / max_step steps."""
+    arr = np.asarray(values, dtype=np.float64)
+    target = float(arr[-1])
+    needed = int(abs(target - arr[0]) / 5.0) + 2
+    arr = np.concatenate([arr[:1], np.full(needed, target)])
+    out = rate_limit_series(arr, max_step=5.0)
+    assert abs(out[-1] - target) <= 1e-6
+
+
+@given(st.lists(finite, min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_wrap_delta_range(values):
+    """Wrapped deltas always land in [-180, 180]."""
+    w = _wrap(np.asarray(values, dtype=np.float64))
+    assert np.all(w >= -180.0 - 1e-9) and np.all(w <= 180.0 + 1e-9)
+
+
+@given(st.lists(st.floats(min_value=-720, max_value=720, allow_nan=False), min_size=2, max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_unwrap_continuity(angles):
+    """Unwrapped series (prev + wrapped delta) never jumps more than 180° in
+    one step and is congruent to the input mod 360
+    (`transform_track.py:133-155`)."""
+    a = np.asarray(angles, dtype=np.float64)
+    deltas = _wrap(np.diff(a))
+    unwrapped = np.concatenate([a[:1], a[0] + np.cumsum(deltas)])
+    assert np.all(np.abs(np.diff(unwrapped)) <= 180.0 + 1e-9)
+    # congruence mod 360
+    diff = (unwrapped - a) / 360.0
+    assert np.allclose(diff, np.round(diff), atol=1e-6)

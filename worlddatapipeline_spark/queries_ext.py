@@ -523,6 +523,100 @@ SELECT src, dst, round(dist, 6) AS dist FROM ranked WHERE rn <= 4
 
 
 # ---------------------------------------------------------------------------
+# §2.5 frame-grid generation + fixed-speed truncation
+# ---------------------------------------------------------------------------
+
+def q_frame_grid_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-grid generation (operators/windows.py::frame_grid —
+    `worker_create.py:684-692`): sequence()+explode per input row, keyed
+    time axis.  Summarized per region so the oracle output stays small."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    seqs = nation.select(
+        F.col("n_name").alias("sequence_id"),
+        (F.col("n_nationkey") * 7 + 30).cast("int").alias("n_frames"),
+    )
+    grid = win_ops.frame_grid(seqs, "sequence_id", "n_frames", fps=30.0, interval=5)
+    return grid.groupBy("sequence_id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("frame").alias("last_frame"),
+        F.round(F.sum("time_seconds"), 4).alias("sum_time"),
+    )
+
+
+SQL_FRAME_GRID_EXPAND = """
+WITH seqs AS (
+  SELECT n_name AS sequence_id, n_nationkey * 7 + 30 AS n_frames FROM nation
+), grid AS (
+  SELECT sequence_id, unnest(range(0, n_frames, 5)) AS frame FROM seqs
+)
+SELECT sequence_id, count(*) AS n_keys, max(frame) AS last_frame,
+       round(sum(frame / 30.0), 4) AS sum_time
+FROM grid GROUP BY sequence_id
+"""
+
+
+def q_fixed_speed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-speed path truncation with boundary lerp
+    (operators/windows.py::fixed_speed_truncate — `worker_create.py:585-674`):
+    each user's event trail cut at speed*duration arc length; the synthetic
+    half-index boundary vertex interpolates the crossing segment.  Cumsum
+    windows + one filter — no Python.  Per-user summary for the oracle."""
+    (events,) = _t(spark, sf_dir, "events")
+    path = events.select(
+        "user_id",
+        F.col("event_id").alias("ord"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 100).cast("double").alias("y"),
+        F.lit(0.0).alias("z"),
+    )
+    out = win_ops.fixed_speed_truncate(
+        path, "user_id", "ord", speed=50.0, duration=10.0
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.max("cum_dist"), 6).alias("final_dist"),
+        F.round(F.sum("x"), 4).alias("sum_x"),
+    )
+
+
+SQL_FIXED_SPEED_TRUNCATE = """
+WITH path AS (
+  SELECT user_id, event_id AS ord, value AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y, 0.0 AS z
+  FROM events
+), seg AS (
+  SELECT user_id, ord, x, y, z,
+         sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)
+              + power(z - lag(z) OVER w, 2)) AS d
+  FROM path WINDOW w AS (PARTITION BY user_id ORDER BY ord)
+), cum AS (
+  SELECT user_id, ord, x, y, z,
+         coalesce(sum(d) OVER (PARTITION BY user_id ORDER BY ord
+                               ROWS UNBOUNDED PRECEDING), 0.0) AS cum_dist,
+         lead(x) OVER w2 AS nx, lead(y) OVER w2 AS ny, lead(z) OVER w2 AS nz
+  FROM seg WINDOW w2 AS (PARTITION BY user_id ORDER BY ord)
+), cum2 AS (
+  SELECT *, lead(cum_dist) OVER (PARTITION BY user_id ORDER BY ord) AS next_cum
+  FROM cum
+), kept AS (
+  SELECT user_id, CAST(ord AS DOUBLE) AS ord, cum_dist, x FROM cum2
+  WHERE cum_dist <= 500.0
+), boundary AS (
+  SELECT user_id, ord + 0.5 AS ord, 500.0 AS cum_dist,
+         x + (500.0 - cum_dist) / (next_cum - cum_dist) * (nx - x) AS x
+  FROM cum2
+  WHERE cum_dist <= 500.0 AND next_cum IS NOT NULL AND next_cum > 500.0
+), allpts AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM boundary
+)
+SELECT user_id, count(*) AS n_points,
+       round(max(cum_dist), 6) AS final_dist,
+       round(sum(x), 4) AS sum_x
+FROM allpts GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.8 MERGE upsert
 # ---------------------------------------------------------------------------
 
@@ -712,6 +806,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_band_bucketed": q_value_band_bucketed,
     "doc_fingerprint_tokens": q_doc_fingerprint_tokens,
     "knn_user_centroids": q_knn_user_centroids,
+    "frame_grid_expand": q_frame_grid_expand,
+    "fixed_speed_truncate": q_fixed_speed_truncate,
     "catalog_upsert": q_catalog_upsert,
     "top_unshipped_orders": q_top_unshipped_orders,
     "supplier_volume": q_supplier_volume,
@@ -733,6 +829,8 @@ EXT_ORACLES: dict[str, str] = {
     "value_band_bucketed": SQL_VALUE_BAND_BUCKETED,
     "doc_fingerprint_tokens": SQL_DOC_FINGERPRINT_TOKENS,
     "knn_user_centroids": SQL_KNN_USER_CENTROIDS,
+    "frame_grid_expand": SQL_FRAME_GRID_EXPAND,
+    "fixed_speed_truncate": SQL_FIXED_SPEED_TRUNCATE,
     "catalog_upsert": SQL_CATALOG_UPSERT,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
