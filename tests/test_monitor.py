@@ -108,3 +108,60 @@ def test_frame_progress(spark):
     out = monitor.frame_progress(_status_events(spark), "1 hour").collect()
     per = {r["task_id"]: r["frames_delta"] for r in out}
     assert per["t1"] == 40 and per["t3"] == 595
+
+
+def test_stateful_stall_detector(spark, tmp_path):
+    """applyInPandasWithState with EVENT-TIME timeouts: a task with no events
+    before the watermark passes last_event + stall emits stalled=true.
+    Deterministic — driven entirely by event time, never wall clock."""
+    import json
+    import time
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def run_batch():
+        stream = monitor.stream_status_files(
+            spark, str(src), schemas.TASK_STATUS_EVENTS, watermark="1 minute"
+        )
+        q = (
+            monitor.stateful_stall_detector(stream, stall_seconds=300)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: t1 renders at 12:00, t2 completes at 12:01
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"task_id": "t1", "event_time": "2024-01-01T12:00:00",
+                 "status": "rendering", "frame_count": 10, "output_directory": "/o"},
+                {"task_id": "t2", "event_time": "2024-01-01T12:01:00",
+                 "status": "completed", "frame_count": 600, "output_directory": "/o"},
+            ]
+        )
+    )
+    run_batch()
+    # batch 2: a much later event advances the watermark past t1's
+    # 12:00 + 300s timeout -> t1's state times out and emits stalled
+    (src / "b2.json").write_text(
+        json.dumps(
+            {"task_id": "t3", "event_time": "2024-01-01T13:00:00",
+             "status": "rendering", "frame_count": 1, "output_directory": "/o"}
+        )
+    )
+    run_batch()
+
+    rows = spark.read.parquet(str(out)).collect()
+    stalled = {r["task_id"] for r in rows if r["stalled"]}
+    assert "t1" in stalled          # timed out
+    assert "t2" not in stalled      # completed -> state cleared
+    assert "t3" not in stalled      # still fresh

@@ -141,3 +141,101 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stateful_stall_detector(
+    status_stream: DataFrame,
+    stall_seconds: int = 300,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-task stall detection with
+    event-time timeouts via ``applyInPandasWithState``.
+
+    This is the Structured-Streaming restatement of the reference's polling
+    stall monitor (`run_render_job_headless.py:255-325`, `monitor.py:166-174`)
+    and the designed heartbeat-TTL expiry (`structure.md:212`): per task_id,
+    keep (last event time, last status, max frames) in state; when the
+    WATERMARK passes last_event_time + stall_seconds with no new events, the
+    state times out and a `stalled=true` row is emitted.  Completed tasks
+    clear their state.  Event-time timeouts make the behavior deterministic
+    and replayable — no wall clock involved (the reference's polling loop is
+    pure wall clock).
+
+    State per task is O(1); tasks hash-partition across executors, so 10⁶
+    concurrent render tasks are a small state store.
+    Output: (task_id, last_status, last_event_time, max_frames, stalled).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "task_id string, last_status string, last_event_time timestamp, "
+        "max_frames long, stalled boolean"
+    )
+    state_schema = "last_us long, last_status string, max_frames long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        task_id = key[0]
+        if state.hasTimedOut:
+            last_us, last_status, max_frames = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "task_id": task_id,
+                        "last_status": last_status,
+                        "last_event_time": pd.Timestamp(last_us, unit="us"),
+                        "max_frames": max_frames,
+                        "stalled": True,
+                    }
+                ]
+            )
+            return
+        last_us, last_status, max_frames = (
+            state.get if state.exists else (0, "", 0)
+        )
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("event_time")
+            newest = pdf.iloc[-1]
+            us = int(pdf["event_time"].max().value // 1000)
+            if us > last_us:
+                last_us = us
+                last_status = str(newest["status"])
+            max_frames = max(max_frames, int(pdf["frame_count"].max()))
+        if last_status == "completed":
+            state.remove()
+        else:
+            state.update((last_us, last_status, max_frames))
+            state.setTimeoutTimestamp(last_us // 1000 + stall_seconds * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "task_id": task_id,
+                    "last_status": last_status,
+                    "last_event_time": pd.Timestamp(last_us, unit="us"),
+                    "max_frames": max_frames,
+                    "stalled": False,
+                }
+            ]
+        )
+
+    # sources from stream_status_files are already watermarked; only apply
+    # one here when the caller asks (Spark disallows redefining a watermark)
+    if watermark is not None:
+        status_stream = status_stream.withWatermark("event_time", watermark)
+    return (
+        status_stream
+        .groupBy("task_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
