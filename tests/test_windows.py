@@ -159,3 +159,48 @@ def test_wrap_delta_half_case(spark):
     df = spark.createDataFrame([(180.0,), (-180.0,), (540.0,), (10.0,)], ["d"])
     out = df.select(windows.wrap_delta(F.col("d")).alias("w")).collect()
     assert [r["w"] for r in out] == pytest.approx([-180.0, -180.0, -180.0, 10.0])
+
+
+def test_behavior_resample(spark):
+    """Behavior-aware resample vs hand-computed expectations
+    (`worker_create.py:695-896` semantics)."""
+    from worlddatapipeline_spark.operators.windows import behavior_resample
+
+    keys = spark.createDataFrame(
+        [
+            ("s", 0, 0.0, 0.0, 0.0, 170.0, 0.0),
+            ("s", 4, 40.0, 0.0, 0.0, -170.0, 20.0),
+            ("s", 8, 40.0, 40.0, 0.0, -90.0, 0.0),
+        ],
+        "sequence_id string, idx long, x double, y double, z double, "
+        "yaw double, pitch double",
+    )
+    segments = spark.createDataFrame(
+        [
+            ("s", "roam", 0, 3),
+            ("s", "rotate", 4, 5),
+            ("s", "translate_forward", 6, 7),
+            ("s", "idle", 8, 8),
+        ],
+        "sequence_id string, behavior string, start_idx long, end_idx long",
+    )
+    out = {
+        r["frame"]: r
+        for r in behavior_resample(keys, segments).collect()
+    }
+    assert len(out) == 9
+    # frame 2 (roam): t=0.5 between keys 0 and 4 -> pos lerp, yaw shortest-arc
+    # through 180 (170 -> -170 is +20 wrapped), pitch lerp
+    assert out[2]["x"] == pytest.approx(20.0)
+    assert out[2]["yaw"] == pytest.approx(180.0)  # 170 + 0.5*20
+    assert out[2]["pitch"] == pytest.approx(10.0)
+    # frame 5 (rotate): position HELD at key 4, angles lerp toward key 8
+    assert out[5]["x"] == pytest.approx(40.0) and out[5]["y"] == pytest.approx(0.0)
+    assert out[5]["yaw"] == pytest.approx(-170.0 + 0.25 * 80.0)
+    # frame 6 (translate): position lerps, angles HELD at key 4
+    assert out[6]["y"] == pytest.approx(20.0)
+    assert out[6]["yaw"] == pytest.approx(-170.0)
+    assert out[6]["pitch"] == pytest.approx(20.0)
+    # frame 8 (idle): exactly at last key
+    assert out[8]["x"] == pytest.approx(40.0) and out[8]["y"] == pytest.approx(40.0)
+    assert out[8]["yaw"] == pytest.approx(-90.0)

@@ -279,3 +279,99 @@ def frame_grid(
             F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(interval))
         ).alias("frame"),
     ).withColumn("time_seconds", F.col("frame") / F.lit(fps))
+
+
+def behavior_resample(
+    keys: DataFrame,
+    segments: DataFrame,
+    seq_col: str = "sequence_id",
+    idx_col: str = "idx",
+    pos_cols: tuple[str, str, str] = ("x", "y", "z"),
+    angle_cols: tuple[str, ...] = ("yaw", "pitch"),
+) -> DataFrame:
+    """Behavior-aware per-frame resampling — the densest reference operator
+    (`worker_create.py:695-896`, ~200 LoC imperative loop) as three relational
+    steps:
+
+    1. frame grid: one row per integer frame 0..max(idx) per sequence,
+    2. bracketing keyframes: backward + forward as-of joins on the key index
+       (operators/joins.py::asof_join — one shuffle each, JVM-side),
+    3. segment behavior: interval join frame→segment, then one CASE per
+       channel family:
+         - idle:       hold previous key (position AND angles)
+         - rotate:     hold position, shortest-arc lerp angles
+         - translate*: lerp position, hold angles
+         - roam/other: lerp position, shortest-arc lerp angles
+
+    Angle lerp uses the wrapped shortest delta (`worker_create.py:850-869`);
+    frames before the first / after the last key clamp to the nearest key.
+    Segments: (seq, behavior, start_idx, end_idx) inclusive.
+    Output: (seq, frame, behavior, x, y, z, yaw, pitch).
+    """
+    from .joins import asof_join, range_join
+
+    chans = list(pos_cols) + list(angle_cols)
+    frames = (
+        keys.groupBy(seq_col)
+        .agg(F.max(idx_col).alias("__maxidx"))
+        .select(
+            seq_col,
+            F.explode(F.sequence(F.lit(0), F.col("__maxidx"))).alias("frame"),
+        )
+    )
+    prev_keys = keys.select(
+        seq_col,
+        F.col(idx_col).alias("p_idx"),
+        *[F.col(c).alias(f"p_{c}") for c in chans],
+    )
+    next_keys = keys.select(
+        seq_col,
+        F.col(idx_col).alias("n_idx"),
+        *[F.col(c).alias(f"n_{c}") for c in chans],
+    )
+    bracketed = asof_join(
+        frames, prev_keys, on=seq_col, left_ts="frame", right_ts="p_idx",
+        value_cols=["p_idx"] + [f"p_{c}" for c in chans], direction="backward",
+    )
+    bracketed = asof_join(
+        bracketed, next_keys, on=seq_col, left_ts="frame", right_ts="n_idx",
+        value_cols=["n_idx"] + [f"n_{c}" for c in chans], direction="forward",
+    )
+    seg = segments.select(
+        seq_col, F.lower(F.col("behavior")).alias("behavior"),
+        F.col("start_idx"), F.col("end_idx"),
+    )
+    joined = range_join(
+        bracketed, seg, point_col="frame", start_col="start_idx",
+        end_col="end_idx", keys=[seq_col], how="left",
+    ).withColumn("behavior", F.coalesce(F.col("behavior"), F.lit("roam")))
+
+    # clamp to nearest key at the edges; t in [0,1] inside a bracket
+    p = {c: F.coalesce(F.col(f"p_{c}"), F.col(f"n_{c}")) for c in chans}
+    n = {c: F.coalesce(F.col(f"n_{c}"), F.col(f"p_{c}")) for c in chans}
+    p_idx = F.coalesce(F.col("p_idx"), F.col("n_idx"))
+    n_idx = F.coalesce(F.col("n_idx"), F.col("p_idx"))
+    t = F.when(
+        n_idx != p_idx, (F.col("frame") - p_idx) / (n_idx - p_idx)
+    ).otherwise(F.lit(0.0))
+
+    def lerp(c):
+        return p[c] + t * (n[c] - p[c])
+
+    def alerp(c):
+        return p[c] + t * wrap_delta(n[c] - p[c])
+
+    b = F.col("behavior")
+    is_idle = b.contains("idle")
+    is_rotate = b.contains("rotate")
+    is_translate = b.contains("translate")
+    out_cols = []
+    for c in pos_cols:
+        out_cols.append(
+            F.when(is_idle | is_rotate, p[c]).otherwise(lerp(c)).alias(c)
+        )
+    for c in angle_cols:
+        out_cols.append(
+            F.when(is_idle | is_translate, p[c]).otherwise(alerp(c)).alias(c)
+        )
+    return joined.select(seq_col, "frame", "behavior", *out_cols)

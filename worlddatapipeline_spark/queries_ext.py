@@ -826,6 +826,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EP2 resample composition (rows-only): seeded simulation →
+    keyframe subsample (every 4th point) → behavior segments → behavior-aware
+    per-frame resample (operators/windows.py::behavior_resample —
+    `worker_create.py:695-896`).  Deterministic via per-row seeds."""
+    jobs = spark.createDataFrame(
+        [(f"seq_{i:03d}", 3000 + i) for i in range(6)],
+        "sequence_id string, seed long",
+    )
+    poses = sim_gen.simulate_jobs(jobs, n_segments=5, steps_per_segment=16)
+    keys = poses.filter(F.col("point_idx") % 4 == 0).select(
+        "sequence_id", F.col("point_idx").alias("idx"), "x", "y", "z", "yaw", "pitch"
+    )
+    segments = poses.groupBy("sequence_id", "seg_idx", "behavior").agg(
+        F.min("point_idx").alias("start_idx"),
+        F.max("point_idx").alias("end_idx"),
+    )
+    out = win_ops.behavior_resample(keys, segments)
+    return out.groupBy("sequence_id", "behavior").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("x"), 4).alias("avg_x"),
+        F.round(F.avg("yaw"), 4).alias("avg_yaw"),
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups)
     — 64-bit signature, band-bucket candidate join, exact Hamming verify.
@@ -858,6 +883,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
     "multimodal_features": q_multimodal_features,
+    "behavior_resample": q_behavior_resample,
 }
 
 EXT_ORACLES: dict[str, str] = {
