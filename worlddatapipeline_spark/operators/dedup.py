@@ -259,6 +259,12 @@ def ngram_jaccard_pairs(
             sh.groupBy("sh")
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") > 1)
+            # pair generation is an interpreted higher-order lambda: CPU-bound,
+            # not byte-bound.  AQE's size-based coalescing sees a few MB of
+            # postings and squeezes them into ONE partition, serializing the
+            # O(|ids|²) pair fan-out on a single core (measured 23s vs 3s at
+            # sf0.1).  Spread it explicitly before the expensive stage.
+            .repartition(sh.sparkSession.sparkContext.defaultParallelism)
         )
         ids = F.col("ids")
         pair_arr = F.flatten(
