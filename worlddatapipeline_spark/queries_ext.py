@@ -617,6 +617,66 @@ FROM allpts GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# §2.4 ratio classification, §2.3 prefix theta-join
+# ---------------------------------------------------------------------------
+
+def q_terrain_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-threshold classification per group
+    (operators/aggregates.py::ratio_classify — the terrain 'Plain'/'Valley'
+    call at `navmesh_injector.py:324-340`): per event_type, fraction of
+    events with value > 100 → label."""
+    from .operators import aggregates as agg_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = agg_ops.ratio_classify(
+        events,
+        ["event_type"],
+        F.col("value") > 100.0,
+        threshold=0.5,
+        label_true="high",
+        label_false="low",
+    )
+    return out.select("event_type", F.round("ratio", 6).alias("ratio"), "label")
+
+
+SQL_TERRAIN_CLASSIFY = """
+SELECT event_type,
+       round(avg(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END), 6) AS ratio,
+       CASE WHEN avg(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END) > 0.5
+            THEN 'high' ELSE 'low' END AS label
+FROM events GROUP BY event_type
+"""
+
+
+def q_prefix_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix theta-join (operators/joins.py::prefix_join — the sequence→map
+    `Demo` → `Demo001` matching, `run_render_job_headless.py:636-650`):
+    part names matched to a broadcast dim of name prefixes."""
+    (part,) = _t(spark, sf_dir, "part")
+    prefixes = spark.createDataFrame(
+        [("small",), ("red",), ("blue",), ("gre",)], "prefix string"
+    )
+    j = join_ops.prefix_join(
+        part.select("p_partkey", "p_name", "p_retailprice"),
+        prefixes,
+        "p_name",
+        "prefix",
+    )
+    return j.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+SQL_PREFIX_JOIN_PARTS = """
+WITH prefixes(prefix) AS (VALUES ('small'), ('red'), ('blue'), ('gre'))
+SELECT prefix, count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_price
+FROM part JOIN prefixes ON starts_with(p_name, prefix)
+GROUP BY prefix
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.9 connected components (oracle-checkable variant)
 # ---------------------------------------------------------------------------
 
@@ -875,6 +935,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_user_centroids": q_knn_user_centroids,
     "frame_grid_expand": q_frame_grid_expand,
     "fixed_speed_truncate": q_fixed_speed_truncate,
+    "terrain_classify": q_terrain_classify,
+    "prefix_join_parts": q_prefix_join_parts,
     "user_event_components": q_user_event_components,
     "catalog_upsert": q_catalog_upsert,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -900,6 +962,8 @@ EXT_ORACLES: dict[str, str] = {
     "knn_user_centroids": SQL_KNN_USER_CENTROIDS,
     "frame_grid_expand": SQL_FRAME_GRID_EXPAND,
     "fixed_speed_truncate": SQL_FIXED_SPEED_TRUNCATE,
+    "terrain_classify": SQL_TERRAIN_CLASSIFY,
+    "prefix_join_parts": SQL_PREFIX_JOIN_PARTS,
     "user_event_components": SQL_USER_EVENT_COMPONENTS,
     "catalog_upsert": SQL_CATALOG_UPSERT,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
