@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — guard the scale properties SCALE.md
+documents.  A correctness-preserving refactor that loses predicate pushdown,
+column pruning, or a broadcast would silently cost 100× at 100 TB; these
+tests make the plan shape part of the contract.
+"""
+
+import pytest
+
+from worlddatapipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "segment_listing")
+    assert "PushedFilters:" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(c_acctbal,1000.0)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # lineitem has 16 columns; the scan must read only the 7 used
+    scan = plan.split("Scan parquet")[-1]
+    read_schema = [ln for ln in scan.splitlines() if "ReadSchema" in ln][0]
+    assert read_schema.count(":") <= 8  # 7 fields + struct<
+    assert "l_comment" not in read_schema
+
+
+def test_partial_aggregation_before_exchange(spark):
+    plan = _plan(spark, "pricing_summary")
+    # map-side combine: HashAggregate below the Exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange") or (
+        "partial" in plan.lower()
+    )
+
+
+def test_dims_broadcast_in_star_join(spark):
+    plan = _plan(spark, "supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "asof_click_before_purchase")
+    # the union+window formulation must not produce a join at all —
+    # one hash-partitioning exchange on user_id, no cross product
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_range_join_small_dim_broadcasts(spark):
+    plan = _plan(spark, "value_band_range_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_range_join_is_equi(spark):
+    plan = _plan(spark, "value_band_bucketed")
+    # the bucketed path must be a hash join on the bucket, not a nested loop
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_anywhere_in_topk(spark):
+    plan = _plan(spark, "top_unshipped_orders")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # global top-k, never a full sort

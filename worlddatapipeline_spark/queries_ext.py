@@ -677,6 +677,45 @@ GROUP BY prefix
 
 
 # ---------------------------------------------------------------------------
+# §2.5 max-index scan
+# ---------------------------------------------------------------------------
+
+def q_max_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-sequence-index derivation (catalog/registry.py::next_sequence_index
+    — `worker_create.py:175-194`): max numeric suffix of `{name}_NNN` assets
+    per brand + 1.  Asset names synthesized deterministically from part."""
+    (part,) = _t(spark, sf_dir, "part")
+    assets = part.select(
+        "p_brand",
+        F.concat(
+            F.regexp_replace(F.col("p_name"), " ", ""),
+            F.lit("_"),
+            F.lpad((F.col("p_partkey") % 997).cast("string"), 3, "0"),
+        ).alias("asset_name"),
+    )
+    suffix = F.regexp_extract(F.col("asset_name"), r"_(\d+)$", 1).cast("int")
+    return assets.groupBy("p_brand").agg(
+        (F.max(suffix) + 1).alias("next_index"),
+        F.count(F.lit(1)).alias("n_assets"),
+    )
+
+
+SQL_MAX_INDEX_SCAN = """
+WITH assets AS (
+  SELECT p_brand,
+         concat(replace(p_name, ' ', ''), '_',
+                lpad(CAST(p_partkey % 997 AS VARCHAR), 3, '0')) AS asset_name
+  FROM part
+)
+SELECT p_brand,
+       max(CAST(regexp_extract(asset_name, '_(\\d+)$', 1) AS INT)) + 1
+         AS next_index,
+       count(*) AS n_assets
+FROM assets GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.9 connected components (oracle-checkable variant)
 # ---------------------------------------------------------------------------
 
@@ -935,6 +974,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_user_centroids": q_knn_user_centroids,
     "frame_grid_expand": q_frame_grid_expand,
     "fixed_speed_truncate": q_fixed_speed_truncate,
+    "max_index_scan": q_max_index_scan,
     "terrain_classify": q_terrain_classify,
     "prefix_join_parts": q_prefix_join_parts,
     "user_event_components": q_user_event_components,
@@ -962,6 +1002,7 @@ EXT_ORACLES: dict[str, str] = {
     "knn_user_centroids": SQL_KNN_USER_CENTROIDS,
     "frame_grid_expand": SQL_FRAME_GRID_EXPAND,
     "fixed_speed_truncate": SQL_FIXED_SPEED_TRUNCATE,
+    "max_index_scan": SQL_MAX_INDEX_SCAN,
     "terrain_classify": SQL_TERRAIN_CLASSIFY,
     "prefix_join_parts": SQL_PREFIX_JOIN_PARTS,
     "user_event_components": SQL_USER_EVENT_COMPONENTS,
