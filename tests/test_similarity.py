@@ -59,3 +59,36 @@ def test_dot_and_norm(spark):
     ).collect()[0]
     assert row["d"] == pytest.approx(11.0)
     assert row["n"] == pytest.approx(np.sqrt(5.0))
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with enough probes recalls most of the exact top-k."""
+    import pyspark.sql.functions as F
+
+    from worlddatapipeline_spark.operators.similarity import cosine_topk, ivf_topk
+    from worlddatapipeline_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=6).collect()
+    }
+    # high-probe IVF on a small corpus should recall most exact neighbours
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6
+    # determinism
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=6).collect()
+    }
+    assert approx == again

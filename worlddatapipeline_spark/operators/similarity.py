@@ -148,3 +148,102 @@ def lsh_topk(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize the corpus into inverted
+    lists, probe only the query's ``n_probe`` nearest lists.
+
+    The coarse "centroids" are a deterministic corpus sample (every
+    ``len/n_centroids``-th vector by id order) — no iterative k-means pass,
+    which keeps the operator a fixed 3-stage DAG; swapping in trained
+    centroids is a drop-in (they arrive as the same small DataFrame).
+
+    Plan shape: centroids are collected once (n_centroids rows — driver-safe
+    by construction) and broadcast inside expressions; corpus → (list_id,
+    vec) via argmin over centroid dots; queries fan out to n_probe lists;
+    candidates meet in a hash join on list_id.  At 100 TB the corpus can be
+    written bucketed by list_id, making the probe join shuffle-free.
+    Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    # deterministic coarse centroids: every m-th corpus vector by id order.
+    # Only the n_centroids sampled ROWS ever reach the driver — never the id
+    # list (a 100 TB corpus has billions of ids; the count is one aggregate).
+    total = corpus.count()
+    step = max(total // n_centroids, 1)
+    w_ids = Window.orderBy(id_col)
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.row_number().over(w_ids).alias("__rn"),
+        )
+        .filter((F.col("__rn") - 1) % step == 0)
+        .orderBy("__rn")
+        .limit(n_centroids)
+        .drop("__rn")
+        .collect()
+    )
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """ids of the n centroids with highest cosine to vec (expression)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(vec, F.array(*[F.lit(float(x)) for x in row["cvec"]]))
+                        / (
+                            l2_norm(vec)
+                            * F.lit(
+                                float(
+                                    sum(float(x) * float(x) for x in row["cvec"]) ** 0.5
+                                )
+                            )
+                        )
+                    ).alias("sim"),
+                    F.lit(row["cid"]).alias("cid"),
+                )
+                for row in cents
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s["cid"])
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("list_id"),
+    )
+    scored = c.join(F.broadcast(q), ["list_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -126,3 +126,39 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         detect_language(t).alias("lang_detected"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over the corpus — the tokenize/TF-IDF step of
+    the LLM-pipeline surface (SURVEY.md §7 step 10).
+
+    All relational: explode tokens → tf = count per (doc, term); df = distinct
+    docs per term; idf = ln(N/df) with N from a 1-row broadcast aggregate.
+    Two shuffles total (by (doc, term) and by term); the corpus text never
+    shuffles — only (doc_id, term) pairs do.
+    Returns (id, term, tf, tfidf).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )

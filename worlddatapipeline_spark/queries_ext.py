@@ -677,6 +677,60 @@ GROUP BY prefix
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF (LLM-pipeline text surface)
+# ---------------------------------------------------------------------------
+
+def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py::tfidf_terms) —
+    tokenize → tf → df → idf, then a ranking window; deterministic tiebreak
+    on term."""
+    from .operators.text import tfidf_terms
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = tfidf_terms(documents, "text", "doc_id")
+    ranked = join_ops.top_k_per_group(
+        scored,
+        ["id"],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k=3,
+        rank_col="rank",
+    )
+    return ranked.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("tfidf", 6).alias("tfidf"),
+        "rank",
+    )
+
+
+SQL_DOC_TFIDF_TOPTERMS = """
+WITH tokens AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(
+           string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM tokens GROUP BY id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT id, term, tf, tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT id AS doc_id, term, tf, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.5 max-index scan
 # ---------------------------------------------------------------------------
 
@@ -925,6 +979,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (operators/similarity.py::ivf_topk):
+    deterministic coarse quantizer → inverted lists → n_probe search.  The
+    second ANN scale path next to LSH.  Approximate → rows-only."""
+    from .operators.similarity import ivf_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full EP2 resample composition (rows-only): seeded simulation →
     keyframe subsample (every 4th point) → behavior segments → behavior-aware
@@ -974,6 +1044,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_user_centroids": q_knn_user_centroids,
     "frame_grid_expand": q_frame_grid_expand,
     "fixed_speed_truncate": q_fixed_speed_truncate,
+    "doc_tfidf_topterms": q_doc_tfidf_topterms,
     "max_index_scan": q_max_index_scan,
     "terrain_classify": q_terrain_classify,
     "prefix_join_parts": q_prefix_join_parts,
@@ -986,6 +1057,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "multimodal_features": q_multimodal_features,
     "behavior_resample": q_behavior_resample,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1002,6 +1074,7 @@ EXT_ORACLES: dict[str, str] = {
     "knn_user_centroids": SQL_KNN_USER_CENTROIDS,
     "frame_grid_expand": SQL_FRAME_GRID_EXPAND,
     "fixed_speed_truncate": SQL_FIXED_SPEED_TRUNCATE,
+    "doc_tfidf_topterms": SQL_DOC_TFIDF_TOPTERMS,
     "max_index_scan": SQL_MAX_INDEX_SCAN,
     "terrain_classify": SQL_TERRAIN_CLASSIFY,
     "prefix_join_parts": SQL_PREFIX_JOIN_PARTS,
