@@ -13,8 +13,14 @@ sides; doubles rounded identically.  Covered here:
 - §2.5 extrinsic view-matrix export (`camera_exporter.py:253-306`)
 - §1.1 nested document export (`scene_scanner.py:539-574`)
 - §2.3 bucketed range join (100 TB path of `worker_create.py:720-730`)
+- §2.3 prefix theta-join; §2.4 ratio classification; §2.5 frame grid,
+  fixed-speed truncation, behavior-aware resample; §2.5 max-index scan
+- §2.8 MERGE upsert; §2.9 connected components (recursive-CTE oracle)
+- TPC-H Q3/Q5-shaped multi-join plans over the full star schema
 - §2.11 seeded behavior simulation (rows-only; `behavior_executor.py:638-857`)
-- SimHash near-dup banding (rows-only; LLM-pipeline extension)
+- LLM-pipeline extensions: SimHash banding, MinHash→exact-verify pipeline,
+  TF-IDF, IVF ANN, multimodal feature extraction (rows-only where
+  approximate/stateful)
 """
 
 from __future__ import annotations
@@ -1020,6 +1026,22 @@ def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup pipeline in one query: MinHash-LSH candidate
+    generation → EXACT n-gram Jaccard verification restricted to candidates
+    (operators/dedup.py::ngram_jaccard_pairs(candidate_pairs=…)).  Candidate
+    count is O(docs × bands); the exact pass only touches candidate pairs —
+    never the full pair space.  Approximate candidate stage → rows-only."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    cands = dedup_ops.minhash_lsh_candidates(
+        documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+    )
+    verified = dedup_ops.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, threshold=0.8, candidate_pairs=cands
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups)
     — 64-bit signature, band-bucket candidate join, exact Hamming verify.
@@ -1055,6 +1077,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only:
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
+    "minhash_verified_dups": q_minhash_verified_dups,
     "multimodal_features": q_multimodal_features,
     "behavior_resample": q_behavior_resample,
     "embedding_ivf_topk": q_embedding_ivf_topk,
