@@ -182,9 +182,14 @@ def arc_length_resample(
     grid = total.select(
         seq_col,
         "L",
+        (n - 1).alias("last_k"),
         F.explode(F.sequence(F.lit(0), n - 1)).alias("k"),
     ).withColumn("target_d", F.col("k") * F.col("L") / (n - 1))
-    # match target to segment [d0, d1); last grid point hits the final segment
+    # Match target to segment [d0, d1).  The last grid point is matched
+    # STRUCTURALLY (k == N-1 → the final non-zero-length segment) rather than
+    # by float equality target_d == L: k*L/(N-1) for k=N-1 is within ulps of
+    # L but not reliably equal, and the ulps differ across engines — an
+    # equality match silently drops endpoints.
     g, s = grid.alias("g"), seg.alias("s")
     j = g.join(
         s,
@@ -192,7 +197,11 @@ def arc_length_resample(
         & (F.col("g.target_d") >= F.col("s.d0"))
         & (
             (F.col("g.target_d") < F.col("s.d1"))
-            | (F.col("g.target_d") == F.col("g.L")) & (F.col("s.d1") == F.col("g.L"))
+            | (
+                (F.col("g.k") == F.col("g.last_k"))
+                & (F.col("s.d1") == F.col("g.L"))
+                & (F.col("s.d0") < F.col("s.d1"))
+            )
         ),
         "inner",
     )

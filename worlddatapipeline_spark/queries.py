@@ -962,6 +962,49 @@ def q_arc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_ARC_RESAMPLE = """
+WITH path AS (
+  SELECT user_id, event_id AS ord, value AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y, CAST(0.0 AS DOUBLE) AS z
+  FROM events
+), stepped AS (
+  SELECT user_id, ord, x, y, z,
+         coalesce(sqrt(power(x - lag(x) OVER w, 2)
+                     + power(y - lag(y) OVER w, 2)
+                     + power(z - lag(z) OVER w, 2)), 0.0) AS step
+  FROM path WINDOW w AS (PARTITION BY user_id ORDER BY ord)
+), cum AS (
+  SELECT user_id, ord, x, y, z,
+         sum(step) OVER (PARTITION BY user_id ORDER BY ord
+                         ROWS UNBOUNDED PRECEDING) AS cumd
+  FROM stepped
+), seg AS (
+  SELECT user_id, cumd AS d0, lead(cumd) OVER w AS d1,
+         x AS x0, lead(x) OVER w AS x1,
+         y AS y0, lead(y) OVER w AS y1
+  FROM cum WINDOW w AS (PARTITION BY user_id ORDER BY ord)
+  QUALIFY d1 IS NOT NULL
+), total AS (
+  SELECT user_id, max(cumd) AS ltot FROM cum GROUP BY user_id
+), grid AS (
+  SELECT t.user_id, t.ltot, g.k, g.k * t.ltot / 9 AS target_d
+  FROM total t, generate_series(0, 9) AS g(k)
+)
+SELECT g.user_id, g.k,
+       round(s.x0 + (CASE WHEN s.d1 > s.d0
+                          THEN (g.target_d - s.d0) / (s.d1 - s.d0)
+                          ELSE 0.0 END) * (s.x1 - s.x0), 6) AS x,
+       round(s.y0 + (CASE WHEN s.d1 > s.d0
+                          THEN (g.target_d - s.d0) / (s.d1 - s.d0)
+                          ELSE 0.0 END) * (s.y1 - s.y0), 6) AS y
+FROM grid g JOIN seg s
+  ON g.user_id = s.user_id
+ AND g.target_d >= s.d0
+ AND (g.target_d < s.d1
+      OR (g.k = 9 AND s.d1 = g.ltot AND s.d0 < s.d1))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -996,12 +1039,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_docs_exact": q_dedup_docs_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_topk": q_embedding_topk,
+    "arc_resample": q_arc_resample,
     # rows-only (non-SQL-expressible):
     "minhash_candidates": q_minhash_candidates,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "connected_components": q_connected_components,
     "rate_limited_angle": q_rate_limited_angle,
-    "arc_resample": q_arc_resample,
     **EXT_QUERIES,
 }
 
@@ -1033,5 +1076,6 @@ ORACLES: dict[str, str] = {
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "arc_resample": SQL_ARC_RESAMPLE,
     **EXT_ORACLES,
 }

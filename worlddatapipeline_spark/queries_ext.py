@@ -35,9 +35,11 @@ from .functions.geometry import with_extrinsics
 from .operators import dedup as dedup_ops
 from .operators import joins as join_ops
 from .operators import simulate as sim_gen
+from .operators import stateful as stateful_ops
 from .operators import windows as win_ops
 from .session import load_tables
 from .sources import listings as listing_src
+from .streaming import monitor as monitor_ops
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -1026,6 +1028,216 @@ def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status state machine, batch form (`monitor.py:117-174`): last known
+    status per task via max_by over event time
+    (streaming/monitor.py::latest_task_status).  events replayed as the
+    status stream; (user_id, ts) pairs are unique in TESTDATA so max_by is
+    deterministic."""
+    (events,) = _t(spark, sf_dir, "events")
+    stream = events.select(
+        F.col("user_id").alias("task_id"),
+        F.col("ts").alias("event_time"),
+        F.col("event_type").alias("status"),
+        F.col("value").alias("frame_count"),
+    )
+    last = monitor_ops.latest_task_status(stream)
+    return last.select(
+        "task_id",
+        F.unix_micros("last_event_time").alias("last_event_us"),
+        "status",
+        F.round("max_frame_count", 4).alias("max_frame"),
+    )
+
+
+SQL_LATEST_STATUS = """
+SELECT user_id AS task_id,
+       max(epoch_us(ts)) AS last_event_us,
+       arg_max(event_type, ts) AS status,
+       round(max(value), 4) AS max_frame
+FROM events GROUP BY user_id
+"""
+
+
+def q_order_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence probe as a semi-join (`bos_manager.py:91-96` LIMIT-1 probe,
+    `scene_registry.py:512-519`): orders with at least one lineitem shipped
+    after the order date, counted per priority.  LEFT SEMI stops at the first
+    matching row per order — the distributed form of max_keys=1."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    probed = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return probed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_ORDER_EXISTS_PROBE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: for each small part, the supplier(s)
+    offering the minimum unit cost.  The correlated scalar subquery becomes a
+    groupBy-min + equality join back — two shuffles on p_partkey, supplier
+    broadcast.  Double equality is safe: both sides compare the exact value
+    produced by the same division."""
+    part, lineitem, supplier = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    small = part.filter(F.col("p_size") <= 5).select("p_partkey", "p_name")
+    offers = lineitem.join(small, lineitem.l_partkey == small.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    mins = offers.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    best = offers.join(mins, "p_partkey").filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    out = best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+    return out.select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        F.round("min_cost", 6).alias("min_unit_cost"),
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH offers AS (
+  SELECT p.p_partkey, p.p_name, l.l_suppkey,
+         l.l_extendedprice / l.l_quantity AS unit_cost
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size <= 5
+)
+SELECT o.p_partkey, o.p_name, s.s_name,
+       round(o.unit_cost, 6) AS min_unit_cost
+FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE o.unit_cost = (
+  SELECT min(unit_cost) FROM offers o2 WHERE o2.p_partkey = o.p_partkey
+)
+"""
+
+
+def q_supplier_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct aggregate: distinct suppliers per
+    (brand, type) with a brand exclusion.  countDistinct expands to a
+    two-phase partial-distinct aggregate — no row explosion before the
+    shuffle."""
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    kept = part.filter(~F.col("p_brand").rlike("^Brand#(4|11)$"))
+    j = lineitem.join(F.broadcast(kept), lineitem.l_partkey == kept.p_partkey)
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+SQL_SUPPLIER_DISTINCT_COUNTS = """
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE NOT regexp_matches(p_brand, '^Brand#(4|11)$')
+GROUP BY p_brand, p_type
+"""
+
+
+def q_ue_path_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UE path algebra end-to-end (`scene_scanner.py:66-81,148-160`,
+    `render_engine.py:105`, `run_render_job_headless.py:233-238`): synthesize
+    Content-relative filesystem paths, derive the `/Game/` asset path, stem,
+    suffix-stripped base, numeric index, and scene-id flag — all pure column
+    expressions (functions/paths.py)."""
+    (part,) = _t(spark, sf_dir, "part")
+    scene_seg = F.when(
+        F.col("p_partkey") % 3 == 0, F.lit("proj")
+    ).otherwise(
+        F.concat(
+            F.lit("S"), F.lpad((F.col("p_partkey") % 9999).cast("string"), 4, "0")
+        )
+    )
+    fs = F.concat(
+        F.lit("/"),
+        scene_seg,
+        F.lit("/Content/Maps/"),
+        F.regexp_replace("p_name", " ", "_"),
+        F.lit("_"),
+        F.lpad((F.col("p_partkey") % 20).cast("string"), 3, "0"),
+        F.lit(".umap"),
+    )
+    df = part.select("p_partkey", fs.alias("fs_path"))
+    stem = path_fns.path_stem(F.col("fs_path"))
+    return df.select(
+        "p_partkey",
+        path_fns.ue_asset_path(F.col("fs_path")).alias("asset_path"),
+        path_fns.strip_numeric_suffix(stem).alias("base_name"),
+        path_fns.numeric_suffix(stem).alias("idx"),
+        path_fns.is_scene_id(
+            F.element_at(F.split(F.col("fs_path"), "/"), 2)
+        ).alias("is_scene"),
+    )
+
+
+SQL_UE_PATH_DERIVE = """
+WITH paths AS (
+  SELECT p_partkey,
+         '/' ||
+         CASE WHEN p_partkey % 3 = 0 THEN 'proj'
+              ELSE 'S' || lpad(CAST(p_partkey % 9999 AS VARCHAR), 4, '0') END ||
+         '/Content/Maps/' || replace(p_name, ' ', '_') || '_' ||
+         lpad(CAST(p_partkey % 20 AS VARCHAR), 3, '0') || '.umap' AS fs_path
+  FROM part
+), derived AS (
+  SELECT p_partkey, fs_path,
+         regexp_replace(list_extract(string_split(fs_path, '/'), -1),
+                        '\\.[A-Za-z0-9]+$', '') AS stem
+  FROM paths
+)
+SELECT p_partkey,
+       '/Game/' || regexp_replace(split_part(fs_path, '/Content/', 2),
+                                  '\\.[A-Za-z0-9]+$', '') AS asset_path,
+       regexp_replace(stem, '_\\d+$', '') AS base_name,
+       CASE WHEN regexp_extract(stem, '_(\\d+)$', 1) <> ''
+            THEN CAST(regexp_extract(stem, '_(\\d+)$', 1) AS INTEGER) END AS idx,
+       regexp_matches(list_extract(string_split(fs_path, '/'), 2),
+                      '^S\\d{4}$') AS is_scene
+FROM derived
+"""
+
+
+def q_approach_target_yaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited approach toward a moving target along the shortest arc
+    (operators/stateful.py::approach_target — `behavior_executor.py:122-195`).
+    Each output depends on the previous OUTPUT → irreducible sequential scan,
+    applyInPandas per user, parallel across users.  Stateful → rows-only."""
+    (events,) = _t(spark, sf_dir, "events")
+    df = events.select(
+        "user_id",
+        "event_id",
+        (((F.col("event_id") * 37) % 360) - 180).cast("double").alias("target"),
+    )
+    out = stateful_ops.approach_target(
+        df, "user_id", "event_id", "target", max_rate=90.0, fps=30.0
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("yaw"), 4).alias("avg_yaw"),
+        F.round(F.max(F.abs(F.col("yaw") - F.col("target"))), 4).alias("max_err"),
+    )
+
+
 def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 100 TB dedup pipeline in one query: MinHash-LSH candidate
     generation → EXACT n-gram Jaccard verification restricted to candidates
@@ -1074,7 +1286,13 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_upsert": q_catalog_upsert,
     "top_unshipped_orders": q_top_unshipped_orders,
     "supplier_volume": q_supplier_volume,
+    "latest_status": q_latest_status,
+    "order_exists_probe": q_order_exists_probe,
+    "min_cost_supplier": q_min_cost_supplier,
+    "supplier_distinct_counts": q_supplier_distinct_counts,
+    "ue_path_derive": q_ue_path_derive,
     # rows-only:
+    "approach_target_yaw": q_approach_target_yaw,
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
     "minhash_verified_dups": q_minhash_verified_dups,
@@ -1105,4 +1323,9 @@ EXT_ORACLES: dict[str, str] = {
     "catalog_upsert": SQL_CATALOG_UPSERT,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
+    "latest_status": SQL_LATEST_STATUS,
+    "order_exists_probe": SQL_ORDER_EXISTS_PROBE,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "supplier_distinct_counts": SQL_SUPPLIER_DISTINCT_COUNTS,
+    "ue_path_derive": SQL_UE_PATH_DERIVE,
 }
