@@ -1217,6 +1217,158 @@ FROM derived
 """
 
 
+def q_child_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-then-insert child refresh (`scene_scanner.py:513-524`) +
+    cascading delete (`scene_registry.py:289-298`), MERGE-style: suppliers of
+    'refreshed' nations are replaced wholesale by a new snapshot (anti-join
+    delete + union insert), then 'dead' nations cascade-delete their
+    children.  All anti/semi joins broadcast the tiny key sets."""
+    nation, supplier = _t(spark, sf_dir, "nation", "supplier")
+    refresh = nation.filter(F.col("n_nationkey") % 5 == 0).select("n_nationkey")
+    snapshot = supplier.join(
+        F.broadcast(refresh),
+        supplier.s_nationkey == refresh.n_nationkey,
+        "left_semi",
+    ).select(
+        "s_suppkey",
+        F.concat(F.col("s_name"), F.lit("#v2")).alias("s_name"),
+        "s_nationkey",
+        (F.col("s_acctbal") + 100.0).alias("s_acctbal"),
+    )
+    kept = supplier.select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    ).join(
+        F.broadcast(refresh),
+        supplier.s_nationkey == refresh.n_nationkey,
+        "left_anti",
+    )
+    refreshed = kept.unionByName(snapshot)
+    dead = nation.filter(F.col("n_nationkey") % 7 == 3).select("n_nationkey")
+    live = refreshed.join(
+        F.broadcast(dead), refreshed.s_nationkey == dead.n_nationkey, "left_anti"
+    )
+    return (
+        live.join(F.broadcast(nation), live.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+            F.sum(
+                F.when(F.col("s_name").endswith("#v2"), 1).otherwise(0)
+            ).alias("n_refreshed"),
+        )
+    )
+
+
+SQL_CHILD_REFRESH = """
+WITH refresh AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0),
+snapshot AS (
+  SELECT s_suppkey, s_name || '#v2' AS s_name, s_nationkey,
+         s_acctbal + 100.0 AS s_acctbal
+  FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM refresh)
+),
+kept AS (
+  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+  WHERE s_nationkey NOT IN (SELECT n_nationkey FROM refresh)
+),
+refreshed AS (SELECT * FROM kept UNION ALL SELECT * FROM snapshot)
+SELECT n.n_name, count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 4) AS total_acctbal,
+       sum(CASE WHEN s.s_name LIKE '%#v2' THEN 1 ELSE 0 END) AS n_refreshed
+FROM refreshed s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 7 = 3)
+GROUP BY n.n_name
+"""
+
+
+def q_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive exact / first-letter suggestion search
+    (`scene_download.py:169-212`, `app.py:335-345`): probe names are matched
+    exactly (lower) against part names; misses fall back to
+    same-first-letter suggestions.  Probe set broadcast; one pass over
+    names."""
+    (part,) = _t(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [("small ring",), ("RED WIDGET",), ("zzz unknown",)], "probe string"
+    )
+    names = part.select("p_partkey", "p_name").withColumn(
+        "lname", F.lower("p_name")
+    )
+    p = probes.withColumn("lprobe", F.lower("probe"))
+    exact = p.join(names, p.lprobe == names.lname).select(
+        "probe", "p_partkey", "p_name", F.lit("exact").alias("match_kind")
+    )
+    missed = p.join(names, p.lprobe == names.lname, "left_anti")
+    sugg = missed.join(
+        names,
+        F.substring(missed.lprobe, 1, 1) == F.substring(names.lname, 1, 1),
+    ).select(
+        "probe", "p_partkey", "p_name", F.lit("suggestion").alias("match_kind")
+    )
+    return exact.unionByName(sugg).dropDuplicates(
+        ["probe", "p_partkey", "match_kind"]
+    )
+
+
+SQL_SCENE_SEARCH = """
+WITH probes AS (
+  SELECT * FROM (VALUES ('small ring'), ('RED WIDGET'), ('zzz unknown')) v(probe)
+), names AS (
+  SELECT p_partkey, p_name, lower(p_name) AS lname FROM part
+), p AS (
+  SELECT probe, lower(probe) AS lprobe FROM probes
+), exact AS (
+  SELECT probe, p_partkey, p_name, 'exact' AS match_kind
+  FROM p JOIN names ON lprobe = lname
+), missed AS (
+  SELECT * FROM p WHERE lprobe NOT IN (SELECT lname FROM names)
+), sugg AS (
+  SELECT probe, p_partkey, p_name, 'suggestion' AS match_kind
+  FROM missed JOIN names ON substr(lprobe, 1, 1) = substr(lname, 1, 1)
+)
+SELECT DISTINCT probe, p_partkey, p_name, match_kind
+FROM (SELECT * FROM exact UNION ALL SELECT * FROM sugg)
+"""
+
+
+def q_low_activity_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-low-actor pruning (`batch_bake.py:304-307`; flag computed from an
+    aggregate at `worker_bake.py:40-46`): the skip flag is an aggregate +
+    threshold (customers with < 8 orders ≙ scenes with < 50 actors), then the
+    main pass filters on it.  Aggregate once, broadcast the flags back."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    flagged = customer.join(
+        counts, customer.c_custkey == counts.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        (F.coalesce("n_orders", F.lit(0)) < 8).alias("low_activity"),
+    )
+    active = flagged.filter(~F.col("low_activity"))
+    return active.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_active_customers"),
+        F.sum("n_orders").alias("total_orders"),
+    )
+
+
+SQL_LOW_ACTIVITY_SKIP = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), flagged AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         coalesce(ct.n_orders, 0) AS n_orders,
+         coalesce(ct.n_orders, 0) < 8 AS low_activity
+  FROM customer c LEFT JOIN counts ct ON c.c_custkey = ct.o_custkey
+)
+SELECT c_mktsegment, count(*) AS n_active_customers,
+       sum(n_orders) AS total_orders
+FROM flagged WHERE NOT low_activity
+GROUP BY c_mktsegment
+"""
+
+
 def q_approach_target_yaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-limited approach toward a moving target along the shortest arc
     (operators/stateful.py::approach_target — `behavior_executor.py:122-195`).
@@ -1291,6 +1443,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "supplier_distinct_counts": q_supplier_distinct_counts,
     "ue_path_derive": q_ue_path_derive,
+    "child_refresh": q_child_refresh,
+    "scene_search": q_scene_search,
+    "low_activity_skip": q_low_activity_skip,
     # rows-only:
     "approach_target_yaw": q_approach_target_yaw,
     "simulate_trajectories": q_simulate_trajectories,
@@ -1328,4 +1483,7 @@ EXT_ORACLES: dict[str, str] = {
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "supplier_distinct_counts": SQL_SUPPLIER_DISTINCT_COUNTS,
     "ue_path_derive": SQL_UE_PATH_DERIVE,
+    "child_refresh": SQL_CHILD_REFRESH,
+    "scene_search": SQL_SCENE_SEARCH,
+    "low_activity_skip": SQL_LOW_ACTIVITY_SKIP,
 }
