@@ -73,3 +73,33 @@ def test_no_cartesian_anywhere_in_topk(spark):
     plan = _plan(spark, "top_unshipped_orders")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # global top-k, never a full sort
+
+
+def test_exists_probe_is_semi_join(spark):
+    """The LIMIT-1 existence probe must stay a semi join (stops at first
+    match) — never a full inner join + distinct."""
+    plan = _plan(spark, "order_exists_probe")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_broadcasts_dims(spark):
+    """Q2-shape: part filter pushed to the scan, supplier broadcast."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert "LessThanOrEqual(p_size,5)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_distinct_agg_two_phase(spark):
+    """countDistinct must expand to partial aggregates before the exchange,
+    not a global shuffle of raw rows."""
+    plan = _plan(spark, "supplier_distinct_counts")
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_cosine_pairs_no_shuffle_of_corpus_pairs(spark):
+    """Pair generation happens against a broadcast side — the O(n²) pair
+    space itself is never exchanged."""
+    plan = _plan(spark, "embedding_cosine_dups")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

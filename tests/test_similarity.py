@@ -92,3 +92,24 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=6).collect()
     }
     assert approx == again
+
+
+def test_cosine_pairs_matches_numpy(spark):
+    """Exact near-dup pairs = numpy brute force above the same threshold."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((30, 16))
+    mat[7] = mat[2] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    mat[19] = mat[5] + 0.02 * rng.standard_normal(16)
+    corpus = _emb_df(spark, mat)
+    out = similarity.cosine_pairs(corpus, threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    norms = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    exp = {
+        (i, j)
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if round(sims[i, j], 6) >= 0.8
+    }
+    assert got == exp
+    assert (2, 7) in got and (5, 19) in got

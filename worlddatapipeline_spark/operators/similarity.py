@@ -45,6 +45,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with rounded
+    cosine >= threshold.  Exact brute-force verify — the LLM-pipeline dedup
+    complement to `cosine_topk` (search) and `dedup.py` (text dedup).
+
+    Plan shape: norms precomputed per row BEFORE the pair join (one pass),
+    then a theta self-join on id_a < id_b; the pair expression is a single
+    dot product + divide.  Thresholding on the ROUNDED value keeps the
+    boundary deterministic across engines.  At 100 TB scale the pair space is
+    pruned first with `lsh_bucket` / `ivf_topk`-style inverted lists and this
+    same exact expression verifies candidates only.
+    """
+    spark = corpus.sparkSession
+    withn = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    # spread the interpreted pair-gen stage across cores (AQE would coalesce)
+    par = spark.sparkContext.defaultParallelism
+    a = withn.repartition(par).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = withn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cs = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
+    )
+    return (
+        j.select("id_a", "id_b", cs.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

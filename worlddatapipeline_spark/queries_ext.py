@@ -34,6 +34,7 @@ from .functions import paths as path_fns
 from .functions.geometry import with_extrinsics
 from .operators import dedup as dedup_ops
 from .operators import joins as join_ops
+from .operators import similarity as sim_ops
 from .operators import simulate as sim_gen
 from .operators import stateful as stateful_ops
 from .operators import windows as win_ops
@@ -1369,6 +1370,34 @@ GROUP BY c_mktsegment
 """
 
 
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs
+    (operators/similarity.py::cosine_pairs): exact brute-force verify at test
+    scale; at 100 TB the identical verify expression runs over LSH/IVF
+    candidates instead of the full pair space.  Threshold applies to the
+    rounded cosine on both engines → boundary-deterministic → oracle-checked."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return sim_ops.cosine_pairs(corpus, threshold=0.42)
+
+
+SQL_EMBEDDING_COSINE_DUPS = """
+WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cosine_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.42
+"""
+
+
 def q_approach_target_yaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-limited approach toward a moving target along the shortest arc
     (operators/stateful.py::approach_target — `behavior_executor.py:122-195`).
@@ -1446,6 +1475,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "child_refresh": q_child_refresh,
     "scene_search": q_scene_search,
     "low_activity_skip": q_low_activity_skip,
+    "embedding_cosine_dups": q_embedding_cosine_dups,
     # rows-only:
     "approach_target_yaw": q_approach_target_yaw,
     "simulate_trajectories": q_simulate_trajectories,
@@ -1486,4 +1516,5 @@ EXT_ORACLES: dict[str, str] = {
     "child_refresh": SQL_CHILD_REFRESH,
     "scene_search": SQL_SCENE_SEARCH,
     "low_activity_skip": SQL_LOW_ACTIVITY_SKIP,
+    "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
 }
