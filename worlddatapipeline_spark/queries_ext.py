@@ -1370,6 +1370,96 @@ GROUP BY c_mktsegment
 """
 
 
+def q_reachability_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo reachability verification (`navmesh_injector.py:121-171`):
+    10 probes per map, pass if ≥ 80% succeed.  Probes are a deterministic
+    arithmetic PRNG (same expression both engines) — the reference's seeded
+    probes restated reproducibly.  explode(sequence) fan-out + avg(when)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    probes = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"),
+    )
+    success = (
+        (F.col("n_nationkey") * 9973 + F.col("k") * 7919) % 100 < 80
+    ).cast("int")
+    return (
+        probes.withColumn("success", success)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.avg("success"), 4).alias("success_rate"),
+        )
+        .withColumn("verified", F.col("success_rate") >= 0.8)
+    )
+
+
+SQL_REACHABILITY_PROBE = """
+WITH probes AS (
+  SELECT n_nationkey, n_name, g.k,
+         CASE WHEN (n_nationkey * 9973 + g.k * 7919) % 100 < 80
+              THEN 1 ELSE 0 END AS success
+  FROM nation, generate_series(0, 9) AS g(k)
+)
+SELECT n_nationkey, n_name, count(*) AS n_probes,
+       round(avg(success), 4) AS success_rate,
+       round(avg(success), 4) >= 0.8 AS verified
+FROM probes GROUP BY n_nationkey, n_name
+"""
+
+
+def q_weighted_behavior_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded weighted behavior choice (`behavior_executor.py:574-635,681-696`):
+    normalized cumulative weights + per-row deterministic uniform draw →
+    first bucket with cum > u.  The cum-weight lookup is a broadcast interval
+    join against the 4-row behavior table; the draw is an explicit LCG on the
+    row key, so retries/engines reproduce it exactly."""
+    (events,) = _t(spark, sf_dir, "events")
+    behaviors = spark.createDataFrame(
+        [
+            ("IDLE", 0.0, 0.2),
+            ("ROTATE", 0.2, 0.5),
+            ("TRANSLATE", 0.5, 0.9),
+            ("ROAM", 0.9, 1.0),
+        ],
+        "behavior string, cum_lo double, cum_hi double",
+    )
+    drawn = events.select(
+        "user_id",
+        "event_id",
+        (
+            ((F.col("event_id") * 1103515245 + 12345) % 2147483648).cast("double")
+            / 2147483648.0
+        ).alias("u"),
+    )
+    chosen = drawn.join(
+        F.broadcast(behaviors),
+        (F.col("u") >= F.col("cum_lo")) & (F.col("u") < F.col("cum_hi")),
+    )
+    return chosen.groupBy("behavior").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("u"), 6).alias("avg_u"),
+    )
+
+
+SQL_WEIGHTED_BEHAVIOR_CHOICE = """
+WITH behaviors AS (
+  SELECT * FROM (VALUES ('IDLE', 0.0, 0.2), ('ROTATE', 0.2, 0.5),
+                        ('TRANSLATE', 0.5, 0.9), ('ROAM', 0.9, 1.0))
+         v(behavior, cum_lo, cum_hi)
+), drawn AS (
+  SELECT user_id, event_id,
+         CAST((event_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+           / 2147483648.0 AS u
+  FROM events
+)
+SELECT behavior, count(*) AS n_frames, round(avg(u), 6) AS avg_u
+FROM drawn JOIN behaviors ON u >= cum_lo AND u < cum_hi
+GROUP BY behavior
+"""
+
+
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs
     (operators/similarity.py::cosine_pairs): exact brute-force verify at test
@@ -1476,6 +1566,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scene_search": q_scene_search,
     "low_activity_skip": q_low_activity_skip,
     "embedding_cosine_dups": q_embedding_cosine_dups,
+    "reachability_probe": q_reachability_probe,
+    "weighted_behavior_choice": q_weighted_behavior_choice,
     # rows-only:
     "approach_target_yaw": q_approach_target_yaw,
     "simulate_trajectories": q_simulate_trajectories,
@@ -1517,4 +1609,6 @@ EXT_ORACLES: dict[str, str] = {
     "scene_search": SQL_SCENE_SEARCH,
     "low_activity_skip": SQL_LOW_ACTIVITY_SKIP,
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
+    "reachability_probe": SQL_REACHABILITY_PROBE,
+    "weighted_behavior_choice": SQL_WEIGHTED_BEHAVIOR_CHOICE,
 }
