@@ -941,6 +941,26 @@ def q_rate_limited_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "angle", F.round("limited", 6).alias("limited"))
 
 
+SQL_RATE_LIMITED_ANGLE = """
+WITH RECURSIVE series AS (
+  SELECT user_id, event_id,
+         CAST((event_id * 37) % 360 - 180 AS DOUBLE) AS angle,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, event_id, angle, rn,
+         greatest(-170.0, least(170.0, angle)) AS limited
+  FROM series WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.angle, s.rn,
+         greatest(-170.0, least(170.0,
+           w.limited + greatest(-30.0, least(30.0, s.angle - w.limited))))
+  FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, event_id, angle, round(limited, 6) AS limited FROM walk
+"""
+
+
 def q_arc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arc-length resampling (operators/windows.py::arc_length_resample) —
     `nav_utils.py:233-271`: each user's event trail resampled to 10 points
@@ -1040,11 +1060,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_topk": q_embedding_topk,
     "arc_resample": q_arc_resample,
+    "rate_limited_angle": q_rate_limited_angle,
     # rows-only (non-SQL-expressible):
     "minhash_candidates": q_minhash_candidates,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "connected_components": q_connected_components,
-    "rate_limited_angle": q_rate_limited_angle,
     **EXT_QUERIES,
 }
 
@@ -1077,5 +1097,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "arc_resample": SQL_ARC_RESAMPLE,
+    "rate_limited_angle": SQL_RATE_LIMITED_ANGLE,
     **EXT_ORACLES,
 }

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import paths as path_fns
@@ -1029,6 +1029,133 @@ def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_behavior_resample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The densest reference operator — behavior-aware per-frame resampling
+    (`worker_create.py:695-896`, operators/windows.py::behavior_resample) —
+    with fully deterministic inputs so the whole composition (frame grid +
+    bracketing as-of joins + interval join + per-behavior CASE + shortest-arc
+    angle lerp) hash-checks against an independent SQL restatement.  Keys:
+    first 10 events per user at idx 0,4,…,36; segments: three fixed idx bands
+    with behavior chosen by (user+s) mod 4; frames 34-36 are deliberately
+    uncovered to exercise the left-join 'roam' default."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = events.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    keys = ranked.select(
+        F.col("user_id").cast("string").alias("sequence_id"),
+        ((F.col("rn") - 1) * 4).alias("idx"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 100).cast("double").alias("y"),
+        F.lit(0.0).alias("z"),
+        ((F.col("event_id") * 37) % 360 - 180).cast("double").alias("yaw"),
+        ((F.col("event_id") * 17) % 120 - 60).cast("double").alias("pitch"),
+    )
+    seg_def = spark.createDataFrame(
+        [(0, 0, 12), (1, 13, 24), (2, 25, 33)],
+        "s int, start_idx int, end_idx int",
+    )
+    behaviors = F.array(
+        F.lit("idle"), F.lit("rotate"), F.lit("translate"), F.lit("roam")
+    )
+    segments = (
+        keys.select("sequence_id")
+        .distinct()
+        .crossJoin(F.broadcast(seg_def))
+        .select(
+            "sequence_id",
+            F.element_at(
+                behaviors,
+                (
+                    (F.col("sequence_id").cast("long") + F.col("s")) % 4 + 1
+                ).cast("int"),
+            ).alias("behavior"),
+            "start_idx",
+            "end_idx",
+        )
+    )
+    out = win_ops.behavior_resample(keys, segments)
+    return out.select(
+        "sequence_id",
+        "frame",
+        "behavior",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+        F.round("yaw", 6).alias("yaw"),
+        F.round("pitch", 6).alias("pitch"),
+    )
+
+
+SQL_BEHAVIOR_RESAMPLE_CHECKED = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS sequence_id,
+         (rn - 1) * 4 AS idx,
+         value AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y,
+         CAST(0.0 AS DOUBLE) AS z,
+         CAST((event_id * 37) % 360 - 180 AS DOUBLE) AS yaw,
+         CAST((event_id * 17) % 120 - 60 AS DOUBLE) AS pitch
+  FROM ranked WHERE rn <= 10
+), segments AS (
+  SELECT u.sequence_id,
+         list_extract(['idle', 'rotate', 'translate', 'roam'],
+                      CAST((CAST(u.sequence_id AS BIGINT) + v.s) % 4 + 1
+                           AS INTEGER)) AS behavior,
+         v.start_idx, v.end_idx
+  FROM (SELECT DISTINCT sequence_id FROM keys) u,
+       (VALUES (0, 0, 12), (1, 13, 24), (2, 25, 33)) v(s, start_idx, end_idx)
+), frames AS (
+  SELECT sequence_id, unnest(generate_series(0, maxidx)) AS frame
+  FROM (SELECT sequence_id, max(idx) AS maxidx FROM keys GROUP BY sequence_id)
+), bracket AS (
+  SELECT f.sequence_id, f.frame,
+         max(k.idx) FILTER (k.idx <= f.frame) AS p_idx,
+         min(k.idx) FILTER (k.idx >= f.frame) AS n_idx
+  FROM frames f JOIN keys k ON k.sequence_id = f.sequence_id
+  GROUP BY f.sequence_id, f.frame
+), br AS (
+  SELECT b.sequence_id, b.frame, b.p_idx, b.n_idx,
+         pk.x AS p_x, pk.y AS p_y, pk.z AS p_z,
+         pk.yaw AS p_yaw, pk.pitch AS p_pitch,
+         nk.x AS n_x, nk.y AS n_y, nk.z AS n_z,
+         nk.yaw AS n_yaw, nk.pitch AS n_pitch,
+         CASE WHEN b.n_idx <> b.p_idx
+              THEN (b.frame - b.p_idx) / (b.n_idx - b.p_idx)
+              ELSE 0.0 END AS t
+  FROM bracket b
+  JOIN keys pk ON pk.sequence_id = b.sequence_id AND pk.idx = b.p_idx
+  JOIN keys nk ON nk.sequence_id = b.sequence_id AND nk.idx = b.n_idx
+), tagged AS (
+  SELECT br.*, coalesce(s.behavior, 'roam') AS behavior
+  FROM br LEFT JOIN segments s
+    ON s.sequence_id = br.sequence_id
+   AND br.frame >= s.start_idx AND br.frame <= s.end_idx
+)
+SELECT sequence_id, frame, behavior,
+  round(CASE WHEN behavior IN ('idle', 'rotate') THEN p_x
+             ELSE p_x + t * (n_x - p_x) END, 6) AS x,
+  round(CASE WHEN behavior IN ('idle', 'rotate') THEN p_y
+             ELSE p_y + t * (n_y - p_y) END, 6) AS y,
+  round(CASE WHEN behavior IN ('idle', 'rotate') THEN p_z
+             ELSE p_z + t * (n_z - p_z) END, 6) AS z,
+  round(CASE WHEN behavior IN ('idle', 'translate') THEN p_yaw
+             ELSE p_yaw + t * ((n_yaw - p_yaw)
+                  - 360.0 * floor((n_yaw - p_yaw) / 360.0 + 0.5)) END,
+        6) AS yaw,
+  round(CASE WHEN behavior IN ('idle', 'translate') THEN p_pitch
+             ELSE p_pitch + t * ((n_pitch - p_pitch)
+                  - 360.0 * floor((n_pitch - p_pitch) / 360.0 + 0.5)) END,
+        6) AS pitch
+FROM tagged
+"""
+
+
 def q_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Status state machine, batch form (`monitor.py:117-174`): last known
     status per task via max_by over event time
@@ -1568,6 +1695,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_dups": q_embedding_cosine_dups,
     "reachability_probe": q_reachability_probe,
     "weighted_behavior_choice": q_weighted_behavior_choice,
+    "behavior_resample_checked": q_behavior_resample_checked,
     # rows-only:
     "approach_target_yaw": q_approach_target_yaw,
     "simulate_trajectories": q_simulate_trajectories,
@@ -1611,4 +1739,5 @@ EXT_ORACLES: dict[str, str] = {
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
     "reachability_probe": SQL_REACHABILITY_PROBE,
     "weighted_behavior_choice": SQL_WEIGHTED_BEHAVIOR_CHOICE,
+    "behavior_resample_checked": SQL_BEHAVIOR_RESAMPLE_CHECKED,
 }
