@@ -23,8 +23,13 @@ from pyspark.sql import DataFrame
 
 
 def _wrap(d: np.ndarray) -> np.ndarray:
-    """Shortest angular delta in (-180, 180]."""
-    return d - 360.0 * np.round(d / 360.0)
+    """Shortest angular delta in [-180, 180).
+
+    Floor form (same as windows.wrap_delta), NOT np.round: half-to-even
+    rounding makes the half case inconsistent (wrap(180)=180 but
+    wrap(540)=-180) and disagrees with SQL engines' round-half-away — the
+    floor form is deterministic and engine-identical."""
+    return d - 360.0 * np.floor(d / 360.0 + 0.5)
 
 
 def rate_limit_series(

@@ -1636,6 +1636,27 @@ def q_approach_target_yaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_APPROACH_TARGET_YAW = """
+WITH RECURSIVE series AS (
+  SELECT user_id, event_id,
+         CAST((event_id * 37) % 360 - 180 AS DOUBLE) AS target,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, target, target AS yaw FROM series WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.target,
+         w.yaw + greatest(-3.0, least(3.0,
+           (s.target - w.yaw)
+           - 360.0 * floor((s.target - w.yaw) / 360.0 + 0.5)))
+  FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, count(*) AS n, round(avg(yaw), 4) AS avg_yaw,
+       round(max(abs(yaw - target)), 4) AS max_err
+FROM walk GROUP BY user_id
+"""
+
+
 def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 100 TB dedup pipeline in one query: MinHash-LSH candidate
     generation → EXACT n-gram Jaccard verification restricted to candidates
@@ -1696,8 +1717,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reachability_probe": q_reachability_probe,
     "weighted_behavior_choice": q_weighted_behavior_choice,
     "behavior_resample_checked": q_behavior_resample_checked,
-    # rows-only:
     "approach_target_yaw": q_approach_target_yaw,
+    # rows-only:
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
     "minhash_verified_dups": q_minhash_verified_dups,
@@ -1740,4 +1761,5 @@ EXT_ORACLES: dict[str, str] = {
     "reachability_probe": SQL_REACHABILITY_PROBE,
     "weighted_behavior_choice": SQL_WEIGHTED_BEHAVIOR_CHOICE,
     "behavior_resample_checked": SQL_BEHAVIOR_RESAMPLE_CHECKED,
+    "approach_target_yaw": SQL_APPROACH_TARGET_YAW,
 }
