@@ -204,3 +204,18 @@ def test_behavior_resample(spark):
     # frame 8 (idle): exactly at last key
     assert out[8]["x"] == pytest.approx(40.0) and out[8]["y"] == pytest.approx(40.0)
     assert out[8]["yaw"] == pytest.approx(-90.0)
+
+
+def test_arc_length_resample_stationary_path(spark):
+    """A zero-length (stationary) path resamples to N copies of the point —
+    it must not silently vanish (regression: L==0 matched no segment)."""
+    df = spark.createDataFrame(
+        [("s", i, 7.0, -3.0, 2.0) for i in range(4)],
+        "seq string, ord int, x double, y double, z double",
+    )
+    from worlddatapipeline_spark.operators.windows import arc_length_resample
+
+    out = arc_length_resample(df, "seq", "ord", 5).collect()
+    assert len(out) == 5
+    assert sorted(r["k"] for r in out) == [0, 1, 2, 3, 4]
+    assert all(r["x"] == 7.0 and r["y"] == -3.0 and r["z"] == 2.0 for r in out)

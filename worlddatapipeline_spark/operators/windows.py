@@ -170,6 +170,7 @@ def arc_length_resample(
         seq_col,
         F.col("__cum").alias("d0"),
         F.lead("__cum").over(w).alias("d1"),
+        F.row_number().over(w).alias("__segno"),
         *[F.col(c).alias(f"{c}0") for c in (x, y, z)],
         *[F.lead(c).over(w).alias(f"{c}1") for c in (x, y, z)],
     ).filter(F.col("d1").isNotNull())
@@ -189,19 +190,27 @@ def arc_length_resample(
     # STRUCTURALLY (k == N-1 → the final non-zero-length segment) rather than
     # by float equality target_d == L: k*L/(N-1) for k=N-1 is within ulps of
     # L but not reliably equal, and the ulps differ across engines — an
-    # equality match silently drops endpoints.
+    # equality match silently drops endpoints.  A fully stationary path
+    # (L == 0: every segment zero-length) matches its FIRST segment for
+    # every k, yielding N copies of the stationary point instead of
+    # silently dropping the sequence.
     g, s = grid.alias("g"), seg.alias("s")
     j = g.join(
         s,
         (F.col(f"g.{seq_col}") == F.col(f"s.{seq_col}"))
-        & (F.col("g.target_d") >= F.col("s.d0"))
         & (
-            (F.col("g.target_d") < F.col("s.d1"))
-            | (
-                (F.col("g.k") == F.col("g.last_k"))
-                & (F.col("s.d1") == F.col("g.L"))
-                & (F.col("s.d0") < F.col("s.d1"))
+            (
+                (F.col("g.target_d") >= F.col("s.d0"))
+                & (
+                    (F.col("g.target_d") < F.col("s.d1"))
+                    | (
+                        (F.col("g.k") == F.col("g.last_k"))
+                        & (F.col("s.d1") == F.col("g.L"))
+                        & (F.col("s.d0") < F.col("s.d1"))
+                    )
+                )
             )
+            | ((F.col("g.L") == 0.0) & (F.col("s.__segno") == 1))
         ),
         "inner",
     )

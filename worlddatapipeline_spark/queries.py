@@ -1000,6 +1000,7 @@ WITH path AS (
   FROM stepped
 ), seg AS (
   SELECT user_id, cumd AS d0, lead(cumd) OVER w AS d1,
+         row_number() OVER w AS segno,
          x AS x0, lead(x) OVER w AS x1,
          y AS y0, lead(y) OVER w AS y1
   FROM cum WINDOW w AS (PARTITION BY user_id ORDER BY ord)
@@ -1019,9 +1020,10 @@ SELECT g.user_id, g.k,
                           ELSE 0.0 END) * (s.y1 - s.y0), 6) AS y
 FROM grid g JOIN seg s
   ON g.user_id = s.user_id
- AND g.target_d >= s.d0
- AND (g.target_d < s.d1
-      OR (g.k = 9 AND s.d1 = g.ltot AND s.d0 < s.d1))
+ AND ((g.target_d >= s.d0
+       AND (g.target_d < s.d1
+            OR (g.k = 9 AND s.d1 = g.ltot AND s.d0 < s.d1)))
+      OR (g.ltot = 0 AND s.segno = 1))
 """
 
 
