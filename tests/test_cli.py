@@ -1,0 +1,49 @@
+"""CLI dispatch (worlddatapipeline_spark.__main__) — app.py analog."""
+
+import json
+
+import pytest
+
+from worlddatapipeline_spark.__main__ import main
+
+
+def test_cli_scan_and_reconcile(spark, tmp_path, capsys):
+    files = spark.createDataFrame(
+        [
+            ("CityA", "Downtown", "/p/CityA/Content/Maps/Downtown.umap", 100),
+            ("CityB", "Plains", "/p/CityB/Content/Maps/Plains.umap", 300),
+        ],
+        "scene_name string, map_name string, path string, size long",
+    )
+    fp = str(tmp_path / "files")
+    files.write.parquet(fp)
+    rc = main(["scan", "--files", fp, "--out", str(tmp_path / "scan_out")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"scenes": 2, "maps": 2}
+    scenes = spark.read.parquet(str(tmp_path / "scan_out" / "scenes"))
+    assert scenes.count() == 2
+
+    cat = str(tmp_path / "cat")
+    ls = str(tmp_path / "ls")
+    spark.createDataFrame(
+        [("s1", True), ("s2", False)], "scene_name string, exists_flag boolean"
+    ).write.parquet(cat)
+    spark.createDataFrame([("s1",), ("s9",)], "scene_name string").write.parquet(ls)
+    rc = main(["reconcile", "--catalog", cat, "--listing", ls,
+               "--keys", "scene_name"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"verified": 1, "missing": 1, "untracked": 1}
+
+
+def test_cli_query_dispatch(spark, capsys):
+    rc = main(["query", "catalog_stats", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "catalog_stats" and out["rows"] >= 1
+
+
+def test_cli_unknown_query(spark, capsys):
+    rc = main(["query", "nope", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 2

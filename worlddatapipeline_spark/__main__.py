@@ -1,0 +1,131 @@
+"""CLI — the engine analog of the reference's unified dispatcher.
+
+The reference routes everything through ``app.py:81-403`` (subcommands
+`bake_navmesh`, `create_sequence`, `render`, `upload_scene`, …), each loading
+a JSON manifest and spawning subprocesses.  Here the same subcommand model
+drives the declarative job pipelines (plans/pipelines.py); inputs and outputs
+are parquet/CSV/JSON paths, and "execution" is one Spark action.
+
+    python -m worlddatapipeline_spark scan       --files files.parquet --out outdir
+    python -m worlddatapipeline_spark bake-plan  --maps maps.parquet --actors actors.parquet --out outdir
+    python -m worlddatapipeline_spark sequence   --maps maps.parquet --out outdir [--manifest job.json]
+    python -m worlddatapipeline_spark render-plan --sequences seqs.parquet --maps maps.parquet --out outdir
+    python -m worlddatapipeline_spark reconcile  --catalog cat.parquet --listing ls.parquet --keys scene_name --out outdir
+    python -m worlddatapipeline_spark stats      --sf-dir /root/testdata/sf0.01
+    python -m worlddatapipeline_spark query NAME --sf-dir /root/testdata/sf0.01 [--out outdir]
+
+Every subcommand accepts ``--manifest job.json`` (template/default deep-merge
++ implicit output-dir date suffix, `job_utils.py:111-329` semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .plans import pipelines
+from .plans.manifests import load_manifest
+from .session import get_spark, load_tables
+
+
+def _manifest(args) -> dict:
+    return load_manifest(args.manifest) if args.manifest else {}
+
+
+def _write(df, out: str, fmt: str = "parquet") -> None:
+    (df.write.mode("overwrite").parquet(out) if fmt == "parquet"
+     else df.write.mode("overwrite").json(out))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="worlddatapipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, *flags):
+        sp = sub.add_parser(name)
+        for f in flags:
+            sp.add_argument(f, required=f not in ("--manifest", "--out"))
+        sp.add_argument("--manifest")
+        return sp
+
+    add("scan", "--files", "--out")
+    add("bake-plan", "--maps", "--actors", "--out")
+    add("sequence", "--maps", "--out")
+    add("render-plan", "--sequences", "--maps", "--out")
+    rp = add("reconcile", "--catalog", "--listing", "--keys", "--out")
+    sp = sub.add_parser("stats")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--manifest")
+    qp = sub.add_parser("query")
+    qp.add_argument("name")
+    qp.add_argument("--sf-dir", required=True)
+    qp.add_argument("--out")
+    qp.add_argument("--manifest")
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"wdp-{args.cmd}")
+
+    if args.cmd == "scan":
+        out = pipelines.run_scan_job(spark, spark.read.parquet(args.files), _manifest(args))
+        for name, df in out.items():
+            if args.out:
+                _write(df, f"{args.out}/{name}", "json" if name == "document" else "parquet")
+        print(json.dumps({"scenes": out["scenes"].count(), "maps": out["maps"].count()}))
+    elif args.cmd == "bake-plan":
+        plan = pipelines.run_bake_plan(
+            spark, spark.read.parquet(args.maps), spark.read.parquet(args.actors),
+            _manifest(args),
+        )
+        if args.out:
+            _write(plan, args.out)
+        n = plan.count()
+        print(json.dumps({"maps": n, "to_bake": plan.filter("should_bake").count()}))
+    elif args.cmd == "sequence":
+        out = pipelines.run_sequence_job(
+            spark, spark.read.parquet(args.maps), _manifest(args), output_dir=args.out,
+        )
+        print(json.dumps({"frames": out.count()}))
+    elif args.cmd == "render-plan":
+        plan = pipelines.run_render_plan(
+            spark, spark.read.parquet(args.sequences), spark.read.parquet(args.maps),
+            _manifest(args),
+        )
+        if args.out:
+            _write(plan, args.out)
+        print(json.dumps({"work_items": plan.count()}))
+    elif args.cmd == "reconcile":
+        out = pipelines.run_reconcile_job(
+            spark, spark.read.parquet(args.catalog), spark.read.parquet(args.listing),
+            args.keys.split(","), _manifest(args),
+        )
+        if args.out:
+            _write(out["annotated"], args.out)
+        print(json.dumps({r["sync_status"]: r["n"] for r in out["stats"].collect()}))
+    elif args.cmd == "stats":
+        tabs = load_tables(spark, args.sf_dir, ["orders", "lineitem", "customer"])
+        row = (
+            tabs["lineitem"].agg({"l_extendedprice": "sum", "*": "count"}).collect()[0]
+        )
+        print(json.dumps({
+            "lineitems": row["count(1)"],
+            "revenue": round(row["sum(l_extendedprice)"], 2),
+            "orders": tabs["orders"].count(),
+            "customers": tabs["customer"].count(),
+        }))
+    elif args.cmd == "query":
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name}; available: {sorted(qs)}", file=sys.stderr)
+            return 2
+        df = qs[args.name](spark, args.sf_dir)
+        if args.out:
+            _write(df, args.out)
+        print(json.dumps({"query": args.name, "rows": df.count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
