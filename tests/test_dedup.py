@@ -74,3 +74,29 @@ def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], ["t"])
     out = df.select(dedup.shingles(F.col("t"), n=3).alias("sh")).collect()[0]["sh"]
     assert out == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate(spark):
+    """Docs sharing ONLY a boilerplate header pair up without the cap and
+    stop pairing once the header's shingles exceed max_df; genuinely similar
+    docs keep pairing either way."""
+    boiler = "copyright acme corp all rights reserved "
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "alpha beta gamma delta epsilon"),
+            (2, boiler + "zeta eta theta iota kappa"),
+            (3, boiler + "one two three four five six"),
+            (4, boiler + "one two three four five seven"),
+        ],
+        "doc_id long, text string",
+    )
+    loose = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+    loose_pairs = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+    assert (1, 2) in loose_pairs  # boilerplate-only overlap passes at 0.05
+
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.05, max_df=3
+    )
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1, 2) not in capped_pairs  # header shingles df=4 > 3: dropped
+    assert (3, 4) in capped_pairs  # real similarity survives the cap

@@ -74,3 +74,38 @@ def test_island_centroid_spawn(spark):
     out = graph.island_centroid_spawn(pts, comp).collect()[0]
     assert out["centroid_x"] == pytest.approx(2.0)
     assert out["spawn_id"] == 1  # point at x=2 is closest to centroid
+
+
+def test_star_cc_matches_min_label(spark):
+    """large-star/small-star output == min-label propagation on random graphs."""
+    import random
+
+    from worlddatapipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+        edges = [(a, b) for a, b in edges if a != b]
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        a = {r["id"]: r["component"]
+             for r in connected_components(edf, vdf).collect()}
+        b = {r["id"]: r["component"]
+             for r in connected_components_star(edf, vdf).collect()}
+        assert a == b
+
+
+def test_star_cc_long_chain(spark):
+    """A path graph (worst case for per-hop propagation) resolves to one
+    component with the minimum id as root."""
+    from worlddatapipeline_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(30)]
+    edf = spark.createDataFrame(chain, "src long, dst long")
+    out = connected_components_star(edf).collect()
+    assert len(out) == 31
+    assert {r["component"] for r in out} == {0}

@@ -216,6 +216,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     candidate_pairs: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs.
 
@@ -232,6 +233,14 @@ def ngram_jaccard_pairs(
     persisted (memory-and-disk) because three downstream branches (postings,
     size lookup ×2) would otherwise each re-run the interpreted shingle
     lambdas over the full corpus — measured 3× the whole query's runtime.
+
+    ``max_df`` is the web-scale knob: shingles occurring in more than
+    ``max_df`` documents are dropped BEFORE pair generation (the quadratic
+    term is per-shingle posting-list length, so one mega-frequent shingle —
+    boilerplate, licence headers — dominates the whole job).  Jaccard is
+    then computed over the retained shingle sets (both |A∩B| and |A∪B|
+    exclude capped shingles — a consistent "informative-shingle Jaccard").
+    Default None = exact.
     """
     sh = (
         _widen(df).select(
@@ -241,6 +250,14 @@ def ngram_jaccard_pairs(
             ).alias("sh"),
         )
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidate_pairs is not None:
         cand = candidate_pairs

@@ -114,6 +114,89 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    100 TB path SCALE.md reserves for graphs whose diameter makes per-hop
+    min-label propagation too slow: convergence is O(log² n) rounds
+    regardless of diameter, vs O(diameter) for `connected_components`.
+
+    Each round is two edge transforms (pure joins + groupBy.min — no Python):
+    - large-star: every neighbour v > u links to m(u) = min(N(u) ∪ {u})
+    - small-star: every neighbour v <= u (and u itself) links to m(u)
+    Fixpoint when the edge multiset stops changing; afterwards every node's
+    minimum neighbour IS its component root.
+
+    Returns (id, component), identical output contract (and, for the same
+    graph, identical result) to `connected_components`.
+    """
+    def _canon(df: DataFrame) -> DataFrame:
+        # undirected pair set, canonical orientation (x < y), no self-loops
+        return (
+            df.select(F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+        )
+
+    e = _canon(
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    ).localCheckpoint(eager=True)
+    if vertices is None:
+        verts = (
+            e.select(F.col("x").alias(id_col))
+            .unionByName(e.select(F.col("y").alias(id_col)))
+            .distinct()
+        )
+    else:
+        verts = vertices.select(F.col(id_col)).distinct()
+
+    for _ in range(max_iter):
+        # large-star: node u sees its FULL neighbourhood; every larger
+        # neighbour links to m(u) = min(N(u) ∪ {u})
+        sym = e.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+            e.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        )
+        m = (
+            sym.unionByName(sym.select("u", F.col("u").alias("v")).distinct())
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        e1 = _canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        # small-star: node u sees only SMALLER neighbours; they (and u) link
+        # to the minimum of that set
+        directed = e1.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        m1 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = _canon(
+            directed.join(m1, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(m1.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        ).localCheckpoint(eager=True)
+        diff = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if diff == 0:
+            break
+
+    # converged state is a star forest in canonical form: (root, member)
+    roots = e.groupBy(F.col("y").alias(id_col)).agg(F.min("x").alias("component"))
+    return verts.join(roots, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+
+
 def island_stats(
     components: DataFrame,
     min_ratio: float = 0.10,
