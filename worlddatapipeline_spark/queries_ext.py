@@ -1587,6 +1587,98 @@ GROUP BY behavior
 """
 
 
+def q_paragraph_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus paragraph-duplication quality signal (LLM-pipeline
+    extension): chunk each document into 10-word pseudo-paragraphs, hash the
+    chunks (md5 — engine-portable), and score each doc by the fraction of
+    its chunks that occur more than once corpus-wide.  One shuffle on the
+    16-byte chunk hash; the text body never shuffles."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    chunks = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_ratio", F.round(F.col("dup_chunks") / F.col("n_chunks"), 6)
+    )
+
+
+SQL_PARAGRAPH_DUP_RATIO = """
+WITH worded AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         CAST(ceil(len(string_split(text, ' ')) / 10) AS INTEGER) AS nch
+  FROM documents
+), indexed AS (
+  SELECT doc_id, words, unnest(generate_series(0, nch - 1)) AS i FROM worded
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' '))
+           AS h
+  FROM indexed
+), freq AS (
+  SELECT h, count(*) AS freq FROM chunks GROUP BY h
+)
+SELECT c.doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+       round(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS dup_ratio
+FROM chunks c JOIN freq f ON c.h = f.h
+GROUP BY c.doc_id
+"""
+
+
+def q_dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test split (LLM-pipeline
+    extension): bucket = first 8 hex chars of md5(doc_id) mod 100 — stable
+    under reshuffles, resumable, engine-portable (the property rand() lacks).
+    80/10/10 assignment, per-split doc and char counts."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return documents.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_DATASET_SPLIT_STATS = """
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS b,
+         n_chars
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs
     (operators/similarity.py::cosine_pairs): exact brute-force verify at test
@@ -1714,6 +1806,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scene_search": q_scene_search,
     "low_activity_skip": q_low_activity_skip,
     "embedding_cosine_dups": q_embedding_cosine_dups,
+    "paragraph_dup_ratio": q_paragraph_dup_ratio,
+    "dataset_split_stats": q_dataset_split_stats,
     "reachability_probe": q_reachability_probe,
     "weighted_behavior_choice": q_weighted_behavior_choice,
     "behavior_resample_checked": q_behavior_resample_checked,
@@ -1758,6 +1852,8 @@ EXT_ORACLES: dict[str, str] = {
     "scene_search": SQL_SCENE_SEARCH,
     "low_activity_skip": SQL_LOW_ACTIVITY_SKIP,
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
+    "paragraph_dup_ratio": SQL_PARAGRAPH_DUP_RATIO,
+    "dataset_split_stats": SQL_DATASET_SPLIT_STATS,
     "reachability_probe": SQL_REACHABILITY_PROBE,
     "weighted_behavior_choice": SQL_WEIGHTED_BEHAVIOR_CHOICE,
     "behavior_resample_checked": SQL_BEHAVIOR_RESAMPLE_CHECKED,
