@@ -103,3 +103,44 @@ def test_cosine_pairs_no_shuffle_of_corpus_pairs(spark):
     plan = _plan(spark, "embedding_cosine_dups")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_discount_revenue_filters_pushed(spark):
+    """Q6-shape: all three predicates reach the parquet scan; zero-shuffle agg."""
+    plan = _plan(spark, "discount_revenue")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_discount,0.02)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_nation_pair_volume_broadcasts_dims(spark):
+    """Q7-shape: four dimension hops broadcast; only the fact-fact join shuffles."""
+    plan = _plan(spark, "nation_pair_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_part_profit_like_filter_prunes_build_side(spark):
+    """Q9-shape: the LIKE filter applies to part before it broadcasts."""
+    plan = _plan(spark, "part_profit_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "widget" in plan  # contains-filter present (pushed or post-scan)
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_top_customers_is_topk(spark):
+    plan = _plan(spark, "returned_top_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_value_share_scalar_broadcast(spark):
+    """Q11-shape: the one-row total crossJoins broadcast, never a shuffle join."""
+    plan = _plan(spark, "part_value_share")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_sum_two_phase(spark):
+    """The salted aggregate must show two HashAggregate phases (salt, then key)."""
+    plan = _plan(spark, "salted_event_value_sum")
+    assert plan.count("HashAggregate") >= 2

@@ -138,3 +138,34 @@ def argmax(df: DataFrame, group_cols: list[str], value_col, payload_cols: list[s
         F.max(value_col).alias(f"max_{value_col}"),
         *[F.max_by(c, value_col).alias(c) for c in payload_cols],
     )
+
+
+def salted_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe two-phase sum: explicit salting of the grouping key.
+
+    Phase 1 groups by ``(key, salt)`` where salt is a deterministic hash of
+    the row's remaining identity, spreading a hot key over ``n_salts``
+    reducers; phase 2 sums the partials per key.  For algebraic aggregates
+    Spark's map-side combine usually makes this unnecessary, but it matters
+    when (a) per-key combiner state is large (holistic aggregates,
+    collect_list) or (b) one key dominates so a single reducer's combine
+    output is still huge.  Same final values as a plain groupBy — the bench
+    oracle checks that.
+
+    Reference analog: batch success counters over a skewed status column
+    (`batch_bake.py:285-359`) — single-threaded there, one hot reducer here
+    without salting.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.sum(value_col).alias("_partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(out_col))

@@ -1032,6 +1032,7 @@ FROM grid g JOIN seg s
 # ---------------------------------------------------------------------------
 
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from .queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -1068,6 +1069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "connected_components": q_connected_components,
     **EXT_QUERIES,
+    **TPCH_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -1101,4 +1103,5 @@ ORACLES: dict[str, str] = {
     "arc_resample": SQL_ARC_RESAMPLE,
     "rate_limited_angle": SQL_RATE_LIMITED_ANGLE,
     **EXT_ORACLES,
+    **TPCH_ORACLES,
 }

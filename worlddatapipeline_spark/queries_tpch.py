@@ -1,0 +1,654 @@
+"""TPC-H-shaped analytical queries completing the engine's relational surface.
+
+The reference's catalog queries (`scene_registry.py:273-287,566-605`) are all
+single-table scans and conditional aggregates; this module exercises the same
+operator families the engine must support at 100 TB — multi-way joins with
+broadcast dimensions, scalar-from-aggregate thresholds
+(`navmesh_injector.py:463-486` pattern), per-group threshold join-backs,
+anti-join idleness probes (`scene_copy.py:408-422` skip-if-exists pattern),
+exact percentile alert thresholds (`structure.md:221-229`), and skew-safe
+salted aggregation — each adapted to the driver's synthetic star schema and
+hash-checked against a DuckDB oracle.
+
+Scale notes per query are in the docstrings; the common rules:
+- dimension tables (region/nation/supplier/part at test SF) join broadcast;
+  fact-fact joins shuffle on the join key and AQE handles skew;
+- every filter is a pure Column predicate that reaches the parquet scan
+  (PushedFilters), every projection prunes to the read columns;
+- double aggregates that cross a re-grouping boundary are summed as
+  DECIMAL so reordering cannot flip the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregates as agg_ops
+from .session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, list(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Q6-shape: forecast revenue change — pure scan + filter + global agg
+# ---------------------------------------------------------------------------
+
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass filtered global aggregate (TPC-H Q6 shape).
+
+    Operator class: conditional statistics (`scene_registry.py:566-605`).
+    Scale: zero shuffles — map-side partial agg reduces to one row; all three
+    predicates push down to the parquet scan.
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,8)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_DISCOUNT_REVENUE = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
+       count(*)                                    AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape: promo revenue ratio — join + conditional ratio
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-ratio aggregate over a part join (TPC-H Q14 shape).
+
+    Operator class: terrain ratio classification (`navmesh_injector.py:324-340`)
+    — ratio of a conditional sum to a total.  Scale: part is the smaller side
+    → AQE/broadcast join; lineitem is filtered on shipdate *before* the join
+    so the probe side shrinks first.
+    """
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_PROMO_REVENUE_RATIO = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*)                                            AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-06-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7-shape: volume between nation pairs — multi-join + year grouping
+# ---------------------------------------------------------------------------
+
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation x customer-nation shipping volume (TPC-H Q7 shape).
+
+    Operator class: multi-way status-annotation join
+    (`scene_scanner.py:242-331` 3-way join family).  Scale: the two fact
+    tables join on orderkey (shuffle); all four dimension hops
+    (supplier/customer/nation x2) are broadcast.  Nation filter applies
+    before grouping so the shuffle carries only matching pairs.
+    """
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pairs = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        pairs.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+                ).cast("double"),
+                2,
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(CAST(volume AS DECIMAL(28,8))) AS DOUBLE), 2) AS volume,
+       count(*)                                                     AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9-shape: profit by nation/year with a LIKE part filter
+# ---------------------------------------------------------------------------
+
+def q_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit decomposition by supplier nation and year (TPC-H Q9 shape).
+
+    Operator class: substring-pattern predicate (`scene_scanner.py:49-63`) +
+    multi-join aggregate.  The cost side uses p_retailprice as the supply-cost
+    proxy (the driver schema has no partsupp).  Scale: the LIKE filter prunes
+    part before the join — filter the build side, then broadcast it.
+    """
+    lineitem, orders, supplier, part, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,8)")
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget")).select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_PART_PROFIT_BY_NATION = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_profit,
+       count(*)                                          AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape: top returned-revenue customers
+# ---------------------------------------------------------------------------
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns (TPC-H Q10 shape).
+
+    Operator class: global top-k (`TakeOrderedAndProject`) over a join
+    aggregate — the reference's argmax family (`navmesh_injector.py:371-378`)
+    generalized to k rows.  Deterministic tiebreak on c_custkey so the hash
+    is stable.  Scale: agg shrinks to |customers| rows before the top-k;
+    top-k itself is a per-partition heap + driver merge, no full sort.
+    """
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11-shape: part value share above a global-aggregate threshold
+# ---------------------------------------------------------------------------
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose lineitem value exceeds a fraction of total value
+    (TPC-H Q11 shape).
+
+    Operator class: threshold-from-aggregate predicate — the reference
+    computes a scene-volume threshold then filters actors against it
+    (`navmesh_injector.py:463-486`).  Scale: the one-row global aggregate is
+    crossJoin-broadcast against the per-part aggregate; both aggregates reuse
+    the same scan (Spark caches the shuffle via reused exchange).  Sums are
+    DECIMAL so the two aggregation orders agree bit-for-bit.
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    value = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+    per_part = lineitem.groupBy("l_partkey").agg(F.sum(value).alias("part_value"))
+    total = lineitem.agg(F.sum(value).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0007)
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+SQL_PART_VALUE_SHARE = """
+SELECT l_partkey,
+       round(CAST(part_value AS DOUBLE), 2) AS part_value
+FROM (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS part_value
+  FROM lineitem GROUP BY l_partkey
+) p,
+(
+  SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total_value
+  FROM lineitem
+) t
+WHERE part_value > total_value * 0.0007
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape: top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum quarterly revenue (TPC-H Q15 shape).
+
+    Operator class: argmax with tie retention
+    (`navmesh_connectivity.py:185-201` largest-island selection).  The max is
+    computed as a one-row aggregate of the revenue view and equality-joined
+    back — two passes over a tiny intermediate, no window over the full set.
+    DECIMAL revenue so Spark and DuckDB agree on equality at the max.
+    """
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17-shape: revenue from below-average-quantity lines
+# ---------------------------------------------------------------------------
+
+def q_below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average revenue of lines under half their part's mean quantity
+    (TPC-H Q17 shape).
+
+    Operator class: per-group scalar threshold joined back — the reference's
+    per-scene mean-derived cutoffs (`navmesh_injector.py:623-681` dominant-
+    bucket mean).  Scale: the per-part average is an aggregate of the same
+    fact table, shuffled once on l_partkey and reused for the join (same key
+    → no extra shuffle on the probe side).
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    avg_qty = lineitem.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_BELOW_AVG_QTY_REVENUE = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       count(*)                                                                    AS n_lines
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.a_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape: large-volume orders
+# ---------------------------------------------------------------------------
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders above 300 total units (TPC-H Q18 shape).
+
+    Operator class: HAVING-filtered group join-back — the reference's
+    low-actor flag (aggregate count -> threshold -> skip,
+    `worker_bake.py:40-46`) at order granularity.  Scale: the quantity
+    aggregate runs first and keeps only qualifying orderkeys (46 at sf0.01),
+    which then semi-drive the detail joins broadcast-style.
+    """
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        lineitem.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("b_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDER_CUSTOMERS = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2)            AS o_totalprice,
+       total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey AS b_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 300
+) b ON o_orderkey = b_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape: idle high-balance customers (anti join)
+# ---------------------------------------------------------------------------
+
+def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no recent orders (TPC-H Q22 shape).
+
+    Operator class: skip-if-exists anti-join (`scene_copy.py:408-422`) +
+    scalar-from-aggregate threshold (`navmesh_injector.py:463-486`).  Scale:
+    the average-balance scalar broadcasts; the anti join shuffles on custkey
+    — at 100 TB the orders side is pre-filtered by date so the anti join's
+    build set is small.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+SQL_IDLE_HIGH_BALANCE_CUSTOMERS = """
+SELECT c_mktsegment,
+       count(*)                 AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile alert thresholds (structure.md:221-229 family)
+# ---------------------------------------------------------------------------
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per event type.
+
+    Operator class: alert thresholds (`structure.md:221-229` — queue >1000,
+    task >20 min, …): the operational generalization is "where is the p95?".
+    Uses Spark's exact ``percentile`` (linear interpolation, matching
+    DuckDB's ``quantile_cont``).  Scale note: exact percentile is a holistic
+    aggregate (sorts per group); at 100 TB swap in ``percentile_approx``
+    (t-digest, mergeable map-side) — same call-site, documented trade-off.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_EVENT_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*)                             AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted aggregation (scale extension)
+# ---------------------------------------------------------------------------
+
+def q_salted_event_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum of event value per event type.
+
+    Operator class: batch success counters (`batch_bake.py:285-359`) made
+    skew-safe: event_type has ~5 distinct values over all rows — the
+    pathological hot-key layout for a direct groupBy at 100 TB.  The salt
+    spreads each key over 32 reducers; phase 2 merges 5x32 partials.
+    DECIMAL sums make the result independent of summation order, so the
+    plain-groupBy oracle hash-matches exactly.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    salted = agg_ops.salted_sum(
+        events.select("event_type", F.col("value").cast("decimal(28,10)").alias("value")),
+        ["event_type"],
+        "value",
+        "total_value",
+        n_salts=32,
+    )
+    return salted.select(
+        "event_type", F.round(F.col("total_value").cast("double"), 4).alias("total_value")
+    )
+
+
+SQL_SALTED_EVENT_VALUE_SUM = """
+SELECT event_type,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+TPCH_QUERIES = {
+    "discount_revenue": q_discount_revenue,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "nation_pair_volume": q_nation_pair_volume,
+    "part_profit_by_nation": q_part_profit_by_nation,
+    "returned_top_customers": q_returned_top_customers,
+    "part_value_share": q_part_value_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "below_avg_qty_revenue": q_below_avg_qty_revenue,
+    "large_order_customers": q_large_order_customers,
+    "idle_high_balance_customers": q_idle_high_balance_customers,
+    "event_value_percentiles": q_event_value_percentiles,
+    "salted_event_value_sum": q_salted_event_value_sum,
+}
+
+TPCH_ORACLES = {
+    "discount_revenue": SQL_DISCOUNT_REVENUE,
+    "promo_revenue_ratio": SQL_PROMO_REVENUE_RATIO,
+    "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
+    "part_profit_by_nation": SQL_PART_PROFIT_BY_NATION,
+    "returned_top_customers": SQL_RETURNED_TOP_CUSTOMERS,
+    "part_value_share": SQL_PART_VALUE_SHARE,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "below_avg_qty_revenue": SQL_BELOW_AVG_QTY_REVENUE,
+    "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
+    "idle_high_balance_customers": SQL_IDLE_HIGH_BALANCE_CUSTOMERS,
+    "event_value_percentiles": SQL_EVENT_VALUE_PERCENTILES,
+    "salted_event_value_sum": SQL_SALTED_EVENT_VALUE_SUM,
+}
