@@ -50,6 +50,24 @@ HEADLINE = [
     "catalog_upsert",
 ]
 
+# Secondary suite: the TPC-H-shaped relational batch (queries_tpch.py).
+# Reported as tpch_total_sec/tpch_queries so the headline metric stays
+# comparable with the round-1 BASELINE measurement.
+TPCH = [
+    "discount_revenue",
+    "promo_revenue_ratio",
+    "nation_pair_volume",
+    "part_profit_by_nation",
+    "returned_top_customers",
+    "part_value_share",
+    "top_supplier_revenue",
+    "below_avg_qty_revenue",
+    "large_order_customers",
+    "idle_high_balance_customers",
+    "event_value_percentiles",
+    "salted_event_value_sum",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,6 +104,16 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
+    tpch: dict[str, float] = {}
+    for name in TPCH:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        tpch[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -95,6 +123,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "tpch_total_sec": round(sum(tpch.values()), 3),
+                "tpch_queries": tpch,
                 "sf": sf,
             }
         )

@@ -19,7 +19,7 @@ finite = st.floats(
 def test_rate_limit_step_bound(values):
     """Every output step is bounded by max_step (the defining invariant of
     `transform_track.py:215-228`)."""
-    out = rate_limit_series(np.asarray(values, dtype=np.float64), max_step=7.5)
+    out, _ = rate_limit_series(np.asarray(values, dtype=np.float64), max_step=7.5)
     steps = np.abs(np.diff(out))
     assert np.all(steps <= 7.5 + 1e-9)
 
@@ -29,7 +29,7 @@ def test_rate_limit_step_bound(values):
 def test_rate_limit_range_clamp(values):
     """With lo/hi set, every output lies inside [lo, hi]
     (`transform_track.py:233-262` pitch clamp)."""
-    out = rate_limit_series(
+    out, _ = rate_limit_series(
         np.asarray(values, dtype=np.float64), max_step=30.0, lo=-45.0, hi=45.0
     )
     assert np.all(out >= -45.0 - 1e-9) and np.all(out <= 45.0 + 1e-9)
@@ -44,7 +44,7 @@ def test_rate_limit_converges_when_constant(values):
     target = float(arr[-1])
     needed = int(abs(target - arr[0]) / 5.0) + 2
     arr = np.concatenate([arr[:1], np.full(needed, target)])
-    out = rate_limit_series(arr, max_step=5.0)
+    out, _ = rate_limit_series(arr, max_step=5.0)
     assert abs(out[-1] - target) <= 1e-6
 
 
@@ -69,3 +69,17 @@ def test_unwrap_continuity(angles):
     # congruence mod 360
     diff = (unwrapped - a) / 360.0
     assert np.allclose(diff, np.round(diff), atol=1e-6)
+
+
+@given(st.lists(finite, min_size=2, max_size=200), st.integers(min_value=1, max_value=199))
+@settings(max_examples=200, deadline=None)
+def test_rate_limit_state_carry_equals_single_pass(values, cut):
+    """Splitting a series at any point and carrying the state must equal the
+    single-pass scan — the invariant the mapInPandas batch-boundary carry
+    relies on."""
+    arr = np.asarray(values, dtype=np.float64)
+    cut = min(cut, len(arr) - 1)
+    whole, _ = rate_limit_series(arr, max_step=7.5, lo=-100.0, hi=100.0)
+    first, state = rate_limit_series(arr[:cut], max_step=7.5, lo=-100.0, hi=100.0)
+    second, _ = rate_limit_series(arr[cut:], max_step=7.5, lo=-100.0, hi=100.0, prev=state)
+    assert np.allclose(np.concatenate([first, second]), whole)

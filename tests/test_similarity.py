@@ -113,3 +113,48 @@ def test_cosine_pairs_matches_numpy(spark):
     }
     assert got == exp
     assert (2, 7) in got and (5, 19) in got
+
+
+def test_kmeans_centroids_unit_norm_and_count(spark):
+    from worlddatapipeline_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = kmeans_centroids(emb, k=6, n_iter=2).collect()
+    assert len(cents) == 6
+    import numpy as np
+
+    for r in cents:
+        assert abs(np.linalg.norm(np.asarray(r["cvec"])) - 1.0) < 1e-9
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark):
+    """Trained quantizer must not be worse than the sampled one (same probe
+    budget) on the test corpus."""
+    import numpy as np
+    from worlddatapipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        hit = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(exact & hit) / len(exact)
+
+    cents = kmeans_centroids(emb, k=8, n_iter=3)
+    r_trained = recall(ivf_topk(emb, q, k=5, n_probe=3, centroids=cents))
+    r_sampled = recall(ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3))
+    assert r_trained >= r_sampled - 0.05
+    assert r_trained > 0.3

@@ -9,14 +9,14 @@ from worlddatapipeline_spark.operators import stateful, windows
 def test_rate_limit_series_property():
     rng = np.random.default_rng(3)
     vals = rng.random(200) * 360 - 180
-    out = stateful.rate_limit_series(vals, max_step=5.0)
+    out, _ = stateful.rate_limit_series(vals, max_step=5.0)
     assert np.abs(np.diff(out)).max() <= 5.0 + 1e-12
     assert out[0] == vals[0]
 
 
 def test_rate_limit_series_clamp():
     vals = np.array([0.0, 100.0, -100.0])
-    out = stateful.rate_limit_series(vals, max_step=50.0, lo=-30.0, hi=30.0)
+    out, _ = stateful.rate_limit_series(vals, max_step=50.0, lo=-30.0, hi=30.0)
     assert out.min() >= -30.0 and out.max() <= 30.0
 
 
@@ -32,7 +32,7 @@ def test_rate_limit_spark(spark):
     vals = np.array([r[0] for r in out])
     assert np.abs(np.diff(vals)).max() <= 10.0 + 1e-9
     # golden via the numpy scan
-    exp = stateful.rate_limit_series(
+    exp, _ = stateful.rate_limit_series(
         np.array([r[2] for r in rows]), max_step=10.0
     )
     assert np.allclose(vals, exp)

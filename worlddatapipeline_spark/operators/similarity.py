@@ -199,6 +199,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize the corpus into inverted
     lists, probe only the query's ``n_probe`` nearest lists.
@@ -215,24 +216,43 @@ def ivf_topk(
     written bucketed by list_id, making the probe join shuffle-free.
     Returns (query_id, vec_id, cosine_sim, rank).
     """
-    # deterministic coarse centroids: every m-th corpus vector by id order.
-    # Only the n_centroids sampled ROWS ever reach the driver — never the id
-    # list (a 100 TB corpus has billions of ids; the count is one aggregate).
-    total = corpus.count()
-    step = max(total // n_centroids, 1)
-    w_ids = Window.orderBy(id_col)
+    if centroids is not None:
+        # trained quantizer (e.g. kmeans_centroids) — k rows, driver-safe
+        cents = centroids.select("cid", "cvec").collect()
+        return _ivf_with_cents(
+            corpus, queries, k, n_probe, vec_col, id_col, query_id_col, cents
+        )
+    # deterministic coarse centroids: the n_centroids rows with the smallest
+    # xxhash64(id) — a pseudo-random but reproducible spread, fetched with
+    # TakeOrderedAndProject (per-partition heap + driver merge).  NOT a
+    # global row_number window, which would move the whole corpus to one
+    # partition at 100 TB.  Only the sampled ROWS reach the driver.
     cents = (
         corpus.select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("cvec"),
-            F.row_number().over(w_ids).alias("__rn"),
         )
-        .filter((F.col("__rn") - 1) % step == 0)
-        .orderBy("__rn")
+        .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
         .limit(n_centroids)
-        .drop("__rn")
         .collect()
     )
+    return _ivf_with_cents(
+        corpus, queries, k, n_probe, vec_col, id_col, query_id_col, cents
+    )
+
+
+def _ivf_with_cents(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    cents: list,
+) -> DataFrame:
+    """Shared IVF probe stage over a collected centroid set (sampled or
+    k-means-trained — same 3-stage DAG either way)."""
 
     def nearest_lists(vec: Column, n: int) -> Column:
         """ids of the n centroids with highest cosine to vec (expression)."""
@@ -286,4 +306,89 @@ def ivf_topk(
         scored.dropDuplicates(["query_id", "vec_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over an embedding column, DataFrame-native.
+
+    The trained coarse quantizer for ``ivf_topk`` and the clustering step of
+    semantic dedup (cluster-then-dedup-within-cluster).  Per iteration:
+
+    1. assignment — argmax of dot(vec, centroid) over the k centroids,
+       evaluated as ONE codegen'd array expression (centroids are literals,
+       L2-normalized so dot == cosine ranking); no join, no UDF;
+    2. update — element-wise mean per cluster via posexplode →
+       groupBy(cluster, pos).avg (map-side partial agg) → re-assemble the
+       array with collect_list sorted by position.
+
+    Only k centroid rows ever reach the driver per iteration; the corpus is
+    scanned n_iter times (at 100 TB: cache/checkpoint the normalized corpus
+    or train on a sample — the quantizer doesn't need every row).  Empty
+    clusters keep their previous centroid.  Deterministic: min-hash-of-id
+    init (same as ivf_topk's sampled centroids), first-max tiebreak.
+
+    Iterative-algorithm family, like graph.connected_components — a
+    driver-side loop over declarative steps, the reference's batch-loop
+    analog (`navmesh_connectivity.py:158-180`).
+    Returns a k-row DataFrame (cid int, cvec array<double>), unit-norm.
+    """
+    import numpy as np  # local: driver-side centroid math only
+
+    # init: k rows with the smallest xxhash64(id) — deterministic spread via
+    # TakeOrderedAndProject; no global-order window (single-partition hazard)
+    init = (
+        corpus.select(F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = []
+    for row in init:
+        v = np.asarray(row["cvec"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        cents.append(v / n if n > 0 else v)
+
+    spark = corpus.sparkSession
+    for _ in range(n_iter):
+        dots = F.array(
+            *[
+                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                for c in cents
+            ]
+        )
+        assigned = corpus.select(
+            (F.array_position(dots, F.array_max(dots)) - 1).alias("cluster"),
+            F.col(vec_col).alias("__v"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("avgv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                    lambda s: s["avgv"],
+                ).alias("mean_vec")
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for row in means:
+            v = np.asarray(row["mean_vec"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new_cents[int(row["cluster"])] = v / n
+        cents = new_cents
+
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cvec array<double>",
     )

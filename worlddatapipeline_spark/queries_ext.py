@@ -1004,6 +1004,35 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means clustering of the embedding corpus
+    (operators/similarity.py::kmeans_centroids) — the trained coarse
+    quantizer for IVF and the clustering step of semantic dedup.  Iterative
+    driver-loop algorithm (like connected components) → rows-only.  Returns
+    per-cluster sizes from a final assignment pass."""
+    from .operators.similarity import dot as vdot
+    from .operators.similarity import kmeans_centroids
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = kmeans_centroids(corpus, k=8, n_iter=3)
+    rows = cents.collect()
+    dots = F.array(
+        *[
+            vdot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in r["cvec"]]))
+            for r in rows
+        ]
+    )
+    return (
+        corpus.select((F.array_position(dots, F.array_max(dots)) - 1).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full EP2 resample composition (rows-only): seeded simulation →
     keyframe subsample (every 4th point) → behavior segments → behavior-aware
@@ -1819,6 +1848,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "behavior_resample": q_behavior_resample,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 EXT_ORACLES: dict[str, str] = {
