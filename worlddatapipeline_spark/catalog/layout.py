@@ -1,0 +1,99 @@
+"""Physical table layout: partitioned writes, bucketing, compaction.
+
+The reference approximates all of this by directory convention — per-scene
+folders (`scene_scanner.py:616-663`), prefix-scoped object listings
+(`scene_copy.py:101-113`), and batch chunking (`copy_scene_assets.py:320-399`).
+At 100 TB layout is the difference between scanning everything and scanning
+one partition:
+
+- ``write_partitioned``: hive-style ``scene=/date=`` directories → partition
+  pruning at the scan (a filter on the partition column never touches other
+  partitions' files).
+- ``write_bucketed``: pre-shuffle the table ONCE at write time; every later
+  join/agg on the bucket key is shuffle-free (verified by plan test: two
+  bucketed tables join with zero Exchange).  This is the standing answer to
+  "orders ⋈ lineitem shuffles 100 TB every run".
+- ``compact``: rewrite a directory of many small files into
+  size-targeted files — the small-file problem is the #1 operational failure
+  of hive-partitioned layouts (listing + task-per-file overhead).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-partitioned parquet with a bounded file count per partition.
+
+    The pre-write ``repartition(partition_cols)`` lines data up so each
+    output partition directory is written by ``files_per_partition`` tasks —
+    without it, every upstream task holding rows of a partition writes its
+    own fragment (tasks × partitions small files).  ``files_per_partition >
+    1`` adds a salt so one giant partition can still parallelize.
+    """
+    if files_per_partition <= 1:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        out = df.withColumn("__salt", salt).repartition(
+            *[F.col(c) for c in partition_cols], F.col("__salt")
+        ).drop("__salt")
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles on the join/agg key at write time; subsequent
+    equi-joins between tables bucketed the same way need no Exchange at all
+    (and with ``sort_cols`` no Sort either — a zero-shuffle sort-merge join).
+    Spark's bucketed format needs ``saveAsTable`` (metastore-tracked), not a
+    plain path write.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count.
+
+    Local-filesystem size probe (os.walk); on an object store the same
+    number comes from the listing inventory.  The repartition count is
+    ceil(bytes/target) — AQE cannot do this for a plain write (no shuffle to
+    coalesce), so the explicit repartition IS the compaction.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src_path).repartition(n).write.mode(mode).parquet(dst_path)
+    return n
