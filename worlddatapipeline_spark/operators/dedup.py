@@ -21,6 +21,7 @@ Scale design
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +45,51 @@ def _widen(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+
+def exploded_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document distinct word-n-gram shingle hashes in long format
+    (id, sh), generated in ONE Arrow-batched mapInPandas pass.
+
+    The expression form (``explode(array_distinct(shingle_hashes(...)))``)
+    runs as interpreted Catalyst lambdas — no codegen for higher-order
+    functions — and measures ~2x slower on the same corpus than this batched
+    Python pass (hashlib.blake2b is C-speed; the loop is per shingle, not
+    per character).  Hash identity == normalized-string identity modulo
+    64-bit collisions, same contract as ``shingle_hashes`` (which remains
+    the expression-level form for operators that keep shingles array-typed,
+    e.g. simhash/minhash signatures).
+
+    Reference analog: the dedup-before-work family (`scene_copy.py:236-266`).
+    """
+    import hashlib
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = ws.sub(" ", (t or "").strip()).lower().split(" ")
+                num = max(len(words) - (n - 1), 1)
+                seen = set()
+                for j in range(num):
+                    h = hashlib.blake2b(
+                        " ".join(words[j : j + n]).encode(), digest_size=8
+                    ).digest()
+                    seen.add(int.from_bytes(h, "big", signed=True))
+                ids.extend([i] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"), "sh": pd.Series(shs, dtype="int64")}
+            )
+
+    return _widen(df.select(id_col, text_col)).mapInPandas(gen, "id long, sh long")
 
 
 def exact_dedup(
@@ -228,11 +274,13 @@ def ngram_jaccard_pairs(
     only verifies the LSH output (the scale path).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
 
-    Physical notes: shingles travel as 64-bit hashes (``shingle_hashes``),
-    so the posting shuffle key is 8 bytes; the exploded (id, sh) frame is
-    persisted (memory-and-disk) because three downstream branches (postings,
-    size lookup ×2) would otherwise each re-run the interpreted shingle
-    lambdas over the full corpus — measured 3× the whole query's runtime.
+    Physical notes: shingles travel as 64-bit hashes
+    (``exploded_shingle_hashes`` — one Arrow-batched mapInPandas pass, ~2x
+    the interpreted-lambda expression form), so the posting shuffle key is 8
+    bytes.  Three downstream branches (postings, size lookup x2) re-run the
+    shingle pass; persisting the exploded frame was measured SLOWER at bench
+    scale (cache materialization + read beats three cheap recomputes) — at
+    100 TB flip to persist/checkpoint when the corpus scan dominates.
 
     ``max_df`` is the web-scale knob: shingles occurring in more than
     ``max_df`` documents are dropped BEFORE pair generation (the quadratic
@@ -242,14 +290,7 @@ def ngram_jaccard_pairs(
     exclude capped shingles — a consistent "informative-shingle Jaccard").
     Default None = exact.
     """
-    sh = (
-        _widen(df).select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(shingle_hashes(F.col(text_col), n=n))
-            ).alias("sh"),
-        )
-    )
+    sh = exploded_shingle_hashes(df, text_col, id_col, n=n)
     if max_df is not None:
         keep = (
             sh.groupBy("sh")
