@@ -58,3 +58,31 @@ def test_profile_schema(spark):
         "lang_detected", "fingerprint",
     }
     assert out.count() == 1
+
+
+def test_redact_pii_patterns(spark):
+    from worlddatapipeline_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org end",),
+            ("server at 192.168.1.200 port 80",),
+            ("call +86-555-0199 now",),
+            ("clean text, no pii here. version 1.2 x@y",),
+        ],
+        "t string",
+    )
+    hits = pii_counts(F.col("t"))
+    rows = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        *[c.alias(k) for k, c in hits.items()],
+    ).collect()
+    assert rows[0]["r"] == "mail <EMAIL> end"
+    assert rows[0]["email_hits"] == 1
+    assert rows[1]["r"] == "server at <IP> port 80"
+    assert rows[1]["ip_hits"] == 1
+    assert rows[2]["r"] == "call <PHONE> now"
+    assert rows[2]["phone_hits"] == 1
+    # no false positives: bare version numbers / malformed emails untouched
+    assert rows[3]["r"] == rows[3]["r"]
+    assert rows[3]["email_hits"] == 0 and rows[3]["ip_hits"] == 0 and rows[3]["phone_hits"] == 0

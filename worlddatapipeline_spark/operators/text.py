@@ -162,3 +162,33 @@ def tfidf_terms(
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
         )
     )
+
+
+# PII patterns shared by redact_pii and its oracle SQL — kept to the regex
+# subset Java (Spark) and RE2 (DuckDB) interpret identically.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "PHONE": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and +CC-prefixed phone numbers with
+    typed placeholder tokens (``<EMAIL>``/``<IP>``/``<PHONE>``).
+
+    Standard LLM-training-data hygiene pass.  Pure ``regexp_replace`` chain —
+    JVM-side, codegen'd, no UDF; order matters (emails first so the IP rule
+    cannot fire inside an already-redacted domain).  At 100 TB this is a pure
+    map over the corpus — scales linearly, no shuffle.
+    """
+    out = text
+    for token, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{token}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type PII match counts (``regexp_count``) — the audit metric next
+    to the redaction."""
+    return {t.lower() + "_hits": F.regexp_count(text, F.lit(p)) for t, p in PII_PATTERNS.items()}

@@ -1804,6 +1804,67 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts (operators/text.py::redact_pii) — the
+    LLM-training-data hygiene pass.  Contact strings are synthesized
+    deterministically from customer rows (the driver corpus has no real PII),
+    redacted with the shared Java/RE2-compatible patterns, and audited per
+    segment; min(md5(redacted)) pins the exact replacement semantics so the
+    DuckDB oracle verifies the rewritten text, not just the counts."""
+    from .operators.text import pii_counts, redact_pii
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    contact = F.format_string(
+        "%s <user%d@example.com> ip 10.%d.0.%d tel +1-555-%04d",
+        F.col("c_name"),
+        F.col("c_custkey"),
+        F.col("c_custkey") % 250,
+        F.col("c_nationkey"),
+        F.col("c_custkey") % 10000,
+    )
+    hits = pii_counts(contact)
+    base = customer.select(
+        "c_mktsegment",
+        redact_pii(contact).alias("redacted"),
+        *[c.alias(k) for k, c in hits.items()],
+    )
+    return base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("email_hits").alias("n_emails"),
+        F.sum("ip_hits").alias("n_ips"),
+        F.sum("phone_hits").alias("n_phones"),
+        F.min(F.md5("redacted")).alias("sample_hash"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH contact AS (
+  SELECT c_mktsegment,
+         printf('%s <user%d@example.com> ip 10.%d.0.%d tel +1-555-%04d',
+                c_name, c_custkey, c_custkey % 250, c_nationkey,
+                c_custkey % 10000) AS txt
+  FROM customer
+), red AS (
+  SELECT c_mktsegment, txt,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS redacted
+  FROM contact
+)
+SELECT c_mktsegment,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_emails,
+       sum(len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS n_ips,
+       sum(len(regexp_extract_all(txt, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}'))) AS n_phones,
+       min(md5(redacted)) AS sample_hash
+FROM red
+GROUP BY c_mktsegment
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "listing_parse_stats": q_listing_parse_stats,
     "common_prefix_fold": q_common_prefix_fold,
@@ -1849,6 +1910,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "behavior_resample": q_behavior_resample,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_kmeans": q_embedding_kmeans,
+    "pii_redaction": q_pii_redaction,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1888,4 +1950,5 @@ EXT_ORACLES: dict[str, str] = {
     "weighted_behavior_choice": SQL_WEIGHTED_BEHAVIOR_CHOICE,
     "behavior_resample_checked": SQL_BEHAVIOR_RESAMPLE_CHECKED,
     "approach_target_yaw": SQL_APPROACH_TARGET_YAW,
+    "pii_redaction": SQL_PII_REDACTION,
 }
