@@ -623,6 +623,44 @@ GROUP BY event_type
 """
 
 
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch form of the
+    streaming monitor's progress counts (`monitor.py:88-95,140-149`;
+    streaming/monitor.py::frame_progress uses the same F.window expression
+    with a watermark).  groupBy(window) is an ordinary hash aggregate: one
+    shuffle on (window, type), map-side partial agg; at 100 TB the input
+    should be date-partitioned so each task aggregates its own hours.
+    DECIMAL value sums keep the oracle hash stable."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_HOURLY_EVENT_WINDOWS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 TPCH_QUERIES = {
     "discount_revenue": q_discount_revenue,
     "promo_revenue_ratio": q_promo_revenue_ratio,
@@ -636,6 +674,7 @@ TPCH_QUERIES = {
     "idle_high_balance_customers": q_idle_high_balance_customers,
     "event_value_percentiles": q_event_value_percentiles,
     "salted_event_value_sum": q_salted_event_value_sum,
+    "hourly_event_windows": q_hourly_event_windows,
 }
 
 TPCH_ORACLES = {
@@ -651,4 +690,5 @@ TPCH_ORACLES = {
     "idle_high_balance_customers": SQL_IDLE_HIGH_BALANCE_CUSTOMERS,
     "event_value_percentiles": SQL_EVENT_VALUE_PERCENTILES,
     "salted_event_value_sum": SQL_SALTED_EVENT_VALUE_SUM,
+    "hourly_event_windows": SQL_HOURLY_EVENT_WINDOWS,
 }
