@@ -420,8 +420,13 @@ def q_value_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this replaces the broadcast nested-loop with a shuffle hash
     join whose fan-out is bounded by span/bucket_size."""
     (events,) = _t(spark, sf_dir, "events")
+    # Bounds are a SINGLE division of exact integers so Spark and the DuckDB
+    # oracle hold bit-identical doubles.  (i*25.0 + 24.99 is NOT safe:
+    # DuckDB folds it in DECIMAL — exactly 49.99 → 49.99000…02 as a double —
+    # while Python's float add gives 49.98999…95; events landing in that
+    # 2-ulp gap flipped the sf0.1 hash.)
     bands = events.sparkSession.createDataFrame(
-        [(i, i * 25.0, i * 25.0 + 24.99) for i in range(20)],
+        [(i, (2500 * i) / 100.0, (2500 * i + 2499) / 100.0) for i in range(20)],
         "band_id int, lo double, hi double",
     )
     joined = join_ops.range_join(
@@ -440,7 +445,9 @@ def q_value_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_VALUE_BAND_BUCKETED = """
 WITH bands AS (
-  SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 24.99 AS hi
+  SELECT i AS band_id,
+         CAST(2500 * i AS DOUBLE) / 100        AS lo,
+         CAST(2500 * i + 2499 AS DOUBLE) / 100 AS hi
   FROM range(0, 20) t(i)
 )
 SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS total_value
