@@ -72,3 +72,27 @@ def test_sample_frames_fanout(media):
     assert sorted(by_id[2]) == [0]
     # every kept frame carries a payload slice
     assert all(len(bytes(r["frame_data"])) > 0 for r in frames if r["media_id"] in (1, 2))
+
+
+def test_read_binary_dir(spark, tmp_path):
+    from worlddatapipeline_spark.operators.multimodal import (
+        extract_features,
+        read_binary_dir,
+    )
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake" * 10)
+    (tmp_path / "b.wav").write_bytes(b"RIFF-fake" * 5)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+    media = read_binary_dir(spark, str(tmp_path))
+    rows = {r["meta"]["format"]: r for r in media.collect()}
+    assert set(rows) == {"png", "wav", "txt"}
+    assert rows["png"]["meta"]["modality"] == "image"
+    assert rows["wav"]["meta"]["modality"] == "audio"
+    assert rows["txt"]["meta"]["modality"] == "binary"
+    assert rows["png"]["n_bytes"] == 90
+    # glob pushdown: only the png is opened
+    only_png = read_binary_dir(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 1
+    # downstream feature extraction runs on the real binary payloads
+    feats = extract_features(media.drop("source_path", "n_bytes"))
+    assert feats.count() == 3

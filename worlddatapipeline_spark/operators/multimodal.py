@@ -115,6 +115,59 @@ def synthesize_media(
     )
 
 
+EXT_MODALITY = {
+    "jpg": "image", "jpeg": "image", "png": "image", "bmp": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "mkv": "video", "avi": "video",
+}
+
+
+def read_binary_dir(
+    spark: "SparkSession", path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest a directory of media files as the engine's media table via
+    Spark's ``binaryFile`` source — (media_id, data, meta) with modality
+    derived from the extension.
+
+    This is the production path that `synthesize_media` stands in for in
+    tests: the `binaryFile` reader distributes file reads across executors
+    (one task per file split set), carries (path, modificationTime, length,
+    content), and supports `pathGlobFilter` pushdown so a modality filter
+    never opens non-matching files.  Decode stays downstream in
+    `extract_features`/`resize_stub` (codec libs are deliberately stubbed;
+    the Spark-side schema, partitioning, and batch shape are real).
+
+    Reference analog: asset-store scans (`scene_scanner.py:163-201`,
+    `render_engine.py:8-26`) — there a driver-side glob, here a distributed
+    source with the same exclusion semantics.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality = F.coalesce(
+        *[F.when(ext == e, F.lit(m)) for e, m in EXT_MODALITY.items()],
+        F.lit("binary"),
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content").alias("data"),
+        F.struct(
+            modality.alias("modality"),
+            ext.alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Per-media feature extraction via ``mapInPandas`` (Arrow batches).
 
