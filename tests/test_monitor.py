@@ -165,3 +165,41 @@ def test_stateful_stall_detector(spark, tmp_path):
     assert "t1" in stalled          # timed out
     assert "t2" not in stalled      # completed -> state cleared
     assert "t3" not in stalled      # still fresh
+
+
+def test_dedup_stream(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from worlddatapipeline_spark.streaming.monitor import (
+        dedup_stream,
+        run_stream_to_memory,
+        stream_status_files,
+    )
+
+    schema = StructType(
+        [
+            StructField("task_id", StringType()),
+            StructField("event_time", TimestampType()),
+            StructField("frame_count", LongType()),
+        ]
+    )
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    rows = [
+        {"task_id": "t1", "event_time": "2024-01-01T00:00:00", "frame_count": 5},
+        {"task_id": "t1", "event_time": "2024-01-01T00:00:00", "frame_count": 5},
+        {"task_id": "t2", "event_time": "2024-01-01T00:01:00", "frame_count": 9},
+    ]
+    (drop / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(schema).json(str(drop))
+    deduped = dedup_stream(stream, ["task_id"], watermark="5 minutes")
+    run_stream_to_memory(deduped, "dedup_test", output_mode="append")
+    got = spark.sql("SELECT task_id FROM dedup_test ORDER BY task_id").collect()
+    assert [r["task_id"] for r in got] == ["t1", "t2"]

@@ -239,3 +239,25 @@ def stateful_stall_detector(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once key dedup over a stream with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes it — the streaming form of the engine's exact-dedup
+    operator, and the idempotence guard the reference gets from
+    skip-if-exists checks (`scene_copy.py:408-422`): a task event replayed
+    by an at-least-once source (file re-drop, queue redelivery) is emitted
+    once.  Unbounded ``dropDuplicates`` on a stream would grow state
+    forever; the watermark bound is what makes this run indefinitely at
+    production rates.
+    """
+    return stream_df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
