@@ -83,3 +83,24 @@ def test_export_csv_schemas(spark, tmp_path):
     i = export.intrinsic_df(spark)
     r = i.collect()[0]
     assert r["fov"] == 90.0 and r["width"] == 1920 and r["focal_length"] == 35.0
+
+
+def test_extrinsics_expr_matches_pandas_udf(spark):
+    """Differential: the codegen Column form and the numpy pandas-UDF form
+    produce identical matrices (same IEEE ops, trig within 1 ulp)."""
+    import numpy as np
+
+    rows = [
+        (i, float(i * 13 % 500), float(i * 7 % 300), float(i % 90),
+         float(i % 120 - 60), float((i * 37) % 360 - 180), float(i % 45 - 20))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "frame long, x double, y double, z double, pitch double, yaw double, roll double"
+    )
+    a = geometry.with_extrinsics(df).orderBy("frame").collect()
+    b = geometry.with_extrinsics_expr(df).orderBy("frame").collect()
+    names = [f"m{i}{j}" for i in range(4) for j in range(4)]
+    for ra, rb in zip(a, b):
+        for n in names:
+            assert abs(ra[n] - rb[n]) < 1e-12

