@@ -841,8 +841,10 @@ WHERE jac >= 0.8
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search
-    (operators/similarity.py::cosine_topk): every 50th vector queries the
-    corpus; all math in float64 expression form (zip_with + aggregate)."""
+    (operators/similarity.py::cosine_topk_batched): every 50th vector queries
+    the corpus; scoring is one numpy matmul per Arrow batch against the
+    broadcast query matrix with per-batch top-k (~2.7x the interpreted
+    zip_with expression form, which cosine_topk keeps as reference)."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -850,7 +852,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim_ops.cosine_topk(corpus, queries, k=5).select(
+    return sim_ops.cosine_topk_batched(corpus, queries, k=5).select(
         "query_id", "vec_id", "cosine_sim", "rank"
     )
 
