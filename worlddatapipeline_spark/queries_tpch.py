@@ -661,6 +661,109 @@ GROUP BY 1, 2
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of one supplier nation within a region, per year
+    (TPC-H Q8 shape): conditional revenue ratio inside a 6-table star join.
+
+    Operator class: ratio classification (`navmesh_injector.py:324-340`)
+    over the full join family.  Scale: region filter prunes the customer
+    side before its broadcast join; the share is a CASE-ratio inside one
+    aggregate — no second pass.  DECIMAL sums for engine-identical ratios.
+    """
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    cust_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast("decimal(28,8)")))
+                    / F.sum(rev)
+                ).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                           ELSE CAST(0 AS DECIMAL(28,8)) END)
+                  / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)))
+                  AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer, including zero-order customers
+    (TPC-H Q13 shape): left outer join + two-level aggregation.
+
+    Operator class: batch counters generalized to a histogram
+    (`batch_bake.py:285-359`).  Scale: first aggregate shrinks to
+    |customers| rows (shuffle on custkey), second to |distinct counts| —
+    the classic two-level fold where each level is strictly smaller.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c
+GROUP BY c_count
+"""
+
+
 TPCH_QUERIES = {
     "discount_revenue": q_discount_revenue,
     "promo_revenue_ratio": q_promo_revenue_ratio,
@@ -675,6 +778,8 @@ TPCH_QUERIES = {
     "event_value_percentiles": q_event_value_percentiles,
     "salted_event_value_sum": q_salted_event_value_sum,
     "hourly_event_windows": q_hourly_event_windows,
+    "nation_market_share": q_nation_market_share,
+    "order_count_distribution": q_order_count_distribution,
 }
 
 TPCH_ORACLES = {
@@ -691,4 +796,6 @@ TPCH_ORACLES = {
     "event_value_percentiles": SQL_EVENT_VALUE_PERCENTILES,
     "salted_event_value_sum": SQL_SALTED_EVENT_VALUE_SUM,
     "hourly_event_windows": SQL_HOURLY_EVENT_WINDOWS,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
 }
