@@ -66,6 +66,9 @@ TPCH = [
     "idle_high_balance_customers",
     "event_value_percentiles",
     "salted_event_value_sum",
+    "hourly_event_windows",
+    "nation_market_share",
+    "order_count_distribution",
 ]
 
 
