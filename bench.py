@@ -69,6 +69,12 @@ TPCH = [
     "hourly_event_windows",
     "nation_market_share",
     "order_count_distribution",
+    "late_order_priority_counts",
+    "local_supplier_volume",
+    "late_shipment_priority_mix",
+    "brand_band_revenue",
+    "excess_stock_suppliers",
+    "sole_late_suppliers",
 ]
 
 

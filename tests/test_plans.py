@@ -144,3 +144,51 @@ def test_salted_sum_two_phase(spark):
     """The salted aggregate must show two HashAggregate phases (salt, then key)."""
     plan = _plan(spark, "salted_event_value_sum")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_late_order_exists_is_semi_join(spark):
+    """Q4-shape: EXISTS stays a left-semi join (first match stops the probe),
+    and the orders date range reaches the parquet scan."""
+    plan = _plan(spark, "late_order_priority_counts")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters:" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:", 1)[1]
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    """Q5-shape: the cyclic c_nationkey==s_nationkey predicate rides the
+    broadcast joins — no extra shuffle, no cross product."""
+    plan = _plan(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_brand_band_quantity_range_pushed(spark):
+    """Q19-shape: the OR-of-ranges on quantity prunes the lineitem scan and
+    the brand/size union filters part before its broadcast."""
+    plan = _plan(spark, "brand_band_revenue")
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters:", 1)[1]
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in pushed
+    assert "Brand#12" in plan
+
+
+def test_excess_stock_nested_semi_join(spark):
+    """Q20-shape: the nested IN collapses to a left-semi join and the red-part
+    prefix filter reaches the part scan."""
+    plan = _plan(spark, "excess_stock_suppliers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "StringStartsWith(p_name,red)" in plan
+
+
+def test_sole_late_suppliers_no_correlated_rescan(spark):
+    """Q21-shape: the EXISTS/NOT-EXISTS rewrite scans lineitem exactly once —
+    one aggregate + windows, not three correlated probes."""
+    plan = _plan(spark, "sole_late_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    scans = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln]
+    assert len(scans) == 1

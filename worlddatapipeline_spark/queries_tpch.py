@@ -764,6 +764,359 @@ GROUP BY c_count
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4-shape: priority counts of late-shipped orders (EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+def q_late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority having at least one line shipped >60 days after
+    the order date (TPC-H Q4 shape; the schema has no commit/receipt dates so
+    lateness is shipdate vs orderdate).
+
+    Operator class: LIMIT-1 existence probe (`bos_manager.py:91-96`) as a
+    relational semi-join — EXISTS stops at the first matching line.  Scale:
+    left-semi hash join on orderkey with the non-equi lateness predicate
+    evaluated post-probe; the orders side is date-pruned before the shuffle,
+    and the semi join never materializes lineitem columns.
+    """
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    scoped = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late_exists = scoped.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late_exists.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_LATE_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-shape: local-supplier revenue per nation (cyclic join)
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation from orders where customer and supplier share the
+    nation, within one region and year (TPC-H Q5 shape).
+
+    Operator class: the reference's status-annotation join family
+    (`scene_scanner.py:242-331`) with the distinctive *cyclic* equality —
+    customer.nation == supplier.nation — closing the join graph.  Scale:
+    the cycle predicate rides the supplier broadcast join (no extra
+    shuffle); region pruning shrinks the nation build side before any fact
+    touches it.
+    """
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12-shape: priority mix of late-shipped lines per line status
+# ---------------------------------------------------------------------------
+
+def q_late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority order counts among late-shipped lines, grouped
+    by line status (TPC-H Q12 shape; l_linestatus stands in for shipmode,
+    lateness is shipdate vs orderdate).
+
+    Operator class: conditional statistics (`scene_registry.py:566-605`) on
+    top of a fact-fact join.  Scale: both CASE branches fold into one
+    aggregate pass; the join shuffles on orderkey with both sides
+    date-pruned at the scan.
+    """
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY_MIX = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19-shape: disjunctive brand/size/quantity revenue
+# ---------------------------------------------------------------------------
+
+def q_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three OR-ed brand/size/quantity bands (TPC-H Q19 shape).
+
+    Operator class: fnmatch glob exclusion (`scene_copy.py:68-92`) — a
+    disjunction of conjunctive predicates.  Scale: the brand/size half of
+    each disjunct filters part *before* the broadcast join (the build side
+    shrinks to the union of the three brand bands); the quantity half prunes
+    lineitem at the scan as an OR-of-ranges; only the cross conditions run
+    post-join.  All bounds are exact integers — no float-folding divergence.
+    """
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    part_side = part.filter(
+        (
+            (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        )
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#21") & (F.col("p_size").between(1, 25)))
+    ).select("p_partkey", "p_brand")
+    joined = (
+        lineitem.filter(
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part_side), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity") <= 11))
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & (F.col("l_quantity") >= 10)
+                & (F.col("l_quantity") <= 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#21")
+                & (F.col("l_quantity") >= 20)
+                & (F.col("l_quantity") <= 30)
+            )
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_BRAND_BAND_REVENUE = """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20-shape: suppliers with excess stock of a part family (nested semi-join)
+# ---------------------------------------------------------------------------
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in one region who shipped >45 units of any red part in 1997
+    (TPC-H Q20 shape — nested IN subqueries become a chain of semi-joins).
+
+    Operator class: skip-if-exists inventory probe (`scene_copy.py:408-422`)
+    inverted — keep rows whose aggregate evidence exists.  Scale: innermost
+    filter (red parts) broadcasts into the fact scan; the per-(supplier,
+    part) aggregate shrinks to qualifying pairs before the distinct; the
+    final hop is a left-semi join against a 100-row supplier table.
+    """
+    lineitem, part, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    red_parts = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    qualified = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        supplier.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+SQL_EXCESS_STOCK_SUPPLIERS = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 45
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21-shape: sole late supplier in multi-supplier orders
+# ---------------------------------------------------------------------------
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top suppliers counted over orders where they were the ONLY late
+    shipper among 2+ suppliers (TPC-H Q21 shape).
+
+    Operator class: the reference's masked-failure attribution
+    (`run_bake_navmesh.py:83-91` — which worker caused the failing batch) as
+    EXISTS + NOT-EXISTS semantics.  Rather than two correlated probes over
+    the fact table, both quantifiers fold into one per-(order, supplier)
+    aggregate and two order-level window counts — a single orderkey shuffle
+    reused by the window (the classic Q21 rewrite; correlated EXISTS would
+    scan lineitem three times).  Deterministic (n_orders, s_suppkey) top-20.
+    """
+    lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    from pyspark.sql import Window
+
+    per_supp = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+                ).otherwise(0)
+            ).alias("supp_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    annotated = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("supp_late").over(w)
+    )
+    return (
+        annotated.filter(
+            (F.col("supp_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+SQL_SOLE_LATE_SUPPLIERS = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), annotated AS (
+  SELECT l_suppkey, supp_late,
+         count(*)       OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_supp
+)
+SELECT s_suppkey, s_name, count(*) AS n_orders
+FROM annotated
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY n_orders DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
     "discount_revenue": q_discount_revenue,
     "promo_revenue_ratio": q_promo_revenue_ratio,
@@ -780,6 +1133,12 @@ TPCH_QUERIES = {
     "hourly_event_windows": q_hourly_event_windows,
     "nation_market_share": q_nation_market_share,
     "order_count_distribution": q_order_count_distribution,
+    "late_order_priority_counts": q_late_order_priority_counts,
+    "local_supplier_volume": q_local_supplier_volume,
+    "late_shipment_priority_mix": q_late_shipment_priority_mix,
+    "brand_band_revenue": q_brand_band_revenue,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
+    "sole_late_suppliers": q_sole_late_suppliers,
 }
 
 TPCH_ORACLES = {
@@ -798,4 +1157,10 @@ TPCH_ORACLES = {
     "hourly_event_windows": SQL_HOURLY_EVENT_WINDOWS,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "late_order_priority_counts": SQL_LATE_ORDER_PRIORITY_COUNTS,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "late_shipment_priority_mix": SQL_LATE_SHIPMENT_PRIORITY_MIX,
+    "brand_band_revenue": SQL_BRAND_BAND_REVENUE,
+    "excess_stock_suppliers": SQL_EXCESS_STOCK_SUPPLIERS,
+    "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
 }
