@@ -1873,6 +1873,133 @@ GROUP BY c_mktsegment
 """
 
 
+def q_train_test_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (LLM-pipeline extension): find test-split
+    documents whose 5-word shingles also appear in the train split — the
+    standard benchmark-leakage check run before every training-data release.
+
+    Composes the deterministic md5-bucket split (dataset_split_stats rule:
+    bucket <80 train, >=90 test) with a shingle-hash semi-overlap join.
+    Scale: both sides shuffle only 16-byte md5 shingle hashes, never text;
+    the train side is `distinct` first (one combine-heavy aggregate) and at
+    100 TB would be written bucketed by hash so repeated decontamination
+    runs join shuffle-free.  Per test doc: distinct shingles, contaminated
+    shingles, ratio."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    shingled = (
+        documents.select("doc_id", bucket.alias("b"), words.alias("words"))
+        .filter(F.size("words") >= 5)
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 4),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("words"), i, 5))),
+                )
+            ).alias("h"),
+        )
+    )
+    train = shingled.filter(F.col("b") < 80).select("h").distinct()
+    test = shingled.filter(F.col("b") >= 90).select("doc_id", "h").distinct()
+    per_doc = (
+        test.join(train.withColumn("in_train", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("in_train"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return per_doc.withColumn(
+        "contamination_ratio",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+    )
+
+
+SQL_TRAIN_TEST_DECONTAMINATION = """
+WITH worded AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+         string_split(text, ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(words, i, i + 4), ' ')) AS h
+  FROM (
+    SELECT doc_id, b, words,
+           unnest(generate_series(1, len(words) - 4)) AS i
+    FROM worded
+    WHERE len(words) >= 5
+  )
+), train AS (
+  SELECT DISTINCT h FROM sh WHERE b < 80
+), test AS (
+  SELECT DISTINCT doc_id, h FROM sh WHERE b >= 90
+)
+SELECT t.doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       round(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6)
+         AS contamination_ratio
+FROM test t
+LEFT JOIN train tr ON t.h = tr.h
+GROUP BY t.doc_id
+"""
+
+
+def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling (LLM-pipeline extension):
+    per-language sampling rates (en 50%, others 10%) applied via an
+    independent md5 hash window (hex chars 9-16, disjoint from the split
+    bucket's 1-8) — the language-rebalancing pass of a training-data mix.
+
+    Scale: pure per-row predicate — no shuffle, no rand() (reshuffle-stable,
+    retry-safe, engine-portable); the only aggregation is the per-stratum
+    audit count.  Composable with the split rule since the hash windows are
+    independent."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return (
+        documents.select("lang", "n_chars", (draw < rate).alias("sampled"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("sampled"), F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+        )
+    )
+
+
+SQL_STRATIFIED_SAMPLE_STATS = """
+SELECT lang,
+       count(*) AS n_total,
+       sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled,
+       sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS sampled_chars
+FROM (
+  SELECT lang, n_chars,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100)
+           < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END) AS sampled
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "listing_parse_stats": q_listing_parse_stats,
     "common_prefix_fold": q_common_prefix_fold,
@@ -1919,6 +2046,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_kmeans": q_embedding_kmeans,
     "pii_redaction": q_pii_redaction,
+    "train_test_decontamination": q_train_test_decontamination,
+    "stratified_sample_stats": q_stratified_sample_stats,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1959,4 +2088,6 @@ EXT_ORACLES: dict[str, str] = {
     "behavior_resample_checked": SQL_BEHAVIOR_RESAMPLE_CHECKED,
     "approach_target_yaw": SQL_APPROACH_TARGET_YAW,
     "pii_redaction": SQL_PII_REDACTION,
+    "train_test_decontamination": SQL_TRAIN_TEST_DECONTAMINATION,
+    "stratified_sample_stats": SQL_STRATIFIED_SAMPLE_STATS,
 }
