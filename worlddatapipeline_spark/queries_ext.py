@@ -2000,6 +2000,43 @@ GROUP BY lang
 """
 
 
+def q_glob_exclusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fnmatch glob-exclusion predicates (`scene_copy.py:68-92`) as anchored
+    regexes via functions/paths.py::glob_to_rlike — per-type counts of parts
+    hit by any of the exclusion globs.
+
+    Scale: pure per-row predicate fused into whole-stage codegen; the OR
+    chain short-circuits per row and nothing shuffles except the 6-row
+    per-type aggregate."""
+    from .functions.paths import glob_to_rlike
+
+    (part,) = _t(spark, sf_dir, "part")
+    patterns = ["red*", "*bolt", "small*"]
+    cond = F.lit(False)
+    for p in patterns:
+        cond = cond | F.col("p_name").rlike(glob_to_rlike(p))
+    return (
+        part.select("p_type", cond.alias("excluded"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.when(F.col("excluded"), 1).otherwise(0)).alias("n_excluded"),
+        )
+    )
+
+
+SQL_GLOB_EXCLUSION_STATS = """
+SELECT p_type,
+       count(*) AS n_parts,
+       sum(CASE WHEN regexp_matches(p_name, '^red.*$')
+              OR regexp_matches(p_name, '^.*bolt$')
+              OR regexp_matches(p_name, '^small.*$')
+           THEN 1 ELSE 0 END) AS n_excluded
+FROM part
+GROUP BY p_type
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "listing_parse_stats": q_listing_parse_stats,
     "common_prefix_fold": q_common_prefix_fold,
@@ -2048,6 +2085,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "train_test_decontamination": q_train_test_decontamination,
     "stratified_sample_stats": q_stratified_sample_stats,
+    "glob_exclusion_stats": q_glob_exclusion_stats,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2090,4 +2128,5 @@ EXT_ORACLES: dict[str, str] = {
     "pii_redaction": SQL_PII_REDACTION,
     "train_test_decontamination": SQL_TRAIN_TEST_DECONTAMINATION,
     "stratified_sample_stats": SQL_STRATIFIED_SAMPLE_STATS,
+    "glob_exclusion_stats": SQL_GLOB_EXCLUSION_STATS,
 }
