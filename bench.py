@@ -77,6 +77,22 @@ TPCH = [
     "sole_late_suppliers",
 ]
 
+# Third suite: LLM-training-data pipeline queries not already in HEADLINE.
+# Reported as llm_total_sec/llm_queries — same best-of-2 warm protocol.
+LLM = [
+    "paragraph_dup_ratio",
+    "dataset_split_stats",
+    "train_test_decontamination",
+    "stratified_sample_stats",
+    "pii_redaction",
+    "doc_tfidf_topterms",
+    "doc_lang_detect",
+    "doc_fingerprint_tokens",
+    "embedding_cosine_dups",
+    "simhash_near_dups",
+    "minhash_verified_dups",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +139,16 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         tpch[name] = round(best, 3)
 
+    llm: dict[str, float] = {}
+    for name in LLM:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        llm[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -134,6 +160,8 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "tpch_total_sec": round(sum(tpch.values()), 3),
                 "tpch_queries": tpch,
+                "llm_total_sec": round(sum(llm.values()), 3),
+                "llm_queries": llm,
                 "sf": sf,
             }
         )

@@ -2037,6 +2037,64 @@ GROUP BY p_type
 """
 
 
+def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as a REAL Structured Streaming
+    pipeline — readStream file source → event-time watermark → groupBy(window)
+    → writeStream to an in-memory sink with an availableNow trigger — then
+    returned as the sink's table.  Deterministic on the single-file source
+    (one micro-batch, complete output), so it hash-checks against the same
+    DuckDB oracle as the batch `hourly_event_windows`; the streaming and
+    batch plans computing identical results is exactly the Structured
+    Streaming contract (`monitor.py:88-95` polling loop → incremental
+    execution).  Scale: on a live feed the same code runs with a processing
+    trigger and update mode; watermark bounds state by (2h / window) per key.
+    """
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf may be fixed on some builds
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from pyspark.sql.types import LongType
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = "stream_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "listing_parse_stats": q_listing_parse_stats,
     "common_prefix_fold": q_common_prefix_fold,
@@ -2086,6 +2144,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_decontamination": q_train_test_decontamination,
     "stratified_sample_stats": q_stratified_sample_stats,
     "glob_exclusion_stats": q_glob_exclusion_stats,
+    "streaming_hourly_windows": q_streaming_hourly_windows,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2130,3 +2189,9 @@ EXT_ORACLES: dict[str, str] = {
     "stratified_sample_stats": SQL_STRATIFIED_SAMPLE_STATS,
     "glob_exclusion_stats": SQL_GLOB_EXCLUSION_STATS,
 }
+
+# The streaming pipeline must produce the exact rows of its batch twin —
+# hash-checked against the same oracle (the Structured Streaming contract).
+from .queries_tpch import SQL_HOURLY_EVENT_WINDOWS  # noqa: E402
+
+EXT_ORACLES["streaming_hourly_windows"] = SQL_HOURLY_EVENT_WINDOWS

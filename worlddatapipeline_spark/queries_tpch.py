@@ -1058,13 +1058,13 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`run_bake_navmesh.py:83-91` — which worker caused the failing batch) as
     EXISTS + NOT-EXISTS semantics.  Rather than two correlated probes over
     the fact table, both quantifiers fold into one per-(order, supplier)
-    aggregate and two order-level window counts — a single orderkey shuffle
-    reused by the window (the classic Q21 rewrite; correlated EXISTS would
-    scan lineitem three times).  Deterministic (n_orders, s_suppkey) top-20.
+    aggregate and a second per-order HASH aggregate whose `max_by` recovers
+    the sole late supplier (unique when n_late == 1) — no window, so no
+    in-partition sort anywhere (the classic Q21 rewrite; correlated EXISTS
+    would scan lineitem three times).  Deterministic (n_orders, s_suppkey)
+    top-20.
     """
     lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
-    from pyspark.sql import Window
-
     per_supp = (
         lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1077,17 +1077,16 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("supp_late")
         )
     )
-    w = Window.partitionBy("l_orderkey")
-    annotated = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
-        "n_late", F.sum("supp_late").over(w)
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+        F.max_by("l_suppkey", "supp_late").alias("late_supp"),
     )
     return (
-        annotated.filter(
-            (F.col("supp_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-        )
-        .groupBy("l_suppkey")
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_orders")
         .orderBy(F.desc("n_orders"), F.asc("s_suppkey"))
         .limit(20)
