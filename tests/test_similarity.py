@@ -115,6 +115,25 @@ def test_cosine_pairs_matches_numpy(spark):
     assert (2, 7) in got and (5, 19) in got
 
 
+def test_cosine_pairs_batched_matches_expression_form(spark):
+    """BLAS-batched pair scorer = the expression-form reference, pair for
+    pair and score for score (both rounded to 6 digits)."""
+    rng = np.random.default_rng(13)
+    mat = rng.standard_normal((60, 16))
+    mat[11] = mat[3] + 0.01 * rng.standard_normal(16)
+    corpus = _emb_df(spark, mat)
+    ref = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.cosine_pairs(corpus, threshold=0.5).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.cosine_pairs_batched(corpus, threshold=0.5).collect()
+    }
+    assert ref == fast
+    assert (3, 11) in fast
+
+
 def test_kmeans_centroids_unit_norm_and_count(spark):
     from worlddatapipeline_spark.operators.similarity import kmeans_centroids
 

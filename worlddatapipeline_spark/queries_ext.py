@@ -1726,7 +1726,7 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return sim_ops.cosine_pairs(corpus, threshold=0.42)
+    return sim_ops.cosine_pairs_batched(corpus, threshold=0.42)
 
 
 SQL_EMBEDDING_COSINE_DUPS = """
