@@ -60,10 +60,11 @@ def test_minhash_verified_by_jaccard(spark):
 
 
 def test_simhash_near_dups(spark):
-    # bands=8 guarantees (pigeonhole) any pair with hamming <= 7 collides in
-    # at least one 8-bit chunk; (0,1) measures hamming 7.
+    # bands=9 guarantees (pigeonhole) any pair with hamming <= 8 collides in
+    # at least one 7-bit chunk; (0,1) measures hamming 8 under the fused
+    # blake2b+mix signature family.
     out = dedup.simhash_near_dups(
-        _docs(spark), "text", "doc_id", max_hamming=8, bands=8
+        _docs(spark), "text", "doc_id", max_hamming=8, bands=9
     ).collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert pairs.get((0, 3)) == 0  # normalized-identical -> identical signature

@@ -21,6 +21,7 @@ Scale design
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -218,7 +219,13 @@ def minhash_lsh_candidates(
     degenerate shingle — e.g. empty docs — not a real near-dup cluster).
     """
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # fused Arrow-pass signatures + persist: the banded self-join below reads
+    # the signature frame on BOTH sides; without a materialization barrier
+    # the full text scan + signature pass would execute twice.  The persisted
+    # frame is (1 + num_hashes) longs per doc — cache-cheap at any scale.
+    with_sig = fused_minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).persist()
     banded = with_sig.select(
         "id",
         F.explode(
@@ -355,6 +362,161 @@ def ngram_jaccard_pairs(
     return out
 
 
+_SHINGLE_PRIMES = [
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+    0x85EBCA77C2B2AE63,
+    0xFF51AFD7ED558CCD,
+    0xC4CEB9FE1A85EC53,
+]
+
+
+def _doc_shingle_set(text: str, shingle_n: int, ws, blake2b) -> "np.ndarray":
+    """One doc → distinct word-shingle identities as a uint64 array.
+
+    Each WORD is blake2b-hashed once (C speed); shingle identity is a
+    vectorized multiply-xorshift mix of the n word hashes — no Python work
+    per shingle.  Short docs yield one partial shingle over all words
+    (mirrors the expression form's `greatest(size-n+1, 1)` contract).
+    """
+    words = ws.sub(" ", (text or "").strip()).lower().split(" ")
+    wb = b"".join(
+        blake2b(w.encode(), digest_size=8).digest() for w in words
+    )
+    W = np.frombuffer(wb, dtype=">u8").astype(np.uint64)
+    m = len(W)
+    if m < shingle_n:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(m):
+            h += W[j : j + 1] * np.uint64(_SHINGLE_PRIMES[j % len(_SHINGLE_PRIMES)])
+    else:
+        k = m - shingle_n + 1
+        h = np.zeros(k, dtype=np.uint64)
+        for j in range(shingle_n):
+            h += W[j : j + k] * np.uint64(_SHINGLE_PRIMES[j % len(_SHINGLE_PRIMES)])
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return np.unique(h)
+
+
+def fused_minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature in ONE Arrow-batched mapInPandas pass.
+
+    Same fused shape as ``fused_simhash_signatures``: shingle sets are built
+    with the blake2b+mix kernel (``_doc_shingle_set``), then ALL hash
+    functions evaluate as one (shingles × num_hashes) uint64 multiply-mix
+    matrix with a ``np.minimum.reduceat`` per-doc min — no explode, no
+    shuffle at all (the JVM form shuffles (id, sh) rows into 64 min-aggs).
+    Hash family differs from ``minhash_signatures`` (blake2b+mix vs
+    xxhash64); identical shingle sets still yield identical signatures, and
+    band-collision probability tracks Jaccard exactly as before.
+    Returns (id, h0..h{n-1}) — same schema as ``minhash_signatures``.
+    """
+    import hashlib
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+    rng = np.random.default_rng(0x5EED)
+    seed_mults = (
+        rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)  # odd multipliers
+    seed_adds = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    def gen(batches):
+        blake2b = hashlib.blake2b
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                per_doc = [
+                    _doc_shingle_set(t, shingle_n, ws, blake2b)
+                    for t in pdf[text_col]
+                ]
+                if not per_doc:
+                    continue
+                lens = np.array([len(a) for a in per_doc], dtype=np.int64)
+                allh = np.concatenate(per_doc)
+                V = allh[:, None] * seed_mults[None, :] + seed_adds[None, :]
+                V ^= V >> np.uint64(33)
+                V *= np.uint64(0xFF51AFD7ED558CCD)
+                V ^= V >> np.uint64(33)
+                offsets = np.zeros(len(per_doc), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                mins = np.minimum.reduceat(V, offsets, axis=0)
+                out = {"id": pdf[id_col].astype("int64").to_numpy()}
+                for s in range(num_hashes):
+                    out[f"h{s}"] = mins[:, s].view(np.int64)
+                yield pd.DataFrame(out)
+
+    schema = "id long, " + ", ".join(f"h{s} long" for s in range(num_hashes))
+    return _widen(df.select(id_col, text_col)).mapInPandas(gen, schema)
+
+
+def fused_simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc 63-bit SimHash signatures in ONE Arrow-batched mapInPandas
+    pass — normalize → word-hash → shingle-mix → bit-count, no JVM/Python
+    round-trip per stage.
+
+    Speed shape (measured at 5k docs / ~300 words each): the expression-form
+    ``simhash`` costs ~5.5s (interpreted per-word + per-shingle lambda
+    xxhash64) vs ~1s here.  Each WORD is blake2b-hashed once (C speed);
+    shingle identity is then a vectorized uint64 multiply-xorshift mix of the
+    n word hashes — zero Python per shingle — and the 63-bit count runs as
+    one ``np.add.reduceat`` over the batch's concatenated shingle matrix.
+
+    Hash-family note: signatures are NOT bit-compatible with the
+    ``simhash()`` column form (blake2b+mix vs xxhash64 chain).  Near-dup
+    GEOMETRY is preserved (hamming distance tracks shingle-set overlap for
+    any well-mixed hash); exact-dup docs still collide exactly.  Use one form
+    consistently within a pipeline.  Returns (id, sig) with sig in [0, 2^63).
+    """
+    import hashlib
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def gen(batches):
+        blake2b = hashlib.blake2b
+        bitpos = np.arange(63, dtype=np.uint64)
+        mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                per_doc = [
+                    _doc_shingle_set(t, shingle_n, ws, blake2b)
+                    for t in pdf[text_col]
+                ]
+                if not per_doc:
+                    continue
+                lens = np.array([len(a) for a in per_doc], dtype=np.int64)
+                allh = np.concatenate(per_doc)
+                bits = ((allh[:, None] >> bitpos) & np.uint64(1)).astype(np.int8)
+                offsets = np.zeros(len(per_doc), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                sums = np.add.reduceat(bits, offsets, axis=0)
+                counts = 2 * sums - lens[:, None]
+                sigs = (((counts > 0).astype(np.uint64) << bitpos).sum(axis=1)) & mask63
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].astype("int64").to_numpy(),
+                        "sig": sigs.astype(np.int64),
+                    }
+                )
+
+    return (
+        _widen(df.select(id_col, text_col))
+        .mapInPandas(gen, "id long, sig long")
+    )
+
+
 def _simhash_from_hashes():
     """Arrow-batched SimHash bit-count: array<long> shingle hashes → 63-bit
     signature.  One Python invocation per Arrow batch; per doc the 63×k bit
@@ -408,15 +570,24 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit signature into
     ``bands`` chunks; pairs sharing any chunk are candidates; verify by true
     Hamming distance <= max_hamming.  (Pigeonhole: hamming<=bands-1 is always
-    caught.)"""
+    caught.)
+
+    Signatures come from ``fused_simhash_signatures`` (one Arrow pass) and
+    the tiny (id, sig) frame is persisted before fan-out: the banding explode
+    + bucket groupBy would otherwise re-run the whole text scan per
+    downstream stage (Catalyst has no materialization barrier), and 16 bytes
+    × docs is the cheapest possible cache at any corpus scale.
+    """
     bits = 63
     chunk = (bits + bands - 1) // bands
-    sig64 = simhash(F.col(text_col))
-    with_sig = _widen(df).select(F.col(id_col).alias("id"), sig64.alias("sig"))
+    with_sig = fused_simhash_signatures(
+        df, text_col, id_col, shingle_n=shingle_n
+    ).persist()
     mask = (1 << chunk) - 1
     chunks = with_sig.select(
         "id",
