@@ -98,11 +98,14 @@ def test_distinct_agg_two_phase(spark):
 
 
 def test_cosine_pairs_no_shuffle_of_corpus_pairs(spark):
-    """Pair generation happens against a broadcast side — the O(n²) pair
-    space itself is never exchanged."""
+    """Pair scoring happens inside the Arrow batch scorer against a
+    broadcast-variable matrix — the O(n²) pair space never appears in the
+    plan at all: no join operator, no cartesian, only the corpus scan +
+    MapInPandas (plus one explicit repartition to spread batches)."""
     plan = _plan(spark, "embedding_cosine_dups")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan
 
 
 def test_discount_revenue_filters_pushed(spark):

@@ -65,6 +65,12 @@ def exploded_shingle_hashes(
     e.g. simhash/minhash signatures).
 
     Reference analog: the dedup-before-work family (`scene_copy.py:236-266`).
+
+    Shingle identity comes from the shared ``_doc_shingle_set`` kernel (each
+    word blake2b-hashed once, shingles mixed vectorized) — ~2x the previous
+    per-shingle-string blake2b and injective modulo the same 64-bit collision
+    budget, so set sizes / intersections (all any consumer reads) are
+    unchanged in distribution.
     """
     import hashlib
     import re as _re
@@ -72,23 +78,23 @@ def exploded_shingle_hashes(
     ws = _re.compile(r"\s+")
 
     def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            shs: list = []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                words = ws.sub(" ", (t or "").strip()).lower().split(" ")
-                num = max(len(words) - (n - 1), 1)
-                seen = set()
-                for j in range(num):
-                    h = hashlib.blake2b(
-                        " ".join(words[j : j + n]).encode(), digest_size=8
-                    ).digest()
-                    seen.add(int.from_bytes(h, "big", signed=True))
-                ids.extend([i] * len(seen))
-                shs.extend(seen)
-            yield pd.DataFrame(
-                {"id": pd.Series(ids, dtype="int64"), "sh": pd.Series(shs, dtype="int64")}
-            )
+        blake2b = hashlib.blake2b
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                per_doc = [
+                    _doc_shingle_set(t, n, ws, blake2b) for t in pdf[text_col]
+                ]
+                if not per_doc:
+                    continue
+                lens = np.array([len(a) for a in per_doc], dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(
+                            pdf[id_col].astype("int64").to_numpy(), lens
+                        ),
+                        "sh": np.concatenate(per_doc).view(np.int64),
+                    }
+                )
 
     return _widen(df.select(id_col, text_col)).mapInPandas(gen, "id long, sh long")
 
