@@ -85,6 +85,7 @@ LLM = [
     "train_test_decontamination",
     "stratified_sample_stats",
     "pii_redaction",
+    "doc_repetition_filter",
     "doc_tfidf_topterms",
     "doc_lang_detect",
     "doc_fingerprint_tokens",

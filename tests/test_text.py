@@ -86,3 +86,23 @@ def test_redact_pii_patterns(spark):
     # no false positives: bare version numbers / malformed emails untouched
     assert rows[3]["r"] == rows[3]["r"]
     assert rows[3]["email_hits"] == 0 and rows[3]["ip_hits"] == 0 and rows[3]["phone_hits"] == 0
+
+
+def test_repetition_stats(spark):
+    from worlddatapipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 20),               # one bigram dominates -> drop
+            (2, "the quick brown fox jumps over the lazy sleeping dog"),
+            (3, "word"),                         # 1-word edge: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["top_bigram"] == "buy now"
+    assert rows[1]["top_bigram_share"] > 0.2 and not rows[1]["keep_doc"]
+    assert rows[2]["distinct_word_frac"] > 0.8 and rows[2]["keep_doc"]
+    assert rows[3]["total_words"] == 1
+    assert rows[3]["top_bigram"] == "" and rows[3]["top_bigram_count"] == 0
+    assert rows[3]["top_bigram_share"] == 0.0

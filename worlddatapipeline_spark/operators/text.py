@@ -111,6 +111,98 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     return F.md5(t)
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_distinct_frac: float = 0.3,
+    max_top_bigram_share: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, public):
+    docs dominated by repeated phrases carry little training signal.
+
+    Per doc: ``distinct_word_frac`` = |distinct words| / |words| (low ⇒
+    looping text) and ``top_bigram_share`` = occurrences of the most common
+    word bigram / (|words|-1) (high ⇒ one phrase dominates).  ``keep_doc``
+    applies both thresholds.  Ties on bigram count break by bigram string
+    ascending — deterministic on both engines; fractions rounded to 6 so the
+    threshold boundary is engine-stable.
+
+    Plan shape: one explode of word bigrams → groupBy(doc, bigram) count
+    (map-side partial combine absorbs the repetition itself) → ranking
+    window per doc on the counted frame (shuffle carries (doc, bigram,
+    count), never text) → broadcast-friendly join back to the per-doc base
+    stats.  Complements ``quality_score`` (length/punct/stopword signals —
+    `navmesh_injector.py`-style threshold classification analog).
+    """
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    words = F.split(t, " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("total_words"),
+        F.round(F.size(F.array_distinct(words)) / F.size(words), 6).alias(
+            "distinct_word_frac"
+        ),
+        words.alias("__w"),
+    )
+    # sequence(0, -1) would count BACKWARDS for 1-word docs — guard to empty
+    idx = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.sequence(F.lit(0), F.size(F.col("__w")) - 2),
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.get(F.col("__w"), i), F.get(F.col("__w"), i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("bigram").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("c"))
+    )
+    out = (
+        base.drop("__w")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_words",
+            "distinct_word_frac",
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("top_bigram_count"),
+            F.when(
+                F.col("total_words") > 1,
+                F.round(
+                    F.coalesce(F.col("c"), F.lit(0))
+                    / (F.col("total_words") - 1),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_share"),
+        )
+        .withColumn(
+            "keep_doc",
+            (F.col("distinct_word_frac") >= min_distinct_frac)
+            & (F.col("top_bigram_share") <= max_top_bigram_share),
+        )
+    )
+    return out
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full text profile: one row per doc with every text metric."""
     t = F.col(text_col)

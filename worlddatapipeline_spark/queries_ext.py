@@ -1744,6 +1744,56 @@ SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.42
 """
 
 
+def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter
+    (operators/text.py::repetition_stats): distinct-word fraction +
+    top-bigram share per document, with the keep/drop decision.  Extends the
+    reference's threshold-classification family (`navmesh_injector.py:324-340`
+    terrain ratios) to LLM-corpus quality gating; fractions rounded to 6 and
+    count ties broken on the bigram string so both engines agree exactly."""
+    from .operators import text as text_ops
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(documents, "text", "doc_id")
+
+
+SQL_DOC_REPETITION_FILTER = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS total_words,
+         round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS distinct_word_frac,
+         w
+  FROM norm
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM base
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, bigram, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+  FROM cnt
+)
+SELECT b.doc_id,
+       b.total_words,
+       b.distinct_word_frac,
+       coalesce(t.bigram, '') AS top_bigram,
+       coalesce(t.c, 0) AS top_bigram_count,
+       CASE WHEN b.total_words > 1
+            THEN round(coalesce(t.c, 0) / CAST(b.total_words - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_share,
+       (b.distinct_word_frac >= 0.3
+        AND (CASE WHEN b.total_words > 1
+                  THEN round(coalesce(t.c, 0) / CAST(b.total_words - 1 AS DOUBLE), 6)
+                  ELSE 0.0 END) <= 0.2) AS keep_doc
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+"""
+
+
 def q_approach_target_yaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-limited approach toward a moving target along the shortest arc
     (operators/stateful.py::approach_target — `behavior_executor.py:122-195`).
@@ -2126,6 +2176,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scene_search": q_scene_search,
     "low_activity_skip": q_low_activity_skip,
     "embedding_cosine_dups": q_embedding_cosine_dups,
+    "doc_repetition_filter": q_doc_repetition_filter,
     "paragraph_dup_ratio": q_paragraph_dup_ratio,
     "dataset_split_stats": q_dataset_split_stats,
     "reachability_probe": q_reachability_probe,
@@ -2178,6 +2229,7 @@ EXT_ORACLES: dict[str, str] = {
     "scene_search": SQL_SCENE_SEARCH,
     "low_activity_skip": SQL_LOW_ACTIVITY_SKIP,
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
+    "doc_repetition_filter": SQL_DOC_REPETITION_FILTER,
     "paragraph_dup_ratio": SQL_PARAGRAPH_DUP_RATIO,
     "dataset_split_stats": SQL_DATASET_SPLIT_STATS,
     "reachability_probe": SQL_REACHABILITY_PROBE,
