@@ -9,11 +9,16 @@ scale.
 Scale design
 ------------
 - exact dedup: hash-groupBy on a fingerprint — one shuffle, combiner-friendly.
-- MinHash-LSH: shingle → minhash signature (xxhash64, JVM built-in) → band
-  buckets → self-join per bucket.  Candidate pairs only ever meet inside a
-  band bucket, so the shuffle is O(docs × bands), never O(docs²).
-- SimHash: 64-bit weighted-bit signature; near-dup = small Hamming distance;
-  banding the 64 bits into k chunks gives the same bucket-join trick.
+- MinHash-LSH: fused Arrow-pass signatures (`fused_minhash_signatures`:
+  word-blake2b + vectorized shingle mix + minimum.reduceat over all hash
+  functions at once) → band buckets → self-join per bucket over the
+  persisted 16-bytes/doc signature frame.  Candidate pairs only ever meet
+  inside a band bucket, so the shuffle is O(docs × bands), never O(docs²).
+  (`minhash_signatures`/`minhash_signature` remain as the JVM xxhash64
+  expression forms for array-typed callers.)
+- SimHash: 63-bit weighted-bit signature (`fused_simhash_signatures`, same
+  fused kernel + add.reduceat bit-count); near-dup = small Hamming distance;
+  banding the bits into k chunks gives the same bucket-join trick.
 - n-gram Jaccard: exact pairwise similarity *within candidate buckets* (or
   small corpora) via shingle-set intersection — exposed both as verification
   for LSH and as a standalone operator.
