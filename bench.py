@@ -84,6 +84,7 @@ LLM = [
     "dataset_split_stats",
     "train_test_decontamination",
     "stratified_sample_stats",
+    "source_quota_sample",
     "pii_redaction",
     "doc_repetition_filter",
     "doc_tfidf_topterms",

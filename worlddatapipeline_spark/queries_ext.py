@@ -1744,6 +1744,55 @@ SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.42
 """
 
 
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (LLM-pipeline extension): cap each
+    source at K=50 documents, chosen deterministically by md5(doc_id) order
+    (hex 17-24 window, independent of the split and stratum windows) — the
+    Common-Crawl-style per-domain cap that stops one domain dominating the
+    training mix.
+
+    Scale: ranking window per source; the shuffle carries (source, doc_id,
+    hash, n_chars) only.  Hash-ordered (never rand()) so the SAME docs
+    survive across reshuffles and retries; ties cannot occur (doc_id is in
+    the sort key).  Output = per-source audit: total vs kept docs/chars."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pick = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(pick.asc(), F.col("doc_id").asc())
+    ranked = documents.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("rn") <= 50, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 50, F.col("n_chars")).otherwise(0)).alias(
+            "kept_chars"
+        ),
+    )
+
+
+SQL_SOURCE_QUOTA_SAMPLE = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS kept_chars
+FROM ranked
+GROUP BY source
+"""
+
+
 def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter
     (operators/text.py::repetition_stats): distinct-word fraction +
@@ -2177,6 +2226,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "low_activity_skip": q_low_activity_skip,
     "embedding_cosine_dups": q_embedding_cosine_dups,
     "doc_repetition_filter": q_doc_repetition_filter,
+    "source_quota_sample": q_source_quota_sample,
     "paragraph_dup_ratio": q_paragraph_dup_ratio,
     "dataset_split_stats": q_dataset_split_stats,
     "reachability_probe": q_reachability_probe,
@@ -2230,6 +2280,7 @@ EXT_ORACLES: dict[str, str] = {
     "low_activity_skip": SQL_LOW_ACTIVITY_SKIP,
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
     "doc_repetition_filter": SQL_DOC_REPETITION_FILTER,
+    "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
     "paragraph_dup_ratio": SQL_PARAGRAPH_DUP_RATIO,
     "dataset_split_stats": SQL_DATASET_SPLIT_STATS,
     "reachability_probe": SQL_REACHABILITY_PROBE,
