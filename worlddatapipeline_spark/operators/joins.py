@@ -63,17 +63,26 @@ def asof_join(
     lcols = left.columns
     tag = "__side"
     ts = "__ts"
+    # Ordering key: timestamps (incl. TIMESTAMP_NTZ, which refuses a DOUBLE
+    # cast) are natively orderable, so keep the column's own type when both
+    # sides agree; only coerce to double for mixed numeric axes.
+    if left.schema[left_ts].dataType == right.schema[right_ts].dataType:
+        l_ts_expr = F.col(left_ts)
+        r_ts_expr = F.col(right_ts)
+    else:
+        l_ts_expr = F.col(left_ts).cast("double")
+        r_ts_expr = F.col(right_ts).cast("double")
     # right rows carry the values; left rows carry nulls that get filled
     r = right.select(
         F.col(on).alias(on),
-        F.col(right_ts).cast("double").alias(ts),
+        r_ts_expr.alias(ts),
         F.lit(0).alias(tag),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         *[F.lit(None).alias(f"__l_{c}") for c in lcols],
     )
     l = left.select(
         F.col(on).alias(on),
-        F.col(left_ts).cast("double").alias(ts),
+        l_ts_expr.alias(ts),
         F.lit(1).alias(tag),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
