@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes to completion through the noop sink (no result pruning,
 no driver collect overhead) — what a cluster job would do, minus the write.
+
+Failure isolation: every query runs under try/except.  A failing query
+records `null` for its timing and is listed in "errors"; the JSON line is
+ALWAYS printed.  (Round 1 lost the whole bench to one AnalysisException —
+never again.)
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -96,6 +102,30 @@ LLM = [
 ]
 
 
+def _run_one(queries, name, spark, sf_dir) -> float:
+    t0 = time.monotonic()
+    queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def _bench_suite(queries, names, spark, sf_dir, errors, warm_pass=None):
+    """Best-of-2 warm timings per query; None timing + errors entry on failure."""
+    out: dict[str, float | None] = {}
+    for name in names:
+        try:
+            if warm_pass is not None:
+                warm_pass[name] = round(_run_one(queries, name, spark, sf_dir), 3)
+            else:
+                _run_one(queries, name, spark, sf_dir)  # warm-up, untimed
+            best = min(_run_one(queries, name, spark, sf_dir) for _ in range(2))
+            out[name] = round(best, 3)
+        except Exception:
+            out[name] = None
+            errors[name] = traceback.format_exc(limit=3).splitlines()[-1][:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -107,63 +137,33 @@ def main() -> None:
     spark = get_spark(app_name="wdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up pass: run every headline query once untimed so the timed pass
-    # measures steady-state execution (whole-stage codegen compiled, parquet
-    # footers cached) — the regime that matters at 100 TB, where per-query
-    # JIT cost is amortized over thousands of tasks.  Reported separately as
-    # cold_total_sec for visibility.
+    errors: dict[str, str] = {}
+    # Headline warm-up pass is recorded (cold_total_sec) so steady-state vs
+    # first-run JIT/footer-cache cost stays visible; the timed pass is
+    # best-of-2 warm — the regime that matters at 100 TB, where per-query
+    # compile cost is amortized over thousands of tasks.
     cold: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.monotonic() - t0, 3)
+    timings = _bench_suite(QUERIES, HEADLINE, spark, sf_dir, errors, warm_pass=cold)
+    tpch = _bench_suite(QUERIES, TPCH, spark, sf_dir, errors)
+    llm = _bench_suite(QUERIES, LLM, spark, sf_dir, errors)
 
-    # Timed pass: best of 2 runs per query.  The box is shared, and the
-    # CPU-bound interpreted stages (shingle lambdas) are scheduler-noise
-    # sensitive — min-of-2 reports the machine's capability, not the
-    # co-tenant's load spike.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+    def tot(d):
+        return round(sum(v for v in d.values() if v is not None), 3)
 
-    tpch: dict[str, float] = {}
-    for name in TPCH:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        tpch[name] = round(best, 3)
-
-    llm: dict[str, float] = {}
-    for name in LLM:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        llm[name] = round(best, 3)
-
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": total,
+                "value": tot(timings),
                 "unit": "sec",
                 "queries": timings,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "tpch_total_sec": round(sum(tpch.values()), 3),
+                "cold_total_sec": tot(cold),
+                "tpch_total_sec": tot(tpch),
                 "tpch_queries": tpch,
-                "llm_total_sec": round(sum(llm.values()), 3),
+                "llm_total_sec": tot(llm),
                 "llm_queries": llm,
+                "n_failed": len(errors),
+                "errors": errors,
                 "sf": sf,
             }
         )

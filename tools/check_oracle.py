@@ -9,6 +9,7 @@ and an order-insensitive value comparison.  Usage:
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -17,6 +18,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_cell(v):
+    """STRICTER than the driver is known to be, by design.
+
+    Round-1 driver hash failures proved the driver distinguishes (a) -0.0
+    from 0.0 and (b) DuckDB DECIMAL from Spark BIGINT.  We don't have the
+    driver's exact hasher, so the safe predictor is maximal strictness:
+    preserve sign-of-zero, float-vs-int-ness, and Decimal type.  Anything
+    this checker passes should pass any reasonable hasher; anything it
+    flags is a type/representation mismatch worth fixing at the source
+    (cast in the oracle SQL / `+ 0.0` after round on the Spark side).
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -24,11 +35,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, decimal.Decimal):
+        return "decimal:" + str(v)
     return str(v)
 
 
@@ -78,9 +89,14 @@ def main():
             n_pass += 1
             continue
         try:
+            # Fetch via Arrow, not fetchall(): fetchall() collapses DuckDB
+            # HUGEINT/DECIMAL to Python int, hiding exactly the type widening
+            # (sum(int) -> DECIMAL(38,0)) that the driver's Arrow-side hasher
+            # sees.  to_pylist() preserves Decimal cells so norm_cell flags it.
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            tbl = res.fetch_arrow_table()
+            dcols = tbl.column_names
+            drows = [[row[c] for c in dcols] for row in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

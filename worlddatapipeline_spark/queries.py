@@ -474,7 +474,7 @@ SELECT CASE WHEN c_name IS NOT NULL AND n_orders IS NOT NULL THEN 'active'
             WHEN c_name IS NOT NULL THEN 'inactive'
             ELSE 'untracked' END    AS sync_status,
        count(*)                     AS n_customers,
-       sum(coalesce(n_orders, 0))   AS total_orders
+       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
 FROM j GROUP BY 1
 """
 
@@ -586,7 +586,7 @@ WITH g AS (
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """
 

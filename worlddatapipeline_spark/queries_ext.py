@@ -116,7 +116,7 @@ WITH obj AS (
   WHERE NOT regexp_matches(value, '^\\s*TOTAL\\b') AND trim(value) <> ''
 )
 SELECT kind, split_part(key, '/', 2) AS brand,
-       count(*) AS n, sum(size) AS total_size
+       count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size
 FROM parsed
 WHERE kind = 'prefix' OR key <> ''
 GROUP BY kind, brand
@@ -347,8 +347,11 @@ def q_extrinsic_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_extrinsics_expr(poses)
     cols = [f"m{i}{j}" for i in range(3) for j in range(4)]
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the trig products produce
+    # -0.0 at yaw/pitch multiples of 90°; DuckDB and Spark disagree on
+    # which side of zero they land, and value hashers see the sign bit).
     return out.select(
-        "frame", *[F.round(c, 6).alias(c) for c in cols]
+        "frame", *[(F.round(c, 6) + F.lit(0.0)).alias(c) for c in cols]
     )
 
 
@@ -367,18 +370,18 @@ WITH poses AS (
   FROM poses
 )
 SELECT frame,
-       round(cy*cp, 6)  AS m00,
-       round(sy*cp, 6)  AS m01,
-       round(-sp, 6)    AS m02,
-       round(-(cy*cp*tx + sy*cp*ty - sp*tz), 6) AS m03,
-       round(-sy, 6)    AS m10,
-       round(cy, 6)     AS m11,
+       round(cy*cp, 6) + 0.0  AS m00,
+       round(sy*cp, 6) + 0.0  AS m01,
+       round(-sp, 6) + 0.0    AS m02,
+       round(-(cy*cp*tx + sy*cp*ty - sp*tz), 6) + 0.0 AS m03,
+       round(-sy, 6) + 0.0    AS m10,
+       round(cy, 6) + 0.0     AS m11,
        CAST(0.0 AS DOUBLE) AS m12,
-       round(sy*tx - cy*ty, 6) AS m13,
-       round(cy*sp, 6)  AS m20,
-       round(sy*sp, 6)  AS m21,
-       round(cp, 6)     AS m22,
-       round(-(cy*sp*tx + sy*sp*ty + cp*tz), 6) AS m23
+       round(sy*tx - cy*ty, 6) + 0.0 AS m13,
+       round(cy*sp, 6) + 0.0  AS m20,
+       round(sy*sp, 6) + 0.0  AS m21,
+       round(cp, 6) + 0.0     AS m22,
+       round(-(cy*sp*tx + sy*sp*ty + cp*tz), 6) + 0.0 AS m23
 FROM t
 """
 
@@ -1439,7 +1442,7 @@ kept AS (
 refreshed AS (SELECT * FROM kept UNION ALL SELECT * FROM snapshot)
 SELECT n.n_name, count(*) AS n_suppliers,
        round(sum(s.s_acctbal), 4) AS total_acctbal,
-       sum(CASE WHEN s.s_name LIKE '%#v2' THEN 1 ELSE 0 END) AS n_refreshed
+       CAST(sum(CASE WHEN s.s_name LIKE '%#v2' THEN 1 ELSE 0 END) AS BIGINT) AS n_refreshed
 FROM refreshed s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 7 = 3)
 GROUP BY n.n_name
@@ -1528,7 +1531,7 @@ WITH counts AS (
   FROM customer c LEFT JOIN counts ct ON c.c_custkey = ct.o_custkey
 )
 SELECT c_mktsegment, count(*) AS n_active_customers,
-       sum(n_orders) AS total_orders
+       CAST(sum(n_orders) AS BIGINT) AS total_orders
 FROM flagged WHERE NOT low_activity
 GROUP BY c_mktsegment
 """
@@ -1672,7 +1675,7 @@ WITH worded AS (
   SELECT h, count(*) AS freq FROM chunks GROUP BY h
 )
 SELECT c.doc_id, count(*) AS n_chunks,
-       sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+       CAST(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
        round(sum(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) / count(*), 6)
          AS dup_ratio
 FROM chunks c JOIN freq f ON c.h = f.h
@@ -1705,7 +1708,7 @@ SQL_DATASET_SPLIT_STATS = """
 SELECT CASE WHEN b < 80 THEN 'train'
             WHEN b < 90 THEN 'valid'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
            AS b,
@@ -1786,8 +1789,8 @@ WITH ranked AS (
 )
 SELECT source,
        count(*) AS n_total,
-       sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS kept_chars
+       CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM ranked
 GROUP BY source
 """
@@ -1963,9 +1966,9 @@ WITH contact AS (
 )
 SELECT c_mktsegment,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_emails,
-       sum(len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS n_ips,
-       sum(len(regexp_extract_all(txt, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}'))) AS n_phones,
+       CAST(sum(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS n_ips,
+       CAST(sum(len(regexp_extract_all(txt, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}'))) AS BIGINT) AS n_phones,
        min(md5(redacted)) AS sample_hash
 FROM red
 GROUP BY c_mktsegment
@@ -2044,7 +2047,7 @@ WITH worded AS (
 )
 SELECT t.doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
        round(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6)
          AS contamination_ratio
 FROM test t
@@ -2087,8 +2090,8 @@ def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STRATIFIED_SAMPLE_STATS = """
 SELECT lang,
        count(*) AS n_total,
-       sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled,
-       sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS sampled_chars
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
 FROM (
   SELECT lang, n_chars,
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100)
@@ -2127,10 +2130,10 @@ def q_glob_exclusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_GLOB_EXCLUSION_STATS = """
 SELECT p_type,
        count(*) AS n_parts,
-       sum(CASE WHEN regexp_matches(p_name, '^red.*$')
+       CAST(sum(CASE WHEN regexp_matches(p_name, '^red.*$')
               OR regexp_matches(p_name, '^.*bolt$')
               OR regexp_matches(p_name, '^small.*$')
-           THEN 1 ELSE 0 END) AS n_excluded
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
 FROM part
 GROUP BY p_type
 """
@@ -2154,8 +2157,11 @@ def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf may be fixed on some builds
         pass
+    # Driver sessions don't carry get_spark's UTC tz; the NTZ cast and the
+    # window/watermark bucketing below must agree with DuckDB's epoch_us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     stream = (
         spark.readStream.schema(raw_schema)
@@ -2166,6 +2172,10 @@ def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        # withWatermark requires TIMESTAMP; session tz is UTC so the cast
+        # is wall-clock preserving (same normalization as load_tables).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))

@@ -81,21 +81,33 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
-    # The driver's synthetic `events` table carries TIMESTAMP(NANOS) parquet
-    # timestamps, which Spark's vectorized reader rejects; read them as long
-    # nanos and normalize to a microsecond timestamp column.
+    # Timestamp normalization.  The driver's parquet has shipped `events.ts`
+    # as TIMESTAMP(NANOS) (read as long nanos under nanosAsLong) in one round
+    # and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) in another — the
+    # latter surfaces as TIMESTAMP_NTZ, which `unix_micros`/`withWatermark`
+    # reject.  Normalize every variant to a session-tz TIMESTAMP here, once,
+    # so no query has to care.  Session tz is pinned UTC (get_spark above), so
+    # the NTZ→TIMESTAMP cast is wall-clock preserving and epoch semantics
+    # match DuckDB's `epoch_us` exactly.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    # The driver builds its OWN SparkSession (not get_spark), so the UTC
+    # session tz from the builder is not guaranteed.  The NTZ->TIMESTAMP cast
+    # below is wall-clock->instant and reads the session tz at runtime; pin
+    # it here so epoch semantics always match DuckDB's epoch_us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     out = {}
     for n in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampType
-
         for f in df.schema.fields:
-            if n == "events" and f.name == "ts" and isinstance(f.dataType, LongType):
+            if isinstance(f.dataType, TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+            elif n == "events" and f.name == "ts" and isinstance(f.dataType, LongType):
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(n)
         out[n] = df
