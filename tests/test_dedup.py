@@ -101,3 +101,25 @@ def test_ngram_jaccard_max_df_drops_boilerplate(spark):
     capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (1, 2) not in capped_pairs  # header shingles df=4 > 3: dropped
     assert (3, 4) in capped_pairs  # real similarity survives the cap
+
+
+def test_minhash_max_bucket_drops_degenerate_bucket(spark):
+    """A corpus of many identical (empty-ish) docs lands in ONE bucket per
+    band; the max_bucket skew guard must drop it before pair generation so
+    the join never goes quadratic, while real near-dup pairs survive."""
+    rows = [(i, "zz") for i in range(50)]  # 50 degenerate identical docs
+    rows += [(100, "the quick brown fox jumps over the lazy dog tonight"),
+             (101, "the quick brown fox jumps over the lazy dog tonite")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, max_bucket=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (100, 101) in pairs          # real near-dups survive the guard
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # degenerate bucket dropped
+
+    # with the guard off, the degenerate pairs come back (50*49/2 of them)
+    out_all = dedup.minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, max_bucket=None
+    ).count()
+    assert out_all >= 50 * 49 // 2

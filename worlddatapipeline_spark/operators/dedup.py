@@ -218,6 +218,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -226,8 +227,12 @@ def minhash_lsh_candidates(
 
     Shuffle profile: explode to (doc, band, band_hash) — docs × bands rows —
     then groupBy bucket; pairs are generated inside buckets only.  Skew guard:
-    buckets larger than ``max_bucket`` are dropped (a bucket that big means a
-    degenerate shingle — e.g. empty docs — not a real near-dup cluster).
+    buckets larger than ``max_bucket`` are dropped before pair generation (a
+    bucket that big means a degenerate signature — e.g. empty or boilerplate
+    docs — not a real near-dup cluster; keeping it makes the in-bucket join
+    quadratic).  The size count shares the (band, bucket) shuffle key with
+    the self-join, so AQE reuses the exchange; the guard costs one map-side
+    combined aggregation, not an extra full shuffle.
     """
     rows_per_band = num_hashes // bands
     # fused Arrow-pass signatures + persist: the banded self-join below reads
@@ -259,6 +264,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -912,17 +912,46 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative min-label connected components (operators/graph.py) on the
     part↔supplier co-occurrence graph from lineitem — the NavMesh island
-    analysis (`navmesh_connectivity.py:158-180`) restated."""
+    analysis (`navmesh_connectivity.py:158-180`) restated.
+
+    The edge set is the 1-in-97-orders sample: sparse enough that the graph
+    has real island structure (the full graph is one giant component — no
+    signal) AND that a DuckDB recursive-CTE closure can oracle the exact
+    component sizes.  Uses the large/small-star kernel
+    (connected_components_star): O(log²n) rounds regardless of graph
+    diameter — per-hop min-label propagation under a fixed iteration cap
+    under-merged at sf0.1, exactly the failure mode the star variant is the
+    100 TB answer to (SCALE.md)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     edges = (
-        lineitem.select(
+        lineitem.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
             F.col("l_partkey").alias("src"),
             (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
         )
         .distinct()
     )
-    comps = graph_ops.connected_components(edges, max_iter=20)
+    comps = graph_ops.connected_components_star(edges)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem WHERE l_orderkey % 97 = 0
+), bidir AS (
+  SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
+), walk(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM bidir)
+  UNION
+  SELECT b.d, w.label
+  FROM walk w JOIN bidir b ON b.s = w.node
+  WHERE w.label < b.d
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY node
+)
+SELECT component, count(*) AS size FROM comp GROUP BY component
+"""
 
 
 def q_rate_limited_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1133,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "arc_resample": SQL_ARC_RESAMPLE,
     "rate_limited_angle": SQL_RATE_LIMITED_ANGLE,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
     **EXT_ORACLES,
     **TPCH_ORACLES,
 }
