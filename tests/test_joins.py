@@ -115,3 +115,34 @@ def test_prefix_join(spark):
     maps = spark.createDataFrame([("Demo",), ("Map",)], ["map_name"])
     out = joins.prefix_join(seqs, maps, "seq_name", "map_name").collect()
     assert sorted(r["seq_name"] for r in out) == ["Demo001", "Demo002"]
+
+
+def test_asof_mixed_datetime_types_coerce_to_timestamp(spark):
+    """DATE on one side, TIMESTAMP on the other: both coerce to TIMESTAMP
+    (a double cast would throw) and match chronologically."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10))], ["k", "lts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 9, 23, 0), "before"),
+            (1, dt.datetime(2024, 1, 10, 12, 0), "after"),
+        ],
+        ["k", "rts", "v"],
+    )
+    out = joins.asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "before"
+
+
+def test_asof_numeric_string_ts_orders_numerically(spark):
+    """String axes fall back to the double cast: '9' must sort before '10'."""
+    left = spark.createDataFrame([(1, "10")], ["k", "lts"])
+    right = spark.createDataFrame(
+        [(1, "9", "nine"), (1, "100", "hundred")], ["k", "rts", "v"]
+    )
+    out = joins.asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "nine"

@@ -219,3 +219,32 @@ def test_arc_length_resample_stationary_path(spark):
     assert len(out) == 5
     assert sorted(r["k"] for r in out) == [0, 1, 2, 3, 4]
     assert all(r["x"] == 7.0 and r["y"] == -3.0 and r["z"] == 2.0 for r in out)
+
+
+def test_clip_segments_after_truncation(spark):
+    """Reference worker_create.py:536-582 rules: inside kept, straddler
+    clipped, beyond dropped; untruncated sequences keep everything."""
+    from worlddatapipeline_spark.operators.windows import (
+        clip_segments_after_truncation,
+    )
+
+    segments = spark.createDataFrame(
+        [  # seq, seg_no, start, end
+            ("a", 0, 0, 9), ("a", 1, 10, 19), ("a", 2, 20, 29),
+            ("b", 0, 0, 9), ("b", 1, 10, 19),
+        ],
+        ["seq", "seg_no", "start_idx", "end_idx"],
+    )
+    limits = spark.createDataFrame(
+        [("a", 15), ("b", 20)], ["seq", "n_points"]
+    )  # a truncated to idx 14; b untouched
+    out = {
+        (r["seq"], r["seg_no"]): (r["start_idx"], r["end_idx"])
+        for r in clip_segments_after_truncation(
+            segments, limits, "seq", "n_points"
+        ).collect()
+    }
+    assert out[("a", 0)] == (0, 9)      # fully inside
+    assert out[("a", 1)] == (10, 14)    # straddler clipped
+    assert ("a", 2) not in out          # beyond -> dropped
+    assert out[("b", 0)] == (0, 9) and out[("b", 1)] == (10, 19)

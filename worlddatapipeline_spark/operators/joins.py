@@ -63,12 +63,30 @@ def asof_join(
     lcols = left.columns
     tag = "__side"
     ts = "__ts"
-    # Ordering key: timestamps (incl. TIMESTAMP_NTZ, which refuses a DOUBLE
-    # cast) are natively orderable, so keep the column's own type when both
-    # sides agree; only coerce to double for mixed numeric axes.
-    if left.schema[left_ts].dataType == right.schema[right_ts].dataType:
+    # Ordering key.  Three cases:
+    # - both sides the same temporal/numeric type: natively orderable, keep
+    #   as-is (TIMESTAMP_NTZ refuses a DOUBLE cast, so no blanket coercion).
+    # - both sides in the datetime family but unequal (TIMESTAMP vs NTZ vs
+    #   DATE): coerce both to TIMESTAMP — a double cast would fail for
+    #   NTZ/DATE.
+    # - anything else (mixed numeric axes, numeric strings): coerce to
+    #   double so '9' < '10' orders numerically, not lexicographically.
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    lt = left.schema[left_ts].dataType
+    rt = right.schema[right_ts].dataType
+    _datetime_family = (DateType, TimestampType, TimestampNTZType)
+    if lt == rt and isinstance(lt, _datetime_family + (NumericType,)):
         l_ts_expr = F.col(left_ts)
         r_ts_expr = F.col(right_ts)
+    elif isinstance(lt, _datetime_family) and isinstance(rt, _datetime_family):
+        l_ts_expr = F.col(left_ts).cast("timestamp")
+        r_ts_expr = F.col(right_ts).cast("timestamp")
     else:
         l_ts_expr = F.col(left_ts).cast("double")
         r_ts_expr = F.col(right_ts).cast("double")

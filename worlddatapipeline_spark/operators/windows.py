@@ -279,6 +279,41 @@ def fixed_speed_truncate(
     )
 
 
+def clip_segments_after_truncation(
+    segments: DataFrame,
+    limits: DataFrame,
+    seq_col: str,
+    limit_col: str,
+    start_col: str = "start_idx",
+    end_col: str = "end_idx",
+) -> DataFrame:
+    """Clip/drop behavior segments after path truncation — first-class form
+    of the reference's `_adjust_behavior_segments_after_truncation`
+    (`worker_create.py:536-582`).
+
+    Rules (per sequence, with ``last_valid = limit - 1``):
+    - segment starting beyond ``last_valid`` → dropped;
+    - segment straddling ``last_valid`` → kept with its end clipped;
+    - segment fully inside → kept unchanged.
+
+    Assumes segments within a sequence are ordered and non-overlapping (the
+    reference's break-after-first-clip is equivalent to this filter under
+    that contract, which the reference's generator guarantees).
+
+    Scale: one equi-join on the sequence key — the limits side is one row
+    per sequence, so Spark broadcasts it when small and AQE co-partitions
+    the shuffle otherwise; no windows, no Python.
+    """
+    j = segments.join(
+        limits.select(seq_col, (F.col(limit_col) - 1).alias("__last")), seq_col
+    )
+    return (
+        j.filter(F.col(start_col) <= F.col("__last"))
+        .withColumn(end_col, F.least(F.col(end_col), F.col("__last")))
+        .drop("__last")
+    )
+
+
 def frame_grid(
     sequences: DataFrame,
     seq_col: str,

@@ -636,6 +636,76 @@ FROM allpts GROUP BY user_id
 """
 
 
+def q_segment_clip_after_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-segment clip/drop after fixed-speed truncation
+    (operators/windows.py::clip_segments_after_truncation —
+    `worker_create.py:536-582`): each user's synthetic 8-segment plan
+    (25 points per segment) is adjusted against the truncated point count
+    from fixed_speed_truncate; fully-out segments drop, the straddler's
+    end clips to the last valid index."""
+    (events,) = _t(spark, sf_dir, "events")
+    path = events.select(
+        "user_id",
+        F.col("event_id").alias("ord"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 100).cast("double").alias("y"),
+        F.lit(0.0).alias("z"),
+    )
+    trunc = win_ops.fixed_speed_truncate(
+        path, "user_id", "ord", speed=50.0, duration=10.0
+    )
+    limits = trunc.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_points"))
+    segments = limits.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seg_no")
+    ).select(
+        "user_id",
+        F.col("seg_no").cast("long").alias("seg_no"),
+        (F.col("seg_no") * 25).cast("long").alias("start_idx"),
+        (F.col("seg_no") * 25 + 24).cast("long").alias("end_idx"),
+        F.when(F.col("seg_no") % 2 == 0, "walk").otherwise("scan").alias("seg_type"),
+    )
+    out = win_ops.clip_segments_after_truncation(
+        segments, limits, "user_id", "n_points"
+    )
+    return out.select("user_id", "seg_no", "seg_type", "start_idx", "end_idx")
+
+
+SQL_SEGMENT_CLIP_AFTER_TRUNCATE = """
+WITH path AS (
+  SELECT user_id, event_id AS ord, value AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y, 0.0 AS z
+  FROM events
+), seg AS (
+  SELECT user_id, ord, x, y, z,
+         sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)
+              + power(z - lag(z) OVER w, 2)) AS d
+  FROM path WINDOW w AS (PARTITION BY user_id ORDER BY ord)
+), cum AS (
+  SELECT user_id, ord,
+         coalesce(sum(d) OVER (PARTITION BY user_id ORDER BY ord
+                               ROWS UNBOUNDED PRECEDING), 0.0) AS cum_dist
+  FROM seg
+), cum2 AS (
+  SELECT *, lead(cum_dist) OVER (PARTITION BY user_id ORDER BY ord) AS next_cum
+  FROM cum
+), limits AS (
+  SELECT user_id,
+         count(*) FILTER (cum_dist <= 500.0)
+         + count(*) FILTER (cum_dist <= 500.0 AND next_cum IS NOT NULL
+                            AND next_cum > 500.0) AS n_points
+  FROM cum2 GROUP BY user_id
+), segs AS (
+  SELECT user_id, k AS seg_no, k * 25 AS start_idx, k * 25 + 24 AS end_idx,
+         CASE WHEN k % 2 = 0 THEN 'walk' ELSE 'scan' END AS seg_type
+  FROM limits, unnest(generate_series(0, 7)) AS t(k)
+)
+SELECT s.user_id, seg_no, seg_type, start_idx,
+       least(end_idx, l.n_points - 1) AS end_idx
+FROM segs s JOIN limits l USING (user_id)
+WHERE start_idx <= l.n_points - 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.4 ratio classification, §2.3 prefix theta-join
 # ---------------------------------------------------------------------------
@@ -2319,3 +2389,5 @@ EXT_ORACLES["streaming_hourly_windows"] = SQL_HOURLY_EVENT_WINDOWS
 from .queries import SQL_NGRAM_JACCARD_PAIRS as _SQL_NGRAM_EXACT  # noqa: E402
 
 EXT_ORACLES["minhash_verified_dups"] = _SQL_NGRAM_EXACT
+EXT_QUERIES["segment_clip_after_truncate"] = q_segment_clip_after_truncate
+EXT_ORACLES["segment_clip_after_truncate"] = SQL_SEGMENT_CLIP_AFTER_TRUNCATE
