@@ -1065,7 +1065,7 @@ FROM grid g JOIN seg s
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from .queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "catalog_stats": q_catalog_stats,
     "region_rollup": q_region_rollup,
@@ -1101,6 +1101,74 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_connected_components,
     **EXT_QUERIES,
     **TPCH_QUERIES,
+}
+
+# The driver hash-checks only the FIRST 50 entries of queries() per round.
+# Lead with the entries that need a driver verdict THIS round: queries fixed
+# since round 1 (NTZ/-0.0/DECIMAL repairs), newly-oracled ones, and the
+# oracle-backed queries the round-1 window never reached (all TPC-H + late
+# ext entries).  Round-1-green queries rotate to the tail; rotate again next
+# round until every registry entry has a driver row.
+_DRIVER_WINDOW: list[str] = [
+    # fixed since round 1 — need driver re-verification
+    "user_event_gaps",
+    "sessionize",
+    "stalled_users",
+    "rate_limited_angle",
+    "extrinsic_export",
+    "customer_order_reconcile",
+    # newly oracle-backed this round
+    "connected_components",
+    "minhash_verified_dups",
+    "segment_clip_after_truncate",
+    # never driver-checked: ext tail
+    "catalog_upsert",
+    "top_unshipped_orders",
+    "supplier_volume",
+    "latest_status",
+    "order_exists_probe",
+    "min_cost_supplier",
+    "supplier_distinct_counts",
+    "ue_path_derive",
+    "child_refresh",
+    "low_activity_skip",
+    "embedding_cosine_dups",
+    "doc_repetition_filter",
+    "source_quota_sample",
+    "paragraph_dup_ratio",
+    "dataset_split_stats",
+    "pii_redaction",
+    "train_test_decontamination",
+    "stratified_sample_stats",
+    "glob_exclusion_stats",
+    "streaming_hourly_windows",
+    # never driver-checked: the TPC-H family
+    "discount_revenue",
+    "promo_revenue_ratio",
+    "nation_pair_volume",
+    "part_profit_by_nation",
+    "returned_top_customers",
+    "part_value_share",
+    "top_supplier_revenue",
+    "below_avg_qty_revenue",
+    "large_order_customers",
+    "idle_high_balance_customers",
+    "event_value_percentiles",
+    "salted_event_value_sum",
+    "hourly_event_windows",
+    "nation_market_share",
+    "order_count_distribution",
+    "late_order_priority_counts",
+    "local_supplier_volume",
+    "late_shipment_priority_mix",
+    "brand_band_revenue",
+    "excess_stock_suppliers",
+    "sole_late_suppliers",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{n: _ALL_QUERIES[n] for n in _DRIVER_WINDOW},
+    **_ALL_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
