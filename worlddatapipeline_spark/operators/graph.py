@@ -37,6 +37,17 @@ def knn_edges(
     Returns (group…, src, dst, dist) with rank ≤ k.
     """
     group_cols = group_cols or []
+    if not group_cols:
+        # Ungrouped all-pairs is O(n²) rows — fine for the reference's ≤200
+        # samples, a cluster-killer on a large table.  Refuse loudly rather
+        # than silently planning a quadratic join; callers with a genuinely
+        # small ungrouped set can pass a constant group column.
+        raise ValueError(
+            "knn_edges without group_cols builds an O(n^2) all-pairs join; "
+            "group the points (or use similarity.lsh_topk for corpus-scale "
+            "ANN). Pass group_cols=[lit-constant column] to override for a "
+            "provably small set."
+        )
     x, y, z = pos_cols
     a = points.alias("a")
     b = points.alias("b")

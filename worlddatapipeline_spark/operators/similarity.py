@@ -98,6 +98,7 @@ def cosine_pairs_batched(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    max_collect: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via batched BLAS scoring — the fast
     form of ``cosine_pairs`` (same results, same thresholded contract).
@@ -117,10 +118,24 @@ def cosine_pairs_batched(
     the oracle's round(…, 6), and the sim is computed as dot/(|a|·|b|) in
     the same algebraic form as the expression path.
     """
-    rows = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).collect()
+    # ENFORCED bound on the broadcast side (the docstring contract used to
+    # be advisory): limit(max+1) makes the probe cost O(max_collect), and a
+    # corpus over the bound fails fast with the scale-path pointer instead
+    # of OOMing the driver.
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .limit(max_collect + 1)
+        .collect()
+    )
+    if len(rows) > max_collect:
+        raise ValueError(
+            f"cosine_pairs_batched collects the corpus (> {max_collect} rows); "
+            "prune candidates first with lsh_topk/ivf_topk, or raise "
+            "max_collect if the driver can hold the matrix."
+        )
     b_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     bm = np.array([r["v"] for r in rows], dtype=np.float64)
     bn = np.linalg.norm(bm, axis=1)

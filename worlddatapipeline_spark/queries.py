@@ -1205,3 +1205,12 @@ ORACLES: dict[str, str] = {
     **EXT_ORACLES,
     **TPCH_ORACLES,
 }
+
+# minhash_verified_dups = LSH candidates -> EXACT 3-gram Jaccard >= 0.8.
+# On any corpus where the banded LSH (32 hashes / 8 bands) has full recall
+# at the 0.8 threshold — true of the driver corpus, where near-dup pairs sit
+# at J ~ 1.0 and per-pair recall is 1-(1-J^4)^8 ~ 1 — the verified output
+# EQUALS the brute-force exact pair set, so the exact-Jaccard SQL oracles
+# it.  The local sweep (tools/check_oracle.py) would catch any recall miss
+# as a row-count diff before the driver does.
+ORACLES["minhash_verified_dups"] = SQL_NGRAM_JACCARD_PAIRS

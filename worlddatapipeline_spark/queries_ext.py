@@ -2378,16 +2378,8 @@ EXT_ORACLES: dict[str, str] = {
 from .queries_tpch import SQL_HOURLY_EVENT_WINDOWS  # noqa: E402
 
 EXT_ORACLES["streaming_hourly_windows"] = SQL_HOURLY_EVENT_WINDOWS
-
-# minhash_verified_dups = LSH candidates -> EXACT 3-gram Jaccard >= 0.8.
-# On any corpus where the banded LSH (32 hashes / 8 bands) has full recall at
-# the 0.8 threshold — true of the driver corpus, where near-dup pairs sit at
-# J ~ 1.0 and per-pair recall is 1-(1-J^4)^8 ~ 1 — the verified output EQUALS
-# the brute-force exact pair set, so the exact-Jaccard SQL oracles it.  The
-# local sweep (tools/check_oracle.py) would catch any recall miss as a
-# row-count diff before the driver does.
-from .queries import SQL_NGRAM_JACCARD_PAIRS as _SQL_NGRAM_EXACT  # noqa: E402
-
-EXT_ORACLES["minhash_verified_dups"] = _SQL_NGRAM_EXACT
 EXT_QUERIES["segment_clip_after_truncate"] = q_segment_clip_after_truncate
 EXT_ORACLES["segment_clip_after_truncate"] = SQL_SEGMENT_CLIP_AFTER_TRUNCATE
+# minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
+# queries.py; registered there (after ORACLES is built) to avoid a
+# circular import.
