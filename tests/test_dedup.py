@@ -123,3 +123,15 @@ def test_minhash_max_bucket_drops_degenerate_bucket(spark):
         df, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, max_bucket=None
     ).count()
     assert out_all >= 50 * 49 // 2
+
+
+def test_dup_cluster_representatives_transitive(spark):
+    """A~B, B~C (no A~C pair) must land in ONE cluster with min-id rep."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["representative"]
+        for r in dedup.dup_cluster_representatives(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -666,3 +666,30 @@ def simhash_near_dups(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def dup_cluster_representatives(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters and pick each cluster's
+    canonical representative — the stage between pair generation (MinHash/
+    SimHash/exact Jaccard) and the actual "keep one copy" delete in a
+    training-data dedup pipeline.  Transitivity matters: A~B and B~C must
+    collapse to ONE kept doc even when A~C was never emitted as a pair.
+
+    Clusters are connected components over the pair graph via the
+    large/small-star kernel (operators/graph.py — O(log²n) rounds, diameter
+    independent); the representative is the cluster's minimum doc id, the
+    usual deterministic keep-rule.  Returns (doc_id, representative) for
+    every doc that appears in at least one pair; docs with no near-dup are
+    absent (they keep themselves by definition).
+
+    Scale: input is the PAIR set (already candidate-bounded by the upstream
+    LSH), never the corpus; the star kernel shuffles only (id, id) edges.
+    """
+    from .graph import connected_components_star
+
+    comps = connected_components_star(
+        pairs.select(id_a, id_b), src=id_a, dst=id_b, id_col="doc_id"
+    )
+    return comps.withColumnRenamed("component", "representative")

@@ -1974,6 +1974,68 @@ def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING + canonical keep-rule
+    (operators/dedup.py::dup_cluster_representatives): exact 3-gram Jaccard
+    pairs → connected components (large/small-star kernel) → per-cluster
+    representative (min doc_id) and member count.  The transitive stage a
+    training-data dedup pipeline runs between pair generation and the
+    actual delete — A~B, B~C collapse to one kept doc even without an A~C
+    pair."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, threshold=0.8
+    )
+    clusters = dedup_ops.dup_cluster_representatives(pairs)
+    return clusters.groupBy("representative").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("doc_id") != F.col("representative"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+SQL_DEDUP_CLUSTER_KEEP = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM idx
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, inter.i / (sa.sz + sb.sz - inter.i) AS jac
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+  ) WHERE jac >= 0.8
+), bidir AS (
+  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), walk(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM bidir)
+  UNION
+  SELECT b.d, wk.label
+  FROM walk wk JOIN bidir b ON b.s = wk.node
+  WHERE wk.label < b.d
+), comp AS (
+  SELECT node, min(label) AS representative FROM walk GROUP BY node
+)
+SELECT representative,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN node != representative THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM comp GROUP BY representative
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups)
     — 64-bit signature, band-bucket candidate join, exact Hamming verify.
@@ -2380,6 +2442,8 @@ from .queries_tpch import SQL_HOURLY_EVENT_WINDOWS  # noqa: E402
 EXT_ORACLES["streaming_hourly_windows"] = SQL_HOURLY_EVENT_WINDOWS
 EXT_QUERIES["segment_clip_after_truncate"] = q_segment_clip_after_truncate
 EXT_ORACLES["segment_clip_after_truncate"] = SQL_SEGMENT_CLIP_AFTER_TRUNCATE
+EXT_QUERIES["dedup_cluster_keep"] = q_dedup_cluster_keep
+EXT_ORACLES["dedup_cluster_keep"] = SQL_DEDUP_CLUSTER_KEEP
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
