@@ -83,3 +83,23 @@ def test_directory_content_hash_deterministic(spark):
     )
     h3 = reconcile.directory_content_hash(files3, ["scene"]).collect()[0]
     assert h3["content_hash"] != h1["content_hash"]
+
+
+def test_merge_upsert_parquet_write_path(spark, tmp_path):
+    """Persistent MERGE: staging write + atomic swap; updates applied,
+    inserts added, untouched rows pass through, old table replaced."""
+    from worlddatapipeline_spark.operators.reconcile import merge_upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "bal"]
+    ).write.parquet(path)
+    source = spark.createDataFrame([(2, 99.0), (3, 30.0)], ["k", "bal"])
+    out = merge_upsert_parquet(spark, path, source, ["k"], update_cols=["bal"])
+    got = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 99.0), 3: (None, 30.0)}
+    # the published path itself now holds the merged table (fresh session read)
+    again = {r["k"]: r["bal"] for r in spark.read.parquet(path).collect()}
+    assert again == {1: 10.0, 2: 99.0, 3: 30.0}
+    import os
+    assert not os.path.exists(path + ".staging") and not os.path.exists(path + ".old")

@@ -52,6 +52,44 @@ def merge_upsert(
     return joined.select(*cols)
 
 
+def merge_upsert_parquet(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persistent MERGE into a plain-parquet table: read → merge_upsert →
+    staging write → directory swap.  Returns the re-read merged table.
+
+    The write path is the part `merge_upsert` alone leaves open
+    (`scene_registry.py:224-239` commits in SQLite).  Two rules make the
+    read-modify-overwrite safe without Delta/Iceberg:
+
+    - NEVER ``mode("overwrite")`` the path being read: Spark plans lazily,
+      so the overwrite would truncate its own input mid-job.  The merged
+      result is fully materialized into ``<path>.staging`` first.
+    - the publish step is a pair of directory renames (atomic on a POSIX
+      filesystem and on HDFS; on S3-style object stores bind this step to a
+      table format's commit — the compute stays identical).
+
+    Readers either see the old table or the new one, never a torn mix.
+    """
+    import os
+    import shutil
+
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, source, keys, update_cols)
+    staging = path.rstrip("/") + ".staging"
+    backup = path.rstrip("/") + ".old"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def inventory_reconcile(
     catalog: DataFrame,
     listing: DataFrame,
