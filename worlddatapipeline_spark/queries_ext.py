@@ -1817,6 +1817,115 @@ SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.42
 """
 
 
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length-band quality filter (LLM-pipeline extension): keep
+    documents whose length sits inside the per-language [p05, p95] band —
+    the distribution-aware version of a fixed min/max length cut.
+
+    Group-scalar-from-aggregate pattern: exact percentiles per language
+    (one combine-friendly aggregate; 5 rows), broadcast-joined back onto
+    the corpus — the corpus itself never reshuffles.  Spark `percentile`
+    and DuckDB `quantile_cont` share the (n-1)p linear-interpolation
+    formula bit-for-bit (verified), so the oracle compares exactly."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    bands = documents.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    j = documents.join(F.broadcast(bands), "lang")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.min("p95"), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("p05"))
+                    & (F.col("n_chars") <= F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+SQL_LENGTH_BAND_FILTER = """
+WITH bands AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       round(min(b.p05), 4) AS p05,
+       round(min(b.p95), 4) AS p95,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.n_chars >= b.p05 AND d.n_chars <= b.p95
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN bands b ON d.lang = b.lang
+GROUP BY d.lang
+"""
+
+
+def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (LLM-pipeline extension): assign documents
+    to fixed-budget training shards by running token total — the step that
+    turns a filtered corpus into ~equal-sized chunks for the trainer.
+
+    Deterministic sequential packing per source: docs ordered by doc_id,
+    token proxy = word count, shard = floor((cumsum - tokens) / budget) so a
+    doc starts a new shard once the previous one is full (docs are not
+    split).  One window over (source, doc_id) — the shuffle carries
+    (source, doc_id, n_tokens) only; at 100 TB each source's stream packs
+    independently and in parallel.  Output = per (source, shard) audit."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    budget = 2000
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = documents.select(
+        "source",
+        "doc_id",
+        toks.alias("n_tokens"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).alias("shard"),
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+SQL_TOKEN_SHARD_PACKING = """
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / 2000) AS BIGINT) AS shard
+  FROM toks
+)
+SELECT source, shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY source, shard
+"""
+
+
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota sampling (LLM-pipeline extension): cap each
     source at K=50 documents, chosen deterministically by md5(doc_id) order
@@ -2444,6 +2553,10 @@ EXT_QUERIES["segment_clip_after_truncate"] = q_segment_clip_after_truncate
 EXT_ORACLES["segment_clip_after_truncate"] = SQL_SEGMENT_CLIP_AFTER_TRUNCATE
 EXT_QUERIES["dedup_cluster_keep"] = q_dedup_cluster_keep
 EXT_ORACLES["dedup_cluster_keep"] = SQL_DEDUP_CLUSTER_KEEP
+EXT_QUERIES["token_shard_packing"] = q_token_shard_packing
+EXT_ORACLES["token_shard_packing"] = SQL_TOKEN_SHARD_PACKING
+EXT_QUERIES["length_band_filter"] = q_length_band_filter
+EXT_ORACLES["length_band_filter"] = SQL_LENGTH_BAND_FILTER
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
