@@ -99,6 +99,10 @@ LLM = [
     "embedding_cosine_dups",
     "simhash_near_dups",
     "minhash_verified_dups",
+    "dedup_cluster_keep",
+    "token_shard_packing",
+    "length_band_filter",
+    "segment_clip_after_truncate",
 ]
 
 

@@ -518,7 +518,11 @@ def q_knn_user_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("z", F.lit(0.0))
     )
-    edges = graph_ops.knn_edges(pts, k=4)
+    # per-user centroids = one row per user (bounded aggregate output, the
+    # reference's own N) — the documented constant-group override for
+    # knn_edges' ungrouped-O(n²) guard
+    pts = pts.withColumn("__g", F.lit(0))
+    edges = graph_ops.knn_edges(pts, k=4, group_cols=["__g"])
     return edges.select("src", "dst", F.round("dist", 6).alias("dist"))
 
 
