@@ -248,3 +248,26 @@ def test_clip_segments_after_truncation(spark):
     assert out[("a", 1)] == (10, 14)    # straddler clipped
     assert ("a", 2) not in out          # beyond -> dropped
     assert out[("b", 0)] == (0, 9) and out[("b", 1)] == (10, 19)
+
+
+def test_time_grid_ffill(spark):
+    """Hourly grid spans min..max per sequence; gap buckets carry the last
+    value forward; in-bucket ties resolve by the tiebreak column."""
+    import datetime as dt
+
+    from worlddatapipeline_spark.operators.windows import time_grid_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        ("u", t0, 1, 10.0),
+        ("u", t0.replace(minute=45), 2, 11.0),           # same bucket, higher id wins
+        ("u", t0 + dt.timedelta(hours=3), 3, 30.0),       # 2-hour gap before this
+    ]
+    df = spark.createDataFrame(rows, ["seq", "ts", "eid", "v"])
+    out = sorted(
+        time_grid_ffill(df, "seq", "ts", "v", tiebreak_col="eid").collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    assert len(out) == 4                               # 10:00 11:00 12:00 13:00
+    assert [r["filled"] for r in out] == [11.0, 11.0, 11.0, 30.0]
+    assert [r["value"] for r in out] == [11.0, None, None, 30.0]

@@ -279,6 +279,66 @@ def fixed_speed_truncate(
     )
 
 
+def time_grid_ffill(
+    df: DataFrame,
+    seq_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample an irregular event series onto a regular time grid with
+    last-observation-carried-forward fill.
+
+    The time-axis analog of ``arc_length_resample`` (reference resampling
+    family, `transform_track.py:84-132`): per sequence, buckets of ``step``
+    from the first to the last observation; empty buckets inherit the most
+    recent value.  Bucket representative = the row with the greatest
+    (``tiebreak_col``) in the bucket — deterministic under timestamp ties.
+
+    Scale: one groupBy to pick bucket representatives, one per-sequence
+    ``sequence()+explode`` for the grid (generation is distributed — each
+    sequence explodes in its own task), one window for the fill; everything
+    codegen'd, shuffle keyed by the sequence only.  Returns
+    (seq, bucket_ts, value, filled) where ``value`` is null on gap buckets
+    and ``filled`` is the carried-forward series.
+    """
+    tiebreak_col = tiebreak_col or ts_col
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.date_trunc(
+        "minute", F.col(ts_col)
+    )
+    ev = df.select(
+        F.col(seq_col),
+        bucket.alias("__b"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    picked = ev.groupBy(seq_col, "__b").agg(
+        F.max_by("__v", "__tb").alias("__v")
+    )
+    bounds = ev.groupBy(seq_col).agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
+    )
+    grid = bounds.select(
+        seq_col,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"interval {step}"))
+        ).alias("__b"),
+    )
+    j = grid.join(picked, [seq_col, "__b"], "left")
+    w = (
+        Window.partitionBy(seq_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        seq_col,
+        F.col("__b").alias("bucket_ts"),
+        F.col("__v").alias("value"),
+        F.last("__v", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 def clip_segments_after_truncation(
     segments: DataFrame,
     limits: DataFrame,

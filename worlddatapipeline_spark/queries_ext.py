@@ -1821,6 +1821,55 @@ SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.42
 """
 
 
+def q_time_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid time resampling with forward fill
+    (operators/windows.py::time_grid_ffill — the time-axis analog of the
+    arc-length resampler, `transform_track.py:84-132`): each user's event
+    series lands on an hourly grid, gap hours carry the last value
+    forward.  Per-user audit: grid size, gap count, decimal-exact sum of
+    the filled series."""
+    (events,) = _t(spark, sf_dir, "events")
+    out = win_ops.time_grid_ffill(
+        events, "user_id", "ts", "value", step="1 hour", tiebreak_col="event_id"
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.round(
+            F.sum(F.col("filled").cast("decimal(28,10)")).cast("double"), 4
+        ).alias("filled_sum"),
+    )
+
+
+SQL_TIME_GRID_FFILL = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, event_id, value FROM events
+), picked AS (
+  SELECT user_id, b, arg_max(value, event_id) AS v
+  FROM e GROUP BY user_id, b
+), bounds AS (
+  SELECT user_id, min(b) AS mn, max(b) AS mx FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+  FROM bounds
+), j AS (
+  SELECT g.user_id, g.b, p.v,
+         last_value(p.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.b ROWS UNBOUNDED PRECEDING
+         ) AS filled
+  FROM grid g LEFT JOIN picked p ON p.user_id = g.user_id AND p.b = g.b
+)
+SELECT user_id,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       round(CAST(sum(CAST(filled AS DECIMAL(28,10))) AS DOUBLE), 4)
+         AS filled_sum
+FROM j GROUP BY user_id
+"""
+
+
 def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile length-band quality filter (LLM-pipeline extension): keep
     documents whose length sits inside the per-language [p05, p95] band —
@@ -2561,6 +2610,8 @@ EXT_QUERIES["token_shard_packing"] = q_token_shard_packing
 EXT_ORACLES["token_shard_packing"] = SQL_TOKEN_SHARD_PACKING
 EXT_QUERIES["length_band_filter"] = q_length_band_filter
 EXT_ORACLES["length_band_filter"] = SQL_LENGTH_BAND_FILTER
+EXT_QUERIES["time_grid_ffill"] = q_time_grid_ffill
+EXT_ORACLES["time_grid_ffill"] = SQL_TIME_GRID_FFILL
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
