@@ -195,3 +195,35 @@ def test_sole_late_suppliers_no_correlated_rescan(spark):
     assert "TakeOrderedAndProject" in plan
     scans = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln]
     assert len(scans) == 1
+
+
+def test_length_band_scalar_broadcast(spark):
+    """The 5-row per-lang percentile frame must broadcast back onto the
+    corpus — the corpus itself never reshuffles for the band check."""
+    plan = _plan(spark, "length_band_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_shard_packing_single_window_shuffle(spark):
+    """One running-total window per source: exactly one hash-partitioning
+    exchange on the source key before the final aggregate."""
+    plan = _plan(spark, "token_shard_packing")
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_bucket_guard_shares_join_exchange(spark):
+    """The max_bucket window count must not add a join branch — the guard
+    rides the (band,bucket) shuffle of the in-bucket self-join."""
+    from worlddatapipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # guard is a Window + Filter, not an extra aggregate-plus-semi-join
+    assert "LeftSemi" not in plan
