@@ -193,8 +193,14 @@ def connected_components_star(
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .unionByName(m1.select(F.col("u").alias("x"), F.col("m").alias("y")))
         ).localCheckpoint(eager=True)
+        # one fused convergence probe (both except directions in a single
+        # job) — the per-round job count dominates wall time on small pair
+        # sets, and each saved job is a scheduler round-trip
         diff = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+            e2.exceptAll(e)
+            .unionByName(e.exceptAll(e2))
+            .limit(1)
+            .count()
         )
         e = e2
         if diff == 0:
