@@ -1073,6 +1073,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the multimodal surface: the typed-metadata +
+    binary-payload layer (operators/multimodal.py::synthesize_media) audited
+    per frame-count bucket — byte sizes from the BINARY column, dimensions
+    from the metadata struct.  The Python feature-extraction path stays
+    rows-only (q_multimodal_features); this pins the schema/metadata
+    plumbing to exact SQL semantics."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(documents, "doc_id", "text")
+    return (
+        media.select(
+            F.col("meta.n_frames").alias("n_frames"),
+            F.length("data").alias("n_bytes"),
+            F.col("meta.width").alias("width"),
+        )
+        .groupBy("n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+        )
+    )
+
+
+SQL_MULTIMODAL_META_STATS = """
+SELECT CAST(length(text) % 32 + 1 AS INT) AS n_frames,
+       count(*) AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(greatest(floor(sqrt(length(text))), 1)) AS INT) AS max_width
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (operators/similarity.py::ivf_topk):
     deterministic coarse quantizer → inverted lists → n_probe search.  The
@@ -2612,6 +2648,8 @@ EXT_QUERIES["length_band_filter"] = q_length_band_filter
 EXT_ORACLES["length_band_filter"] = SQL_LENGTH_BAND_FILTER
 EXT_QUERIES["time_grid_ffill"] = q_time_grid_ffill
 EXT_ORACLES["time_grid_ffill"] = SQL_TIME_GRID_FFILL
+EXT_QUERIES["multimodal_meta_stats"] = q_multimodal_meta_stats
+EXT_ORACLES["multimodal_meta_stats"] = SQL_MULTIMODAL_META_STATS
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
