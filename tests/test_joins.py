@@ -146,3 +146,21 @@ def test_asof_numeric_string_ts_orders_numerically(spark):
     )
     out = joins.asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
     assert len(out) == 1 and out[0]["v"] == "nine"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted fact⋈dim must be row-identical to the plain join, including
+    duplicate fact keys and an unmatched dim row under inner semantics."""
+    fact = spark.createDataFrame(
+        [("hot", i * 1.0) for i in range(50)] + [("cold", -1.0)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], ["k", "label"]
+    )
+    plain = sorted((r["k"], r["v"], r["label"]) for r in fact.join(dim, "k").collect())
+    salted = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in joins.salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    assert salted == plain and len(salted) == 51

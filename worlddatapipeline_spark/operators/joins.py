@@ -137,6 +137,35 @@ def asof_join(
     return out
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    The manual remedy for a hot join key when the dim side is too big to
+    broadcast but small enough to replicate ``n_salts``-fold: fact rows get
+    a deterministic salt in [0, n_salts); dim rows are exploded once per
+    salt; the join key becomes (key, salt), spreading each hot key over
+    ``n_salts`` reducers.  Result is row-identical to the plain join (the
+    oracle query checks that).
+
+    Spark-first note: AQE's skew-join splitting (enabled in get_spark)
+    handles most cases at runtime; this operator is for the residual ones —
+    a single key so hot that even one AQE split of it overwhelms a task, or
+    engines/pipelines where AQE is off.  Use plain ``join`` first.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

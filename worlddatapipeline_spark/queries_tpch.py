@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import aggregates as agg_ops
+from .operators import joins as join_ops
 from .session import load_tables
 
 
@@ -623,6 +624,48 @@ GROUP BY event_type
 """
 
 
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/joins.py::salted_join): event_type is
+    the pathological hot key (~5 distinct values over the whole fact table);
+    the dim side replicates n_salts-fold so each hot key spreads over 16
+    reducers instead of melting one.  Result must be ROW-IDENTICAL to the
+    plain join — the oracle is the unsalted SQL."""
+    (events,) = _t(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("type_avg")
+    )
+    joined = join_ops.salted_join(
+        events.select("event_type", F.col("value").cast("decimal(28,10)").alias("value")),
+        dim,
+        "event_type",
+        n_salts=16,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("type_avg"), 6).alias("type_avg"),
+        F.sum(
+            F.when(F.col("value") > F.col("type_avg"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_above_avg"),
+    )
+
+
+SQL_SALTED_SKEW_JOIN = """
+WITH dim AS (
+  SELECT event_type, round(avg(value), 6) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(min(d.type_avg), 6) AS type_avg,
+       CAST(sum(CASE WHEN CAST(e.value AS DECIMAL(28,10)) > d.type_avg
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation — the batch form of the
     streaming monitor's progress counts (`monitor.py:88-95,140-149`;
@@ -1117,6 +1160,7 @@ LIMIT 20
 
 
 TPCH_QUERIES = {
+    "salted_skew_join": q_salted_skew_join,
     "discount_revenue": q_discount_revenue,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "nation_pair_volume": q_nation_pair_volume,
@@ -1141,6 +1185,7 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLES = {
+    "salted_skew_join": SQL_SALTED_SKEW_JOIN,
     "discount_revenue": SQL_DISCOUNT_REVENUE,
     "promo_revenue_ratio": SQL_PROMO_REVENUE_RATIO,
     "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
