@@ -2469,6 +2469,62 @@ GROUP BY p_type
 """
 
 
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup executed as a REAL readStream pipeline
+    (streaming/monitor.py::dedup_stream — dropDuplicatesWithinWatermark with
+    bounded per-key state), availableNow → memory sink, then audited per
+    event_type.  The driver corpus has unique event_ids, so the streaming
+    dedup output must equal the batch DISTINCT oracle exactly — the
+    at-least-once-source idempotence contract (`scene_copy.py:408-422`
+    skip-if-exists) stated as a hash check.  Scale: state is bounded by
+    (keys within the 2h watermark), not the stream's history."""
+    import uuid
+
+    from .streaming.monitor import dedup_stream
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = dedup_stream(
+        stream.select("event_id", "ts", "event_type"),
+        ["event_id"],
+        event_time_col="ts",
+        watermark="2 hours",
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    sink = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAMING_DEDUP_COUNTS = """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
 def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window aggregate executed as a REAL Structured Streaming
     pipeline — readStream file source → event-time watermark → groupBy(window)
@@ -2650,6 +2706,8 @@ EXT_QUERIES["time_grid_ffill"] = q_time_grid_ffill
 EXT_ORACLES["time_grid_ffill"] = SQL_TIME_GRID_FFILL
 EXT_QUERIES["multimodal_meta_stats"] = q_multimodal_meta_stats
 EXT_ORACLES["multimodal_meta_stats"] = SQL_MULTIMODAL_META_STATS
+EXT_QUERIES["streaming_dedup_counts"] = q_streaming_dedup_counts
+EXT_ORACLES["streaming_dedup_counts"] = SQL_STREAMING_DEDUP_COUNTS
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
