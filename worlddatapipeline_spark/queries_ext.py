@@ -1073,6 +1073,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_segment_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (mktsegment, orderstatus) — all four grouping
+    combinations in one pass (the full-lattice sibling of the ROLLUP query;
+    grouping-sets surface the reference lacks, SURVEY §2.4)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    j = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.cube("c_mktsegment", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double"), 2).alias(
+            "total_value"
+        ),
+    )
+
+
+SQL_SEGMENT_CUBE_STATS = """
+SELECT c_mktsegment, o_orderstatus,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE), 2) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts widened to one column per event type
+    (explicit value list, so the plan is a single groupBy with conditional
+    aggregates — no extra distinct pass; at 100 TB an unlisted pivot would
+    first scan for distinct values).  Oracle = conditional-sum SQL."""
+    (events,) = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types
+    ]
+    return out.select(*cols)
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked slice of the multimodal surface: the typed-metadata +
     binary-payload layer (operators/multimodal.py::synthesize_media) audited
@@ -2708,6 +2764,10 @@ EXT_QUERIES["multimodal_meta_stats"] = q_multimodal_meta_stats
 EXT_ORACLES["multimodal_meta_stats"] = SQL_MULTIMODAL_META_STATS
 EXT_QUERIES["streaming_dedup_counts"] = q_streaming_dedup_counts
 EXT_ORACLES["streaming_dedup_counts"] = SQL_STREAMING_DEDUP_COUNTS
+EXT_QUERIES["segment_cube_stats"] = q_segment_cube_stats
+EXT_ORACLES["segment_cube_stats"] = SQL_SEGMENT_CUBE_STATS
+EXT_QUERIES["event_type_pivot"] = q_event_type_pivot
+EXT_ORACLES["event_type_pivot"] = SQL_EVENT_TYPE_PIVOT
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
