@@ -1073,6 +1073,88 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): three lineitem measures to long (measure, value)
+    format via ``unpivot`` — one projection, no shuffle until the final
+    aggregate; the wide→long normalization step feature stores need.
+    Oracle = UNION ALL of per-measure aggregates."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    long = lineitem.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("val").cast("decimal(28,10)")).cast("double"), 4).alias(
+            "total"
+        ),
+    )
+
+
+SQL_MEASURE_UNPIVOT = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       round(CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE), 4) AS total
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of customers by account balance via exact percentile
+    BOUNDARIES (quantile-bucket assignment for feature binning).
+
+    Deliberately NOT ``ntile`` — a global-order window is a single-partition
+    scan at 100 TB.  Instead: one 9-value percentile aggregate, broadcast
+    back, decile = 1 + #boundaries strictly below the value — the same
+    group-scalar-from-aggregate shape as length_band_filter, fully parallel.
+    Spark `percentile` and DuckDB `quantile_cont` interpolate
+    bit-identically (verified), so band edges agree exactly."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = customer.agg(
+        F.expr(
+            f"percentile(c_acctbal, array({','.join(str(q) for q in qs)}))"
+        ).alias("bs")
+    )
+    j = customer.crossJoin(F.broadcast(bounds))
+    decile = (
+        F.size(F.filter("bs", lambda b: F.col("c_acctbal") > b)) + 1
+    ).alias("decile")
+    return (
+        j.select("c_acctbal", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+SQL_CUSTOMER_VALUE_DECILES = """
+WITH bounds AS (
+  SELECT quantile_cont(c_acctbal, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM customer
+), banded AS (
+  SELECT c_acctbal,
+         len(list_filter(bs, b -> c_acctbal > b)) + 1 AS decile
+  FROM customer, bounds
+)
+SELECT decile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM banded GROUP BY decile
+"""
+
+
 def q_segment_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (mktsegment, orderstatus) — all four grouping
     combinations in one pass (the full-lattice sibling of the ROLLUP query;
@@ -2768,6 +2850,10 @@ EXT_QUERIES["segment_cube_stats"] = q_segment_cube_stats
 EXT_ORACLES["segment_cube_stats"] = SQL_SEGMENT_CUBE_STATS
 EXT_QUERIES["event_type_pivot"] = q_event_type_pivot
 EXT_ORACLES["event_type_pivot"] = SQL_EVENT_TYPE_PIVOT
+EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
+EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
+EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
+EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
