@@ -271,3 +271,24 @@ def test_time_grid_ffill(spark):
     assert len(out) == 4                               # 10:00 11:00 12:00 13:00
     assert [r["filled"] for r in out] == [11.0, 11.0, 11.0, 30.0]
     assert [r["value"] for r in out] == [11.0, None, None, 30.0]
+
+
+def test_time_grid_ffill_sub_hour_step(spark):
+    """Non-hour steps must bucket on step boundaries (epoch floor), so the
+    grid join hits every bucket — date_trunc would misalign 15-minute grids."""
+    import datetime as dt
+
+    from worlddatapipeline_spark.operators.windows import time_grid_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 10, 7)
+    rows = [
+        ("u", t0, 1, 1.0),                            # bucket 10:00
+        ("u", t0 + dt.timedelta(minutes=40), 2, 2.0),  # bucket 10:45
+    ]
+    df = spark.createDataFrame(rows, ["seq", "ts", "eid", "v"])
+    out = sorted(
+        time_grid_ffill(df, "seq", "ts", "v", step="15 minutes", tiebreak_col="eid").collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    assert [r["bucket_ts"].minute for r in out] == [0, 15, 30, 45]
+    assert [r["filled"] for r in out] == [1.0, 1.0, 1.0, 2.0]

@@ -158,7 +158,16 @@ def salted_join(
     a single key so hot that even one AQE split of it overwhelms a task, or
     engines/pipelines where AQE is off.  Use plain ``join`` first.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    # ANY salt assignment is correct (each fact row matches exactly one
+    # replicated dim row per key regardless of salt value); hashing the
+    # row's hashable columns just makes it deterministic across retries.
+    # MapType is excluded — F.hash rejects it.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
+    ] or [key]
+    salt = F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(n_salts))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -304,8 +304,16 @@ def time_grid_ffill(
     and ``filled`` is the carried-forward series.
     """
     tiebreak_col = tiebreak_col or ts_col
-    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.date_trunc(
-        "minute", F.col(ts_col)
+    # Bucket by flooring the epoch to the step width — works for ANY step
+    # and always aligns with the sequence() grid below (date_trunc would
+    # misalign for steps like '15 minutes').  For whole-hour steps this is
+    # identical to date_trunc('hour') under the UTC session tz.
+    _units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    n_str, unit = step.split()
+    step_s = int(n_str) * _units[unit.rstrip("s")]
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_s * 1_000_000))
+        * F.lit(step_s)
     )
     ev = df.select(
         F.col(seq_col),
