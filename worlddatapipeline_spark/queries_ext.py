@@ -1073,6 +1073,123 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_event_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over consecutive event ids per user: the classic
+    ``id - row_number()`` grouping trick — runs of consecutive ids collapse
+    to one island key.  The id-continuity sibling of time-gap sessionize
+    (ingest-completeness audits ask exactly this: which id ranges arrived
+    unbroken?).  One window + one aggregate, shuffled by user only."""
+    (events,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    islands = events.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("island_key"),
+    )
+    per_island = islands.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("event_id").alias("run_start"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.min("run_start").alias("first_id"),
+    )
+
+
+SQL_EVENT_ID_ISLANDS = """
+WITH islands AS (
+  SELECT user_id, event_id,
+         event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           AS island_key
+  FROM events
+), per_island AS (
+  SELECT user_id, island_key, count(*) AS run_len, min(event_id) AS run_start
+  FROM islands GROUP BY user_id, island_key
+)
+SELECT user_id, count(*) AS n_islands, max(run_len) AS longest_run,
+       min(run_start) AS first_id
+FROM per_island GROUP BY user_id
+"""
+
+
+def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: customers common to the two top
+    mktsegments by balance band vs exclusive to the first — exact bag/set
+    semantics matched to the SQL set operators."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    both = rich.intersect(building)
+    only_rich = rich.exceptAll(building)
+    return (
+        both.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("rich_and_building").alias("subset"), "n")
+        .unionByName(
+            only_rich.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("rich_only").alias("subset"), "n"
+            )
+        )
+    )
+
+
+SQL_SEGMENT_SET_OPS = """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'rich_and_building' AS subset,
+       (SELECT count(*) FROM (SELECT * FROM rich INTERSECT SELECT * FROM building)) AS n
+UNION ALL
+SELECT 'rich_only',
+       (SELECT count(*) FROM (SELECT * FROM rich EXCEPT ALL SELECT * FROM building)) AS n
+"""
+
+
+def q_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows — F.window(ts, '2 hours',
+    '1 hour'): every event lands in TWO overlapping windows; the smoothing
+    aggregation Structured Streaming uses for rate dashboards, computed
+    here in batch with the identical operator.  Oracle replicates the
+    two-window membership with an explicit 2-row explode per event."""
+    (events,) = _t(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH").alias("win_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+SQL_SLIDING_EVENT_WINDOWS = """
+WITH exploded AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS win_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H'),
+         event_type, value
+  FROM events
+)
+SELECT win_start, event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
+FROM exploded GROUP BY win_start, event_type
+"""
+
+
 def q_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): three lineitem measures to long (measure, value)
     format via ``unpivot`` — one projection, no shuffle until the final
@@ -2854,6 +2971,12 @@ EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
 EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
 EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
 EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
+EXT_QUERIES["event_id_islands"] = q_event_id_islands
+EXT_ORACLES["event_id_islands"] = SQL_EVENT_ID_ISLANDS
+EXT_QUERIES["segment_set_ops"] = q_segment_set_ops
+EXT_ORACLES["segment_set_ops"] = SQL_SEGMENT_SET_OPS
+EXT_QUERIES["sliding_event_windows"] = q_sliding_event_windows
+EXT_ORACLES["sliding_event_windows"] = SQL_SLIDING_EVENT_WINDOWS
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
