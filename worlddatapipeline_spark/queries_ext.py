@@ -1073,6 +1073,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface over the embedding corpus:
+    per-label L2-norm statistics via an ``F.aggregate`` fold (sequential,
+    JVM-side — the codegen'd per-row path; bulk scoring stays in the BLAS
+    batch operators).  Sequential fold order matches DuckDB's list_sum
+    fold exactly, so norms agree bit-for-bit before the round."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = embeddings.select("label", F.sqrt(sq).alias("l2"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("l2"), 6).alias("min_norm"),
+        F.round(F.max("l2"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("l2").cast("decimal(28,12)")).cast("double"), 4
+        ).alias("sum_norm"),
+    )
+
+
+SQL_EMBEDDING_NORM_STATS = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS l2
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       round(min(l2), 6) AS min_norm,
+       round(max(l2), 6) AS max_norm,
+       round(CAST(sum(CAST(l2 AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_norm
+FROM norms GROUP BY label
+"""
+
+
 def q_event_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over consecutive event ids per user: the classic
     ``id - row_number()`` grouping trick — runs of consecutive ids collapse
@@ -2971,6 +3009,8 @@ EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
 EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
 EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
 EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
+EXT_QUERIES["embedding_norm_stats"] = q_embedding_norm_stats
+EXT_ORACLES["embedding_norm_stats"] = SQL_EMBEDDING_NORM_STATS
 EXT_QUERIES["event_id_islands"] = q_event_id_islands
 EXT_ORACLES["event_id_islands"] = SQL_EVENT_ID_ISLANDS
 EXT_QUERIES["segment_set_ops"] = q_segment_set_ops
