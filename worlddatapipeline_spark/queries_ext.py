@@ -1073,6 +1073,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text API parity: the same engine surface through ``spark.sql``
+    over the temp views ``load_tables`` registers — a user can hand the
+    engine literal ANSI SQL and get the identical Catalyst plan the
+    DataFrame API produces.  (Spark and DuckDB both read this statement,
+    modulo strftime/date_format spelling.)"""
+    _t(spark, sf_dir, "orders", "customer")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               date_format(o_orderdate, 'yyyy') AS order_year,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE), 2)
+                 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY c_mktsegment, date_format(o_orderdate, 'yyyy')
+    """)
+
+
+SQL_SQL_API_REVENUE = """
+SELECT c_mktsegment,
+       strftime(o_orderdate, '%Y') AS order_year,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE), 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus <> 'F'
+GROUP BY c_mktsegment, strftime(o_orderdate, '%Y')
+"""
+
+
 def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array-function surface over the embedding corpus:
     per-label L2-norm statistics via an ``F.aggregate`` fold (sequential,
@@ -3009,6 +3040,8 @@ EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
 EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
 EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
 EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
+EXT_QUERIES["sql_api_revenue"] = q_sql_api_revenue
+EXT_ORACLES["sql_api_revenue"] = SQL_SQL_API_REVENUE
 EXT_QUERIES["embedding_norm_stats"] = q_embedding_norm_stats
 EXT_ORACLES["embedding_norm_stats"] = SQL_EMBEDDING_NORM_STATS
 EXT_QUERIES["event_id_islands"] = q_event_id_islands
