@@ -1073,6 +1073,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family — stddev_samp / var_samp / corr per
+    event type.  Both engines use numerically stable single-pass updates;
+    agreement at round(…, 6) verified at two scale factors."""
+    (events,) = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    y = (F.col("event_id") % 1000).cast("double")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(x), 6).alias("sd_value"),
+        F.round(F.var_samp(x), 6).alias("var_value"),
+        F.round(F.corr(x, y), 6).alias("corr_value_idx"),
+    )
+
+
+SQL_VALUE_DISPERSION_STATS = """
+SELECT event_type, count(*) AS n,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(var_samp(value), 6) AS var_value,
+       round(corr(value, CAST(event_id % 1000 AS DOUBLE)), 6) AS corr_value_idx
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text API parity: the same engine surface through ``spark.sql``
     over the temp views ``load_tables`` registers — a user can hand the
@@ -3040,6 +3065,8 @@ EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
 EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
 EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
 EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
+EXT_QUERIES["value_dispersion_stats"] = q_value_dispersion_stats
+EXT_ORACLES["value_dispersion_stats"] = SQL_VALUE_DISPERSION_STATS
 EXT_QUERIES["sql_api_revenue"] = q_sql_api_revenue
 EXT_ORACLES["sql_api_revenue"] = SQL_SQL_API_REVENUE
 EXT_QUERIES["embedding_norm_stats"] = q_embedding_norm_stats
