@@ -1073,6 +1073,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching — near-identical part names within a
+    brand (levenshtein ≤ 4) — the string-similarity sibling of the shingle
+    dedup family (catalog-entity resolution).  Scale: the quadratic
+    candidate space is BOUNDED by the brand group before the distance
+    computation (same bucket-then-verify shape as the LSH pipelines; an
+    ungrouped pair join would be O(n²) on names)."""
+    (part,) = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "brand").filter(F.col("key_a") < F.col("key_b"))
+    scored = pairs.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= 4)
+    return scored.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_close_pairs"),
+        F.min("dist").alias("min_dist"),
+    )
+
+
+SQL_PART_NAME_FUZZY_PAIRS = """
+SELECT a.p_brand AS brand,
+       count(*) AS n_close_pairs,
+       min(levenshtein(a.p_name, b.p_name)) AS min_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+GROUP BY a.p_brand
+"""
+
+
 def q_value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family — stddev_samp / var_samp / corr per
     event type.  Both engines use numerically stable single-pass updates;
@@ -3065,6 +3104,8 @@ EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
 EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
 EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
 EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
+EXT_QUERIES["part_name_fuzzy_pairs"] = q_part_name_fuzzy_pairs
+EXT_ORACLES["part_name_fuzzy_pairs"] = SQL_PART_NAME_FUZZY_PAIRS
 EXT_QUERIES["value_dispersion_stats"] = q_value_dispersion_stats
 EXT_ORACLES["value_dispersion_stats"] = SQL_VALUE_DISPERSION_STATS
 EXT_QUERIES["sql_api_revenue"] = q_sql_api_revenue
