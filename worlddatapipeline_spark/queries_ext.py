@@ -1073,6 +1073,81 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
+    Catalyst rewrites both to semi/anti joins (same physical plan the
+    DataFrame left_semi/left_anti API produces; the subquery SYNTAX is the
+    operator under test here)."""
+    _t(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 200000
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big_order,
+               CAST(sum(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+        FROM customer c
+        GROUP BY c_mktsegment
+    """)
+
+
+SQL_EXISTS_SUBQUERY_CUSTOMERS = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big_order,
+       CAST(sum(CASE WHEN NOT EXISTS (
+           SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+FROM customer c
+GROUP BY c_mktsegment
+"""
+
+
+def q_rolling_hour_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, events inside the TRAILING one-hour
+    range of each event (rangeBetween on epoch seconds — a value-based
+    frame, not a row-count frame; row frames can't express 'last hour'
+    under irregular arrival).  Per-user audit of the peak rate."""
+    (events,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    secs = (F.unix_micros("ts") / 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    rated = events.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("events_last_hour")
+    )
+    return rated.groupBy("user_id").agg(
+        F.max("events_last_hour").alias("peak_hour_rate"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_ROLLING_HOUR_EVENT_RATE = """
+WITH rated AS (
+  SELECT user_id,
+         count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch(ts)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+         ) AS events_last_hour
+  FROM events
+)
+SELECT user_id, max(events_last_hour) AS peak_hour_rate,
+       count(*) AS n_events
+FROM rated GROUP BY user_id
+"""
+
+
 def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching — near-identical part names within a
     brand (levenshtein ≤ 4) — the string-similarity sibling of the shingle
@@ -3104,6 +3179,10 @@ EXT_QUERIES["measure_unpivot"] = q_measure_unpivot
 EXT_ORACLES["measure_unpivot"] = SQL_MEASURE_UNPIVOT
 EXT_QUERIES["customer_value_deciles"] = q_customer_value_deciles
 EXT_ORACLES["customer_value_deciles"] = SQL_CUSTOMER_VALUE_DECILES
+EXT_QUERIES["exists_subquery_customers"] = q_exists_subquery_customers
+EXT_ORACLES["exists_subquery_customers"] = SQL_EXISTS_SUBQUERY_CUSTOMERS
+EXT_QUERIES["rolling_hour_event_rate"] = q_rolling_hour_event_rate
+EXT_ORACLES["rolling_hour_event_rate"] = SQL_ROLLING_HOUR_EVENT_RATE
 EXT_QUERIES["part_name_fuzzy_pairs"] = q_part_name_fuzzy_pairs
 EXT_ORACLES["part_name_fuzzy_pairs"] = SQL_PART_NAME_FUZZY_PAIRS
 EXT_QUERIES["value_dispersion_stats"] = q_value_dispersion_stats
