@@ -164,3 +164,26 @@ def test_salted_join_matches_plain_join(spark):
         for r in joins.salted_join(fact, dim, "k", n_salts=4).collect()
     )
     assert salted == plain and len(salted) == 51
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would surface each unmatched dim row once per salt —
+    salted_join must refuse those modes instead of returning duplicates."""
+    fact = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], ["k", "label"])
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        try:
+            joins.salted_join(fact, dim, "k", n_salts=4, how=bad)
+            raise AssertionError(f"how={bad!r} should have been rejected")
+        except ValueError:
+            pass
+    # left stays allowed and row-identical to the plain left join
+    plain = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in fact.join(dim, "k", "left").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in joins.salted_join(fact, dim, "k", n_salts=4, how="left").collect()
+    )
+    assert salted == plain

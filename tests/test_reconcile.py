@@ -86,9 +86,15 @@ def test_directory_content_hash_deterministic(spark):
 
 
 def test_merge_upsert_parquet_write_path(spark, tmp_path):
-    """Persistent MERGE: staging write + atomic swap; updates applied,
-    inserts added, untouched rows pass through, old table replaced."""
-    from worlddatapipeline_spark.operators.reconcile import merge_upsert_parquet
+    """Persistent MERGE: versioned write + pointer commit; updates applied,
+    inserts added, untouched rows pass through, pointer resolves to the
+    merged table."""
+    import os
+
+    from worlddatapipeline_spark.operators.reconcile import (
+        merge_upsert_parquet,
+        read_parquet_table,
+    )
 
     path = str(tmp_path / "tbl")
     spark.createDataFrame(
@@ -98,8 +104,82 @@ def test_merge_upsert_parquet_write_path(spark, tmp_path):
     out = merge_upsert_parquet(spark, path, source, ["k"], update_cols=["bal"])
     got = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
     assert got == {1: ("a", 10.0), 2: ("b", 99.0), 3: (None, 30.0)}
-    # the published path itself now holds the merged table (fresh session read)
-    again = {r["k"]: r["bal"] for r in spark.read.parquet(path).collect()}
+    # pointer-resolved read sees the merged table
+    again = {r["k"]: r["bal"] for r in read_parquet_table(spark, path).collect()}
     assert again == {1: 10.0, 2: 99.0, 3: 30.0}
-    import os
-    assert not os.path.exists(path + ".staging") and not os.path.exists(path + ".old")
+    with open(os.path.join(path, "_CURRENT"), encoding="utf-8") as fh:
+        assert fh.read().strip() == "_v00000001"
+    # no staging orphans after a clean merge
+    assert not [e for e in os.listdir(path) if e.startswith("_staging-")]
+
+    # second merge: new version published, first version kept for rollback,
+    # legacy root files GC'd
+    merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(1, 5.0)], ["k", "bal"]), ["k"],
+        update_cols=["bal"],
+    )
+    final = {r["k"]: r["bal"] for r in read_parquet_table(spark, path).collect()}
+    assert final == {1: 5.0, 2: 99.0, 3: 30.0}
+    entries = set(os.listdir(path))
+    assert {"_CURRENT", "_v00000001", "_v00000002"} <= entries
+    assert not [e for e in entries if e.endswith(".parquet")]  # legacy files gone
+
+
+def test_merge_upsert_parquet_crash_before_rename_not_torn(spark, tmp_path, monkeypatch):
+    """A crash AFTER the staging write but BEFORE the version rename leaves
+    the live table untouched and the merge retryable."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "bal"]).write.parquet(path)
+    source = spark.createDataFrame([(2, 99.0)], ["k", "bal"])
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before version rename")
+
+    monkeypatch.setattr(reconcile.os, "rename", boom)
+    try:
+        reconcile.merge_upsert_parquet(spark, path, source, ["k"])
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # table still fully readable with the OLD contents — no torn window
+    live = {r["k"]: r["bal"] for r in reconcile.read_parquet_table(spark, path).collect()}
+    assert live == {1: 10.0, 2: 20.0}
+    # retry succeeds and sweeps the orphaned staging dir
+    out = reconcile.merge_upsert_parquet(spark, path, source, ["k"])
+    assert {r["k"]: r["bal"] for r in out.collect()} == {1: 10.0, 2: 99.0}
+
+
+def test_merge_upsert_parquet_crash_before_pointer_commit_not_torn(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the version rename but BEFORE the pointer commit leaves
+    the old version live (unreferenced new dir only); retry publishes."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "bal"]).write.parquet(path)
+    # establish a versioned layout first so _CURRENT exists
+    reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(1, 10.0)], ["k", "bal"]), ["k"]
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before pointer commit")
+
+    monkeypatch.setattr(reconcile.os, "replace", boom)
+    source = spark.createDataFrame([(2, 99.0)], ["k", "bal"])
+    try:
+        reconcile.merge_upsert_parquet(spark, path, source, ["k"])
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # pointer still names the old version; reads see the old table
+    live = {r["k"]: r["bal"] for r in reconcile.read_parquet_table(spark, path).collect()}
+    assert live == {1: 10.0, 2: 20.0}
+    # retry overwrites the orphaned version dir and commits
+    out = reconcile.merge_upsert_parquet(spark, path, source, ["k"])
+    assert {r["k"]: r["bal"] for r in out.collect()} == {1: 10.0, 2: 99.0}

@@ -148,6 +148,38 @@ def test_kmeans_centroids_unit_norm_and_count(spark):
         assert abs(np.linalg.norm(np.asarray(r["cvec"])) - 1.0) < 1e-9
 
 
+def test_kmeans_cache_scans_source_once(spark):
+    """With cache=True (default) the corpus source is scanned exactly once —
+    the init job materializes the persisted frame and every Lloyd's
+    iteration reads the cache.  Measured behaviorally: an accumulator
+    counting rows flowing out of the source sees n_rows once with the
+    cache, and (1 + n_iter) times without it."""
+    from worlddatapipeline_spark.operators.similarity import kmeans_centroids
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_rows = base.count()
+
+    def counted(df):
+        acc = spark.sparkContext.accumulator(0)
+
+        def tag(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(tag, schema=df.schema), acc
+
+    corpus, acc_cached = counted(base)
+    kmeans_centroids(corpus, k=4, n_iter=3, cache=True)
+    assert acc_cached.value == n_rows
+
+    corpus2, acc_uncached = counted(base)
+    kmeans_centroids(corpus2, k=4, n_iter=3, cache=False)
+    assert acc_uncached.value == n_rows * 4  # init + 3 iterations
+
+
 def test_kmeans_centroids_improve_ivf_recall(spark):
     """Trained quantizer must not be worse than the sampled one (same probe
     budget) on the test corpus."""

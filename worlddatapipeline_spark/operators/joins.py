@@ -157,7 +157,20 @@ def salted_join(
     handles most cases at runtime; this operator is for the residual ones —
     a single key so hot that even one AQE split of it overwhelms a task, or
     engines/pipelines where AQE is off.  Use plain ``join`` first.
+
+    Only ``inner`` and ``left`` are row-identical to the plain join: with
+    right/full outer joins an UNMATCHED dim row survives once per salt
+    (n_salts duplicates), so those modes are rejected rather than silently
+    wrong (ADVICE r2).  For a skewed right/full join, salt with the sides
+    swapped or dedupe unmatched rows explicitly.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left are row-identical "
+            "to the plain join — unmatched dim rows would appear once per "
+            "salt under right/full outer modes"
+        )
     # ANY salt assignment is correct (each fact row matches exactly one
     # replicated dim row per key regardless of salt value); hashing the
     # row's hashable columns just makes it deterministic across retries.

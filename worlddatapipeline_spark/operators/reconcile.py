@@ -19,6 +19,9 @@ to Delta/Iceberg later.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +55,26 @@ def merge_upsert(
     return joined.select(*cols)
 
 
+def _table_current_version(path: str) -> str | None:
+    """Version name in the table's ``_CURRENT`` pointer file, or None for a
+    legacy plain-parquet directory (no pointer yet)."""
+    cur = os.path.join(path, "_CURRENT")
+    if os.path.isfile(cur):
+        with open(cur, encoding="utf-8") as fh:
+            return fh.read().strip()
+    return None
+
+
+def read_parquet_table(spark, path: str) -> DataFrame:
+    """Read a table written by ``merge_upsert_parquet``: resolve the
+    ``_CURRENT`` pointer to the live version directory; fall back to a plain
+    parquet read for tables that have never been merged."""
+    v = _table_current_version(path)
+    if v is None:
+        return spark.read.parquet(path)
+    return spark.read.parquet(os.path.join(path, v))
+
+
 def merge_upsert_parquet(
     spark,
     path: str,
@@ -59,35 +82,84 @@ def merge_upsert_parquet(
     keys: list[str],
     update_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Persistent MERGE into a plain-parquet table: read → merge_upsert →
-    staging write → directory swap.  Returns the re-read merged table.
+    """Persistent MERGE into a parquet table via versioned directories and
+    an atomic pointer-file commit.  Returns the re-read merged table.
 
     The write path is the part `merge_upsert` alone leaves open
-    (`scene_registry.py:224-239` commits in SQLite).  Two rules make the
-    read-modify-overwrite safe without Delta/Iceberg:
+    (`scene_registry.py:224-239` commits in SQLite).  Layout after the
+    first merge::
 
-    - NEVER ``mode("overwrite")`` the path being read: Spark plans lazily,
-      so the overwrite would truncate its own input mid-job.  The merged
-      result is fully materialized into ``<path>.staging`` first.
-    - the publish step is a pair of directory renames (atomic on a POSIX
-      filesystem and on HDFS; on S3-style object stores bind this step to a
-      table format's commit — the compute stays identical).
+        <path>/_CURRENT        pointer file, contains e.g. "_v00000002"
+        <path>/_v00000001      previous version (kept for rollback)
+        <path>/_v00000002      live version
 
-    Readers either see the old table or the new one, never a torn mix.
+    Commit protocol — no step ever mutates data a reader can be holding:
+
+    1. materialize the merged result into ``<path>/_staging-<next>``
+       (never ``mode("overwrite")`` on the path being read — Spark plans
+       lazily and would truncate its own input mid-job);
+    2. ``os.rename`` staging → ``<path>/_v<next>`` (same-directory rename;
+       the new version is still unreferenced, so a crash here leaves the
+       live pointer — and therefore the table — untouched);
+    3. write the new version name to a temp file, fsync, and
+       ``os.replace`` it onto ``_CURRENT`` — the single atomic commit
+       point on POSIX/HDFS.  Readers resolve the pointer and see the old
+       version or the new one, never a torn mix and never a missing table;
+    4. garbage-collect versions older than the PREVIOUS one — the previous
+       version survives until the next successful merge, so there is
+       always a rollback target (repoint ``_CURRENT`` by hand).
+
+    Orphans from a crashed run (staging dirs, an unreferenced ``_v<next>``)
+    are swept at the start of the next merge; the merge is therefore
+    idempotently retryable after a crash at ANY step.
+
+    Object-store caveat: ``os.replace`` is atomic on POSIX filesystems and
+    HDFS but S3-class stores have no atomic rename — there, bind step 3 to
+    a table-format commit (Delta/Iceberg ``MERGE INTO``) or a
+    conditional-PUT of the pointer object; steps 1-2 and the merge compute
+    stay identical.  Concurrent WRITERS are not arbitrated here (last
+    pointer wins) — same single-writer contract as the reference's SQLite
+    registry.
     """
-    import os
-    import shutil
-
-    target = spark.read.parquet(path)
+    target = read_parquet_table(spark, path)
     merged = merge_upsert(target, source, keys, update_cols)
-    staging = path.rstrip("/") + ".staging"
-    backup = path.rstrip("/") + ".old"
+
+    cur = _table_current_version(path)
+    n = int(cur.lstrip("_v")) if cur else 0
+    new_v = f"_v{n + 1:08d}"
+    staging = os.path.join(path, f"_staging-{new_v}")
+    # sweep orphans a crashed previous attempt may have left behind
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, new_v), ignore_errors=True)
+
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup, ignore_errors=True)
-    return spark.read.parquet(path)
+    os.rename(staging, os.path.join(path, new_v))
+
+    tmp = os.path.join(path, "._CURRENT.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(new_v)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "_CURRENT"))
+
+    # GC: keep the live and previous versions.  Legacy root files (from the
+    # pre-versioned layout) are the "previous version" of the first merge —
+    # they are removed only once a versioned predecessor exists.
+    keep = {"_CURRENT", new_v}
+    if cur:
+        keep.add(cur)
+    for entry in os.listdir(path):
+        if entry in keep:
+            continue
+        full = os.path.join(path, entry)
+        if entry.startswith("_v") or entry.startswith("_staging-"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif cur is not None:
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+    return read_parquet_table(spark, path)
 
 
 def inventory_reconcile(

@@ -406,6 +406,7 @@ def kmeans_centroids(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over an embedding column, DataFrame-native.
 
@@ -419,63 +420,75 @@ def kmeans_centroids(
        groupBy(cluster, pos).avg (map-side partial agg) → re-assemble the
        array with collect_list sorted by position.
 
-    Only k centroid rows ever reach the driver per iteration; the corpus is
-    scanned n_iter times (at 100 TB: cache/checkpoint the normalized corpus
-    or train on a sample — the quantizer doesn't need every row).  Empty
-    clusters keep their previous centroid.  Deterministic: min-hash-of-id
-    init (same as ivf_topk's sampled centroids), first-max tiebreak.
+    Only k centroid rows ever reach the driver per iteration.  With
+    ``cache=True`` (default) the projected (id, vec) frame is persisted
+    before the loop, so the source is SCANNED ONCE — init materializes the
+    cache and every Lloyd's iteration reads it (verified by a
+    statusTracker-based test); ``cache=False`` re-scans per iteration for
+    corpora larger than cluster cache capacity (there, train on a sample —
+    the quantizer doesn't need every row).  Empty clusters keep their
+    previous centroid.  Deterministic: min-hash-of-id init (same as
+    ivf_topk's sampled centroids), first-max tiebreak.
 
     Iterative-algorithm family, like graph.connected_components — a
     driver-side loop over declarative steps, the reference's batch-loop
     analog (`navmesh_connectivity.py:158-180`).
     Returns a k-row DataFrame (cid int, cvec array<double>), unit-norm.
     """
-    # init: k rows with the smallest xxhash64(id) — deterministic spread via
-    # TakeOrderedAndProject; no global-order window (single-partition hazard)
-    init = (
-        corpus.select(F.col(vec_col).alias("cvec"))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    cents = []
-    for row in init:
-        v = np.asarray(row["cvec"], dtype=np.float64)
-        n = np.linalg.norm(v)
-        cents.append(v / n if n > 0 else v)
-
     spark = corpus.sparkSession
-    for _ in range(n_iter):
-        dots = F.array(
-            *[
-                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                for c in cents
-            ]
-        )
-        assigned = corpus.select(
-            (F.array_position(dots, F.array_max(dots)) - 1).alias("cluster"),
-            F.col(vec_col).alias("__v"),
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("avgv"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
-                    lambda s: s["avgv"],
-                ).alias("mean_vec")
-            )
+    work = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if cache:
+        work = work.persist()
+    try:
+        # init: k rows with the smallest xxhash64(id) — deterministic spread
+        # via TakeOrderedAndProject; no global-order window (single-partition
+        # hazard).  This job also materializes the cache when enabled.
+        init = (
+            work.select(F.col("__v").alias("cvec"))
+            .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+            .limit(k)
             .collect()
         )
-        new_cents = list(cents)
-        for row in means:
-            v = np.asarray(row["mean_vec"], dtype=np.float64)
+        cents = []
+        for row in init:
+            v = np.asarray(row["cvec"], dtype=np.float64)
             n = np.linalg.norm(v)
-            if n > 0:
-                new_cents[int(row["cluster"])] = v / n
-        cents = new_cents
+            cents.append(v / n if n > 0 else v)
+
+        for _ in range(n_iter):
+            dots = F.array(
+                *[
+                    dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in c]))
+                    for c in cents
+                ]
+            )
+            assigned = work.select(
+                (F.array_position(dots, F.array_max(dots)) - 1).alias("cluster"),
+                "__v",
+            )
+            means = (
+                assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("avgv"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                        lambda s: s["avgv"],
+                    ).alias("mean_vec")
+                )
+                .collect()
+            )
+            new_cents = list(cents)
+            for row in means:
+                v = np.asarray(row["mean_vec"], dtype=np.float64)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new_cents[int(row["cluster"])] = v / n
+            cents = new_cents
+    finally:
+        if cache:
+            work.unpersist()
 
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],

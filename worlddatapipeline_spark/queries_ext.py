@@ -1112,17 +1112,22 @@ GROUP BY c_mktsegment
 
 def q_rolling_hour_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per user, events inside the TRAILING one-hour
-    range of each event (rangeBetween on epoch seconds — a value-based
+    range of each event (rangeBetween on epoch MICROSECONDS — a value-based
     frame, not a row-count frame; row frames can't express 'last hour'
-    under irregular arrival).  Per-user audit of the peak rate."""
+    under irregular arrival).  Per-user audit of the peak rate.
+
+    The frame axis is un-truncated unix_micros on BOTH the Spark side and
+    the DuckDB oracle (epoch_us): events.ts is microsecond-precision, and
+    truncating to whole seconds on one side only shifts which events fall
+    inside the trailing hour at the boundary."""
     (events,) = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    secs = (F.unix_micros("ts") / 1_000_000).cast("long")
+    micros = F.unix_micros("ts")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(secs)
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     rated = events.select(
         "user_id", F.count(F.lit(1)).over(w).alias("events_last_hour")
@@ -1137,8 +1142,8 @@ SQL_ROLLING_HOUR_EVENT_RATE = """
 WITH rated AS (
   SELECT user_id,
          count(*) OVER (
-           PARTITION BY user_id ORDER BY epoch(ts)
-           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
          ) AS events_last_hour
   FROM events
 )
@@ -2624,10 +2629,18 @@ def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation → EXACT n-gram Jaccard verification restricted to candidates
     (operators/dedup.py::ngram_jaccard_pairs(candidate_pairs=…)).  Candidate
     count is O(docs × bands); the exact pass only touches candidate pairs —
-    never the full pair space.  Approximate candidate stage → rows-only."""
+    never the full pair space.
+
+    ``max_bucket=None`` here because this query is ORACLED by the exact
+    brute-force Jaccard SQL: the default skew guard silently drops
+    over-large buckets, and a genuine giant duplicate cluster would then
+    break the oracle equality on corpora other than the test one (ADVICE
+    r2).  Production pipelines keep the guard — it is only the oracle
+    contract that demands uncut recall."""
     (documents,) = _t(spark, sf_dir, "documents")
     cands = dedup_ops.minhash_lsh_candidates(
-        documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+        documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
+        max_bucket=None,
     )
     verified = dedup_ops.ngram_jaccard_pairs(
         documents, "text", "doc_id", n=3, threshold=0.8, candidate_pairs=cands
@@ -2642,7 +2655,13 @@ def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (min doc_id) and member count.  The transitive stage a
     training-data dedup pipeline runs between pair generation and the
     actual delete — A~B, B~C collapse to one kept doc even without an A~C
-    pair."""
+    pair.
+
+    Pair generation rides ngram_jaccard_pairs' finite DEFAULT_MAX_DF cap
+    (dedup.py): posting lists longer than the cap are excluded from
+    candidate generation but Jaccard is verified EXACTLY on the full
+    shingle sets, so the recursive-CTE oracle still hash-matches while no
+    reducer is quadratic in a boilerplate shingle's document frequency."""
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.ngram_jaccard_pairs(
         documents, "text", "doc_id", n=3, threshold=0.8
