@@ -898,7 +898,9 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k
     (operators/similarity.py::lsh_topk) — the 100 TB scale path of
-    q_embedding_topk."""
+    q_embedding_topk.  16 OR-amplified tables of 6 planes: ~0.6 recall@5 at
+    a 2^6 per-table candidate prune on the test corpus (the recall floor is
+    driver-checked by `embedding_lsh_recall`)."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -906,7 +908,9 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim_ops.lsh_topk(corpus, queries, k=5, dim=64, n_planes=6, seed=42)
+    return sim_ops.lsh_topk(
+        corpus, queries, k=5, dim=64, n_planes=6, seed=42, n_tables=16
+    )
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,66 +1108,66 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Lead with the entries that need a driver verdict THIS round: queries fixed
-# since round 1 (NTZ/-0.0/DECIMAL repairs), newly-oracled ones, and the
-# oracle-backed queries the round-1 window never reached (all TPC-H + late
-# ext entries).  Round-1-green queries rotate to the tail; rotate again next
-# round until every registry entry has a driver row.
+# Round-3 rotation (NOTES_round3.md plan): every registry entry the r1/r2
+# windows never reached, plus entries whose implementation changed since
+# their last driver verdict, plus the six new round-3 contract queries;
+# backfilled to 50 with round-1 greens.  Union of the r1+r2+r3 windows =
+# the full registry.
 _DRIVER_WINDOW: list[str] = [
-    # fixed since round 1 — need driver re-verification
-    "user_event_gaps",
-    "sessionize",
-    "stalled_users",
-    "rate_limited_angle",
-    "extrinsic_export",
-    "customer_order_reconcile",
-    # newly oracle-backed this round
-    "connected_components",
-    "minhash_verified_dups",
-    "segment_clip_after_truncate",
-    # never driver-checked: ext tail
-    "catalog_upsert",
-    "top_unshipped_orders",
-    "supplier_volume",
-    "latest_status",
-    "order_exists_probe",
-    "min_cost_supplier",
-    "supplier_distinct_counts",
-    "ue_path_derive",
-    "child_refresh",
-    "low_activity_skip",
-    "embedding_cosine_dups",
-    "doc_repetition_filter",
-    "source_quota_sample",
-    "paragraph_dup_ratio",
-    "dataset_split_stats",
-    "pii_redaction",
-    "train_test_decontamination",
-    "stratified_sample_stats",
-    "glob_exclusion_stats",
-    "streaming_hourly_windows",
-    # never driver-checked: the TPC-H family
-    "discount_revenue",
-    "promo_revenue_ratio",
-    "nation_pair_volume",
-    "part_profit_by_nation",
-    "returned_top_customers",
-    "part_value_share",
-    "top_supplier_revenue",
-    "below_avg_qty_revenue",
-    "large_order_customers",
-    "idle_high_balance_customers",
-    "event_value_percentiles",
-    "salted_event_value_sum",
-    "hourly_event_windows",
-    "nation_market_share",
-    "order_count_distribution",
-    "late_order_priority_counts",
-    "local_supplier_volume",
-    "late_shipment_priority_mix",
-    "brand_band_revenue",
-    "excess_stock_suppliers",
-    "sole_late_suppliers",
+    # changed since last driver verdict — re-verify
+    "ngram_jaccard_pairs",      # finite max_df default (capped gen, exact verify)
+    "minhash_verified_dups",    # max_bucket=None for the exact oracle
+    "embedding_lsh_topk",       # multi-table OR-amplified LSH (rows-only)
+    # never driver-checked (25 oracle + 6 rows-only)
+    "scene_search",
+    "reachability_probe",
+    "weighted_behavior_choice",
+    "behavior_resample_checked",
+    "approach_target_yaw",
+    "dedup_cluster_keep",
+    "token_shard_packing",
+    "length_band_filter",
+    "time_grid_ffill",
+    "multimodal_meta_stats",
+    "streaming_dedup_counts",
+    "segment_cube_stats",
+    "event_type_pivot",
+    "measure_unpivot",
+    "customer_value_deciles",
+    "exists_subquery_customers",
+    "rolling_hour_event_rate",
+    "part_name_fuzzy_pairs",
+    "value_dispersion_stats",
+    "sql_api_revenue",
+    "embedding_norm_stats",
+    "event_id_islands",
+    "segment_set_ops",
+    "sliding_event_windows",
+    "salted_skew_join",
+    "simulate_trajectories",
+    "simhash_near_dups",
+    "multimodal_features",
+    "behavior_resample",
+    "embedding_ivf_topk",
+    "embedding_kmeans",
+    # new round-3 contract queries for the approximate operators
+    "minhash_recall_check",
+    "simhash_exact_containment",
+    "embedding_lsh_recall",
+    "embedding_ivf_recall",
+    "kmeans_objective_check",
+    "streaming_stall_audit",
+    # backfill to 50 with round-1 greens
+    "pricing_summary",
+    "catalog_stats",
+    "region_rollup",
+    "nation_rollup_sets",
+    "histogram_mode",
+    "grid_mode",
+    "lineitem_extremes",
+    "segment_listing",
+    "prefix_parts",
+    "top_orders_per_customer",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -3219,3 +3219,337 @@ EXT_ORACLES["sliding_event_windows"] = SQL_SLIDING_EVENT_WINDOWS
 # minhash_verified_dups' oracle is the exact-Jaccard SQL defined in
 # queries.py; registered there (after ORACLES is built) to avoid a
 # circular import.
+
+
+# ---------------------------------------------------------------------------
+# Contract queries for approximate operators (round-3): each rows-only
+# operator family gets an oracle-CHECKABLE sibling stating its quality
+# contract (containment / recall floor / objective monotonicity) as a value
+# the driver hash-compares.  The oracle side is exact SQL (or a constant),
+# so a recall regression or a dropped-candidate bug breaks the hash.
+# ---------------------------------------------------------------------------
+
+def q_minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate containment contract: every exact-Jaccard >= 0.9 pair
+    must appear in the MinHash-LSH candidate set (32 hashes / 8 bands,
+    per-pair miss probability (1-J^4)^8 < 0.03% at J=0.9; the skew guard is
+    off so recall is structural, not probabilistic-minus-dropped-buckets).
+    Emits (n_exact_high, n_missed); the oracle computes n_exact_high by
+    brute force and asserts n_missed = 0 — the driver hash check IS the
+    recall proof on this corpus."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    exact = dedup_ops.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, threshold=0.9
+    ).select("id_a", "id_b")
+    cands = dedup_ops.minhash_lsh_candidates(
+        documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
+        max_bucket=None,
+    )
+    missed = exact.join(cands, ["id_a", "id_b"], "left_anti")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_high")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+
+
+SQL_MINHASH_RECALL_CHECK = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM idx
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_exact_high, CAST(0 AS BIGINT) AS n_missed FROM (
+  SELECT id_a, id_b, inter.i / (sa.sz + sb.sz - inter.i) AS jac
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+) WHERE jac >= 0.9
+"""
+
+
+def q_simhash_exact_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash containment contract: docs with IDENTICAL normalized text
+    have identical 64-bit signatures, so every exact-duplicate pair must
+    surface in simhash_near_dups (hamming 0 <= any threshold) — banding
+    cannot miss an equal signature.  Emits (n_exact_pairs, n_missed);
+    oracle computes exact-dup pairs from md5 fingerprints and asserts
+    n_missed = 0."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    fp = documents.select(
+        F.col("doc_id").alias("id"),
+        F.md5(dedup_ops.normalize_text(F.col("text"))).alias("sh"),
+    )
+    exact_pairs = dedup_ops._posting_list_pairs(fp).distinct()
+    sim_pairs = dedup_ops.simhash_near_dups(
+        documents, "text", "doc_id", max_hamming=6, bands=4
+    ).select("id_a", "id_b")
+    missed = exact_pairs.join(sim_pairs, ["id_a", "id_b"], "left_anti")
+    return exact_pairs.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+
+
+SQL_SIMHASH_EXACT_CONTAINMENT = """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+)
+SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_missed
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-floor contract for the LSH ANN path: recall@5 of lsh_topk
+    (6 planes x 16 OR-amplified tables, the q_embedding_lsh_topk config)
+    against brute-force cosine top-5 must hold a 0.40 floor (measured
+    0.58-0.62 across the sf0.001/0.01/0.1 corpora — deterministic, fixed
+    seed).  Emits (n_queries, recall_floor_met); the oracle states the
+    expected (count, true) row, so a recall regression breaks the hash."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim_ops.cosine_topk_batched(corpus, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = sim_ops.lsh_topk(
+        corpus, queries, k=5, dim=64, n_planes=6, seed=42, n_tables=16
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .crossJoin(queries.agg(F.count(F.lit(1)).alias("n_queries")))
+        .select(
+            "n_queries",
+            (F.col("__n_hit") / F.col("__n_exact") >= 0.40).alias(
+                "recall_floor_met"
+            ),
+        )
+    )
+
+
+SQL_EMBEDDING_LSH_RECALL = """
+SELECT count(*) AS n_queries, true AS recall_floor_met
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def q_embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-floor contract for the IVF ANN path: recall@5 of ivf_topk
+    (16 sampled coarse centroids, n_probe=4 — the q_embedding_ivf_topk
+    config) against brute-force cosine top-5 must hold a 0.40 floor
+    (measured 0.54-0.60 across the test corpora; deterministic sampled
+    quantizer).  Emits (n_queries, recall_floor_met) vs a constant oracle."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim_ops.cosine_topk_batched(corpus, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = sim_ops.ivf_topk(
+        corpus, queries, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .crossJoin(queries.agg(F.count(F.lit(1)).alias("n_queries")))
+        .select(
+            "n_queries",
+            (F.col("__n_hit") / F.col("__n_exact") >= 0.40).alias(
+                "recall_floor_met"
+            ),
+        )
+    )
+
+
+SQL_EMBEDDING_IVF_RECALL = """
+SELECT count(*) AS n_queries, true AS recall_floor_met
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def q_kmeans_objective_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's-iteration monotonicity contract for the k-means quantizer:
+    the spherical objective (mean over vectors of max-over-centroids
+    cosine) after 3 iterations must be >= the objective after 1 iteration
+    from the same deterministic init — the textbook guarantee both the
+    assignment and update steps preserve.  Emits (k, n_vectors, improved)
+    vs a constant oracle; a broken update step (e.g. an un-normalized mean
+    or a shuffled centroid index) flips `improved` and breaks the hash."""
+    from .operators.similarity import dot as vdot
+    from .operators.similarity import kmeans_centroids, l2_norm
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def objective(cents_df) -> float:
+        rows = cents_df.collect()
+        dots = F.array(
+            *[
+                vdot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in r["cvec"]]),
+                )
+                for r in rows
+            ]
+        )
+        return corpus.select(
+            (F.array_max(dots) / l2_norm(F.col("embedding"))).alias("c")
+        ).agg(F.avg("c")).collect()[0][0]
+
+    obj1 = objective(kmeans_centroids(corpus, k=8, n_iter=1))
+    obj3 = objective(kmeans_centroids(corpus, k=8, n_iter=3))
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.lit(8).alias("k"),
+            "n_vectors",
+            F.lit(bool(obj3 >= obj1 - 1e-9)).alias("improved"),
+        )
+    )
+
+
+SQL_KMEANS_OBJECTIVE_CHECK = """
+SELECT CAST(8 AS INTEGER) AS k, count(*) AS n_vectors, true AS improved
+FROM embeddings
+"""
+
+
+def q_streaming_stall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful stall detector (streaming/monitor.py::
+    stateful_stall_detector, applyInPandasWithState + event-time timeouts)
+    executed as a REAL two-batch Structured Streaming run and hash-checked
+    against a batch SQL restatement of its watermark mechanics — the same
+    batch-parity promotion `streaming_dedup_counts` gave the dedup path.
+
+    Setup: events become task-status rows (task=user, completed iff the
+    user's last event is a purchase, frame_count=event_id).  Batch 1 is the
+    full corpus; batch 2 is a single sentinel heartbeat 60s after the
+    corpus end.  After batch 2 the event-time watermark stands at
+    max_ts + 60s - 60s(delay) = max_ts, so exactly the tasks idle for more
+    than the 6-hour stall window at corpus end time out and emit
+    stalled=true; completed tasks cleared their state and never stall.
+    The oracle restates that as: last event older than max_ts - 6h (ms
+    truncation matching the state's microsecond//1000 arithmetic) and last
+    status != completed.  Deterministic — watermark-driven, no wall clock.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.monitor import stateful_stall_detector
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (events,) = _t(spark, sf_dir, "events")
+    status = events.select(
+        F.col("user_id").cast("string").alias("task_id"),
+        F.unix_micros(F.col("ts")).alias("event_us"),
+        F.when(F.col("event_type") == "purchase", F.lit("completed"))
+        .otherwise(F.lit("rendering"))
+        .alias("status"),
+        F.col("event_id").cast("long").alias("frame_count"),
+    )
+    max_us = status.agg(F.max("event_us")).collect()[0][0]
+
+    base = tempfile.mkdtemp(prefix="stall_audit_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        status.write.json(src)
+
+        def run_batch():
+            stream = (
+                spark.readStream.schema(
+                    "task_id string, event_us long, status string, frame_count long"
+                )
+                .json(src)
+                .select(
+                    "task_id",
+                    F.timestamp_micros(F.col("event_us")).alias("event_time"),
+                    "status",
+                    "frame_count",
+                )
+                .withWatermark("event_time", "1 minute")
+            )
+            q = (
+                stateful_stall_detector(stream, stall_seconds=21600)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_batch()
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", int(max_us) + 60_000_000, "rendering", 0)],
+            "task_id string, event_us long, status string, frame_count long",
+        )
+        sentinel.write.mode("append").json(src)
+        run_batch()
+
+        rows = (
+            spark.read.parquet(out)
+            .filter(F.col("stalled"))
+            .select("task_id", "last_status", "max_frames")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "task_id string, last_status string, max_frames long"
+    )
+
+
+SQL_STREAMING_STALL_AUDIT = """
+WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+per AS (
+  SELECT CAST(user_id AS VARCHAR) AS task_id,
+         max(ts) AS last_ts,
+         arg_max(event_type, ts) AS last_type,
+         max(event_id) AS max_frames
+  FROM events GROUP BY user_id
+)
+SELECT task_id, 'rendering' AS last_status, max_frames
+FROM per, mx
+WHERE last_type <> 'purchase'
+  AND epoch_us(last_ts) // 1000 + 21600000 < epoch_us(max_ts) // 1000
+"""
+
+
+EXT_QUERIES["minhash_recall_check"] = q_minhash_recall_check
+EXT_ORACLES["minhash_recall_check"] = SQL_MINHASH_RECALL_CHECK
+EXT_QUERIES["simhash_exact_containment"] = q_simhash_exact_containment
+EXT_ORACLES["simhash_exact_containment"] = SQL_SIMHASH_EXACT_CONTAINMENT
+EXT_QUERIES["embedding_lsh_recall"] = q_embedding_lsh_recall
+EXT_ORACLES["embedding_lsh_recall"] = SQL_EMBEDDING_LSH_RECALL
+EXT_QUERIES["embedding_ivf_recall"] = q_embedding_ivf_recall
+EXT_ORACLES["embedding_ivf_recall"] = SQL_EMBEDDING_IVF_RECALL
+EXT_QUERIES["kmeans_objective_check"] = q_kmeans_objective_check
+EXT_ORACLES["kmeans_objective_check"] = SQL_KMEANS_OBJECTIVE_CHECK
+EXT_QUERIES["streaming_stall_audit"] = q_streaming_stall_audit
+EXT_ORACLES["streaming_stall_audit"] = SQL_STREAMING_STALL_AUDIT
