@@ -135,3 +135,52 @@ def test_dup_cluster_representatives_transitive(spark):
         for r in dedup.dup_cluster_representatives(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_spans_counts(spark):
+    out = dedup.duplicate_spans(_docs(spark), window=8).collect()
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"]) for r in out}
+    # doc0 (14 words) = 7 windows; doc3 is its normalized exact dup -> all 7
+    # windows cross-doc; doc1 differs only in the last word -> the one window
+    # touching it (offset 7) is unique, the other 6 are shared with doc0/doc3.
+    assert got[0] == (7, 7)
+    assert got[3] == (7, 7)
+    assert got[1] == (7, 6)
+    assert got[2] == (2, 0)
+    assert got[4] == (3, 0)
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(0, "too short for a window"), (1, "eight words exactly here one two three four")],
+        ["doc_id", "text"],
+    )
+    out = dedup.duplicate_spans(docs, window=8).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert out[0]["n_windows"] == 1 and out[0]["n_dup_windows"] == 0
+
+
+def test_chunk_dedup_rewrite_keeper_semantics(spark):
+    out = dedup.chunk_dedup_rewrite(_docs(spark), chunk_words=10).collect()
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed_chunks"], r["new_n_chars"])
+        for r in out
+    }
+    # doc3 normalizes to doc0's text: both its chunks removed (keeper=doc0).
+    assert got[3] == (2, 2, 0)
+    # doc0 is the keeper: nothing removed, rewrite length == full text length.
+    assert got[0] == (2, 0, len(DOCS[0][1]))
+    # doc1 shares only its first 10-word chunk with doc0; second chunk kept.
+    assert got[1] == (2, 1, len("the old river bend"))
+    # unique docs untouched.
+    assert got[2][1] == 0 and got[4][1] == 0
+
+
+def test_chunk_dedup_intra_doc_repeat_kept(spark):
+    ten = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(7, ten + " " + ten)], ["doc_id", "text"]
+    )
+    out = dedup.chunk_dedup_rewrite(docs, chunk_words=10).collect()
+    # chunk repeats twice WITHIN one doc only -> df_docs == 1 -> kept.
+    assert out[0]["n_removed_chunks"] == 0 and out[0]["n_chunks"] == 2

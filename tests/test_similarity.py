@@ -209,3 +209,48 @@ def test_kmeans_centroids_improve_ivf_recall(spark):
     r_sampled = recall(ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3))
     assert r_trained >= r_sampled - 0.05
     assert r_trained > 0.3
+
+
+def test_bucketed_cosine_dedup_removal_rule(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.01], 0),   # ~0.99995 cosine to id 1, same bucket
+        (3, [0.0, 1.0], 0),    # orthogonal -> kept
+        (4, [1.0, 0.0], 1),    # identical to id 1 but different bucket -> kept
+        (5, [1.0, 0.0], 1),    # identical to id 4, same bucket -> removed
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.bucketed_cosine_dedup(
+        emb, bucket_col="label", threshold=0.9
+    ).collect()
+    got = {r["vec_id"]: (r["label"], r["dup_of"]) for r in out}
+    assert got == {2: (0, 1), 5: (1, 4)}
+
+
+def test_bucketed_cosine_dedup_max_bucket_guard(spark):
+    rows = [(i, [1.0, 0.0], 0) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    with pytest.raises(Exception, match="max_bucket"):
+        similarity.bucketed_cosine_dedup(
+            emb, bucket_col="label", threshold=0.9, max_bucket=3
+        ).collect()
+
+
+def test_semantic_dedup_contract_properties(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, [x + rnd.uniform(-0.05, 0.05) for x in base]))
+    # two guaranteed exact duplicates (identical vectors share a cluster)
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(emb, threshold=0.999, k=2, n_iter=2).collect()
+    removed = {r["vec_id"]: r["dup_of"] for r in out}
+    # identical-vector pairs must collapse onto the lower id
+    assert removed.get(100) == 0 and removed.get(101) == 1
+    # keep-rule validity: dup_of strictly below the removed id
+    assert all(d < i for i, d in removed.items())

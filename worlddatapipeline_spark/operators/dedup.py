@@ -735,3 +735,137 @@ def dup_cluster_representatives(
         pairs.select(id_a, id_b), src=id_a, dst=id_b, id_col="doc_id"
     )
     return comps.withColumnRenamed("component", "representative")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-span (token-window) duplication audit — the detection half
+    of suffix-array-style training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a fixed-length token window
+    is slid over every document at every offset, and a window INSTANCE counts
+    as duplicated when its exact text occurs in >= 2 distinct documents.
+    Unlike whole-doc dedup this catches boilerplate spans (license headers,
+    navigation chrome) embedded inside otherwise-unique documents.
+
+    Returns per-doc (doc_id, n_windows, n_dup_windows, dup_span_ratio) for
+    docs long enough to hold at least one window.  Suffix arrays don't
+    distribute; fixed-width window hashing is the standard scalable
+    approximation (it finds every duplicated substring of length >= window
+    tokens, at window-granularity boundaries).
+
+    Plan: window generation is a JVM-side transform over ``sequence`` (no
+    Python), the only shuffle is a groupBy on the 16-byte md5 of the window
+    text, and the per-doc rollup joins window hashes, never text.  The
+    cross-doc test is ``min(doc_id) != max(doc_id)`` — O(1) aggregate state
+    per span (no count-distinct set, no posting list), so a boilerplate span
+    occurring in millions of documents costs the same as one occurring in
+    two.  No pair join, no quadratic term anywhere in this operator.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_win = F.size(words) - F.lit(window - 1)
+    wins = (
+        _widen(docs)
+        .select(F.col(id_col).alias("doc_id"), words.alias("w"))
+        .filter(n_win >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("w")) - F.lit(window - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, window))),
+                )
+            ).alias("h"),
+        )
+    )
+    span_df = wins.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("cross_doc")
+    )
+    per_doc = (
+        wins.join(span_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("cross_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_span_ratio", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+    )
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global chunk-level dedup with canonical retention — the REMOVAL half
+    of C4/RefinedWeb-style span dedup: documents are split into fixed
+    ``chunk_words``-word chunks, and every instance of a chunk that occurs in
+    >= 2 distinct documents is deleted EXCEPT in the lowest-doc_id document
+    holding it (the deterministic keep-rule shared with
+    ``dup_cluster_representatives``).  Chunks repeated only within a single
+    document are kept — that is intra-doc repetition, `text.py`'s
+    ``repetition_flags`` territory, not corpus dedup.
+
+    Returns per-doc (doc_id, n_chunks, n_removed_chunks, new_n_chars) where
+    ``new_n_chars`` is the length of the surviving chunks re-joined with
+    single spaces — the rewrite is audited by length rather than
+    materializing the rewritten corpus (a sink concern; the kept-chunk frame
+    is the write input at scale).
+
+    Plan: one aggregate over the 16-byte chunk hash (min/max doc — O(1)
+    state, no distinct-count set), one hash join back, no pair join, no
+    quadratic term.  The text body itself never shuffles — only
+    (doc_id, chunk_idx, hash, chunk_len).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    nch = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = (
+        _widen(docs)
+        .select(F.col(id_col).alias("doc_id"), words.alias("w"), nch.alias("nch"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nch") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i * chunk_words + 1, chunk_words)
+                    ),
+                )
+            ).alias("idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.md5("chunk").alias("h"),
+            F.length("chunk").alias("chunk_len"),
+        )
+    )
+    owners = chunks.groupBy("h").agg(
+        F.min("doc_id").alias("keeper"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    marked = chunks.join(owners, "h").withColumn(
+        "removed",
+        (F.col("keeper") != F.col("last_doc"))
+        & (F.col("doc_id") != F.col("keeper")),
+    )
+    kept_len = F.sum(
+        F.when(F.col("removed"), 0).otherwise(F.col("chunk_len"))
+    ).cast("long")
+    n_kept = F.sum(F.when(F.col("removed"), 0).otherwise(1)).cast("long")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_chunks"),
+        # surviving chunks re-joined with single spaces: lengths + (k-1) gaps
+        (kept_len + F.greatest(n_kept - 1, F.lit(0))).alias("new_n_chars"),
+    )

@@ -610,3 +610,126 @@ def cosine_topk_batched(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def bucketed_cosine_dedup(
+    corpus: DataFrame,
+    bucket_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Within-bucket embedding-cosine dedup (the SemDeDup removal rule,
+    Abbas et al. 2023): inside each bucket, a row is REMOVED when some
+    lower-id row in the same bucket has round(cosine, 6) >= threshold, and
+    ``dup_of`` records the smallest such partner — a deterministic one-shot
+    keep-rule (no iteration, no order dependence beyond the id total order).
+
+    The bucket column is the quadratic bound: pairs are only ever formed
+    within a bucket, so cost is sum(bucket²), never corpus².  Callers choose
+    the bucketing: a data column (label / source / language), an LSH sign
+    pattern (``lsh_bucket``), or a trained k-means cluster
+    (``semantic_dedup``).  Scoring is one GEMM per bucket over Arrow batches
+    (``applyInPandas``); only (id, bucket, dup_of) rows come back — vectors
+    never leave the executor.  A bucket larger than ``max_bucket`` fails
+    fast with the scale-path pointer (split buckets with a finer quantizer)
+    instead of OOMing an executor.
+
+    Returns removed rows only: (id, bucket, dup_of), id-ascending semantics;
+    rows absent from the output are kept.
+    """
+    thr = float(threshold)
+
+    def dedup_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_bucket:
+            raise ValueError(
+                f"bucketed_cosine_dedup: bucket of {len(pdf)} rows exceeds "
+                f"max_bucket={max_bucket}; use a finer bucketing (more "
+                "k-means clusters / more LSH planes) so per-bucket GEMMs "
+                "stay bounded."
+            )
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["id", "bucket"]].assign(dup_of=np.int64(0))
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sims = np.round((m @ m.T) / (n[:, None] * n[None, :]), round_digits)
+        hit = np.tril(sims >= thr, k=-1)  # [j, i] with i < j in id order
+        removed = hit.any(axis=1)
+        first = hit.argmax(axis=1)  # min row index == min id (sorted)
+        return pd.DataFrame(
+            {
+                "id": ids[removed],
+                "bucket": pdf["bucket"].to_numpy()[removed],
+                "dup_of": ids[first[removed]],
+            }
+        )
+
+    btype = dict(corpus.dtypes)[bucket_col]
+    out_schema = f"id long, bucket {btype}, dup_of long"
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(bucket_col).alias("bucket"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(dedup_bucket, out_schema)
+        .withColumnRenamed("id", id_col)
+        .withColumnRenamed("bucket", bucket_col)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    k: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then remove near-semantic-duplicates WITHIN each
+    cluster — the clustering bounds the pairwise term, which is what lets
+    embedding dedup run at web-corpus scale at all.
+
+    Composition of two existing primitives: ``kmeans_centroids`` (spherical
+    Lloyd's, corpus scanned once per iteration off a persisted projection)
+    trains the quantizer; assignment is the same codegen'd argmax expression
+    the trainer uses (centroids inlined as literals — no join); then
+    ``bucketed_cosine_dedup`` applies the lower-id keep-rule per cluster.
+
+    Approximate by design (a true near-dup pair split across two clusters is
+    missed — the recall/cost trade SemDeDup documents), so registry exposure
+    is rows-only plus a validity CONTRACT query: every emitted (id, dup_of)
+    pair must verify exactly at the threshold (see
+    queries_ext.q_semantic_dedup_contract).
+
+    Returns removed rows: (vec_id, cluster long, dup_of).
+    """
+    cents = kmeans_centroids(
+        corpus, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    ).collect()
+    cvecs = [[float(x) for x in r["cvec"]] for r in sorted(cents, key=lambda r: r["cid"])]
+    dots = F.array(
+        *[dot(F.col(vec_col).cast("array<double>"), F.array(*[F.lit(x) for x in c]))
+          for c in cvecs]
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("long").alias("cluster"),
+        F.col(vec_col),
+    )
+    return bucketed_cosine_dedup(
+        assigned,
+        bucket_col="cluster",
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_bucket=max_bucket,
+    )

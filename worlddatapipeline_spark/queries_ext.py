@@ -3553,3 +3553,173 @@ EXT_QUERIES["kmeans_objective_check"] = q_kmeans_objective_check
 EXT_ORACLES["kmeans_objective_check"] = SQL_KMEANS_OBJECTIVE_CHECK
 EXT_QUERIES["streaming_stall_audit"] = q_streaming_stall_audit
 EXT_ORACLES["streaming_stall_audit"] = SQL_STREAMING_STALL_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# round 3: span-level dedup, chunk-dedup rewrite, SemDeDup family
+# ---------------------------------------------------------------------------
+
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span duplication audit (operators/dedup.py::duplicate_spans
+    — Lee et al. 2022 window-hash approximation of suffix-array dedup):
+    8-token windows at every offset; an instance is duplicated when its text
+    occurs in >= 2 distinct documents.  Per-doc audit frame."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_spans(documents, window=8)
+
+
+SQL_DUPLICATE_SPAN_STATS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+  FROM norm WHERE len(w) >= 8
+), wins AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h FROM idx
+), spans AS (
+  SELECT h, min(doc_id) != max(doc_id) AS cross_doc FROM wins GROUP BY h
+)
+SELECT w.doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN s.cross_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(sum(CASE WHEN s.cross_doc THEN 1 ELSE 0 END) / count(*), 6)
+         AS dup_span_ratio
+FROM wins w JOIN spans s USING (h)
+GROUP BY w.doc_id
+"""
+
+
+def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global chunk dedup with canonical retention
+    (operators/dedup.py::chunk_dedup_rewrite — the C4/RefinedWeb removal
+    rule): cross-doc 10-word chunks survive only in their min-doc_id keeper;
+    per-doc rewrite audit (chunks removed, rewritten length)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return dedup_ops.chunk_dedup_rewrite(documents, chunk_words=10)
+
+
+SQL_CHUNK_DEDUP_REWRITE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, CAST(ceil(len(w) / 10) AS INTEGER) - 1))
+           AS i
+  FROM norm
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS h,
+         len(array_to_string(w[i*10+1 : i*10+10], ' ')) AS chunk_len
+  FROM idx
+), owners AS (
+  SELECT h, min(doc_id) AS keeper, max(doc_id) AS last_doc
+  FROM chunks GROUP BY h
+), marked AS (
+  SELECT c.doc_id, c.chunk_len,
+         (o.keeper != o.last_doc AND c.doc_id != o.keeper) AS removed
+  FROM chunks c JOIN owners o USING (h)
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_chunks,
+       CAST(sum(CASE WHEN removed THEN 0 ELSE chunk_len END)
+            + greatest(sum(CASE WHEN removed THEN 0 ELSE 1 END) - 1, 0)
+         AS BIGINT) AS new_n_chars
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_bucketed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-bucket embedding-cosine dedup
+    (operators/similarity.py::bucketed_cosine_dedup): the SemDeDup removal
+    rule with the `label` column as the bucket — deterministic buckets, so
+    the whole removed set (id, bucket, min-lower-id partner) is
+    oracle-checkable; the k-means-bucketed form is `semantic_dedup_keep`."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return sim_ops.bucketed_cosine_dedup(
+        embeddings, bucket_col="label", threshold=0.35
+    )
+
+
+SQL_BUCKETED_COSINE_DEDUP = """
+WITH pairs AS (
+  SELECT b.vec_id AS id, b.label AS label, a.vec_id AS cand,
+         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS c
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id AS vec_id, label, min(cand) AS dup_of
+FROM pairs WHERE c >= 0.35
+GROUP BY id, label
+"""
+
+
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semantic_dedup, arXiv:2303.09540):
+    spherical-k-means clusters bound the pairwise term; lower-id keep-rule
+    within each cluster.  Rows-only (cluster assignment is iterative, not
+    SQL); validity is enforced by `semantic_dedup_contract`."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(embeddings, threshold=0.35, k=8, n_iter=3)
+
+
+def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity contract for `semantic_dedup_keep`: every emitted
+    (vec_id, dup_of) pair must verify EXACTLY — dup_of < vec_id and
+    round(cosine, 6) >= threshold, recomputed with the expression-form dot
+    product against the raw table.  Emits (violations=0, valid=true) against
+    a constant oracle, so an invalid pair breaks the driver hash."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    removed = sim_ops.semantic_dedup(embeddings, threshold=0.35, k=8, n_iter=3)
+    va = embeddings.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    vb = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    checked = (
+        removed.join(va, "dup_of")
+        .join(vb, "vec_id")
+        .select(
+            (F.col("dup_of") < F.col("vec_id")).alias("order_ok"),
+            (
+                F.round(
+                    sim_ops.cosine(F.col("va"), F.col("vb")), 6
+                ) >= 0.35
+            ).alias("sim_ok"),
+        )
+    )
+    return checked.agg(
+        F.sum(
+            F.when(~F.col("order_ok") | ~F.col("sim_ok"), 1).otherwise(0)
+        ).cast("long").alias("violations"),
+        F.coalesce(F.bool_and(F.col("order_ok") & F.col("sim_ok")), F.lit(True))
+        .alias("valid"),
+    )
+
+
+SQL_SEMANTIC_DEDUP_CONTRACT = """
+SELECT CAST(0 AS BIGINT) AS violations, true AS valid
+"""
+
+
+EXT_QUERIES["duplicate_span_stats"] = q_duplicate_span_stats
+EXT_ORACLES["duplicate_span_stats"] = SQL_DUPLICATE_SPAN_STATS
+EXT_QUERIES["chunk_dedup_rewrite"] = q_chunk_dedup_rewrite
+EXT_ORACLES["chunk_dedup_rewrite"] = SQL_CHUNK_DEDUP_REWRITE
+EXT_QUERIES["bucketed_cosine_dedup"] = q_bucketed_cosine_dedup
+EXT_ORACLES["bucketed_cosine_dedup"] = SQL_BUCKETED_COSINE_DEDUP
+EXT_QUERIES["semantic_dedup_keep"] = q_semantic_dedup_keep
+EXT_QUERIES["semantic_dedup_contract"] = q_semantic_dedup_contract
+EXT_ORACLES["semantic_dedup_contract"] = SQL_SEMANTIC_DEDUP_CONTRACT
