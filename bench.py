@@ -103,6 +103,9 @@ LLM = [
     "token_shard_packing",
     "length_band_filter",
     "segment_clip_after_truncate",
+    "duplicate_span_stats",
+    "chunk_dedup_rewrite",
+    "bucketed_cosine_dedup",
 ]
 
 

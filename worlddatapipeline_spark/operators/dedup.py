@@ -776,7 +776,9 @@ def duplicate_spans(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(F.col("w")) - F.lit(window - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, window))),
+                    lambda i: F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, window)))
+                    ),
                 )
             ).alias("h"),
         )
@@ -844,7 +846,7 @@ def chunk_dedup_rewrite(
         .select(
             "doc_id",
             "idx",
-            F.md5("chunk").alias("h"),
+            F.unhex(F.md5("chunk")).alias("h"),
             F.length("chunk").alias("chunk_len"),
         )
     )

@@ -1157,17 +1157,18 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_ivf_recall",
     "kmeans_objective_check",
     "streaming_stall_audit",
+    # new round-3 dedup-family queries (span/chunk/SemDeDup)
+    "duplicate_span_stats",
+    "chunk_dedup_rewrite",
+    "bucketed_cosine_dedup",
+    "semantic_dedup_keep",
+    "semantic_dedup_contract",
     # backfill to 50 with round-1 greens
     "pricing_summary",
     "catalog_stats",
     "region_rollup",
     "nation_rollup_sets",
     "histogram_mode",
-    "grid_mode",
-    "lineitem_extremes",
-    "segment_listing",
-    "prefix_parts",
-    "top_orders_per_customer",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
