@@ -254,3 +254,30 @@ def test_semantic_dedup_contract_properties(spark):
     assert removed.get(100) == 0 and removed.get(101) == 1
     # keep-rule validity: dup_of strictly below the removed id
     assert all(d < i for i, d in removed.items())
+
+
+def test_cross_cosine_flags_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cross_cosine_flags(corpus, probes, threshold=0.9).collect()
+    got = {r["vec_id"]: (r["n_hits"], round(r["max_sim"], 3)) for r in out}
+    # corpus 1 matches both probes; corpus 2 matches none; corpus 3 ~0.707/0.77
+    assert got[1] == (2, 1.0)
+    assert 2 not in got and 3 not in got
+
+
+def test_cross_cosine_flags_probe_bound(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    probes = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_probes"):
+        similarity.cross_cosine_flags(corpus, probes, threshold=0.5, max_probes=3)

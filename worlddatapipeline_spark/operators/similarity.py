@@ -733,3 +733,81 @@ def semantic_dedup(
         id_col=id_col,
         max_bucket=max_bucket,
     )
+
+
+def cross_cosine_flags(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    max_probes: int = 200_000,
+) -> DataFrame:
+    """Cross-corpus embedding contamination flags: for every corpus row,
+    count the probe vectors with round(cosine, 6) >= threshold and record
+    the best match — the embedding-space analog of the n-gram
+    `train_test_decontamination` (probes = the held-out set, corpus = the
+    training corpus; flagged rows are dropped before training).
+
+    Plan: the probe set is collected and broadcast as one dense float64
+    matrix behind the same enforced bound as ``cosine_pairs_batched`` (a
+    held-out benchmark is small by construction; a probe set over the bound
+    fails fast instead of OOMing the driver); the corpus STREAMS through
+    ``mapInPandas`` — never shuffles, never collects — scoring each Arrow
+    batch against all probes in a single GEMM and emitting only flagged
+    rows.  Linear in corpus size at any scale.
+
+    Returns (id, n_hits, max_sim) for corpus rows with at least one hit.
+    """
+    rows = (
+        probes.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(max_probes + 1)
+        .collect()
+    )
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"cross_cosine_flags collects the probe set (> {max_probes} "
+            "rows); decontamination probes are the held-out set — shard the "
+            "probe matrix or raise max_probes if the driver can hold it."
+        )
+    pm = np.array([r["v"] for r in rows], dtype=np.float64)
+    pn = np.linalg.norm(pm, axis=1)
+    pn[pn == 0] = 1.0
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((pm, pn))
+    thr = float(threshold)
+
+    def score(batches):
+        pm_b, pn_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            am = np.array(list(pdf["v"]), dtype=np.float64)
+            an = np.linalg.norm(am, axis=1)
+            an[an == 0] = 1.0
+            sims = np.round(
+                (am @ pm_b.T) / (an[:, None] * pn_b[None, :]), round_digits
+            )
+            hits = sims >= thr
+            n_hits = hits.sum(axis=1)
+            keep = n_hits > 0
+            yield pd.DataFrame(
+                {
+                    "id": ids[keep],
+                    "n_hits": n_hits[keep].astype(np.int64),
+                    "max_sim": sims[keep].max(axis=1),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .repartition(par)
+        .mapInPandas(score, "id long, n_hits long, max_sim double")
+        .withColumnRenamed("id", id_col)
+    )

@@ -1163,12 +1163,13 @@ _DRIVER_WINDOW: list[str] = [
     "bucketed_cosine_dedup",
     "semantic_dedup_keep",
     "semantic_dedup_contract",
+    # new round-3 pipeline queries
+    "embedding_decontamination",
+    "mixture_weights",
+    "streaming_session_windows",
     # backfill to 50 with round-1 greens
     "pricing_summary",
     "catalog_stats",
-    "region_rollup",
-    "nation_rollup_sets",
-    "histogram_mode",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

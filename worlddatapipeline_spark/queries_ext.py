@@ -3723,3 +3723,183 @@ EXT_ORACLES["bucketed_cosine_dedup"] = SQL_BUCKETED_COSINE_DEDUP
 EXT_QUERIES["semantic_dedup_keep"] = q_semantic_dedup_keep
 EXT_QUERIES["semantic_dedup_contract"] = q_semantic_dedup_contract
 EXT_ORACLES["semantic_dedup_contract"] = SQL_SEMANTIC_DEDUP_CONTRACT
+
+
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test decontamination
+    (operators/similarity.py::cross_cosine_flags): label-0 vectors stand in
+    for the held-out benchmark; training vectors (label != 0) with
+    round(cosine, 6) >= 0.38 to ANY probe are flagged (hit count + best
+    match).  The semantic complement of the n-gram
+    `train_test_decontamination`.  Probes broadcast once; the training
+    corpus streams through one GEMM per Arrow batch — linear at any scale."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    train = embeddings.filter(F.col("label") != 0)
+    probes = embeddings.filter(F.col("label") == 0)
+    return sim_ops.cross_cosine_flags(train, probes, threshold=0.38)
+
+
+SQL_EMBEDDING_DECONTAMINATION = """
+WITH s AS (
+  SELECT a.vec_id AS id,
+         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS c
+  FROM embeddings a JOIN embeddings b ON a.label != 0 AND b.label = 0
+)
+SELECT id AS vec_id,
+       CAST(sum(CASE WHEN c >= 0.38 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       max(c) AS max_sim
+FROM s GROUP BY id
+HAVING sum(CASE WHEN c >= 0.38 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (LLM-pipeline extension — the
+    data-recipe step that turns per-source token counts into sampling
+    weights): weight_s = n_s^T / sum(n^T) with T=0.7 (upweights small
+    sources, the standard multilingual/multisource smoothing), token
+    allocation for a 1M-token budget, and implied epochs over each source.
+    Pure two-level aggregate — no shuffle beyond the groupBy(source)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.7)).alias("z")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.pow(F.col("n_tokens").cast("double"), 0.7) / F.col("z"), 6
+            ).alias("weight"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.pow(F.col("n_tokens").cast("double"), 0.7)
+                / F.col("z")
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.col("alloc_tokens") / F.col("n_tokens"), 4),
+        )
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), z AS (
+  SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z FROM per_src
+), alloc AS (
+  SELECT source, n_tokens,
+         round(pow(CAST(n_tokens AS DOUBLE), 0.7) / z, 6) AS weight,
+         CAST(round(1000000.0 * pow(CAST(n_tokens AS DOUBLE), 0.7) / z)
+           AS BIGINT) AS alloc_tokens
+  FROM per_src, z
+)
+SELECT source, n_tokens, weight, alloc_tokens,
+       round(alloc_tokens / n_tokens, 4) AS epochs
+FROM alloc
+"""
+
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation executed as a REAL Structured
+    Streaming pipeline: readStream → watermark →
+    groupBy(session_window(ts, '30 minutes'), user_id) — Spark's built-in
+    gap-merge sessionization (events chain into one session while
+    consecutive gaps stay under 30 min).  Deterministic on the single-file
+    source, so it hash-checks against a DuckDB gaps-and-islands restatement
+    of the same semantics (break when gap >= 30 min).  The streaming analog
+    of the batch `sessionize` query; at scale the same code runs with a
+    processing trigger and the watermark bounds per-user session state."""
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = "stream_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAMING_SESSION_WINDOWS = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+         AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+EXT_QUERIES["embedding_decontamination"] = q_embedding_decontamination
+EXT_ORACLES["embedding_decontamination"] = SQL_EMBEDDING_DECONTAMINATION
+EXT_QUERIES["mixture_weights"] = q_mixture_weights
+EXT_ORACLES["mixture_weights"] = SQL_MIXTURE_WEIGHTS
+EXT_QUERIES["streaming_session_windows"] = q_streaming_session_windows
+EXT_ORACLES["streaming_session_windows"] = SQL_STREAMING_SESSION_WINDOWS
