@@ -1167,9 +1167,9 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_decontamination",
     "mixture_weights",
     "streaming_session_windows",
-    # backfill to 50 with round-1 greens
-    "pricing_summary",
-    "catalog_stats",
+    # sketch contracts (HLL++ approx-distinct, count-min heavy hitters)
+    "approx_distinct_contract",
+    "heavy_hitters_contract",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

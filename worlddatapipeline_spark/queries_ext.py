@@ -3903,3 +3903,76 @@ EXT_QUERIES["mixture_weights"] = q_mixture_weights
 EXT_ORACLES["mixture_weights"] = SQL_MIXTURE_WEIGHTS
 EXT_QUERIES["streaming_session_windows"] = q_streaming_session_windows
 EXT_ORACLES["streaming_session_windows"] = SQL_STREAMING_SESSION_WINDOWS
+
+
+def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch contract: `approx_count_distinct(rsd=0.01)` over
+    orders.o_custkey must land within 5x the configured rsd of the exact
+    distinct count (HLL++ error is probabilistic but this corpus/seed is
+    fixed; 5 sigma leaves no flake room).  The sketch is THE 100 TB path for
+    distinct counting — fixed-size state, one pass, mergeable across
+    partitions — where exact count_distinct shuffles every key.  Emits the
+    exact count plus the boolean bound check against a constant-free oracle
+    (exact count from SQL, `true` for the bound)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.agg(
+            F.count_distinct("o_custkey").alias("exact_distinct"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        )
+        .select(
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("within_bound"),
+        )
+    )
+
+
+SQL_APPROX_DISTINCT_CONTRACT = """
+SELECT count(DISTINCT o_custkey) AS exact_distinct, true AS within_bound
+FROM orders
+"""
+
+
+def q_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters containment contract for `DataFrame.stat.freqItems`
+    (count-min-sketch-backed single-pass frequent items): every event_type
+    whose true frequency exceeds the 10% support threshold MUST appear in
+    the sketch's candidate set (freqItems guarantees no false negatives —
+    false positives are allowed and filtered here by an exact recount).
+    The verified-survivor set equals the exact >10% list, so the whole
+    result hash-checks against plain SQL.  Scale: the sketch pass is one
+    scan with fixed-size state; the recount join touches only candidates."""
+    (events,) = _t(spark, sf_dir, "events")
+    cand = events.stat.freqItems(["event_type"], support=0.1)
+    items = [
+        r
+        for r in cand.collect()[0]["event_type_freqItems"]
+        if r is not None
+    ]
+    total = events.count()
+    verified = (
+        events.filter(F.col("event_type").isin(items))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.1 * total)
+        .select("event_type", "n")
+    )
+    return verified
+
+
+SQL_HEAVY_HITTERS_CONTRACT = """
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+HAVING count(*) > 0.1 * (SELECT count(*) FROM events)
+"""
+
+
+EXT_QUERIES["approx_distinct_contract"] = q_approx_distinct_contract
+EXT_ORACLES["approx_distinct_contract"] = SQL_APPROX_DISTINCT_CONTRACT
+EXT_QUERIES["heavy_hitters_contract"] = q_heavy_hitters_contract
+EXT_ORACLES["heavy_hitters_contract"] = SQL_HEAVY_HITTERS_CONTRACT
