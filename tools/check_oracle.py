@@ -49,8 +49,17 @@ def rows_to_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # --json PATH writes a driver-CORRECTNESS-shaped artifact of the sweep so
+    # the "oracle-checked" registry claim is backed by a committed file
+    # (round-2 advice), not just a transcript.
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -71,6 +80,7 @@ def main():
         )
 
     n_pass = n_fail = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,11 +91,16 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows ({dt:.1f}s)")
+            results[name] = {
+                "status": "rows_only", "spark_rows": len(srows),
+                "sec": round(dt, 1),
+            }
             n_pass += 1
             continue
         try:
@@ -99,6 +114,7 @@ def main():
             drows = [[row[c] for c in dcols] for row in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
         ok = True
@@ -115,12 +131,33 @@ def main():
                 diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 print(f"FAIL {name}: value mismatch; first diffs: {diff}")
                 ok = False
+        results[name] = {
+            "status": "PASS" if ok else "FAIL",
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "sec": round(dt, 1),
+        }
         if ok:
             print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
             n_pass += 1
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
