@@ -3976,3 +3976,122 @@ EXT_QUERIES["approx_distinct_contract"] = q_approx_distinct_contract
 EXT_ORACLES["approx_distinct_contract"] = SQL_APPROX_DISTINCT_CONTRACT
 EXT_QUERIES["heavy_hitters_contract"] = q_heavy_hitters_contract
 EXT_ORACLES["heavy_hitters_contract"] = SQL_HEAVY_HITTERS_CONTRACT
+
+
+def q_multimodal_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked sibling of `multimodal_features`: with the documented
+    deterministic stub decoder (payload bytes viewed as uint8 —
+    multimodal.py::_decode_bytes), every extracted feature is a pure
+    function of the text bytes, so DuckDB can restate it per character:
+    n_bytes = length, mean/std of byte values (population std, rounded to 4
+    so two float summation orders agree), histogram mode with the
+    smallest-byte tie-break np.argmax uses.  Checks the ENTIRE mapInPandas
+    feature path end-to-end, not just row counts."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(documents, "doc_id", "text")
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("mean_intensity"), 4).alias("mean_b"),
+        F.round(F.col("std_intensity"), 4).alias("std_b"),
+        F.col("histogram_mode").cast("long").alias("mode_b"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES_CHECKED = """
+WITH idx AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+  FROM documents
+), chars AS (
+  SELECT doc_id, ascii(substring(text, i, 1)) AS b FROM idx
+), counts AS (
+  SELECT doc_id, b, count(*) AS c FROM chars GROUP BY doc_id, b
+), mx AS (
+  SELECT doc_id, b, c, max(c) OVER (PARTITION BY doc_id) AS cmax FROM counts
+), stats AS (
+  SELECT doc_id,
+         count(*) AS n_bytes,
+         round(avg(b), 4) AS mean_b,
+         round(sqrt(avg(CAST(b AS DOUBLE) * b) - avg(b) * avg(b)), 4)
+           AS std_b
+  FROM chars GROUP BY doc_id
+), modes AS (
+  SELECT doc_id, min(b) AS mode_b FROM mx WHERE c = cmax GROUP BY doc_id
+)
+SELECT s.doc_id AS media_id, s.n_bytes, s.mean_b, s.std_b,
+       CAST(m.mode_b AS BIGINT) AS mode_b
+FROM stats s JOIN modes m USING (doc_id)
+"""
+
+
+def q_simulate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contracts for the seeded behavior simulation (rows-only by nature):
+    (a) DETERMINISM — two independent runs of the same (sequence_id, seed)
+    jobs produce byte-identical pose sets (md5 over the sorted rendered
+    rows, compared per sequence); (b) BOUNDS — every emitted point sits
+    inside the walkable bounds (the simulator's NavMesh-projection stand-in
+    must never emit an off-mesh point).  Emits (violations=0,
+    deterministic=true) against a constant oracle."""
+    jobs = spark.createDataFrame(
+        [(f"seq_{i:03d}", 1000 + i) for i in range(8)],
+        "sequence_id string, seed long",
+    )
+    bounds = (-5000.0, -5000.0, 5000.0, 5000.0)
+
+    def run_hash():
+        poses = sim_gen.simulate_jobs(
+            jobs, n_segments=6, steps_per_segment=20, bounds=bounds
+        )
+        rendered = poses.select(
+            "sequence_id",
+            F.concat_ws(
+                ",",
+                F.col("point_idx").cast("string"),
+                F.round("x", 6).cast("string"),
+                F.round("y", 6).cast("string"),
+                F.round("yaw", 6).cast("string"),
+                F.col("seg_idx").cast("string"),
+                F.col("behavior"),
+            ).alias("row_s"),
+        )
+        return rendered.groupBy("sequence_id").agg(
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("row_s"))))
+            .alias("h")
+        )
+    h1 = run_hash().withColumnRenamed("h", "h1")
+    h2 = run_hash().withColumnRenamed("h", "h2")
+    det = (
+        h1.join(h2, "sequence_id", "full")
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("h1") == F.col("h2")), F.lit(False)
+            ).alias("deterministic")
+        )
+    )
+    poses = sim_gen.simulate_jobs(
+        jobs, n_segments=6, steps_per_segment=20, bounds=bounds
+    )
+    oob = poses.agg(
+        F.sum(
+            F.when(
+                (F.col("x") < bounds[0]) | (F.col("x") > bounds[2])
+                | (F.col("y") < bounds[1]) | (F.col("y") > bounds[3]),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("violations")
+    )
+    return oob.crossJoin(det)
+
+
+SQL_SIMULATE_CONTRACT = """
+SELECT CAST(0 AS BIGINT) AS violations, true AS deterministic
+"""
+
+
+EXT_QUERIES["multimodal_features_checked"] = q_multimodal_features_checked
+EXT_ORACLES["multimodal_features_checked"] = SQL_MULTIMODAL_FEATURES_CHECKED
+EXT_QUERIES["simulate_contract"] = q_simulate_contract
+EXT_ORACLES["simulate_contract"] = SQL_SIMULATE_CONTRACT
