@@ -46,8 +46,19 @@ def cumulative_distance(
     x, y, z = (F.col(c) for c in pos_cols)
     step = dist3(x, y, z, F.lag(x).over(w), F.lag(y).over(w), F.lag(z).over(w))
     step = F.coalesce(step, F.lit(0.0))
-    cum = F.sum(step).over(
-        Window.partitionBy(seq_col).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    # DECIMAL accumulator: windowed double sums are evaluation-order
+    # dependent (DuckDB segment tree vs Spark sequential) and the drift
+    # crosses round(6) boundaries at sf>=0.5 prefix lengths.  Decimal
+    # addition is associative, so every engine agrees; steps are cast at
+    # scale 12 (both engines round-to-nearest the same double).
+    cum = (
+        F.sum(step.cast("decimal(28,12)"))
+        .over(
+            Window.partitionBy(seq_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("double")
     )
     return df.withColumn("__step", step).withColumn(out_col, cum).drop("__step")
 

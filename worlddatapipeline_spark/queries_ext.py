@@ -615,8 +615,10 @@ WITH path AS (
   FROM path WINDOW w AS (PARTITION BY user_id ORDER BY ord)
 ), cum AS (
   SELECT user_id, ord, x, y, z,
-         coalesce(sum(d) OVER (PARTITION BY user_id ORDER BY ord
-                               ROWS UNBOUNDED PRECEDING), 0.0) AS cum_dist,
+         coalesce(CAST(sum(CAST(d AS DECIMAL(28,12)))
+                         OVER (PARTITION BY user_id ORDER BY ord
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0.0)
+           AS cum_dist,
          lead(x) OVER w2 AS nx, lead(y) OVER w2 AS ny, lead(z) OVER w2 AS nz
   FROM seg WINDOW w2 AS (PARTITION BY user_id ORDER BY ord)
 ), cum2 AS (
@@ -686,8 +688,10 @@ WITH path AS (
   FROM path WINDOW w AS (PARTITION BY user_id ORDER BY ord)
 ), cum AS (
   SELECT user_id, ord,
-         coalesce(sum(d) OVER (PARTITION BY user_id ORDER BY ord
-                               ROWS UNBOUNDED PRECEDING), 0.0) AS cum_dist
+         coalesce(CAST(sum(CAST(d AS DECIMAL(28,12)))
+                         OVER (PARTITION BY user_id ORDER BY ord
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0.0)
+           AS cum_dist
   FROM seg
 ), cum2 AS (
   SELECT *, lead(cum_dist) OVER (PARTITION BY user_id ORDER BY ord) AS next_cum
