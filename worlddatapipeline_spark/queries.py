@@ -1093,6 +1093,7 @@ FROM grid g JOIN seg s
 # registry
 # ---------------------------------------------------------------------------
 
+from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from .queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1132,6 +1133,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_connected_components,
     **EXT_QUERIES,
     **TPCH_QUERIES,
+    **ANALYTICS_QUERIES,
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
@@ -1248,6 +1250,7 @@ ORACLES: dict[str, str] = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     **EXT_ORACLES,
     **TPCH_ORACLES,
+    **ANALYTICS_ORACLES,
 }
 
 # minhash_verified_dups = LSH candidates -> EXACT 3-gram Jaccard >= 0.8.

@@ -1,0 +1,338 @@
+"""Round-3 analytics additions: Bloom-pruned decontamination, quantile
+sketch contract, anomaly detection, funnel analysis, deterministic
+group sampling.
+
+Each entry follows the registry contract: a ``(spark, sf_dir) ->
+DataFrame`` callable plus (where expressible) an ANSI-SQL oracle DuckDB
+runs over the same parquet — column names aliased identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import bloom as bloom_ops
+from .session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, list(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned decontamination (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-side decontamination with a broadcast Bloom prefilter: flag
+    TRAIN documents containing any 5-word shingle from the (small) TEST
+    split — the mirror image of `train_test_decontamination`, which audits
+    the test side.
+
+    Physical plan at 100 TB: the test split's shingle set is benchmark-
+    sized (MBs), so it becomes a broadcast Bloom (operators/bloom.py);
+    train shingles are probed AT THE MAP SIDE and only probable hits reach
+    the exact verify-join.  Bloom has no false negatives, so the output is
+    byte-identical to the plain exact semi-join the oracle states — the
+    sketch changes the plan (corpus never shuffles its full shingle set),
+    never the result.  Per-doc totals come from a separate map-side
+    aggregate over the un-pruned shingles (no join, combine-heavy).
+    Reference parity: manifest-lookup pruning in `scene_copy.py:167-204`,
+    scaled out."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    shingled = (
+        documents.select("doc_id", bucket.alias("b"), words.alias("words"))
+        .filter(F.size("words") >= 5)
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 4),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("words"), i, 5))),
+                )
+            ).alias("h"),
+        )
+    )
+    test_shingles = shingled.filter(F.col("b") >= 90).select("h").distinct()
+    train = shingled.filter(F.col("b") < 80).select("doc_id", "h").distinct()
+
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    # Bloom prefilter (map-side, no shuffle of the train shingle set), then
+    # exact verify against the true test set to strip false positives.
+    candidates = bloom_ops.bloom_prune(
+        train, "h", test_shingles, F.col("h"), fpp=0.01
+    )
+    contaminated = (
+        candidates.join(test_shingles, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(contaminated, "doc_id", "inner")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+SQL_BLOOM_DECONTAMINATION = """
+WITH worded AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+         string_split(text, ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, b,
+         md5(array_to_string(list_slice(words, i, i + 4), ' ')) AS h
+  FROM (
+    SELECT doc_id, b, words,
+           unnest(generate_series(1, len(words) - 4)) AS i
+    FROM worded
+    WHERE len(words) >= 5
+  )
+), test AS (
+  SELECT DISTINCT h FROM sh WHERE b >= 90
+), train AS (
+  SELECT doc_id, h FROM sh WHERE b < 80
+), tot AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+), cont AS (
+  SELECT t.doc_id, count(*) AS n_contaminated
+  FROM train t
+  WHERE EXISTS (SELECT 1 FROM test WHERE test.h = t.h)
+  GROUP BY t.doc_id
+)
+SELECT tot.doc_id, tot.n_shingles, cont.n_contaminated,
+       round(cont.n_contaminated / tot.n_shingles, 6) AS contamination_ratio
+FROM tot JOIN cont ON tot.doc_id = cont.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch contract
+# ---------------------------------------------------------------------------
+
+def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch rank contract: `percentile_approx` (Greenwald-Khanna
+    sketch — THE 100 TB percentile path: bounded state, one pass,
+    mergeable; exact percentile is holistic and must see every value) at
+    accuracy=1000 guarantees rank error <= 1/1000.  Verified from first
+    principles: re-rank each sketch output against the data — the fraction
+    of rows <= the approx p-quantile must sit within p ± 0.005 (5x the
+    guarantee; no flake room on a fixed corpus).  Emits row count + the
+    three boolean bound checks; the oracle states the exact count and
+    `true` for each bound."""
+    (events,) = _t(spark, sf_dir, "events")
+    sk = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 1000).alias("qs"),
+    )
+    ranked = events.crossJoin(F.broadcast(sk)).agg(
+        F.first("n_rows").alias("n_rows"),
+        (F.sum((F.col("value") <= F.element_at("qs", 1)).cast("long")) / F.first("n_rows")).alias("r50"),
+        (F.sum((F.col("value") <= F.element_at("qs", 2)).cast("long")) / F.first("n_rows")).alias("r95"),
+        (F.sum((F.col("value") <= F.element_at("qs", 3)).cast("long")) / F.first("n_rows")).alias("r99"),
+    )
+    return ranked.select(
+        "n_rows",
+        (F.abs(F.col("r50") - 0.5) <= 0.005).alias("p50_ok"),
+        (F.abs(F.col("r95") - 0.95) <= 0.005).alias("p95_ok"),
+        (F.abs(F.col("r99") - 0.99) <= 0.005).alias("p99_ok"),
+    )
+
+
+SQL_APPROX_QUANTILE_CONTRACT = """
+SELECT count(*) AS n_rows,
+       true AS p50_ok, true AS p95_ok, true AS p99_ok
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: per-user hourly event-rate z-score
+# ---------------------------------------------------------------------------
+
+def q_event_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate anomaly detection: bucket events into hours,
+    z-score each active hour against that user's own mean/stddev_pop of
+    hourly counts, count hours with |z| > 2.  Two shuffles total — the
+    (user, hour) count and the per-user moment aggregate — both partial-
+    aggregated map-side; the z evaluation is a broadcast-free second agg
+    over the tiny hourly frame.  All-arithmetic on integer counts, so the
+    rounded z statistics are engine-stable."""
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.avg("cnt").alias("mu"),
+        F.stddev_pop("cnt").alias("sigma"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    z_max = F.when(
+        F.col("sigma") > 0, (F.col("max_cnt") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    n_anom = (
+        hourly.join(stats, "user_id")
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs((F.col("cnt") - F.col("mu")) / F.col("sigma")) > 2)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_anomalous"))
+    )
+    return (
+        stats.join(n_anom, "user_id", "left")
+        .select(
+            "user_id",
+            "n_hours",
+            F.coalesce("n_anomalous", F.lit(0)).alias("n_anomalous"),
+            F.round(z_max, 4).alias("max_z"),
+        )
+    )
+
+
+SQL_EVENT_RATE_ZSCORE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS cnt
+  FROM events GROUP BY user_id, hr
+), stats AS (
+  SELECT user_id, count(*) AS n_hours, avg(cnt) AS mu,
+         stddev_pop(cnt) AS sigma, max(cnt) AS max_cnt
+  FROM hourly GROUP BY user_id
+), anom AS (
+  SELECT h.user_id, count(*) AS n_anomalous
+  FROM hourly h JOIN stats s ON h.user_id = s.user_id
+  WHERE s.sigma > 0 AND abs((h.cnt - s.mu) / s.sigma) > 2
+  GROUP BY h.user_id
+)
+SELECT s.user_id, s.n_hours,
+       COALESCE(a.n_anomalous, 0) AS n_anomalous,
+       round(CASE WHEN s.sigma > 0
+                  THEN (s.max_cnt - s.mu) / s.sigma ELSE 0.0 END, 4) AS max_z
+FROM stats s LEFT JOIN anom a ON s.user_id = a.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion
+# ---------------------------------------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase): a user
+    converts a stage only if the earliest later-stage event strictly
+    follows the earliest earlier-stage event.  One shuffle: the per-user
+    conditional-min aggregate (three `min(CASE)` columns in a single
+    pass); the funnel booleans and the final one-row rollup are
+    map-side.  The standard product-analytics query every OLAP engine
+    ships; ordering on raw microsecond timestamps keeps it exact."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(
+            (F.col("t_view") < F.col("t_click")).cast("long")
+        ).alias("n_view_click"),
+        F.sum(
+            (
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy"))
+            ).cast("long")
+        ).alias("n_full_funnel"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling
+# ---------------------------------------------------------------------------
+
+def q_reservoir_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-group sample: the 5 events per event_type
+    with the smallest md5(event_id) — a hash-rank sample, equivalent in
+    distribution to a uniform reservoir but reproducible across runs,
+    retries, and engines (the same no-rand() discipline as the
+    deterministic split family).  Scale: per-group top-k by hash rank is a
+    partial top-k per partition then a k-row-per-group merge — no global
+    sort, no rand() non-determinism under task retry (Spark re-executes
+    lost partitions; rand() samples would silently change)."""
+    (events,) = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        events.select("event_type", "event_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_RESERVOIR_SAMPLE_GROUPS = """
+SELECT event_type, event_id, rk
+FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+WHERE rk <= 5
+"""
+
+
+ANALYTICS_QUERIES = {
+    "bloom_decontamination": q_bloom_decontamination,
+    "approx_quantile_contract": q_approx_quantile_contract,
+    "event_rate_zscore": q_event_rate_zscore,
+    "funnel_conversion": q_funnel_conversion,
+    "reservoir_sample_groups": q_reservoir_sample_groups,
+}
+
+ANALYTICS_ORACLES = {
+    "bloom_decontamination": SQL_BLOOM_DECONTAMINATION,
+    "approx_quantile_contract": SQL_APPROX_QUANTILE_CONTRACT,
+    "event_rate_zscore": SQL_EVENT_RATE_ZSCORE,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "reservoir_sample_groups": SQL_RESERVOIR_SAMPLE_GROUPS,
+}
