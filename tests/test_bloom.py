@@ -122,3 +122,61 @@ def test_reservoir_sample_k_per_group(spark):
         )
     )
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "variant_props_extract",
+        "recursive_discount_chain",
+        "lateral_topk_suppliers",
+    ],
+)
+def test_engine_surface_queries_run(spark, name):
+    from worlddatapipeline_spark.queries_analytics import ANALYTICS_QUERIES
+
+    df = ANALYTICS_QUERIES[name](spark, "/root/testdata/sf0.001")
+    assert len(df.collect()) >= 1
+
+
+def test_recursive_chain_matches_window_product(spark):
+    """The recursive compounding walk must equal the closed-form
+    per-order product of (1-discount) computed with a plain aggregate."""
+    from worlddatapipeline_spark.queries_analytics import (
+        q_recursive_discount_chain,
+    )
+    from worlddatapipeline_spark.session import load_tables
+
+    rec = {
+        r["orderkey"]: (r["n_lines"], r["compounded_keep"])
+        for r in q_recursive_discount_chain(spark, "/root/testdata/sf0.001").collect()
+    }
+    li = load_tables(spark, "/root/testdata/sf0.001", ["lineitem"])["lineitem"]
+    agg = (
+        li.filter(F.col("l_orderkey") % 11 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.exp(F.sum(F.log(F.lit(1.0) - F.col("l_discount")))), 4
+            ).alias("prod"),
+        )
+        .collect()
+    )
+    assert len(agg) == len(rec)
+    for r in agg:
+        n_lines, comp = rec[r["l_orderkey"]]
+        assert n_lines == r["n_lines"]
+        assert abs(round(comp, 4) - r["prod"]) <= 1e-4
+
+
+def test_lateral_topk_two_per_nation(spark):
+    from worlddatapipeline_spark.queries_analytics import (
+        q_lateral_topk_suppliers,
+    )
+
+    rows = q_lateral_topk_suppliers(spark, "/root/testdata/sf0.001").collect()
+    from collections import Counter
+
+    per = Counter(r["n_name"] for r in rows)
+    assert all(c <= 2 for c in per.values())

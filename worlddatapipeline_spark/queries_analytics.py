@@ -321,12 +321,121 @@ WHERE rk <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Engine-surface parity: VARIANT, native recursive CTE, LATERAL join
+# ---------------------------------------------------------------------------
+
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): `parse_json` shreds the
+    `events.props` JSON string ONCE into the binary-encoded VARIANT type;
+    `variant_get` then does typed path extraction with no per-access
+    re-parse.  At 100 TB this is the difference between parsing the JSON
+    text per expression (`get_json_object` × N fields = N parses) and one
+    parse + O(1) binary reads — and a VARIANT column persisted to parquet
+    shreds into scannable subcolumns.  Oracle uses DuckDB's native JSON
+    extraction over the same strings."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
+SQL_VARIANT_PROPS_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 6) AS k_avg,
+       CAST(max(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+# The SAME statement runs on Spark (native WITH RECURSIVE, Spark 4) and
+# DuckDB: an acyclic walk up each order's linenumber chain compounding
+# (1 - discount) in line order.  Depth is bounded by the max linenumber
+# (7), so the recursion is a fixed small number of co-partitioned joins —
+# the shape that scales; cyclic closures (UNION-distinct recursion) stay
+# on the dedicated iterative operator (operators/graph.py), which Spark's
+# recursive CTE cannot express yet (UNION ALL only).
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE ranked AS (
+  SELECT l_orderkey AS o,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_extendedprice, l_partkey
+         ) AS ln,
+         l_discount
+  FROM lineitem WHERE l_orderkey % 11 = 0
+), chain(o, ln, acc) AS (
+  SELECT o, ln, CAST(1.0 AS DOUBLE) - l_discount
+  FROM ranked WHERE ln = 1
+  UNION ALL
+  SELECT r.o, r.ln, c.acc * (CAST(1.0 AS DOUBLE) - r.l_discount)
+  FROM chain c JOIN ranked r ON r.o = c.o AND r.ln = c.ln + 1
+)
+SELECT o AS orderkey,
+       CAST(max(ln) AS BIGINT) AS n_lines,
+       round(min(acc), 6) AS compounded_keep
+FROM chain GROUP BY o
+"""
+
+
+def q_recursive_discount_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4 `WITH RECURSIVE`): walk each order's
+    lines in a densified row_number order (the raw l_linenumber has gaps
+    and duplicates in this corpus, which would fork/truncate a naive
+    linenumber walk) compounding the kept fraction `(1-discount)` step by
+    step — the textbook iterate-over-sequence shape.  `min(acc)` is the
+    final chain value because the product is non-increasing (discounts
+    are >= 0); multiplication order is identical on both engines by
+    construction, so the doubles agree bit-for-bit before rounding.  The
+    oracle is the LITERAL same statement run by DuckDB."""
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+def q_lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, the top-2 suppliers by
+    account balance — the `JOIN LATERAL (... ORDER BY ... LIMIT k)` form
+    Catalyst rewrites into the same ranked-window plan the DataFrame top-k
+    queries use (DomainJoin -> window under the hood), so the SQL surface
+    and the DataFrame surface price identically.  Deterministic tie-break
+    on s_suppkey.  Same statement text on DuckDB."""
+    _t(spark, sf_dir, "nation", "supplier")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal
+FROM nation n, LATERAL (
+  SELECT s_name, s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_suppkey
+  LIMIT 2
+) t
+"""
+
+
 ANALYTICS_QUERIES = {
     "bloom_decontamination": q_bloom_decontamination,
     "approx_quantile_contract": q_approx_quantile_contract,
     "event_rate_zscore": q_event_rate_zscore,
     "funnel_conversion": q_funnel_conversion,
     "reservoir_sample_groups": q_reservoir_sample_groups,
+    "variant_props_extract": q_variant_props_extract,
+    "recursive_discount_chain": q_recursive_discount_chain,
+    "lateral_topk_suppliers": q_lateral_topk_suppliers,
 }
 
 ANALYTICS_ORACLES = {
@@ -335,4 +444,7 @@ ANALYTICS_ORACLES = {
     "event_rate_zscore": SQL_EVENT_RATE_ZSCORE,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "reservoir_sample_groups": SQL_RESERVOIR_SAMPLE_GROUPS,
+    "variant_props_extract": SQL_VARIANT_PROPS_EXTRACT,
+    "recursive_discount_chain": _RECURSIVE_CHAIN_SQL,
+    "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
 }
