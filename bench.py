@@ -106,6 +106,7 @@ LLM = [
     "duplicate_span_stats",
     "chunk_dedup_rewrite",
     "bucketed_cosine_dedup",
+    "bloom_decontamination",
 ]
 
 

@@ -303,20 +303,17 @@ def minhash_lsh_candidates(
 DEFAULT_MAX_DF = 2000
 
 
-def _posting_list_pairs(sh: DataFrame) -> DataFrame:
-    """(id, sh) → candidate (id_a, id_b) pairs from per-shingle posting
-    lists, one output row per shared shingle (NOT distinct).  Singleton
-    shingles pruned — they cannot contribute a pair."""
+def _pairs_from_posting_lists(postings: DataFrame) -> DataFrame:
+    """(ids: sorted array<long>) → exploded (id_a, id_b) pairs, one output
+    row per shared shingle (NOT distinct)."""
     postings = (
-        sh.groupBy("sh")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        postings
         # pair generation is an interpreted higher-order lambda: CPU-bound,
         # not byte-bound.  AQE's size-based coalescing sees a few MB of
         # postings and squeezes them into ONE partition, serializing the
         # O(|ids|²) pair fan-out on a single core (measured 23s vs 3s at
         # sf0.1).  Spread it explicitly before the expensive stage.
-        .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+        .repartition(postings.sparkSession.sparkContext.defaultParallelism)
     )
     ids = F.col("ids")
     pair_arr = F.flatten(
@@ -331,6 +328,17 @@ def _posting_list_pairs(sh: DataFrame) -> DataFrame:
     return postings.select(F.explode(pair_arr).alias("p")).select(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
+
+
+def _posting_list_pairs(sh: DataFrame) -> DataFrame:
+    """(id, sh) → candidate (id_a, id_b) pairs from per-shingle posting
+    lists.  Singleton shingles pruned — they cannot contribute a pair."""
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return _pairs_from_posting_lists(postings)
 
 
 def ngram_jaccard_pairs(
@@ -375,23 +383,74 @@ def ngram_jaccard_pairs(
     """
     sh = exploded_shingle_hashes(df, text_col, id_col, n=n)
     if max_df is not None and candidate_pairs is None:
-        # Capped GENERATION, exact VERIFICATION: build the candidate pair
-        # set from sub-cap posting lists, then score candidates against the
-        # full shingle frame via the candidate_pairs path below.  df-per-
-        # shingle reuses the same 8-byte `sh` shuffle key as the postings
-        # aggregate, and the generation stage is bounded at
-        # O(max_df²) rows per shingle.
-        keep = (
+        # Capped GENERATION, exact VALUES, all from ONE persisted posting
+        # aggregate (an earlier formulation verified candidates by
+        # re-joining the full shingle frame twice and measured ~6x slower
+        # at sf0.1):
+        #   - pairs + intersection counts come from sub-cap posting lists
+        #     exactly as the uncapped path does (the size() filter is free);
+        #   - the contribution of OVER-cap shingles to those pairs is added
+        #     back from the (typically tiny) over-cap postings exploded to
+        #     (sh, id) — so surfaced Jaccard values equal the uncapped
+        #     result exactly;
+        #   - per-doc totals come from exploding the same postings frame.
+        # A true pair is missed only if EVERY shared shingle is over-cap —
+        # pure boilerplate overlap (documented contract).  No reducer is
+        # ever quadratic in a boilerplate shingle's document frequency.
+        postings = (
             sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter((F.col("df") > 1) & (F.col("df") <= max_df))
-            .select("sh")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .persist()
         )
-        capped = sh.join(keep, "sh")
-        cand = _posting_list_pairs(capped).distinct()
-        return ngram_jaccard_pairs(
-            df, text_col, id_col, n=n, threshold=threshold,
-            candidate_pairs=cand, max_df=None,
+        sizes = (
+            postings.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        low = postings.filter(
+            (F.size("ids") > 1) & (F.size("ids") <= max_df)
+        )
+        inter_low = (
+            _pairs_from_posting_lists(low)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter_lo"))
+        )
+        high = postings.filter(F.size("ids") > max_df).select(
+            "sh", F.explode("ids").alias("id")
+        )
+        inter_hi = (
+            inter_low.select("id_a", "id_b")
+            .join(high.alias("ha"), F.col("ha.id") == F.col("id_a"))
+            .join(
+                high.alias("hb"),
+                (F.col("hb.id") == F.col("id_b"))
+                & (F.col("ha.sh") == F.col("hb.sh")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("ih"))
+        )
+        inter = (
+            inter_low.join(inter_hi, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("inter_lo") + F.coalesce(F.col("ih"), F.lit(0))).alias(
+                    "inter"
+                ),
+            )
+        )
+        return (
+            inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+            .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter")
+                    / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidate_pairs is not None:
