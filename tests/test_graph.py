@@ -109,3 +109,44 @@ def test_star_cc_long_chain(spark):
     out = connected_components_star(edf).collect()
     assert len(out) == 31
     assert {r["component"] for r in out} == {0}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    from worlddatapipeline_spark.operators.graph import pagerank
+
+    # star: 1 at the center of 2,3,4 (symmetrized -> no dangling)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)], ["src", "dst"]
+    )
+    rows = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=10).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert rows[1] > rows[2] == rows[3] == rows[4]
+
+
+def test_pagerank_rejects_dangling(spark):
+    import pytest
+    from worlddatapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 dangles
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges)
+
+
+def test_bfs_hops_path_graph(spark):
+    from worlddatapipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond cap, 10/11 unreachable
+
+
+def test_bfs_frontier_stops_when_exhausted(spark):
+    from worlddatapipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=50).collect()}
+    assert got == {1: 0, 2: 1}

@@ -257,3 +257,124 @@ def island_centroid_spawn(
         F.first("cz").alias("centroid_z"),
         F.min_by(F.col(id_col), d).alias("spawn_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank power method over a directed edge list.
+
+    Each iteration is one join + one aggregate — the standard data-parallel
+    formulation (contributions shuffle on dst; partial aggregation combines
+    map-side).  ``localCheckpoint`` per iteration truncates lineage exactly
+    like connected_components; iterations are FIXED (not convergence-tested)
+    so the result is a deterministic function of (edges, n_iter, damping)
+    and can be restated as chained SQL CTEs by an oracle.
+
+    Requires every node to have outdegree >= 1 (symmetrize the edge list
+    for undirected graphs and this holds by construction); raises otherwise
+    rather than silently leaking rank mass from dangling nodes.  At 100 TB
+    scale, pre-partition edges by dst so the per-iteration shuffle reuses
+    the same exchange, and raise checkpoint cadence.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    dangling = (
+        nodes.join(e.select(F.col("s").alias("node")).distinct(), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            "pagerank: graph has dangling nodes (outdegree 0); symmetrize "
+            "the edge list or add self-loops before calling."
+        )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    pr = nodes.select("node", (F.lit(1.0) / n).alias("pr")).localCheckpoint(
+        eager=True
+    )
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr, e["s"] == pr["node"])
+            .join(outdeg, pr["node"] == outdeg["node"])
+            .select(
+                F.col("d").alias("node"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+) -> DataFrame:
+    """Minimum hop count from a seed set, frontier BFS, undirected.
+
+    Classic data-parallel BFS: the frontier joins the (symmetrized) edge
+    list, newly reached nodes join the visited set at hops+1, repeat
+    ``max_hops`` times or until the frontier empties.  Each iteration
+    shuffles only the CURRENT frontier against edges (anti-join drops
+    visited nodes before the next expansion), so per-iteration cost is
+    proportional to the frontier's edge boundary — the shape that holds on
+    billion-edge graphs.  Returns (node, hops) for every node within
+    ``max_hops`` of any seed (seeds at hops 0).
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    visited = (
+        seeds.select(F.col(id_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_hops + 1):
+        reached = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        new_front = (
+            reached.join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new_front.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(new_front).localCheckpoint(eager=True)
+        frontier = new_front
+    return visited

@@ -427,6 +427,121 @@ FROM nation n, LATERAL (
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative graph: PageRank (fixed iterations) + BFS hop count
+# ---------------------------------------------------------------------------
+
+# Shared derived graph (same one connected_components uses): bipartite
+# part <-> supplier co-occurrence from a lineitem sample, symmetrized.
+_GRAPH_CTE = """
+e AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem WHERE l_orderkey % 97 = 0
+), bidir AS (
+  SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+  SELECT DISTINCT s AS node FROM bidir
+), deg AS (
+  SELECT s AS node, count(*) AS outdeg FROM bidir GROUP BY s
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+)"""
+
+# damping = 0.75 ON PURPOSE: 0.75 and 0.25 are exact in BOTH binary
+# doubles and DuckDB's decimal literals, so the per-iteration arithmetic
+# is bit-identical across engines up to summation order (the verify
+# skill's cross-engine float rule).
+_PAGERANK_ITER = """
+, pr{k} AS (
+  SELECT nodes.node,
+         0.25 / (SELECT n FROM nn)
+           + 0.75 * COALESCE(c.csum, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT b.d AS node, sum(p.pr / dg.outdeg) AS csum
+    FROM bidir b
+    JOIN pr{j} p ON b.s = p.node
+    JOIN deg dg ON dg.node = p.node
+    GROUP BY b.d
+  ) c ON c.node = nodes.node
+)"""
+
+SQL_PAGERANK_SCORES = (
+    "WITH " + _GRAPH_CTE
+    + ", pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"
+    + "".join(_PAGERANK_ITER.format(k=k, j=k - 1) for k in range(1, 6))
+    + "\nSELECT node, round(pr, 6) AS pr FROM pr5"
+)
+
+
+def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py::pagerank, 5 power
+    iterations, damping 0.75) over the symmetrized part<->supplier
+    co-occurrence graph.  The oracle restates the identical power method
+    as five chained SQL CTEs — possible precisely because the iteration
+    count is fixed, which is also what makes the distributed run
+    deterministic and restartable.  Per iteration: one join + one
+    aggregate, contributions shuffle on dst with map-side combine."""
+    from .operators import graph as graph_ops
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    e = (
+        lineitem.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 10000000).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = graph_ops.pagerank(sym, n_iter=5, damping=0.75)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE """ + _GRAPH_CTE + """,
+seeds AS (
+  SELECT node FROM nodes WHERE node % 10 = 0 AND node < 10000000
+), walk(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT b.d, w.hops + 1
+  FROM walk w JOIN bidir b ON b.s = w.node
+  WHERE w.hops < 4
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
+def q_bfs_hops_from_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS (operators/graph.py::bfs_hops): minimum hop count from
+    the round-numbered part nodes, capped at 4 hops, over the symmetrized
+    co-occurrence graph.  The DuckDB oracle walks the same graph with a
+    depth-bounded recursive CTE and takes min(hops) per node — UNION-
+    distinct recursion, which DuckDB supports and Spark does not (Spark
+    4's WITH RECURSIVE is UNION ALL-only), hence the dedicated frontier
+    operator with an anti-join visited set on the Spark side."""
+    from .operators import graph as graph_ops
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    e = (
+        lineitem.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 10000000).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .filter((F.col("node") % 10 == 0) & (F.col("node") < 10000000))
+        .distinct()
+    )
+    return graph_ops.bfs_hops(e, seeds, max_hops=4)
+
+
 ANALYTICS_QUERIES = {
     "bloom_decontamination": q_bloom_decontamination,
     "approx_quantile_contract": q_approx_quantile_contract,
@@ -436,6 +551,8 @@ ANALYTICS_QUERIES = {
     "variant_props_extract": q_variant_props_extract,
     "recursive_discount_chain": q_recursive_discount_chain,
     "lateral_topk_suppliers": q_lateral_topk_suppliers,
+    "pagerank_scores": q_pagerank_scores,
+    "bfs_hops_from_hubs": q_bfs_hops_from_hubs,
 }
 
 ANALYTICS_ORACLES = {
@@ -447,4 +564,6 @@ ANALYTICS_ORACLES = {
     "variant_props_extract": SQL_VARIANT_PROPS_EXTRACT,
     "recursive_discount_chain": _RECURSIVE_CHAIN_SQL,
     "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
+    "pagerank_scores": SQL_PAGERANK_SCORES,
+    "bfs_hops_from_hubs": SQL_BFS_HOPS,
 }
