@@ -74,3 +74,42 @@ def test_approach_target(spark):
     # starts at target[0]=90 -> immediately at target and stays
     assert vals[-1] == pytest.approx(90.0)
     assert np.abs(np.diff(vals)).max() <= 10.0 + 1e-9
+
+
+def test_ewma_series_matches_pandas_ewm():
+    import numpy as np
+    import pandas as pd
+
+    from worlddatapipeline_spark.operators.stateful import ewma_series
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 100, 500).round(3)
+    got, state = ewma_series(x, alpha=0.25)
+    exp = pd.Series(x).ewm(alpha=0.25, adjust=False).mean().to_numpy()
+    assert np.allclose(got, exp, rtol=0, atol=1e-9)
+    assert state == got[-1]
+
+
+def test_ewma_state_carries_across_batches():
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.stateful import ewma_series
+
+    x = np.arange(100, dtype=np.float64)
+    whole, _ = ewma_series(x, alpha=0.25)
+    a, st = ewma_series(x[:37], alpha=0.25)
+    b, _ = ewma_series(x[37:], alpha=0.25, prev=st)
+    assert np.array_equal(np.concatenate([a, b]), whole)
+
+
+def test_ewma_dataframe_scan(spark):
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.stateful import ewma, ewma_series
+
+    rows = [(g, i, float(v)) for g in (1, 2) for i, v in enumerate([5, 9, 1, 7, 3])]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = ewma(df, "g", "t", "v", alpha=0.25).collect()
+    exp, _ = ewma_series(np.array([5, 9, 1, 7, 3], dtype=np.float64), 0.25)
+    for r in out:
+        assert r["ewma"] == exp[r["t"]]

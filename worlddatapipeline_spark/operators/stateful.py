@@ -229,3 +229,55 @@ def approach_target(
         return out, cur
 
     return _sorted_scan(df, seq_col, order_col, out_col, run)
+
+
+def ewma_series(
+    values: np.ndarray, alpha: float, prev: float | None = None
+) -> tuple[np.ndarray, float | None]:
+    """Sequential EWMA recurrence y_t = (1-a)*y_{t-1} + a*x_t, y_0 = x_0.
+
+    Deliberately the NAIVE per-row loop (same discipline as
+    rate_limit_series): the op order is then identical to any SQL
+    recursive-CTE restatement, so the doubles match an oracle engine
+    bit-for-bit.  The block-vectorized closed form
+    y_t = (1-a)^t*y_0 + a*sum (1-a)^(t-i)*x_i is ~1 ulp off the
+    recurrence, and because decimal-quantized inputs with a dyadic alpha
+    land EXACTLY on round-half boundaries, that ulp flips rounded outputs
+    between engines (measured: 2-3 rows per 10k at round(6)).  Flip to
+    the closed form only when no cross-engine replay is required."""
+    out = np.empty(len(values), dtype=np.float64)
+    if len(values) == 0:
+        return out, prev
+    beta = 1.0 - alpha
+    start = 0
+    if prev is None:
+        prev = float(values[0])
+        out[0] = prev
+        start = 1
+    for i in range(start, len(values)):
+        prev = beta * prev + alpha * float(values[i])
+        out[i] = prev
+    return out, prev
+
+
+def ewma(
+    df: DataFrame,
+    seq_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-sequence exponential moving average — a partition-sorted
+    mapInPandas scan like the rate limiter: output depends on previous
+    OUTPUT, so it is not a window frame.  Prefer alpha values exact in
+    binary floating point (0.25, 0.5, 0.75) when cross-engine
+    reproducibility matters."""
+
+    def run(pdf: pd.DataFrame, state: object) -> tuple[np.ndarray, object]:
+        return ewma_series(
+            pdf[value_col].to_numpy(dtype=np.float64), alpha,
+            prev=state,  # type: ignore[arg-type]
+        )
+
+    return _sorted_scan(df, seq_col, order_col, out_col, run)

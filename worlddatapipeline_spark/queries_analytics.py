@@ -428,6 +428,52 @@ FROM nation n, LATERAL (
 
 
 # ---------------------------------------------------------------------------
+# Stateful sequential: exponential moving average
+# ---------------------------------------------------------------------------
+
+def q_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha=0.25) in event-time order — the
+    standard smoothing pass before thresholding/alerting.  Output depends
+    on the previous OUTPUT, so like the rate limiter it is a sorted
+    mapInPandas scan (operators/stateful.py::ewma), not a window frame.
+    alpha=0.25 keeps every per-step constant exact in binary and decimal
+    alike, and the oracle replays the recurrence step-for-step with a
+    recursive CTE, so the output doubles are BIT-IDENTICAL across engines
+    — which is why the query emits them unrounded: with quantized inputs
+    and a dyadic alpha the exact values sit ON decimal round-half
+    boundaries, where Spark's BigDecimal-expansion round() and DuckDB's
+    multiply-shift round() disagree about the same double (measured: 2-3
+    rows per 10k at round(6)).  Rounding inside a cross-engine contract
+    is the bug; identical arithmetic is the guarantee."""
+    from .operators import stateful as stateful_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    series = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    out = stateful_ops.ewma(
+        series, "user_id", "t_us", "value", alpha=0.25, out_col="ewma"
+    )
+    return out.select("user_id", "event_id", "ewma")
+
+
+SQL_EWMA_EVENT_VALUE = """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+), w(user_id, event_id, rn, y) AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE) FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         CAST(0.75 AS DOUBLE) * w.y + CAST(0.25 AS DOUBLE) * s.value
+  FROM w JOIN s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, event_id, y AS ewma FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # Iterative graph: PageRank (fixed iterations) + BFS hop count
 # ---------------------------------------------------------------------------
 
@@ -553,6 +599,7 @@ ANALYTICS_QUERIES = {
     "lateral_topk_suppliers": q_lateral_topk_suppliers,
     "pagerank_scores": q_pagerank_scores,
     "bfs_hops_from_hubs": q_bfs_hops_from_hubs,
+    "ewma_event_value": q_ewma_event_value,
 }
 
 ANALYTICS_ORACLES = {
@@ -566,4 +613,5 @@ ANALYTICS_ORACLES = {
     "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
     "pagerank_scores": SQL_PAGERANK_SCORES,
     "bfs_hops_from_hubs": SQL_BFS_HOPS,
+    "ewma_event_value": SQL_EWMA_EVENT_VALUE,
 }
