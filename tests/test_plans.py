@@ -227,3 +227,58 @@ def test_minhash_bucket_guard_shares_join_exchange(spark):
     )
     # guard is a Window + Filter, not an extra aggregate-plus-semi-join
     assert "LeftSemi" not in plan
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The Bloom prefilter must evaluate BEFORE any join/exchange on the
+    corpus side: the probe filter sits under the first Exchange above the
+    train-shingle scan, so pruned rows never shuffle."""
+    plan = _plan(spark, "bloom_decontamination")
+    assert "CartesianProduct" not in plan
+    # the probe is an ArrowEvalPython/pythonUDF stage feeding a Filter
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
+
+
+def test_funnel_single_aggregate_pass(spark):
+    """Funnel = one per-user conditional-min aggregate + one global rollup:
+    exactly two hash aggregates deep, no join, no window."""
+    plan = _plan(spark, "funnel_conversion")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_reservoir_sample_no_global_sort(spark):
+    plan = _plan(spark, "reservoir_sample_groups")
+    # ranked window sorts within partitions only — no global Exchange range
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_variant_single_parse(spark):
+    """parse_json must appear once (one VARIANT build), not once per
+    extracted field."""
+    plan = _plan(spark, "variant_props_extract")
+    assert plan.count("parse_json") <= 1
+
+
+def test_lateral_rewrites_to_window_no_cartesian(spark):
+    plan = _plan(spark, "lateral_topk_suppliers")
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_two_shuffles(spark):
+    plan = _plan(spark, "event_rate_zscore")
+    assert "CartesianProduct" not in plan
+    # hourly agg + per-user moments (+AQE may add coalesce reads) — the
+    # plan must not balloon into repeated full-table exchanges
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The filtered read over the hive-partitioned layout must show
+    non-empty PartitionFilters — directories skipped at planning time."""
+    plan = _plan(spark, "partition_pruned_stats")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "event_type" in m.group(1)

@@ -428,6 +428,53 @@ FROM nation n, LATERAL (
 
 
 # ---------------------------------------------------------------------------
+# Physical layout: hive-partitioned write → partition-pruned read
+# ---------------------------------------------------------------------------
+
+def q_partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the physical-layout writer
+    (catalog/layout.py::write_partitioned): events land hive-partitioned
+    by event_type, then the read filters two types — at 100 TB a
+    `scene=`/`date=`-style layout turns that predicate into PARTITION
+    PRUNING (whole directories skipped at planning time), not just
+    row-group skipping; tests/test_plans.py pins `PartitionFilters` on
+    this read.  Values are aggregated through DECIMAL(28,6) on both
+    engines (the cross-engine float-sum rule) so the oracle — plain SQL
+    over the ORIGINAL table — hash-matches, proving the layout round-trip
+    is lossless."""
+    import tempfile
+    import uuid
+
+    from .catalog import layout as layout_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    path = tempfile.gettempdir() + "/wdp_part_" + uuid.uuid4().hex[:8]
+    layout_ops.write_partitioned(
+        events.select("event_id", "user_id", "event_type", "value"),
+        path,
+        ["event_type"],
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("value_sum"),
+    )
+
+
+SQL_PARTITION_PRUNED_STATS = """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS value_sum
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stateful sequential: exponential moving average
 # ---------------------------------------------------------------------------
 
@@ -600,6 +647,7 @@ ANALYTICS_QUERIES = {
     "pagerank_scores": q_pagerank_scores,
     "bfs_hops_from_hubs": q_bfs_hops_from_hubs,
     "ewma_event_value": q_ewma_event_value,
+    "partition_pruned_stats": q_partition_pruned_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -614,4 +662,5 @@ ANALYTICS_ORACLES = {
     "pagerank_scores": SQL_PAGERANK_SCORES,
     "bfs_hops_from_hubs": SQL_BFS_HOPS,
     "ewma_event_value": SQL_EWMA_EVENT_VALUE,
+    "partition_pruned_stats": SQL_PARTITION_PRUNED_STATS,
 }
