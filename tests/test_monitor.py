@@ -203,3 +203,23 @@ def test_dedup_stream(spark, tmp_path):
     run_stream_to_memory(deduped, "dedup_test", output_mode="append")
     got = spark.sql("SELECT task_id FROM dedup_test ORDER BY task_id").collect()
     assert [r["task_id"] for r in got] == ["t1", "t2"]
+
+
+def test_streaming_ewma_matches_batch_scan(spark):
+    """Two time-partitioned streaming batches must reproduce the batch
+    sorted-scan EWMA exactly (state carries across the batch boundary)."""
+    from worlddatapipeline_spark.queries_analytics import (
+        q_ewma_event_value,
+        q_streaming_ewma_parity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in q_ewma_event_value(spark, sf).collect()
+    }
+    stream = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in q_streaming_ewma_parity(spark, sf).collect()
+    }
+    assert stream == batch

@@ -520,6 +520,66 @@ SELECT user_id, event_id, y AS ewma FROM w
 """
 
 
+def q_streaming_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming EWMA (streaming/monitor.py::streaming_ewma,
+    applyInPandasWithState numeric state) executed as a REAL two-batch
+    Structured Streaming run over time-partitioned parquet batches — batch
+    1 is the first half of event time, batch 2 the second — and
+    hash-checked against the SAME recursive-CTE oracle as the batch
+    `ewma_event_value`: the stream shares `ewma_series`, so if state
+    carries correctly across the micro-batch boundary the doubles are
+    bit-identical end to end.  Batches move through parquet (not JSON) so
+    the doubles round-trip exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.monitor import streaming_ewma
+
+    (events,) = _t(spark, sf_dir, "events")
+    series = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("event_us"),
+        "value",
+    )
+    lo, hi = series.agg(F.min("event_us"), F.max("event_us")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+
+    base = tempfile.mkdtemp(prefix="stream_ewma_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        series.filter(F.col("event_us") <= mid).write.parquet(src)
+
+        def run_batch():
+            stream = spark.readStream.schema(
+                "user_id long, event_id long, event_us long, value double"
+            ).parquet(src)
+            q = (
+                streaming_ewma(stream, alpha=0.25)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_batch()
+        series.filter(F.col("event_us") > mid).write.mode("append").parquet(src)
+        run_batch()
+
+        rows = spark.read.parquet(out).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ewma double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Iterative graph: PageRank (fixed iterations) + BFS hop count
 # ---------------------------------------------------------------------------
@@ -648,6 +708,7 @@ ANALYTICS_QUERIES = {
     "bfs_hops_from_hubs": q_bfs_hops_from_hubs,
     "ewma_event_value": q_ewma_event_value,
     "partition_pruned_stats": q_partition_pruned_stats,
+    "streaming_ewma_parity": q_streaming_ewma_parity,
 }
 
 ANALYTICS_ORACLES = {
@@ -663,4 +724,5 @@ ANALYTICS_ORACLES = {
     "bfs_hops_from_hubs": SQL_BFS_HOPS,
     "ewma_event_value": SQL_EWMA_EVENT_VALUE,
     "partition_pruned_stats": SQL_PARTITION_PRUNED_STATS,
+    "streaming_ewma_parity": SQL_EWMA_EVENT_VALUE,
 }

@@ -261,3 +261,68 @@ def dedup_stream(
     return stream_df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_ewma(
+    series_stream: DataFrame,
+    alpha: float = 0.25,
+    key_col: str = "user_id",
+    order_col: str = "event_us",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming EWMA: per-key exponential smoothing whose numeric state
+    (last smoothed value, last event time) carries across micro-batches via
+    ``applyInPandasWithState`` — the streaming form of the batch sorted-scan
+    (operators/stateful.py::ewma), sharing ``ewma_series`` so the arithmetic
+    is IDENTICAL to the batch path and a batch oracle can hash-check the
+    stream's output.
+
+    Ordering contract: rows are sorted by ``order_col`` WITHIN each
+    micro-batch, and batches must be time-partitioned (no key's rows in
+    batch N+1 precede its rows in batch N) — the replayable-log layout a
+    kappa-architecture ingest provides.  Rows at or before the state's
+    high-water mark would silently smooth out of order, so they are
+    dropped defensively and the monotonicity breach is the caller's to
+    avoid.  State per key is two scalars; keys hash-partition across
+    executors."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..operators.stateful import ewma_series  # noqa: PLC0415
+
+    out_schema = f"{key_col} long, {id_col} long, ewma double"
+    state_schema = "y double, t long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(order_col, kind="mergesort")
+        prev_y, prev_t = state.get if state.exists else (None, None)
+        if prev_t is not None:
+            rows = rows[rows[order_col] > prev_t]
+            if len(rows) == 0:
+                return
+        out, last = ewma_series(
+            rows[value_col].to_numpy(dtype="float64"), alpha, prev=prev_y
+        )
+        state.update((float(last), int(rows[order_col].iloc[-1])))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                id_col: rows[id_col].to_numpy(),
+                "ewma": out,
+            }
+        )
+
+    return series_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
