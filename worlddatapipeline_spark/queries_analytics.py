@@ -10,6 +10,7 @@ sides.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -428,6 +429,53 @@ FROM nation n, LATERAL (
 
 
 # ---------------------------------------------------------------------------
+# UDF-in-SQL surface: a registered Arrow-batched UDF callable from SQL text
+# ---------------------------------------------------------------------------
+
+def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension surface: a vectorized (Arrow-batched pandas) UDF
+    registered into the SQL function namespace with `spark.udf.register`,
+    then invoked from LITERAL SQL text — how a user plugs a custom kernel
+    into the declarative layer.  The kernel is the BPE-ish token estimate
+    (same alternation as operators/text.py::word_like_token_count, here as
+    a pandas `str.count` so the Python-side path is exercised); the oracle
+    restates it with DuckDB regex counting.  Plan note: a Python UDF in a
+    projection is an ArrowEvalPython stage — keep it OUT of join keys and
+    filters so pushdown survives around it; here it feeds an aggregate
+    only."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def wdp_token_est(text: pd.Series) -> pd.Series:
+        return text.str.count(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").astype(
+            "int64"
+        )
+
+    spark.udf.register("wdp_token_est", wdp_token_est)
+    _t(spark, sf_dir, "documents")
+    return spark.sql("""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(wdp_token_est(text)) AS BIGINT) AS total_tokens,
+               CAST(max(wdp_token_est(text)) AS BIGINT) AS max_tokens
+        FROM documents
+        GROUP BY source
+    """)
+
+
+SQL_SQL_UDF_TOKENS = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         AS total_tokens,
+       CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         AS max_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Physical layout: hive-partitioned write → partition-pruned read
 # ---------------------------------------------------------------------------
 
@@ -709,6 +757,7 @@ ANALYTICS_QUERIES = {
     "ewma_event_value": q_ewma_event_value,
     "partition_pruned_stats": q_partition_pruned_stats,
     "streaming_ewma_parity": q_streaming_ewma_parity,
+    "sql_udf_tokens": q_sql_udf_tokens,
 }
 
 ANALYTICS_ORACLES = {
@@ -725,4 +774,5 @@ ANALYTICS_ORACLES = {
     "ewma_event_value": SQL_EWMA_EVENT_VALUE,
     "partition_pruned_stats": SQL_PARTITION_PRUNED_STATS,
     "streaming_ewma_parity": SQL_EWMA_EVENT_VALUE,
+    "sql_udf_tokens": SQL_SQL_UDF_TOKENS,
 }
