@@ -58,15 +58,34 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    plain = "--plain" in argv
+    if plain:
+        argv.remove("--plain")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from worlddatapipeline_spark import get_spark
 
-    spark = get_spark()
+    if plain:
+        # Driver-gate simulation: the driver builds its OWN SparkSession
+        # without our session-factory configs — any query that silently
+        # depends on a get_spark() setting fails HERE instead of in the
+        # recorded round.  (load_tables applies the runtime-settable
+        # configs itself, e.g. parquet nanos handling + UTC timezone.)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from worlddatapipeline_spark import get_spark
+
+        spark = get_spark()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 

@@ -428,6 +428,37 @@ FROM nation n, LATERAL (
 """
 
 
+def q_event_value_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family in one pass: ntile(4) quartile banding,
+    percent_rank, and cume_dist per event_type ordered by (value,
+    event_id) — the deterministic tie-break makes every rank
+    engine-stable, and percent_rank/cume_dist are exact small-integer
+    ratios so the doubles match bit-for-bit without rounding.  One
+    shuffle (the window partition); all three functions share the same
+    sort."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return events.select(
+        "event_type",
+        "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_EVENT_VALUE_RANK_BANDS = """
+SELECT event_type, event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # UDF-in-SQL surface: a registered Arrow-batched UDF callable from SQL text
 # ---------------------------------------------------------------------------
@@ -758,6 +789,7 @@ ANALYTICS_QUERIES = {
     "partition_pruned_stats": q_partition_pruned_stats,
     "streaming_ewma_parity": q_streaming_ewma_parity,
     "sql_udf_tokens": q_sql_udf_tokens,
+    "event_value_rank_bands": q_event_value_rank_bands,
 }
 
 ANALYTICS_ORACLES = {
@@ -775,4 +807,5 @@ ANALYTICS_ORACLES = {
     "partition_pruned_stats": SQL_PARTITION_PRUNED_STATS,
     "streaming_ewma_parity": SQL_EWMA_EVENT_VALUE,
     "sql_udf_tokens": SQL_SQL_UDF_TOKENS,
+    "event_value_rank_bands": SQL_EVENT_VALUE_RANK_BANDS,
 }
