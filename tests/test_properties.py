@@ -83,3 +83,42 @@ def test_rate_limit_state_carry_equals_single_pass(values, cut):
     first, state = rate_limit_series(arr[:cut], max_step=7.5, lo=-100.0, hi=100.0)
     second, _ = rate_limit_series(arr[cut:], max_step=7.5, lo=-100.0, hi=100.0, prev=state)
     assert np.allclose(np.concatenate([first, second]), whole)
+
+
+@given(st.lists(finite, min_size=1, max_size=300), st.integers(1, 299))
+@settings(max_examples=200, deadline=None)
+def test_ewma_state_carry_equals_single_pass(values, cut):
+    """Splitting a sequence at any point and carrying state must equal the
+    single-pass result bit-for-bit — the invariant the streaming EWMA's
+    micro-batch boundary relies on."""
+    from worlddatapipeline_spark.operators.stateful import ewma_series
+
+    x = np.asarray(values, dtype=np.float64)
+    cut = min(cut, len(x))
+    whole, _ = ewma_series(x, alpha=0.25)
+    a, state = ewma_series(x[:cut], alpha=0.25)
+    b, _ = ewma_series(x[cut:], alpha=0.25, prev=state)
+    assert np.array_equal(np.concatenate([a, b]), whole)
+
+
+@given(st.lists(finite, min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_ewma_bounded_by_input_range(values):
+    """EWMA is a convex combination: outputs never leave [min(x), max(x)]."""
+    from worlddatapipeline_spark.operators.stateful import ewma_series
+
+    x = np.asarray(values, dtype=np.float64)
+    out, _ = ewma_series(x, alpha=0.25)
+    assert np.all(out >= x.min() - 1e-9) and np.all(out <= x.max() + 1e-9)
+
+
+@given(st.integers(1, 4096), st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_bloom_sizing_monotone(n, k):
+    """optimal_n_bits grows with n, stays a power of two, and never
+    exceeds MAX_BITS for any reference set the build guard accepts."""
+    from worlddatapipeline_spark.operators.bloom import optimal_n_bits
+
+    m = optimal_n_bits(n, 0.01)
+    assert m & (m - 1) == 0
+    assert m >= optimal_n_bits(max(1, n // 2), 0.01) // 2
