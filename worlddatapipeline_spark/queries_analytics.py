@@ -428,6 +428,65 @@ FROM nation n, LATERAL (
 """
 
 
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (the RAG/context-window prep step):
+    64-token windows with stride 48 per document, emitted as (doc_id,
+    chunk_idx, n_tokens, chunk_hash).  Pure JVM expressions — split once,
+    `transform(sequence(...))` slices the window starts, no Python, no
+    shuffle at all until a downstream consumer groups — so it runs at
+    scan speed on any corpus size.  The final short window is kept iff it
+    adds tokens beyond the previous window (standard tail rule); the hash
+    is md5 of the space-joined window so downstream chunk-level dedup
+    (chunk_dedup_rewrite) composes directly."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # window starts: 1, 49, 97, … while start <= n (1-based slice)
+    n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
+        F.ceil((n - 64).cast("double") / 48).cast("int") + 1
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.least(n - i * 48, F.lit(64)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(words, i * 48 + 1, 64))
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        documents.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
+SQL_DOC_CHUNK_WINDOWS = """
+WITH worded AS (
+  SELECT doc_id, string_split(text, ' ') AS words, len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, words, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 64 THEN 0
+                ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END)) AS i
+  FROM worded
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least(n - i * 48, 64) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(words, i * 48 + 1, i * 48 + 64), ' '))
+         AS chunk_hash
+FROM idx
+"""
+
+
 def q_event_value_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family in one pass: ntile(4) quartile banding,
     percent_rank, and cume_dist per event_type ordered by (value,
@@ -790,6 +849,7 @@ ANALYTICS_QUERIES = {
     "streaming_ewma_parity": q_streaming_ewma_parity,
     "sql_udf_tokens": q_sql_udf_tokens,
     "event_value_rank_bands": q_event_value_rank_bands,
+    "doc_chunk_windows": q_doc_chunk_windows,
 }
 
 ANALYTICS_ORACLES = {
@@ -808,4 +868,5 @@ ANALYTICS_ORACLES = {
     "streaming_ewma_parity": SQL_EWMA_EVENT_VALUE,
     "sql_udf_tokens": SQL_SQL_UDF_TOKENS,
     "event_value_rank_bands": SQL_EVENT_VALUE_RANK_BANDS,
+    "doc_chunk_windows": SQL_DOC_CHUNK_WINDOWS,
 }
