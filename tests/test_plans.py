@@ -282,3 +282,15 @@ def test_partitioned_read_prunes_partitions(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
     assert "event_type" in m.group(1)
+
+
+def test_session_scale_configs_pinned(spark):
+    """Guard against config rot in the session factory: AQE (runtime
+    coalescing + skew-join splitting) and the UTC timezone contract are
+    load-bearing for the 100 TB posture and the cross-engine oracles."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
