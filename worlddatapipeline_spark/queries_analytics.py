@@ -66,7 +66,16 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     test_shingles = shingled.filter(F.col("b") >= 90).select("h").distinct()
-    train = shingled.filter(F.col("b") < 80).select("doc_id", "h").distinct()
+    # persisted: both the per-doc totals and the bloom-pruned candidate
+    # branch read this frame — one explode+distinct instead of two.  At
+    # 100 TB prefer writing it bucketed by doc_id once per corpus release
+    # rather than caching (same two-reader pattern, durable).
+    train = (
+        shingled.filter(F.col("b") < 80)
+        .select("doc_id", "h")
+        .distinct()
+        .persist()
+    )
 
     totals = train.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
