@@ -437,6 +437,113 @@ FROM nation n, LATERAL (
 """
 
 
+def q_incremental_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (§2.8 pattern): an INCOMING batch
+    (md5-bucket >= 90, the same deterministic split rule as the
+    decontamination family) is checked against the EXISTING corpus's
+    content-hash index plus itself — a new doc is dropped if its exact
+    text hash already exists in the corpus, or if an earlier incoming doc
+    (min doc_id first-occurrence rule) claims the same hash.  At 100 TB
+    the existing index is a bucketed 16-byte-hash table maintained across
+    releases, so each increment joins only (incoming × its hash matches) —
+    never rescanning the corpus text.  Emits the per-disposition audit
+    counts every ingest run logs."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    hashed = documents.select(
+        "doc_id", bucket.alias("b"), F.md5("text").alias("h")
+    )
+    existing = hashed.filter(F.col("b") < 90).select("h").distinct()
+    incoming = hashed.filter(F.col("b") >= 90)
+    w_first = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        incoming.join(
+            existing.withColumn("in_corpus", F.lit(1)), "h", "left"
+        )
+        .withColumn("rk", F.row_number().over(w_first))
+        .select(
+            F.when(F.col("in_corpus") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("rk") > 1, F.lit("dup_within_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("disposition"),
+        )
+    )
+    return flagged.groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+SQL_INCREMENTAL_DEDUP_AUDIT = """
+WITH hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+         md5(text) AS h
+  FROM documents
+), existing AS (
+  SELECT DISTINCT h FROM hashed WHERE b < 90
+), incoming AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+  FROM hashed WHERE b >= 90
+)
+SELECT CASE
+         WHEN h IN (SELECT h FROM existing) THEN 'dup_of_corpus'
+         WHEN rk > 1 THEN 'dup_within_batch'
+         ELSE 'accepted'
+       END AS disposition,
+       count(*) AS n_docs
+FROM incoming
+GROUP BY 1
+"""
+
+
+def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip (§2.1): orders key columns written as
+    headered CSV by the engine, read back with an explicit schema, and
+    aggregated — hash-matched against the ORIGINAL parquet table, proving
+    the text round-trip lossless for the exact (integer/string) columns a
+    camera-export-style interchange uses.  Floating point deliberately
+    stays OUT of the CSV contract: decimal text round-trips are where
+    cross-tool drift lives (the same reason the camera sinks fix their
+    format strings)."""
+    import shutil
+    import tempfile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="wdp_csv_") + "/orders"
+    sub = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    sub.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("o_orderkey long, o_custkey long, o_orderstatus string")
+        .option("header", True)
+        .csv(path)
+    )
+    out = back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("custkey_sum"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+    rows = out.collect()
+    shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, custkey_sum long, max_orderkey long"
+    )
+
+
+SQL_CSV_ROUNDTRIP_STATS = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size chunking (the RAG/context-window prep step):
     64-token windows with stride 48 per document, emitted as (doc_id,
@@ -859,6 +966,8 @@ ANALYTICS_QUERIES = {
     "sql_udf_tokens": q_sql_udf_tokens,
     "event_value_rank_bands": q_event_value_rank_bands,
     "doc_chunk_windows": q_doc_chunk_windows,
+    "incremental_dedup_audit": q_incremental_dedup_audit,
+    "csv_roundtrip_stats": q_csv_roundtrip_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -878,4 +987,6 @@ ANALYTICS_ORACLES = {
     "sql_udf_tokens": SQL_SQL_UDF_TOKENS,
     "event_value_rank_bands": SQL_EVENT_VALUE_RANK_BANDS,
     "doc_chunk_windows": SQL_DOC_CHUNK_WINDOWS,
+    "incremental_dedup_audit": SQL_INCREMENTAL_DEDUP_AUDIT,
+    "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
 }
