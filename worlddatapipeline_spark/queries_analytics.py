@@ -515,21 +515,25 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     (orders,) = _t(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="wdp_csv_") + "/orders"
-    sub = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
-    sub.write.mode("overwrite").option("header", True).csv(path)
-    back = (
-        spark.read.schema("o_orderkey long, o_custkey long, o_orderstatus string")
-        .option("header", True)
-        .csv(path)
-    )
-    out = back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("o_custkey").alias("custkey_sum"),
-        F.max("o_orderkey").alias("max_orderkey"),
-    )
-    rows = out.collect()
-    shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="wdp_csv_")
+    path = base + "/orders"
+    try:
+        sub = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+        sub.write.mode("overwrite").option("header", True).csv(path)
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_custkey long, o_orderstatus string"
+            )
+            .option("header", True)
+            .csv(path)
+        )
+        rows = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("custkey_sum"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "o_orderstatus string, n long, custkey_sum long, max_orderkey long"
     )
@@ -702,6 +706,15 @@ def q_partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import layout as layout_ops
 
     (events,) = _t(spark, sf_dir, "events")
+    # The returned frame stays LAZY over the written layout (the plan test
+    # needs PartitionFilters visible pre-execution), so this run's dir
+    # can't be removed here — instead sweep dirs left by PRIOR runs, which
+    # bounds the /tmp footprint to one layout.
+    import glob
+    import shutil
+
+    for old in glob.glob(tempfile.gettempdir() + "/wdp_part_*"):
+        shutil.rmtree(old, ignore_errors=True)
     path = tempfile.gettempdir() + "/wdp_part_" + uuid.uuid4().hex[:8]
     layout_ops.write_partitioned(
         events.select("event_id", "user_id", "event_type", "value"),
