@@ -281,7 +281,14 @@ def pagerank(
     scale, pre-partition edges by dst so the per-iteration shuffle reuses
     the same exchange, and raise checkpoint cadence.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # e and outdeg are loop-invariant: checkpoint them once so the five
+    # contrib plans read materialized edges instead of re-executing the
+    # upstream derivation (scan -> filter -> distinct) per iteration.
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -299,8 +306,10 @@ def pagerank(
             "pagerank: graph has dangling nodes (outdegree 0); symmetrize "
             "the edge list or add self-loops before calling."
         )
-    outdeg = e.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    outdeg = (
+        e.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
     )
     pr = nodes.select("node", (F.lit(1.0) / n).alias("pr")).localCheckpoint(
         eager=True
@@ -350,10 +359,15 @@ def bfs_hops(
     billion-edge graphs.  Returns (node, hops) for every node within
     ``max_hops`` of any seed (seeds at hops 0).
     """
+    # loop-invariant: materialize the symmetrized edge list once so each
+    # hop's frontier join reads it instead of re-running the
+    # symmetrize+distinct — per-iteration cost then really is
+    # proportional to the frontier's edge boundary.
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     visited = (
         seeds.select(F.col(id_col).alias("node"))

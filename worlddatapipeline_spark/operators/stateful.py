@@ -99,7 +99,7 @@ def rate_limit_series(
 def _sorted_scan(
     df: DataFrame,
     seq_col: str,
-    order_col: str,
+    order_col: str | list[str],
     out_col: str,
     scan_run: Callable[[pd.DataFrame, object], tuple[np.ndarray, object]],
 ) -> DataFrame:
@@ -139,10 +139,11 @@ def _sorted_scan(
             res[out_col] = out
             yield res
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(parts, seq_col)
-        .sortWithinPartitions(seq_col, order_col)
+        .sortWithinPartitions(seq_col, *order_cols)
         .mapInPandas(scan, schema=schema)
     )
 
@@ -263,7 +264,7 @@ def ewma_series(
 def ewma(
     df: DataFrame,
     seq_col: str,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     alpha: float = 0.25,
     out_col: str = "ewma",
@@ -272,7 +273,10 @@ def ewma(
     mapInPandas scan like the rate limiter: output depends on previous
     OUTPUT, so it is not a window frame.  Prefer alpha values exact in
     binary floating point (0.25, 0.5, 0.75) when cross-engine
-    reproducibility matters."""
+    reproducibility matters, and pass a COMPOSITE order_col (e.g.
+    ["t_us", "event_id"]) whenever the primary axis can tie — on ties
+    the smoothing order is otherwise partitioning-dependent and the
+    unrounded cross-engine contract breaks."""
 
     def run(pdf: pd.DataFrame, state: object) -> tuple[np.ndarray, object]:
         return ewma_series(

@@ -65,7 +65,13 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    test_shingles = shingled.filter(F.col("b") >= 90).select("h").distinct()
+    # persisted: the ref side is read THREE times (bloom sizing count,
+    # position collect, exact verify join) — without this each action
+    # re-shingles every document, because the b>=90 filter applies after
+    # the per-doc explode.
+    test_shingles = (
+        shingled.filter(F.col("b") >= 90).select("h").distinct().persist()
+    )
     # persisted: both the per-doc totals and the bloom-pruned candidate
     # branch read this frame — one explode+distinct instead of two.  At
     # 100 TB prefer writing it bucketed by doc_id once per corpus release
@@ -653,13 +659,18 @@ def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is an ArrowEvalPython stage — keep it OUT of join keys and
     filters so pushdown survives around it; here it feeds an aggregate
     only."""
+    import re  # noqa: PLC0415
+
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    # re.ASCII pins \s to ASCII whitespace (DuckDB's RE2 default) so a
+    # Unicode space counts identically on both engines; fillna guards
+    # null text (str.count yields NaN -> astype would raise).
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
 
     @pandas_udf("long")
     def wdp_token_est(text: pd.Series) -> pd.Series:
-        return text.str.count(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").astype(
-            "int64"
-        )
+        return text.fillna("").str.count(pat).astype("int64")
 
     spark.udf.register("wdp_token_est", wdp_token_est)
     _t(spark, sf_dir, "documents")
@@ -676,9 +687,9 @@ def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SQL_UDF_TOKENS = """
 SELECT source,
        count(*) AS n_docs,
-       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+       CAST(sum(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
          AS total_tokens,
-       CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+       CAST(max(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
          AS max_tokens
 FROM documents
 GROUP BY source
@@ -711,10 +722,17 @@ def q_partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can't be removed here — instead sweep dirs left by PRIOR runs, which
     # bounds the /tmp footprint to one layout.
     import glob
+    import os
     import shutil
+    import time
 
     for old in glob.glob(tempfile.gettempdir() + "/wdp_part_*"):
-        shutil.rmtree(old, ignore_errors=True)
+        try:
+            stale = time.time() - os.path.getmtime(old) > 3600
+        except OSError:
+            continue
+        if stale:  # never race a concurrent run's live layout
+            shutil.rmtree(old, ignore_errors=True)
     path = tempfile.gettempdir() + "/wdp_part_" + uuid.uuid4().hex[:8]
     layout_ops.write_partitioned(
         events.select("event_id", "user_id", "event_type", "value"),
@@ -766,7 +784,8 @@ def q_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.unix_micros("ts").alias("t_us"), "value"
     )
     out = stateful_ops.ewma(
-        series, "user_id", "t_us", "value", alpha=0.25, out_col="ewma"
+        series, "user_id", ["t_us", "event_id"], "value",
+        alpha=0.25, out_col="ewma",
     )
     return out.select("user_id", "event_id", "ewma")
 
@@ -774,7 +793,9 @@ def q_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EWMA_EVENT_VALUE = """
 WITH RECURSIVE s AS (
   SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
   FROM events
 ), w(user_id, event_id, rn, y) AS (
   SELECT user_id, event_id, rn, CAST(value AS DOUBLE) FROM s WHERE rn = 1

@@ -301,7 +301,9 @@ def streaming_ewma(
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         if len(rows) == 0:
             return
-        rows = rows.sort_values(order_col, kind="mergesort")
+        # id_col breaks order_col ties so the smoothing order matches the
+        # batch scan's composite sort exactly
+        rows = rows.sort_values([order_col, id_col], kind="mergesort")
         prev_y, prev_t = state.get if state.exists else (None, None)
         if prev_t is not None:
             rows = rows[rows[order_col] > prev_t]
