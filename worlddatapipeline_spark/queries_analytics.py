@@ -443,6 +443,56 @@ FROM nation n, LATERAL (
 """
 
 
+def q_table_stats_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE pass over orders — the stats
+    layer a cost-based optimizer feeds on: per-column null fraction,
+    min/max, and sketch-based distinct counts.  Exact values hash-check
+    directly; the HLL++ ndv estimates are emitted as containment booleans
+    (within 5x the configured rsd of the exact count) because a sketch
+    estimate is engine-specific by nature.  At 100 TB this single
+    combine-heavy aggregate IS how table stats get refreshed — never a
+    per-column rescan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("null_status"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+        F.count_distinct("o_orderstatus").alias("ndv_status_exact"),
+        F.count_distinct("o_custkey").alias("ndv_cust_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("ndv_cust_approx"),
+        F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("ndv_prio_approx"),
+        F.count_distinct("o_orderpriority").alias("ndv_prio_exact"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
+    )
+    return s.select(
+        "n_rows",
+        "null_status",
+        "min_date",
+        "max_date",
+        "ndv_status_exact",
+        "ndv_cust_exact",
+        within("ndv_cust_approx", "ndv_cust_exact").alias("cust_ndv_ok"),
+        within("ndv_prio_approx", "ndv_prio_exact").alias("prio_ndv_ok"),
+    )
+
+
+SQL_TABLE_STATS_CONTRACT = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_status,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+       count(DISTINCT o_orderstatus) AS ndv_status_exact,
+       count(DISTINCT o_custkey) AS ndv_cust_exact,
+       true AS cust_ndv_ok,
+       true AS prio_ndv_ok
+FROM orders
+"""
+
+
 def q_incremental_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (§2.8 pattern): an INCOMING batch
     (md5-bucket >= 90, the same deterministic split rule as the
@@ -1002,6 +1052,7 @@ ANALYTICS_QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "incremental_dedup_audit": q_incremental_dedup_audit,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
+    "table_stats_contract": q_table_stats_contract,
 }
 
 ANALYTICS_ORACLES = {
@@ -1023,4 +1074,5 @@ ANALYTICS_ORACLES = {
     "doc_chunk_windows": SQL_DOC_CHUNK_WINDOWS,
     "incremental_dedup_audit": SQL_INCREMENTAL_DEDUP_AUDIT,
     "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
+    "table_stats_contract": SQL_TABLE_STATS_CONTRACT,
 }
