@@ -493,6 +493,93 @@ FROM orders
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the optimizer-statistics sibling of
+    table_stats_contract): 20 fixed-width bins over events.value with the
+    bin edges derived from a broadcast 1-row min/max aggregate — the
+    standard two-pass histogram build (stats pass + binning pass), each
+    pass one scan, the bin assignment pure codegen'd arithmetic.  The max
+    value lands in the last bin (least() clamp), matching the SQL
+    restatement exactly because the bin index is computed from the SAME
+    double arithmetic on both engines."""
+    (events,) = _t(spark, sf_dir, "events")
+    mm = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = events.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20)
+            ).cast("long"),
+            F.lit(19),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+       count(*) AS n
+FROM events, mm
+GROUP BY 1
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the derived co-occurrence graph — the classic
+    graph-analytics aggregate (clustering coefficient's numerator).  The
+    standard distributed formulation: orient every edge low-id -> high-id
+    (kills duplicate counting AND bounds the join fan-out by degeneracy),
+    then one self-join builds wedges and one semi-join closes them.  Two
+    shuffles on 8-byte keys; no vertex ever sees more than its oriented
+    neighbourhood.  The oracle restates it as a SQL triple join with the
+    same orientation.  (The bipartite part<->supplier graph has no
+    odd cycles, so a part<->part projection edge set — parts sharing a
+    supplier — is used; triangles there are real co-occurrence cliques.)"""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    ps = (
+        lineitem.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri
+
+
+SQL_TRIANGLE_COUNT = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_orderkey % 97 = 0
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM ps a JOIN ps b ON a.s = b.s AND a.p < b.p
+)
+SELECT count(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
 def q_incremental_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (§2.8 pattern): an INCOMING batch
     (md5-bucket >= 90, the same deterministic split rule as the
@@ -602,6 +689,54 @@ SELECT o_orderstatus, count(*) AS n,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def _roundtrip_stats(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> DataFrame:
+    """Shared body for the ORC / JSON-lines round-trips: write the exact
+    (integer/string) order columns in ``fmt``, read back with an explicit
+    schema, aggregate, and hash-match against the ORIGINAL parquet table.
+    Eager + try/finally like the CSV form so the temp dir never leaks."""
+    import shutil
+    import tempfile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix=f"wdp_{fmt}_")
+    path = base + "/orders"
+    try:
+        sub = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+        sub.write.mode("overwrite").format(fmt).save(path)
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_custkey long, o_orderstatus string"
+            )
+            .format(fmt)
+            .load(path)
+        )
+        rows = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("custkey_sum"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, custkey_sum long, max_orderkey long"
+    )
+
+
+def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (§2.1): Spark's second columnar format,
+    same lossless-aggregate contract as the CSV form."""
+    return _roundtrip_stats(spark, sf_dir, "orc")
+
+
+def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip (§2.1) — the reference's own
+    interchange format for status files and manifests; exact columns only
+    (ints survive JSON text, floats deliberately excluded)."""
+    return _roundtrip_stats(spark, sf_dir, "json")
 
 
 def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,6 +1188,10 @@ ANALYTICS_QUERIES = {
     "incremental_dedup_audit": q_incremental_dedup_audit,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "table_stats_contract": q_table_stats_contract,
+    "value_histogram": q_value_histogram,
+    "triangle_count": q_triangle_count,
+    "orc_roundtrip_stats": q_orc_roundtrip_stats,
+    "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -1075,4 +1214,8 @@ ANALYTICS_ORACLES = {
     "incremental_dedup_audit": SQL_INCREMENTAL_DEDUP_AUDIT,
     "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
     "table_stats_contract": SQL_TABLE_STATS_CONTRACT,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "orc_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
+    "jsonl_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
 }
