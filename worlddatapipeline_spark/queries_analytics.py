@@ -501,7 +501,9 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass one scan, the bin assignment pure codegen'd arithmetic.  The max
     value lands in the last bin (least() clamp), matching the SQL
     restatement exactly because the bin index is computed from the SAME
-    double arithmetic on both engines."""
+    double arithmetic on both engines.  (Degenerate hi == lo input — a
+    constant column — divides by zero on both sides; histogram a constant
+    column with count(*) instead.)"""
     (events,) = _t(spark, sf_dir, "events")
     mm = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
@@ -537,7 +539,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbourhood.  The oracle restates it as a SQL triple join with the
     same orientation.  (The bipartite part<->supplier graph has no
     odd cycles, so a part<->part projection edge set — parts sharing a
-    supplier — is used; triangles there are real co-occurrence cliques.)"""
+    supplier — is used; triangles there are real co-occurrence cliques.)
+
+    Scale caveat: the PROJECTION join is O(d²) per supplier — on a corpus
+    where one hub entity touches millions of parts, cap or sample hub
+    degrees before projecting (same posting-list `max_df` discipline as
+    ngram_jaccard_pairs); the triangle join itself stays degeneracy-
+    bounded by the orientation."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     ps = (
         lineitem.filter(F.col("l_orderkey") % 97 == 0)
