@@ -130,6 +130,20 @@ def test_reservoir_sample_k_per_group(spark):
         "variant_props_extract",
         "recursive_discount_chain",
         "lateral_topk_suppliers",
+        "pagerank_scores",
+        "bfs_hops_from_hubs",
+        "ewma_event_value",
+        "partition_pruned_stats",
+        "sql_udf_tokens",
+        "event_value_rank_bands",
+        "doc_chunk_windows",
+        "incremental_dedup_audit",
+        "csv_roundtrip_stats",
+        "orc_roundtrip_stats",
+        "jsonl_roundtrip_stats",
+        "table_stats_contract",
+        "value_histogram",
+        "triangle_count",
     ],
 )
 def test_engine_surface_queries_run(spark, name):
@@ -180,3 +194,42 @@ def test_lateral_topk_two_per_nation(spark):
 
     per = Counter(r["n_name"] for r in rows)
     assert all(c <= 2 for c in per.values())
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-checkable: suppliers {s1:(1,2,3), s2:(3,4)} → projection edges
+    (1,2),(1,3),(2,3),(3,4) → exactly one triangle."""
+    from worlddatapipeline_spark.queries_analytics import q_triangle_count  # noqa: F401
+    from pyspark.sql import functions as F
+
+    ps = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 20), (4, 20)], ["p", "s"]
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert n == 1
+
+
+def test_value_histogram_counts_sum_to_total(spark):
+    from worlddatapipeline_spark.queries_analytics import q_value_histogram
+    from worlddatapipeline_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    hist = q_value_histogram(spark, sf).collect()
+    total = load_tables(spark, sf, ["events"])["events"].count()
+    assert sum(r["n"] for r in hist) == total
+    assert all(0 <= r["bin"] <= 19 for r in hist)
