@@ -493,6 +493,109 @@ FROM orders
 """
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped ordered funnel: the funnel_conversion logic applied
+    WITHIN gap-based sessions (same 30-min rule as `sessionize`) instead
+    of per lifetime — the form product analytics actually reports
+    ("conversion within a visit").  Composition: gaps-and-islands session
+    ids (two windows over one sort) → per-(user, session) conditional
+    mins (one shuffle) → one-row rollup.  Exact microsecond ordering
+    end-to-end."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    sess = events.select(
+        "user_id", "event_type", "ts",
+        F.sum(new_sess).over(wcum).alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum((F.col("t_view") < F.col("t_click")).cast("long")).alias(
+            "n_view_click"
+        ),
+        F.sum(
+            (
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy"))
+            ).cast("long")
+        ).alias("n_full_funnel"),
+    )
+
+
+SQL_SESSION_FUNNEL = """
+WITH g AS (
+  SELECT user_id, event_type, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM s GROUP BY user_id, session_id
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM per_sess
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the canonical growth-analytics query: users
+    cohorted by first-event DAY, then distinct active users per (cohort
+    day, day offset).  Two shuffles: the per-user first-day aggregate
+    (broadcast back — the cohort dim is tiny) and the distinct-count per
+    cell.  Day arithmetic on date_trunc'd timestamps is exact on both
+    engines."""
+    (events,) = _t(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    first_day = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH days AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events
+), first_day AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+       count(DISTINCT d.user_id) AS active_users
+FROM days d JOIN first_day f ON d.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram (the optimizer-statistics sibling of
     table_stats_contract): 20 fixed-width bins over events.value with the
@@ -1200,6 +1303,8 @@ ANALYTICS_QUERIES = {
     "triangle_count": q_triangle_count,
     "orc_roundtrip_stats": q_orc_roundtrip_stats,
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
+    "session_funnel": q_session_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 ANALYTICS_ORACLES = {
@@ -1226,4 +1331,6 @@ ANALYTICS_ORACLES = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "orc_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
     "jsonl_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
+    "session_funnel": SQL_SESSION_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }
