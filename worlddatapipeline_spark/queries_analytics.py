@@ -493,6 +493,48 @@ FROM orders
 """
 
 
+def q_asof_next_click_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the other direction of the nearest-key
+    operator (operators/joins.py::asof_join, direction='forward'): for
+    each view event, the first click at-or-after it by the same user.
+    Same single-shuffle union+window formulation as the backward form the
+    r1-verified `asof_click_before_purchase` covers; this query pins the
+    forward window (first over the following frame) against a plain SQL
+    restatement.  Times compared as exact microsecond longs."""
+    from .operators import joins as join_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    out = join_ops.asof_join(
+        views,
+        clicks.withColumn("click_us", F.col("t_us")),
+        on="user_id",
+        left_ts="t_us",
+        right_ts="t_us",
+        value_cols=["click_us"],
+        direction="forward",
+    )
+    return out.select("user_id", "event_id", "click_us")
+
+
+SQL_ASOF_NEXT_CLICK_AFTER_VIEW = """
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+  WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, v.event_id, min(c.t_us) AS click_us
+FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.t_us >= v.t_us
+GROUP BY v.user_id, v.event_id
+"""
+
+
 def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped ordered funnel: the funnel_conversion logic applied
     WITHIN gap-based sessions (same 30-min rule as `sessionize`) instead
@@ -1305,6 +1347,7 @@ ANALYTICS_QUERIES = {
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
     "session_funnel": q_session_funnel,
     "cohort_retention": q_cohort_retention,
+    "asof_next_click_after_view": q_asof_next_click_after_view,
 }
 
 ANALYTICS_ORACLES = {
@@ -1333,4 +1376,5 @@ ANALYTICS_ORACLES = {
     "jsonl_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
     "session_funnel": SQL_SESSION_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "asof_next_click_after_view": SQL_ASOF_NEXT_CLICK_AFTER_VIEW,
 }
