@@ -542,7 +542,8 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("conversion within a visit").  Composition: gaps-and-islands session
     ids (two windows over one sort) → per-(user, session) conditional
     mins (one shuffle) → one-row rollup.  Exact microsecond ordering
-    end-to-end."""
+    end-to-end, with the event_id tie-break on BOTH engines' session
+    windows so a timestamp tie cannot shift a session boundary."""
     (events,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -574,14 +575,14 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSION_FUNNEL = """
 WITH g AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                                 ORDER BY ts, event_id) AS gap
   FROM events
 ), s AS (
   SELECT user_id, event_type, ts,
          sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 ), per_sess AS (
@@ -603,17 +604,19 @@ FROM per_sess
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the canonical growth-analytics query: users
     cohorted by first-event DAY, then distinct active users per (cohort
-    day, day offset).  Two shuffles: the per-user first-day aggregate
-    (broadcast back — the cohort dim is tiny) and the distinct-count per
-    cell.  Day arithmetic on date_trunc'd timestamps is exact on both
-    engines."""
+    day, day offset).  Two shuffles: the per-user first-day aggregate and
+    the distinct-count per cell; the first-day frame joins back on
+    user_id WITHOUT a broadcast hint — it is per-user (O(users), NOT a
+    tiny dim at corpus scale), and both sides already hash-partition on
+    user_id so the join reuses the aggregate's exchange.  Day arithmetic
+    on date_trunc'd timestamps is exact on both engines."""
     (events,) = _t(spark, sf_dir, "events")
     days = events.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     first_day = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        days.join(F.broadcast(first_day), "user_id")
+        days.join(first_day, "user_id")
         .select(
             "user_id",
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
