@@ -1,0 +1,71 @@
+"""Registry self-consistency — guards against rot as queries accumulate
+across modules: every oracle has a query, the driver window is exactly
+the first 50 entries, and no module silently shadows another's name."""
+
+from worlddatapipeline_spark.queries import (
+    _ALL_QUERIES,
+    _DRIVER_WINDOW,
+    ORACLES,
+    QUERIES,
+)
+from worlddatapipeline_spark.queries_analytics import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
+from worlddatapipeline_spark.queries_ext import EXT_ORACLES, EXT_QUERIES
+from worlddatapipeline_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
+
+
+def test_every_oracle_has_a_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, missing
+
+
+def test_driver_window_is_first_50():
+    assert len(_DRIVER_WINDOW) == 50
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW
+
+
+def test_window_entries_resolve():
+    missing = [n for n in _DRIVER_WINDOW if n not in _ALL_QUERIES]
+    assert not missing, missing
+
+
+def test_no_cross_module_name_collisions():
+    mods = {
+        "ext": set(EXT_QUERIES),
+        "tpch": set(TPCH_QUERIES),
+        "analytics": set(ANALYTICS_QUERIES),
+    }
+    names = list(mods.items())
+    for i, (ma, sa) in enumerate(names):
+        for mb, sb in names[i + 1 :]:
+            overlap = sa & sb
+            assert not overlap, f"{ma} vs {mb}: {overlap}"
+
+
+def test_module_oracles_reference_own_queries():
+    for qs, os_, label in [
+        (EXT_QUERIES, EXT_ORACLES, "ext"),
+        (TPCH_QUERIES, TPCH_ORACLES, "tpch"),
+        (ANALYTICS_QUERIES, ANALYTICS_ORACLES, "analytics"),
+    ]:
+        dangling = set(os_) - set(qs)
+        assert not dangling, f"{label}: {dangling}"
+
+
+def test_rows_only_tail_is_bounded():
+    """Every rows-only query (no oracle) must stay a known, justified set —
+    new operators need an oracle or a contract sibling."""
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only <= {
+        "behavior_resample",
+        "embedding_ivf_topk",
+        "embedding_kmeans",
+        "embedding_lsh_topk",
+        "minhash_candidates",
+        "multimodal_features",
+        "semantic_dedup_keep",
+        "simhash_near_dups",
+        "simulate_trajectories",
+    }, rows_only - set(ORACLES)
