@@ -144,6 +144,9 @@ def test_reservoir_sample_k_per_group(spark):
         "table_stats_contract",
         "value_histogram",
         "triangle_count",
+        "session_funnel",
+        "cohort_retention",
+        "asof_next_click_after_view",
     ],
 )
 def test_engine_surface_queries_run(spark, name):
@@ -197,31 +200,19 @@ def test_lateral_topk_two_per_nation(spark):
 
 
 def test_triangle_count_known_graph(spark):
-    """Hand-checkable: suppliers {s1:(1,2,3), s2:(3,4)} → projection edges
-    (1,2),(1,3),(2,3),(3,4) → exactly one triangle."""
-    from worlddatapipeline_spark.queries_analytics import q_triangle_count  # noqa: F401
-    from pyspark.sql import functions as F
+    """Hand-checkable, against the SHIPPED kernel: suppliers
+    {s1:(1,2,3), s2:(3,4)} → projection edges (1,2),(1,3),(2,3),(3,4)
+    → exactly one triangle."""
+    from worlddatapipeline_spark.queries_analytics import (
+        count_triangles_in_projection,
+    )
 
     ps = spark.createDataFrame(
         [(1, 10), (2, 10), (3, 10), (3, 20), (4, 20)], ["p", "s"]
     )
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
+    assert (
+        count_triangles_in_projection(ps).collect()[0]["n_triangles"] == 1
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    n = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-            "left_semi",
-        )
-        .count()
-    )
-    assert n == 1
 
 
 def test_value_histogram_counts_sum_to_total(spark):

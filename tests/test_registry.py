@@ -32,6 +32,12 @@ def test_window_entries_resolve():
 
 
 def test_no_cross_module_name_collisions():
+    """Includes the base queries.py names: _ALL_QUERIES is a dict merge,
+    so a same-named query in a later module SILENTLY replaces an earlier
+    one — the size identity catches that for every module at once."""
+    base = len(_ALL_QUERIES) - len(
+        set(EXT_QUERIES) | set(TPCH_QUERIES) | set(ANALYTICS_QUERIES)
+    )
     mods = {
         "ext": set(EXT_QUERIES),
         "tpch": set(TPCH_QUERIES),
@@ -42,6 +48,11 @@ def test_no_cross_module_name_collisions():
         for mb, sb in names[i + 1 :]:
             overlap = sa & sb
             assert not overlap, f"{ma} vs {mb}: {overlap}"
+    assert (
+        len(_ALL_QUERIES)
+        == base + len(EXT_QUERIES) + len(TPCH_QUERIES) + len(ANALYTICS_QUERIES)
+    )
+    assert base > 25  # the base module's own entries survived the merges
 
 
 def test_module_oracles_reference_own_queries():
@@ -57,8 +68,7 @@ def test_module_oracles_reference_own_queries():
 def test_rows_only_tail_is_bounded():
     """Every rows-only query (no oracle) must stay a known, justified set —
     new operators need an oracle or a contract sibling."""
-    rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only <= {
+    allowed = {
         "behavior_resample",
         "embedding_ivf_topk",
         "embedding_kmeans",
@@ -68,4 +78,6 @@ def test_rows_only_tail_is_bounded():
         "semantic_dedup_keep",
         "simhash_near_dups",
         "simulate_trajectories",
-    }, rows_only - set(ORACLES)
+    }
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only <= allowed, rows_only - allowed

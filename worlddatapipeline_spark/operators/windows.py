@@ -507,3 +507,22 @@ def behavior_resample(
             F.when(is_idle | is_translate, p[c]).otherwise(alerp(c)).alias(c)
         )
     return joined.select(seq_col, "frame", "behavior", *out_cols)
+
+
+def with_session_ids(
+    events: DataFrame,
+    gap_us: int = 1800 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session ids (gaps-and-islands): a new session starts when
+    the gap to the previous event exceeds ``gap_us``.  Shared by the batch
+    `sessionize` query and the session-scoped funnel so the session rule
+    (and its tie-break) lives in exactly one place.  Two windows over one
+    (user, ts, tie) sort; adds a ``session_id`` column (1-based per user)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_micros(ts_col) - F.lag(F.unix_micros(ts_col)).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    return events.withColumn("session_id", F.sum(new_sess).over(wcum))

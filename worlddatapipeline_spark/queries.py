@@ -586,13 +586,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (SURVEY.md §2.10): new session when gap > 30 min; per user count
     sessions and events."""
     (events,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
-    sess = events.select(
-        "user_id", F.sum(new_sess).over(wcum).alias("session_id")
-    )
+    sess = win_ops.with_session_ids(events).select("user_id", "session_id")
     return sess.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),

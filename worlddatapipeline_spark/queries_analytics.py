@@ -544,14 +544,11 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins (one shuffle) → one-row rollup.  Exact microsecond ordering
     end-to-end, with the event_id tie-break on BOTH engines' session
     windows so a timestamp tie cannot shift a session boundary."""
+    from .operators import windows as win_ops
+
     (events,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
-    sess = events.select(
-        "user_id", "event_type", "ts",
-        F.sum(new_sess).over(wcum).alias("session_id"),
+    sess = win_ops.with_session_ids(events).select(
+        "user_id", "event_type", "ts", "session_id"
     )
     per_sess = sess.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
@@ -649,10 +646,14 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass one scan, the bin assignment pure codegen'd arithmetic.  The max
     value lands in the last bin (least() clamp), matching the SQL
     restatement exactly because the bin index is computed from the SAME
-    double arithmetic on both engines.  (Degenerate hi == lo input — a
-    constant column — divides by zero on both sides; histogram a constant
-    column with count(*) instead.)"""
+    double arithmetic on both engines.  NULL values are excluded up front
+    — without the filter a NULL bin index slips through least() (which
+    skips NULLs on BOTH engines) and lands in the top bin, silently
+    inflating it.  (Degenerate hi == lo input — a constant column —
+    divides by zero on both sides; histogram a constant column with
+    count(*) instead.)"""
     (events,) = _t(spark, sf_dir, "events")
+    events = events.filter(F.col("value").isNotNull())
     mm = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
@@ -673,8 +674,32 @@ WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
 SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
        count(*) AS n
 FROM events, mm
+WHERE value IS NOT NULL
 GROUP BY 1
 """
+
+
+def count_triangles_in_projection(ps: DataFrame) -> DataFrame:
+    """Triangle count over the low-id→high-id oriented projection of a
+    bipartite (p, s) co-occurrence frame — the shared kernel
+    q_triangle_count and its known-graph unit test both call, so the test
+    exercises the shipped algorithm rather than a copy."""
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,23 +727,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-            "left_semi",
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return tri
+    return count_triangles_in_projection(ps)
 
 
 SQL_TRIANGLE_COUNT = """
