@@ -184,3 +184,17 @@ def test_chunk_dedup_intra_doc_repeat_kept(spark):
     out = dedup.chunk_dedup_rewrite(docs, chunk_words=10).collect()
     # chunk repeats twice WITHIN one doc only -> df_docs == 1 -> kept.
     assert out[0]["n_removed_chunks"] == 0 and out[0]["n_chunks"] == 2
+
+
+def test_widen_passes_preshaped_frames_through(spark):
+    """_widen must not add an Exchange for a frame whose physical
+    partitioning is already fixed and wide (composed pipelines passing a
+    localCheckpointed intermediate — VERDICT r3 #7)."""
+    target = spark.sparkContext.defaultParallelism
+    docs = _docs(spark)
+    wide = docs.repartition(target).localCheckpoint(eager=True)
+    assert dedup._widen(wide) is wide
+    narrow = docs.repartition(1).localCheckpoint(eager=True)
+    widened = dedup._widen(narrow)
+    assert widened is not narrow
+    assert "Repartition" in widened._jdf.queryExecution().optimizedPlan().toString()

@@ -223,3 +223,46 @@ def test_streaming_ewma_matches_batch_scan(spark):
         for r in q_streaming_ewma_parity(spark, sf).collect()
     }
     assert stream == batch
+
+
+def test_streaming_ewma_tie_at_batch_boundary(spark, tmp_path):
+    """A new event sharing its timestamp with the previous batch's last
+    event must still smooth (composite (t, id) high-water mark) — a
+    t-only mark silently dropped it (ADVICE r3)."""
+    import os
+
+    from worlddatapipeline_spark.operators.stateful import ewma_series
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, event_us long, value double"
+    batch1 = [(1, 1, 100, 10.0), (1, 2, 200, 20.0), (1, 3, 200, 30.0)]
+    batch2 = [(1, 4, 200, 40.0), (1, 5, 300, 50.0)]  # id 4 ties t=200
+
+    def run_batch(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(src)
+        q = (
+            monitor.streaming_ewma(
+                spark.readStream.schema(schema).parquet(src), alpha=0.25
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch(batch1, "overwrite")
+    run_batch(batch2, "append")
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.read.parquet(out).collect()
+    }
+    expected, _ = ewma_series(
+        __import__("numpy").array([10.0, 20.0, 30.0, 40.0, 50.0]), 0.25
+    )
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    assert got == {i + 1: expected[i] for i in range(5)}
+    assert os.path.isdir(ckpt)

@@ -50,13 +50,32 @@ def _widen(df: DataFrame) -> DataFrame:
     Width is probed via ``df.inputFiles()`` — file count is a lower bound on
     scan partitions (maxPartitionBytes only ever SPLITS files further), so
     "many files" safely means "already wide".  No ``df.rdd`` probe: that
-    instantiated the Python RDD converter per call (VERDICT r2).  Non-file
-    frames (in-memory test data) report no files and are widened — a
-    harmless shuffle at the only scale such frames exist.
+    instantiated the Python RDD converter per call (VERDICT r2).
+
+    Composed pipelines pass PRE-SHAPED frames (a localCheckpointed pair set,
+    a parallelized fixture): those report no input files but root at a
+    ``LogicalRDD`` whose partitioning is physically FIXED (no pending
+    exchange for AQE to re-coalesce), so its JVM-side partition count is
+    trusted directly and an already-wide frame passes through with no extra
+    Exchange.  Streaming frames pass through untouched — micro-batch width
+    is the source's concern.  Remaining narrow in-memory frames are widened
+    — a harmless shuffle at the only scale such frames exist.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= max(2, target // 2):
+    if df.isStreaming:
         return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    wide = max(2, target // 2)
+    if len(df.inputFiles()) >= wide:
+        return df
+    try:
+        qe = df._jdf.queryExecution()
+        if qe.optimizedPlan().toString().startswith("LogicalRDD"):
+            # pure-JVM probe, no Python RDD converter; LogicalRDD planning
+            # is trivial and its partition count is literal
+            if qe.toRdd().getNumPartitions() >= wide:
+                return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 
@@ -292,7 +311,11 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    # Candidate set is LSH-bounded and small; materializing it releases the
+    # signature cache immediately instead of leaking it to ContextCleaner.
+    from ..session import materialize_and_release  # noqa: PLC0415
+
+    return materialize_and_release(pairs, with_sig)
 
 
 # Finite-by-default pair-generation cap for exact Jaccard: no caller gets a
@@ -439,7 +462,7 @@ def ngram_jaccard_pairs(
                 ),
             )
         )
-        return (
+        out = (
             inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
             .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
             .select(
@@ -452,6 +475,13 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
+        # Materialize the (candidate-bounded) pair set and release the
+        # posting cache — also means downstream iterative consumers
+        # (dup_cluster_representatives' star rounds) re-read a checkpointed
+        # pair frame instead of re-deriving postings each round.
+        from ..session import materialize_and_release  # noqa: PLC0415
+
+        return materialize_and_release(out, postings)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidate_pairs is not None:
         cand = candidate_pairs
@@ -761,12 +791,17 @@ def simhash_near_dups(
     )
     pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.*")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    out = (
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+    # Verified pair set is Hamming-bounded and small; release the signature
+    # cache now rather than leaking it to ContextCleaner.
+    from ..session import materialize_and_release  # noqa: PLC0415
+
+    return materialize_and_release(out, with_sig)
 
 
 def dup_cluster_representatives(

@@ -947,11 +947,13 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-merged at sf0.1, exactly the failure mode the star variant is the
     100 TB answer to (SCALE.md)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # Disjoint parity encoding (2k part / 2k+1 supplier) — an offset
+    # encoding collides once partkey reaches the offset (~sf50).
     edges = (
         lineitem.filter(F.col("l_orderkey") % 97 == 0)
         .select(
-            F.col("l_partkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -961,7 +963,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONNECTED_COMPONENTS = """
 WITH RECURSIVE e AS (
-  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
   FROM lineitem WHERE l_orderkey % 97 = 0
 ), bidir AS (
   SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e

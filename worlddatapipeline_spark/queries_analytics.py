@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import bloom as bloom_ops
-from .session import load_tables
+from .session import load_tables, materialize_and_release
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -96,7 +96,7 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    return (
+    out = (
         totals.join(contaminated, "doc_id", "inner")
         .select(
             "doc_id",
@@ -107,6 +107,9 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Per-doc audit is small; materialize it and release both shingle caches
+    # (otherwise they linger until ContextCleaner GC — ADVICE r3).
+    return materialize_and_release(out, test_shingles, train)
 
 
 SQL_BLOOM_DECONTAMINATION = """
@@ -388,7 +391,8 @@ WITH RECURSIVE ranked AS (
   SELECT l_orderkey AS o,
          row_number() OVER (
            PARTITION BY l_orderkey
-           ORDER BY l_linenumber, l_extendedprice, l_partkey
+           ORDER BY l_linenumber, l_extendedprice, l_partkey,
+                    l_suppkey, l_quantity, l_discount
          ) AS ln,
          l_discount
   FROM lineitem WHERE l_orderkey % 11 = 0
@@ -1226,7 +1230,7 @@ def q_streaming_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part <-> supplier co-occurrence from a lineitem sample, symmetrized.
 _GRAPH_CTE = """
 e AS (
-  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
   FROM lineitem WHERE l_orderkey % 97 = 0
 ), bidir AS (
   SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
@@ -1275,11 +1279,14 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as graph_ops
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # Disjoint node encoding (2k even = part, 2k+1 odd = supplier): an
+    # offset encoding (suppkey + 10M) silently merges nodes once partkey
+    # reaches the offset (~sf50); parity encoding can never collide.
     e = (
         lineitem.filter(F.col("l_orderkey") % 97 == 0)
         .select(
-            F.col("l_partkey").alias("src"),
-            (F.col("l_suppkey") + 10000000).alias("dst"),
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -1293,7 +1300,7 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BFS_HOPS = """
 WITH RECURSIVE """ + _GRAPH_CTE + """,
 seeds AS (
-  SELECT node FROM nodes WHERE node % 10 = 0 AND node < 10000000
+  SELECT node FROM nodes WHERE node % 20 = 0
 ), walk(node, hops) AS (
   SELECT node, 0 FROM seeds
   UNION
@@ -1317,17 +1324,19 @@ def q_bfs_hops_from_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as graph_ops
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # Same disjoint parity encoding as pagerank (2k part / 2k+1 supplier);
+    # seeds = part nodes whose partkey % 10 == 0, i.e. node % 20 == 0.
     e = (
         lineitem.filter(F.col("l_orderkey") % 97 == 0)
         .select(
-            F.col("l_partkey").alias("src"),
-            (F.col("l_suppkey") + 10000000).alias("dst"),
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     seeds = (
         e.select(F.col("src").alias("node"))
-        .filter((F.col("node") % 10 == 0) & (F.col("node") < 10000000))
+        .filter(F.col("node") % 20 == 0)
         .distinct()
     )
     return graph_ops.bfs_hops(e, seeds, max_hops=4)

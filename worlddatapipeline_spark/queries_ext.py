@@ -883,9 +883,11 @@ def q_user_event_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as graph_ops
 
     (events,) = _t(spark, sf_dir, "events")
+    # Disjoint parity encoding (2k user / 2k+1 event) — an offset encoding
+    # collides once event_id reaches the offset at large scale factors.
     edges = events.select(
-        F.col("user_id").alias("src"),
-        (F.col("event_id") + 10_000_000).alias("dst"),
+        (F.col("user_id") * 2).alias("src"),
+        (F.col("event_id") * 2 + 1).alias("dst"),
     ).distinct()
     comps = graph_ops.connected_components(edges, max_iter=8)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
@@ -893,7 +895,7 @@ def q_user_event_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_USER_EVENT_COMPONENTS = """
 WITH RECURSIVE e AS (
-  SELECT DISTINCT user_id AS src, event_id + 10000000 AS dst FROM events
+  SELECT DISTINCT 2 * user_id AS src, 2 * event_id + 1 AS dst FROM events
 ), bidir AS (
   SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
 ), walk(node, label) AS (

@@ -62,6 +62,28 @@ def get_spark(
     return b.getOrCreate()
 
 
+def materialize_and_release(result, *cached):
+    """Materialize ``result`` with an eager ``localCheckpoint``, then
+    unpersist the ``cached`` frames it derived from.
+
+    Query functions that persist a multi-reader intermediate would otherwise
+    leak it: the returned frame is lazy, so there is no point inside the
+    function where the cache is both fully consumed and releasable — the
+    cached RDD lingers until the ContextCleaner happens to GC it (ADVICE r3).
+    Truncating the lineage makes the release safe immediately, and the one
+    action it costs is the action the caller was about to run anyway.
+
+    Stated tradeoff for the 100 TB deployment: a localCheckpoint lives on
+    executors and is lost with them, so this is only for results that are
+    small aggregates / candidate-pair sets (every call site here is).  A
+    large result should be written to durable storage and read back instead.
+    """
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views and return them.
 

@@ -284,7 +284,11 @@ def streaming_ewma(
     kappa-architecture ingest provides.  Rows at or before the state's
     high-water mark would silently smooth out of order, so they are
     dropped defensively and the monotonicity breach is the caller's to
-    avoid.  State per key is two scalars; keys hash-partition across
+    avoid.  The mark is the COMPOSITE (order_col, id_col) of the last
+    processed row — a timestamp-only mark would also drop a genuinely
+    new event that shares its timestamp with the previous batch's last
+    event, diverging from the batch scan (which tie-breaks on id_col).
+    State per key is three scalars; keys hash-partition across
     executors."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
@@ -295,7 +299,7 @@ def streaming_ewma(
     from ..operators.stateful import ewma_series  # noqa: PLC0415
 
     out_schema = f"{key_col} long, {id_col} long, ewma double"
-    state_schema = "y double, t long"
+    state_schema = "y double, t long, i long"
 
     def fn(key, pdf_iter, state: GroupState):
         rows = pd.concat(list(pdf_iter), ignore_index=True)
@@ -304,15 +308,28 @@ def streaming_ewma(
         # id_col breaks order_col ties so the smoothing order matches the
         # batch scan's composite sort exactly
         rows = rows.sort_values([order_col, id_col], kind="mergesort")
-        prev_y, prev_t = state.get if state.exists else (None, None)
+        prev_y, prev_t, prev_i = (
+            state.get if state.exists else (None, None, None)
+        )
         if prev_t is not None:
-            rows = rows[rows[order_col] > prev_t]
+            # strictly behind the composite (t, id) mark — a new event
+            # sharing the previous batch's last timestamp still smooths
+            rows = rows[
+                (rows[order_col] > prev_t)
+                | ((rows[order_col] == prev_t) & (rows[id_col] > prev_i))
+            ]
             if len(rows) == 0:
                 return
         out, last = ewma_series(
             rows[value_col].to_numpy(dtype="float64"), alpha, prev=prev_y
         )
-        state.update((float(last), int(rows[order_col].iloc[-1])))
+        state.update(
+            (
+                float(last),
+                int(rows[order_col].iloc[-1]),
+                int(rows[id_col].iloc[-1]),
+            )
+        )
         yield pd.DataFrame(
             {
                 key_col: key[0],
