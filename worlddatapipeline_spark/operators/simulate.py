@@ -13,17 +13,31 @@ reference's k8s-job fan-out but data-parallel.  The environment oracle
 (NavMesh raycast) is replaced by a data-driven walkable-bounds check
 (SURVEY §2.11.3) — pluggable, and what the correctness harness needs.
 
-Determinism: RNG is ``np.random.default_rng(seed)`` from the job row's seed
+Determinism: RNG is an EXPLICIT 31-bit LCG seeded from the job row's seed
 column — same row always yields the same trajectory, across retries and
 cluster sizes (the reference records seeds per sequence for the same reason,
-`scene_registry.py:391-404`).
+`scene_registry.py:391-404`).  An explicit generator rather than
+``np.random.default_rng`` on purpose: PCG64 is not restatable in SQL, the
+LCG is — so the whole sequential simulation replays as a recursive-CTE
+oracle on an independent engine (same rationale as the
+``weighted_behavior_choice`` draw).  Every float update below is written as
+plain IEEE add/mul/compare (no float modulo, no library-specific wrapping)
+so the replay is bit-identical.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+# glibc-style 31-bit LCG — products stay < 2^62, so a signed-64 engine
+# (DuckDB BIGINT) replays it without overflow.
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2_147_483_648
 
 BEHAVIORS = [
     "random_roam",
@@ -48,12 +62,30 @@ DEFAULT_WEIGHTS = {
 MAX_CONSECUTIVE_FAILURES = 5  # behavior_executor.py:731-733
 
 
-def _weighted_choice(rng: np.random.Generator, weights: dict[str, float]) -> str:
-    """Normalized cumulative-weight sampling (`behavior_executor.py:574-635`)."""
+def cum_bounds(weights: dict[str, float]) -> tuple[list[str], list[float]]:
+    """Normalized cumulative weight boundaries in dict order — sequential
+    float summation so an oracle embedding ``repr()`` of these exact doubles
+    reproduces the pick intervals bit-for-bit."""
     names = list(weights)
-    w = np.array([weights[n] for n in names], dtype=float)
-    w = w / w.sum()
-    return names[int(np.searchsorted(np.cumsum(w), rng.random(), side="right"))]
+    total = 0.0
+    for n in names:
+        total += float(weights[n])
+    cums, c = [], 0.0
+    for n in names:
+        c += float(weights[n]) / total
+        cums.append(c)
+    return names, cums
+
+
+def _wrap180(v: float) -> float:
+    """Wrap to [-180, 180) with a single conditional add/sub — inputs are
+    bounded to (-540, 540) by construction.  No float modulo: ``%`` has
+    engine-specific sign semantics; one IEEE add is portable."""
+    if v >= 180.0:
+        return v - 360.0
+    if v < -180.0:
+        return v + 360.0
+    return v
 
 
 def simulate_sequence(
@@ -72,8 +104,15 @@ def simulate_sequence(
     A step that would leave bounds is a failure (reference: NavMesh projection
     failure); 5 consecutive failures abort (`behavior_executor.py:731-733`).
     """
-    rng = np.random.default_rng(seed)
     weights = weights or DEFAULT_WEIGHTS
+    names, cums = cum_bounds(weights)
+    state = int(seed) % LCG_M
+
+    def draw() -> float:
+        nonlocal state
+        state = (state * LCG_A + LCG_C) % LCG_M
+        return state / LCG_M
+
     xmin, ymin, xmax, ymax = bounds
     if start is None:
         x = (xmin + xmax) / 2.0
@@ -81,8 +120,9 @@ def simulate_sequence(
     else:
         x, y = start[0], start[1]
     z = start[2] if start else 100.0
-    yaw = float(rng.uniform(-180.0, 180.0))
+    yaw = -180.0 + 360.0 * draw()
     pitch = 0.0
+    rad = math.pi / 180.0
 
     pts = [(x, y, z, yaw, pitch)]
     segments = []
@@ -90,19 +130,24 @@ def simulate_sequence(
     aborted = False
 
     for seg_idx in range(n_segments):
-        behavior = _weighted_choice(rng, weights)
+        u = draw()
+        # first bucket with u < cum; default to the last (cums[-1] can sit
+        # one ulp under 1.0) — the oracle's CASE ... ELSE mirrors this
+        behavior = names[
+            next((k for k, c in enumerate(cums) if u < c), len(names) - 1)
+        ]
         seg_start = len(pts) - 1
         for _ in range(steps_per_segment):
             if behavior == "idle":
                 pts.append((x, y, z, yaw, pitch))
                 continue
             if behavior == "rotate":
-                yaw = float(((yaw + rng.uniform(-15.0, 15.0) + 180.0) % 360.0) - 180.0)
-                pitch = float(np.clip(pitch + rng.uniform(-3.0, 3.0), -80.0, 80.0))
+                yaw = _wrap180(yaw + (-15.0 + 30.0 * draw()))
+                pitch = max(-80.0, min(80.0, pitch + (-3.0 + 6.0 * draw())))
                 pts.append((x, y, z, yaw, pitch))
                 continue
             if behavior == "random_roam":
-                heading = yaw + float(rng.uniform(-45.0, 45.0))
+                heading = yaw + (-45.0 + 90.0 * draw())
             elif behavior == "translate_forward":
                 heading = yaw
             elif behavior == "translate_backward":
@@ -111,13 +156,13 @@ def simulate_sequence(
                 heading = yaw - 90.0
             else:  # translate_right
                 heading = yaw + 90.0
-            h = np.radians(heading)
-            nx = x + speed * float(np.cos(h))
-            ny = y + speed * float(np.sin(h))
+            h = heading * rad
+            nx = x + speed * math.cos(h)
+            ny = y + speed * math.sin(h)
             if xmin <= nx <= xmax and ymin <= ny <= ymax:
                 x, y = nx, ny
                 if behavior == "random_roam":
-                    yaw = float(((heading + 180.0) % 360.0) - 180.0)
+                    yaw = _wrap180(heading)
                 failures = 0
                 pts.append((x, y, z, yaw, pitch))
             else:

@@ -1044,13 +1044,150 @@ GROUP BY r_name, n_name
 
 
 # ---------------------------------------------------------------------------
-# rows-only: seeded simulation, SimHash banding
+# seeded simulation — oracle-checked via full recursive-CTE replay
 # ---------------------------------------------------------------------------
+
+def _sim_replay_cte(
+    jobs: list[tuple[str, int]],
+    n_segments: int,
+    steps: int,
+    bounds: tuple[float, float, float, float] = (-5000.0, -5000.0, 5000.0, 5000.0),
+    speed: float = 100.0,
+) -> str:
+    """DuckDB CTE chain replaying operators/simulate.py::simulate_sequence
+    BIT-IDENTICALLY: the explicit 31-bit LCG, the cumulative-weight behavior
+    pick, the per-step walk (cos/sin on the same libm doubles), the bounds/
+    failure/abort machinery, and the reference's overwrite rule for
+    segment ownership of boundary points.
+
+    Produces CTEs: ``sim`` (one row per processed step, emitted pose when
+    ``app``), ``pts`` (all points), ``segs`` (entered segments with their
+    start index and behavior code), ``pseg`` (points with their OWNING
+    segment: the last segment whose start_idx <= point_idx — the
+    later-assignment-wins rule of the generator's seg_of array).
+
+    Replayability is the reason the simulator uses an explicit LCG and pure
+    IEEE add/mul updates (see operators/simulate.py docstring); the probe
+    that cos/sin/floor round identically across engines on this box is in
+    the verify notes.
+    """
+    names, cums = sim_gen.cum_bounds(sim_gen.DEFAULT_WEIGHTS)
+    a, c, m = sim_gen.LCG_A, sim_gen.LCG_C, sim_gen.LCG_M
+    xmin, ymin, xmax, ymax = bounds
+    x0, y0 = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+    total = n_segments * steps
+    job_rows = ", ".join(
+        f"('{s}', CAST({seed} AS BIGINT))" for s, seed in jobs
+    )
+    pick = " ".join(
+        f"WHEN ub < {cums[k]!r} THEN {k}" for k in range(len(cums) - 1)
+    )
+    return f"""
+jobs(sequence_id, seed) AS (VALUES {job_rows}),
+sim AS (
+  SELECT sequence_id,
+         -1 AS g,
+         (seed * {a} + {c}) % {m} AS st,
+         -1 AS seg,
+         -1 AS beh,
+         CAST({x0!r} AS DOUBLE) AS x,
+         CAST({y0!r} AS DOUBLE) AS y,
+         -180.0 + 360.0 * (CAST((seed * {a} + {c}) % {m} AS DOUBLE)
+                           / {float(m)!r}) AS yaw,
+         CAST(0.0 AS DOUBLE) AS pitch,
+         0 AS fails,
+         FALSE AS ab,
+         0 AS pidx,
+         TRUE AS app
+  FROM jobs
+  UNION ALL
+  SELECT sequence_id, g1, stf, seg1, beh1,
+         x2, y2, yaw2, pitch2, fails2, ab2, pidx2, app2
+  FROM (
+    SELECT s.sequence_id,
+           s.g + 1 AS g1,
+           CAST((s.g + 1) // {steps} AS INTEGER) AS seg1,
+           ((s.g + 1) % {steps} = 0) AS newseg,
+           CASE WHEN ((s.g + 1) % {steps} = 0)
+                THEN (s.st * {a} + {c}) % {m} ELSE s.st END AS stb,
+           CAST(stb AS DOUBLE) / {float(m)!r} AS ub,
+           CASE WHEN newseg
+                THEN (CASE {pick} ELSE {len(cums) - 1} END)
+                ELSE s.beh END AS beh1,
+           (stb * {a} + {c}) % {m} AS st1,
+           CAST(st1 AS DOUBLE) / {float(m)!r} AS u1,
+           (st1 * {a} + {c}) % {m} AS st2,
+           CAST(st2 AS DOUBLE) / {float(m)!r} AS u2,
+           CASE beh1 WHEN 6 THEN st2 WHEN 0 THEN st1 ELSE stb END AS stf,
+           CASE beh1
+             WHEN 0 THEN s.yaw + (-45.0 + 90.0 * u1)
+             WHEN 1 THEN s.yaw
+             WHEN 2 THEN s.yaw + 180.0
+             WHEN 3 THEN s.yaw - 90.0
+             WHEN 4 THEN s.yaw + 90.0
+             ELSE 0.0 END AS hd,
+           (beh1 NOT IN (5, 6)) AS moving,
+           s.x + {speed!r} * cos(hd * (pi() / 180.0)) AS nx,
+           s.y + {speed!r} * sin(hd * (pi() / 180.0)) AS ny,
+           (nx >= {xmin!r} AND nx <= {xmax!r}
+            AND ny >= {ymin!r} AND ny <= {ymax!r}) AS inb,
+           CASE WHEN moving AND inb THEN nx ELSE s.x END AS x2,
+           CASE WHEN moving AND inb THEN ny ELSE s.y END AS y2,
+           s.yaw + (-15.0 + 30.0 * u1) AS ry,
+           CASE WHEN beh1 = 6 THEN
+                  (CASE WHEN ry >= 180.0 THEN ry - 360.0
+                        WHEN ry < -180.0 THEN ry + 360.0
+                        ELSE ry END)
+                WHEN beh1 = 0 AND inb THEN
+                  (CASE WHEN hd >= 180.0 THEN hd - 360.0
+                        WHEN hd < -180.0 THEN hd + 360.0
+                        ELSE hd END)
+                ELSE s.yaw END AS yaw2,
+           CASE WHEN beh1 = 6
+                THEN greatest(-80.0, least(80.0, s.pitch + (-3.0 + 6.0 * u2)))
+                ELSE s.pitch END AS pitch2,
+           CASE WHEN moving AND NOT inb THEN s.fails + 1
+                WHEN moving THEN 0
+                ELSE s.fails END AS fails2,
+           (moving AND NOT inb
+            AND s.fails + 1 >= {sim_gen.MAX_CONSECUTIVE_FAILURES}) AS ab2,
+           ((NOT moving) OR inb) AS app2,
+           CASE WHEN ((NOT moving) OR inb)
+                THEN s.pidx + 1 ELSE s.pidx END AS pidx2
+    FROM sim s
+    WHERE NOT s.ab AND s.g + 1 < {total}
+  )
+),
+pts AS (
+  SELECT sequence_id, pidx, x, y, yaw, pitch FROM sim WHERE app
+),
+segs AS (
+  SELECT sequence_id, seg,
+         min(pidx - CASE WHEN app THEN 1 ELSE 0 END) AS start_idx,
+         min(beh) AS beh
+  FROM sim WHERE seg >= 0 GROUP BY sequence_id, seg
+),
+pseg AS (
+  SELECT p.sequence_id, p.pidx, p.x, p.y, p.yaw, p.pitch,
+         max(s.seg) AS seg_of
+  FROM pts p JOIN segs s
+    ON s.sequence_id = p.sequence_id AND s.start_idx <= p.pidx
+  GROUP BY p.sequence_id, p.pidx, p.x, p.y, p.yaw, p.pitch
+)"""
+
+
+_SIM_BEHAVIOR_NAME_CASE = (
+    "CASE s.beh WHEN 0 THEN 'random_roam' WHEN 1 THEN 'translate_forward'"
+    " WHEN 2 THEN 'translate_backward' WHEN 3 THEN 'translate_left'"
+    " WHEN 4 THEN 'translate_right' WHEN 5 THEN 'idle' ELSE 'rotate' END"
+)
+
 
 def q_simulate_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded behavior simulation fan-out (operators/simulate.py) — one task
     per (sequence_id, seed) job row, deterministic per seed; summarized per
-    sequence.  Not SQL-expressible (sequential generator) → rows-only."""
+    sequence.  Oracle-checked since r4: the explicit-LCG generator replays
+    as a DuckDB recursive CTE (_sim_replay_cte) bit-identically."""
     jobs = spark.createDataFrame(
         [(f"seq_{i:03d}", 1000 + i) for i in range(8)],
         "sequence_id string, seed long",
@@ -1067,16 +1204,83 @@ def q_simulate_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_SIMULATE_TRAJECTORIES = (
+    "WITH RECURSIVE "
+    + _sim_replay_cte(
+        [(f"seq_{i:03d}", 1000 + i) for i in range(8)],
+        n_segments=6,
+        steps=20,
+    )
+    + """
+SELECT p.sequence_id,
+       count(*) AS n_points,
+       count(DISTINCT p.seg_of) AS n_segments,
+       round(max(p.x) - min(p.x), 4) AS x_span,
+       CAST(max(a.abt) AS INTEGER) AS aborted
+FROM pseg p
+JOIN (SELECT sequence_id, max(CASE WHEN ab THEN 1 ELSE 0 END) AS abt
+      FROM sim GROUP BY sequence_id) a USING (sequence_id)
+GROUP BY p.sequence_id
+"""
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column pipeline (operators/multimodal.py): documents →
-    binary media column + typed metadata → Arrow-batched mapInPandas feature
-    extraction.  Decode is the documented deterministic stub (no codec libs
-    in this container); the Spark plumbing is the real path → rows-only."""
+    REAL media containers (even doc_id → 8-bit grayscale BMP, odd → 8-bit
+    PCM WAV; numpy struct codecs, no external libs) → Arrow-batched
+    mapInPandas decode + feature extraction.  The BMP/WAV parsers run
+    genuinely (headers, palette, row padding, RIFF chunk walk), and because
+    encode→decode round-trips the text bytes exactly, every feature is
+    restatable per character by the DuckDB oracle — the same contract
+    style as multimodal_features_checked, now over real containers."""
     from .operators import multimodal as mm
 
     (documents,) = _t(spark, sf_dir, "documents")
-    media = mm.synthesize_media(documents, "doc_id", "text")
-    return mm.extract_features(media)
+    media = mm.synthesize_media(documents, "doc_id", "text", container="alternate")
+    feats = mm.extract_features(media)
+    return (
+        feats.join(
+            media.select("media_id", F.col("meta.format").alias("format")),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            "format",
+            "n_bytes",
+            F.round(F.col("mean_intensity"), 4).alias("mean_b"),
+            F.round(F.col("std_intensity"), 4).alias("std_b"),
+            F.col("histogram_mode").cast("long").alias("mode_b"),
+        )
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH idx AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+  FROM documents
+), chars AS (
+  SELECT doc_id, ascii(substring(text, i, 1)) AS b FROM idx
+), counts AS (
+  SELECT doc_id, b, count(*) AS c FROM chars GROUP BY doc_id, b
+), mx AS (
+  SELECT doc_id, b, c, max(c) OVER (PARTITION BY doc_id) AS cmax FROM counts
+), stats AS (
+  SELECT doc_id,
+         count(*) AS n_bytes,
+         round(avg(b), 4) AS mean_b,
+         round(sqrt(avg(CAST(b AS DOUBLE) * b) - avg(b) * avg(b)), 4)
+           AS std_b
+  FROM chars GROUP BY doc_id
+), modes AS (
+  SELECT doc_id, min(b) AS mode_b FROM mx WHERE c = cmax GROUP BY doc_id
+)
+SELECT s.doc_id AS media_id,
+       CASE WHEN s.doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+       s.n_bytes, s.mean_b, s.std_b,
+       CAST(m.mode_b AS BIGINT) AS mode_b
+FROM stats s JOIN modes m USING (doc_id)
+"""
 
 
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,10 +1833,13 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full EP2 resample composition (rows-only): seeded simulation →
-    keyframe subsample (every 4th point) → behavior segments → behavior-aware
-    per-frame resample (operators/windows.py::behavior_resample —
-    `worker_create.py:695-896`).  Deterministic via per-row seeds."""
+    """Full EP2 resample composition: seeded simulation → keyframe subsample
+    (every 4th point) → behavior segments → behavior-aware per-frame
+    resample (operators/windows.py::behavior_resample —
+    `worker_create.py:695-896`).  Deterministic via per-row seeds; oracle-
+    checked since r4 — the recursive-CTE sim replay (_sim_replay_cte) feeds
+    the same bracketing/interval/lerp restatement that oracles
+    behavior_resample_checked."""
     jobs = spark.createDataFrame(
         [(f"seq_{i:03d}", 3000 + i) for i in range(6)],
         "sequence_id string, seed long",
@@ -1651,6 +1858,72 @@ def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 4).alias("avg_x"),
         F.round(F.avg("yaw"), 4).alias("avg_yaw"),
     )
+
+
+SQL_BEHAVIOR_RESAMPLE = (
+    "WITH RECURSIVE "
+    + _sim_replay_cte(
+        [(f"seq_{i:03d}", 3000 + i) for i in range(6)],
+        n_segments=5,
+        steps=16,
+    )
+    + """,
+keys AS (
+  SELECT sequence_id, pidx AS idx, x, yaw FROM pseg WHERE pidx % 4 = 0
+),
+segt AS (
+  SELECT sequence_id, seg_of,
+         min(pidx) AS start_idx, max(pidx) AS end_idx
+  FROM pseg GROUP BY sequence_id, seg_of
+),
+segments AS (
+  SELECT t.sequence_id, """ + _SIM_BEHAVIOR_NAME_CASE + """ AS behavior,
+         t.start_idx, t.end_idx
+  FROM segt t JOIN segs s
+    ON s.sequence_id = t.sequence_id AND s.seg = t.seg_of
+),
+frames AS (
+  SELECT sequence_id, unnest(generate_series(0, maxidx)) AS frame
+  FROM (SELECT sequence_id, max(idx) AS maxidx FROM keys GROUP BY sequence_id)
+),
+bracket AS (
+  SELECT f.sequence_id, f.frame,
+         max(k.idx) FILTER (k.idx <= f.frame) AS p_idx,
+         min(k.idx) FILTER (k.idx >= f.frame) AS n_idx
+  FROM frames f JOIN keys k ON k.sequence_id = f.sequence_id
+  GROUP BY f.sequence_id, f.frame
+),
+br AS (
+  SELECT b.sequence_id, b.frame,
+         pk.x AS p_x, pk.yaw AS p_yaw, nk.x AS n_x, nk.yaw AS n_yaw,
+         CASE WHEN b.n_idx <> b.p_idx
+              THEN (b.frame - b.p_idx) / (b.n_idx - b.p_idx)
+              ELSE 0.0 END AS t
+  FROM bracket b
+  JOIN keys pk ON pk.sequence_id = b.sequence_id AND pk.idx = b.p_idx
+  JOIN keys nk ON nk.sequence_id = b.sequence_id AND nk.idx = b.n_idx
+),
+tagged AS (
+  SELECT br.*, coalesce(s.behavior, 'roam') AS behavior
+  FROM br LEFT JOIN segments s
+    ON s.sequence_id = br.sequence_id
+   AND br.frame >= s.start_idx AND br.frame <= s.end_idx
+),
+resampled AS (
+  SELECT sequence_id, behavior,
+    CASE WHEN behavior LIKE '%idle%' OR behavior LIKE '%rotate%' THEN p_x
+         ELSE p_x + t * (n_x - p_x) END AS x,
+    CASE WHEN behavior LIKE '%idle%' OR behavior LIKE '%translate%'
+         THEN p_yaw
+         ELSE p_yaw + t * ((n_yaw - p_yaw)
+              - 360.0 * floor((n_yaw - p_yaw) / 360.0 + 0.5)) END AS yaw
+  FROM tagged
+)
+SELECT sequence_id, behavior, count(*) AS n_frames,
+       round(avg(x), 4) AS avg_x, round(avg(yaw), 4) AS avg_yaw
+FROM resampled GROUP BY sequence_id, behavior
+"""
+)
 
 
 def q_behavior_resample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3121,6 +3394,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simulate_trajectories": q_simulate_trajectories,
     "simhash_near_dups": q_simhash_near_dups,
     "minhash_verified_dups": q_minhash_verified_dups,
+    # oracle-checked since r4 (real BMP/WAV decode round-trips text bytes)
     "multimodal_features": q_multimodal_features,
     "behavior_resample": q_behavior_resample,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -3175,6 +3449,9 @@ EXT_ORACLES: dict[str, str] = {
     "train_test_decontamination": SQL_TRAIN_TEST_DECONTAMINATION,
     "stratified_sample_stats": SQL_STRATIFIED_SAMPLE_STATS,
     "glob_exclusion_stats": SQL_GLOB_EXCLUSION_STATS,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "simulate_trajectories": SQL_SIMULATE_TRAJECTORIES,
+    "behavior_resample": SQL_BEHAVIOR_RESAMPLE,
 }
 
 # The streaming pipeline must produce the exact rows of its batch twin —
