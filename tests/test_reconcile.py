@@ -183,3 +183,73 @@ def test_merge_upsert_parquet_crash_before_pointer_commit_not_torn(
     # retry overwrites the orphaned version dir and commits
     out = reconcile.merge_upsert_parquet(spark, path, source, ["k"])
     assert {r["k"]: r["bal"] for r in out.collect()} == {1: 10.0, 2: 99.0}
+
+
+def test_concurrent_merge_fails_fast_on_live_lease(spark, tmp_path):
+    """A second writer against a live lease must raise immediately — two
+    concurrent merges can never interleave their pointer commits."""
+    import os
+
+    import pytest as _pytest
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10.0)], ["k", "bal"]).write.parquet(path)
+    src = spark.createDataFrame([(1, 99.0)], ["k", "bal"])
+
+    lease = reconcile._acquire_lease(path)  # rival writer holds the lease
+    with _pytest.raises(reconcile.ConcurrentMergeError):
+        reconcile.merge_upsert_parquet(spark, path, src, ["k"])
+    # the blocked attempt must not have touched the table
+    assert {r["bal"] for r in reconcile.read_parquet_table(spark, path).collect()} == {10.0}
+    reconcile._release_lease(lease)
+
+    out = reconcile.merge_upsert_parquet(spark, path, src, ["k"])
+    assert {r["bal"] for r in out.collect()} == {99.0}
+    assert not os.path.exists(os.path.join(path, "_LEASE"))  # released
+
+
+def test_expired_lease_taken_over_and_table_recovers(spark, tmp_path):
+    """A crashed writer (stale expired lease + staging orphans) must not
+    wedge the table: readers stay on the committed version, and the next
+    merge takes the lease over, sweeps orphans, and commits."""
+    import os
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10.0)], ["k", "bal"]).write.parquet(path)
+    reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(2, 20.0)], ["k", "bal"]), ["k"]
+    )
+    # simulate a crash mid-merge: stale lease (already expired) + orphans
+    with open(os.path.join(path, "_LEASE"), "w", encoding="utf-8") as fh:
+        fh.write("pid=99999 expires=1.0\n")
+    os.makedirs(os.path.join(path, "_staging-_v00000002"))
+    # reader falls back through _CURRENT to the committed version
+    got = {r["k"]: r["bal"] for r in reconcile.read_parquet_table(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # next merge takes over the expired lease and commits normally
+    out = reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(3, 30.0)], ["k", "bal"]), ["k"]
+    )
+    assert {r["k"] for r in out.collect()} == {1, 2, 3}
+    entries = os.listdir(path)
+    assert not [e for e in entries if e.startswith("_staging-")]
+    assert not os.path.exists(os.path.join(path, "_LEASE"))
+
+
+def test_torn_lease_counts_as_crashed(tmp_path):
+    """An unreadable lease (crash mid-write) must not wedge the claim."""
+    import os
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    with open(os.path.join(path, "_LEASE"), "w", encoding="utf-8") as fh:
+        fh.write("garbage")  # no expires= field
+    lease = reconcile._acquire_lease(path)
+    assert os.path.isfile(lease)
+    reconcile._release_lease(lease)

@@ -21,9 +21,62 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another writer holds the table's merge lease."""
+
+
+def _acquire_lease(path: str, ttl_s: float = 3600.0) -> str:
+    """Take the table's single-writer lease or fail fast.
+
+    ``O_CREAT|O_EXCL`` on ``<path>/_LEASE`` is the atomic claim (POSIX/NFS;
+    on an S3-class store swap for a conditional PUT).  The file embeds an
+    expiry so a CRASHED holder never wedges the table: an expired or
+    unreadable (torn) lease is removed and the claim retried exactly once —
+    if a rival claims it in that window the ``O_EXCL`` create loses and
+    this writer still fails fast.  A live lease always raises
+    ``ConcurrentMergeError`` immediately; callers retry on their own
+    schedule rather than queueing blind."""
+    os.makedirs(path, exist_ok=True)
+    lease = os.path.join(path, "_LEASE")
+    payload = f"pid={os.getpid()} expires={time.time() + ttl_s:.3f}\n"
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lease, encoding="utf-8") as fh:
+                    exp = float(fh.read().rsplit("expires=", 1)[1])
+            except (OSError, ValueError, IndexError):
+                exp = 0.0  # torn/unreadable lease = crashed holder
+            if time.time() < exp or attempt:
+                raise ConcurrentMergeError(
+                    f"merge lease held for {path} (expires={exp:.0f}); "
+                    "another writer is active — retry after it commits"
+                ) from None
+            try:
+                os.remove(lease)  # expired: best-effort takeover
+            except FileNotFoundError:
+                pass
+            continue
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return lease
+    raise ConcurrentMergeError(f"could not claim merge lease for {path}")
+
+
+def _release_lease(lease: str) -> None:
+    try:
+        os.remove(lease)
+    except FileNotFoundError:
+        pass
 
 
 def merge_upsert(
@@ -81,6 +134,7 @@ def merge_upsert_parquet(
     source: DataFrame,
     keys: list[str],
     update_cols: list[str] | None = None,
+    lease_ttl_s: float = 3600.0,
 ) -> DataFrame:
     """Persistent MERGE into a parquet table via versioned directories and
     an atomic pointer-file commit.  Returns the re-read merged table.
@@ -117,49 +171,59 @@ def merge_upsert_parquet(
     HDFS but S3-class stores have no atomic rename — there, bind step 3 to
     a table-format commit (Delta/Iceberg ``MERGE INTO``) or a
     conditional-PUT of the pointer object; steps 1-2 and the merge compute
-    stay identical.  Concurrent WRITERS are not arbitrated here (last
-    pointer wins) — same single-writer contract as the reference's SQLite
-    registry.
+    stay identical.
+
+    Concurrent writers: a single-writer LEASE (``<path>/_LEASE``,
+    ``O_EXCL``-claimed, TTL ``lease_ttl_s``) arbitrates — a second merge
+    against a live lease raises ``ConcurrentMergeError`` immediately
+    instead of silently racing the pointer; a crashed writer's lease
+    expires and the next merge takes over and sweeps its orphans.  Readers
+    never take the lease: they only resolve ``_CURRENT``, so reads stay
+    lock-free at any concurrency.
     """
-    target = read_parquet_table(spark, path)
-    merged = merge_upsert(target, source, keys, update_cols)
+    lease = _acquire_lease(path, ttl_s=lease_ttl_s)
+    try:
+        target = read_parquet_table(spark, path)
+        merged = merge_upsert(target, source, keys, update_cols)
 
-    cur = _table_current_version(path)
-    n = int(cur.lstrip("_v")) if cur else 0
-    new_v = f"_v{n + 1:08d}"
-    staging = os.path.join(path, f"_staging-{new_v}")
-    # sweep orphans a crashed previous attempt may have left behind
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(os.path.join(path, new_v), ignore_errors=True)
+        cur = _table_current_version(path)
+        n = int(cur.lstrip("_v")) if cur else 0
+        new_v = f"_v{n + 1:08d}"
+        staging = os.path.join(path, f"_staging-{new_v}")
+        # sweep orphans a crashed previous attempt may have left behind
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(os.path.join(path, new_v), ignore_errors=True)
 
-    merged.write.mode("overwrite").parquet(staging)
-    os.rename(staging, os.path.join(path, new_v))
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(path, new_v))
 
-    tmp = os.path.join(path, "._CURRENT.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(new_v)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(path, "_CURRENT"))
+        tmp = os.path.join(path, "._CURRENT.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(new_v)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "_CURRENT"))
 
-    # GC: keep the live and previous versions.  Legacy root files (from the
-    # pre-versioned layout) are the "previous version" of the first merge —
-    # they are removed only once a versioned predecessor exists.
-    keep = {"_CURRENT", new_v}
-    if cur:
-        keep.add(cur)
-    for entry in os.listdir(path):
-        if entry in keep:
-            continue
-        full = os.path.join(path, entry)
-        if entry.startswith("_v") or entry.startswith("_staging-"):
-            shutil.rmtree(full, ignore_errors=True)
-        elif cur is not None:
-            if os.path.isdir(full):
+        # GC: keep the live and previous versions.  Legacy root files (from
+        # the pre-versioned layout) are the "previous version" of the first
+        # merge — they are removed only once a versioned predecessor exists.
+        keep = {"_CURRENT", "_LEASE", new_v}
+        if cur:
+            keep.add(cur)
+        for entry in os.listdir(path):
+            if entry in keep:
+                continue
+            full = os.path.join(path, entry)
+            if entry.startswith("_v") or entry.startswith("_staging-"):
                 shutil.rmtree(full, ignore_errors=True)
-            else:
-                os.remove(full)
-    return read_parquet_table(spark, path)
+            elif cur is not None:
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.remove(full)
+        return read_parquet_table(spark, path)
+    finally:
+        _release_lease(lease)
 
 
 def inventory_reconcile(
