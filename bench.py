@@ -158,6 +158,30 @@ def main() -> None:
     def tot(d):
         return round(sum(v for v in d.values() if v is not None), 3)
 
+    # Compare each group against the committed per-query baseline
+    # (BENCH_BASELINE.json) over the SHARED query set, so noise vs
+    # regression is mechanically distinguishable and newly-added queries
+    # don't skew the ratio (VERDICT r3 #4).  Only meaningful at the
+    # baseline's scale factor (sf0.1).
+    vs_baseline: dict[str, float] = {}
+    new_queries: list[str] = []
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.isfile(base_path) and abs(sf - 0.1) < 1e-9:
+        with open(base_path, encoding="utf-8") as fh:
+            base_groups = json.load(fh)["groups"]
+        for gname, current in (
+            ("headline", timings), ("tpch", tpch), ("llm", llm)
+        ):
+            base = base_groups.get(gname, {})
+            shared = [q for q in current if q in base and current[q] is not None]
+            new_queries += [q for q in current if q not in base]
+            b = sum(base[q] for q in shared)
+            if b > 0:
+                vs_baseline[gname] = round(
+                    sum(current[q] for q in shared) / b, 3
+                )
+
     print(
         json.dumps(
             {
@@ -170,6 +194,8 @@ def main() -> None:
                 "tpch_queries": tpch,
                 "llm_total_sec": tot(llm),
                 "llm_queries": llm,
+                "vs_baseline": vs_baseline,
+                "new_queries": new_queries,
                 "n_failed": len(errors),
                 "errors": errors,
                 "sf": sf,

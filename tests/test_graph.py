@@ -150,3 +150,43 @@ def test_bfs_frontier_stops_when_exhausted(spark):
     seeds = spark.createDataFrame([(1,)], ["node"])
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=50).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_star_cc_no_vertex_frame_extraction(spark):
+    """With vertices=None the component map reads directly off the
+    converged star forest (members + roots) — same answer as the explicit
+    vertex-frame path restricted to non-isolated nodes."""
+    from worlddatapipeline_spark.operators.graph import connected_components_star
+
+    edges = [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components_star(
+               edf, src="src", dst="dst", id_col="doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_star_cc_exact_probe_runs_once(spark, monkeypatch):
+    """The fingerprint fast-path must gate the 3-shuffle exact exceptAll
+    probe to the TERMINAL round only — not every round (VERDICT r3 #5)."""
+    from worlddatapipeline_spark.operators.graph import connected_components_star
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    # patch the CONCRETE DataFrame class (Spark 4's classic subclass
+    # overrides the base-class method, so patching pyspark.sql.DataFrame
+    # would never intercept)
+    cls = type(edf)
+    calls = []
+    orig = cls.exceptAll
+
+    def spy(self, other):
+        calls.append(1)
+        return orig(self, other)
+
+    monkeypatch.setattr(cls, "exceptAll", spy)
+    out = connected_components_star(edf, src="src", dst="dst").count()
+    assert out == 40  # every node of the 20 pair-edges gets a component
+    # exactly one fused probe = two exceptAll directions, on the round
+    # whose fingerprint matched; every earlier round skipped it
+    assert len(calls) == 2, calls

@@ -159,15 +159,20 @@ def connected_components_star(
     e = _canon(
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
     ).localCheckpoint(eager=True)
-    if vertices is None:
-        verts = (
-            e.select(F.col("x").alias(id_col))
-            .unionByName(e.select(F.col("y").alias(id_col)))
-            .distinct()
-        )
-    else:
-        verts = vertices.select(F.col(id_col)).distinct()
 
+    def _sig(df: DataFrame) -> tuple:
+        # order-insensitive multiset fingerprint of the (distinct) edge set:
+        # one partial-agg job over a checkpointed frame, no shuffle — the
+        # cheap convergence pre-probe
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # modulo keeps the ANSI-mode sum overflow-free at any edge
+            # count; a collision only costs one extra (exact) probe
+            F.sum(F.xxhash64("x", "y") % F.lit(1_000_000_007)).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
         # large-star: node u sees its FULL neighbourhood; every larger
         # neighbour links to m(u) = min(N(u) ∪ {u})
@@ -193,21 +198,44 @@ def connected_components_star(
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .unionByName(m1.select(F.col("u").alias("x"), F.col("m").alias("y")))
         ).localCheckpoint(eager=True)
-        # one fused convergence probe (both except directions in a single
-        # job) — the per-round job count dominates wall time on small pair
-        # sets, and each saved job is a scheduler round-trip
-        diff = (
-            e2.exceptAll(e)
-            .unionByName(e.exceptAll(e2))
-            .limit(1)
-            .count()
-        )
+        # two-tier convergence probe — the per-round job count dominates
+        # wall time on small pair sets, and each saved job is a scheduler
+        # round-trip:
+        #   1. (count, sum-of-hash) fingerprints: one shuffle-free agg job
+        #      per round (the previous round's fingerprint is remembered).
+        #      Different fingerprints prove non-convergence with no
+        #      exceptAll work;
+        #   2. only on a fingerprint MATCH, confirm exactly with the fused
+        #      two-direction exceptAll — so the 3-shuffle exact probe runs
+        #      once, on the terminal round, instead of every round.
+        sig2 = _sig(e2)
+        if sig2 == sig:
+            diff = (
+                e2.exceptAll(e)
+                .unionByName(e.exceptAll(e2))
+                .limit(1)
+                .count()
+            )
+            if diff == 0:
+                e = e2
+                break
+        sig = sig2
         e = e2
-        if diff == 0:
-            break
 
-    # converged state is a star forest in canonical form: (root, member)
+    # Converged state is a star forest in canonical (root < member) form, so
+    # components read off directly: members (y) take their minimum root,
+    # roots (x) keep themselves — no join back to a separately-derived
+    # vertex frame.  The explicit-vertices path still joins (isolated
+    # vertices must keep themselves).
     roots = e.groupBy(F.col("y").alias(id_col)).agg(F.min("x").alias("component"))
+    if vertices is None:
+        selves = e.select(F.col("x").alias(id_col)).distinct()
+        return roots.unionByName(
+            selves.join(roots, id_col, "left_anti").select(
+                id_col, F.col(id_col).alias("component")
+            )
+        )
+    verts = vertices.select(F.col(id_col)).distinct()
     return verts.join(roots, id_col, "left").select(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),

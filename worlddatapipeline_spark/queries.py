@@ -1133,79 +1133,69 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-3 rotation (NOTES_round3.md plan): every registry entry the r1/r2
-# windows never reached, plus entries whose implementation changed since
-# their last driver verdict, plus the six new round-3 contract queries;
-# backfilled to 50 with round-1 greens.  Union of the r1+r2+r3 windows =
-# the full registry.
+# Round-4 rotation (NOTES_round4.md plan): the 31 registry entries no
+# driver window has ever reached (all oracle-checked as of r4 — the three
+# former rows-only entries gained real oracles: multimodal_features via
+# real BMP/WAV decode, simulate_trajectories / behavior_resample via the
+# recursive-CTE LCG replay), then every query whose implementation changed
+# this round, backfilled to 50 with round-1 greens.  Union of the
+# r1+r2+r3+r4 windows = the full registry; zero rows-only entries in this
+# window, so the driver artifact should show zero `no_oracle` rows.
 _DRIVER_WINDOW: list[str] = [
-    # changed since last driver verdict — re-verify
-    "ngram_jaccard_pairs",      # finite max_df default (capped gen, exact verify)
-    "minhash_verified_dups",    # max_bucket=None for the exact oracle
-    # (embedding_lsh_topk is rows-only; its STRONGER contract sibling
-    #  embedding_lsh_recall below carries its verification — slot yielded
-    #  to the sf0.5 float fixes)
-    # sf0.5 stress-sweep float fixes: DECIMAL accumulators (catalog_stats is
-    # already below; these four r1/r2 greens changed and must re-verify)
-    "cumulative_user_value",
-    "arc_resample",
-    "fixed_speed_truncate",
-    "segment_clip_after_truncate",
-    # never driver-checked (25 oracle + 6 rows-only)
-    "scene_search",
-    "reachability_probe",
-    "weighted_behavior_choice",
-    "behavior_resample_checked",
-    "approach_target_yaw",
-    "dedup_cluster_keep",
-    "token_shard_packing",
-    "length_band_filter",
-    "time_grid_ffill",
-    "multimodal_meta_stats",
-    "streaming_dedup_counts",
-    "segment_cube_stats",
-    "event_type_pivot",
-    "measure_unpivot",
-    "customer_value_deciles",
-    "exists_subquery_customers",
-    "rolling_hour_event_rate",
-    "part_name_fuzzy_pairs",
-    "value_dispersion_stats",
-    "sql_api_revenue",
-    "embedding_norm_stats",
-    "event_id_islands",
-    "segment_set_ops",
-    "sliding_event_windows",
-    "salted_skew_join",
-    "simhash_near_dups",
-    "embedding_ivf_topk",
-    "embedding_kmeans",
-    # (rows-only simulate_trajectories / multimodal_features /
-    #  behavior_resample yielded their slots to the four changed queries
-    #  above + catalog_stats; their STRONGER contract siblings —
-    #  simulate_contract, multimodal_features_checked,
-    #  behavior_resample_checked — carry the verification instead.
-    #  simulate_contract + multimodal_features_checked rotate into r4.)
-    # new round-3 contract queries for the approximate operators
+    # never driver-checked (31)
+    "approx_quantile_contract",
+    "asof_next_click_after_view",
+    "behavior_resample",
+    "bfs_hops_from_hubs",
+    "bloom_decontamination",
+    "cohort_retention",
+    "csv_roundtrip_stats",
+    "doc_chunk_windows",
+    "event_rate_zscore",
+    "event_value_rank_bands",
+    "ewma_event_value",
+    "funnel_conversion",
+    "incremental_dedup_audit",
+    "jsonl_roundtrip_stats",
+    "lateral_topk_suppliers",
+    "multimodal_features",
+    "multimodal_features_checked",
+    "orc_roundtrip_stats",
+    "pagerank_scores",
+    "partition_pruned_stats",
+    "recursive_discount_chain",
+    "reservoir_sample_groups",
+    "session_funnel",
+    "simulate_contract",
+    "simulate_trajectories",
+    "sql_udf_tokens",
+    "streaming_ewma_parity",
+    "table_stats_contract",
+    "triangle_count",
+    "value_histogram",
+    "variant_props_extract",
+    # changed in round 4 — re-verify (graph parity encoding; dedup cache
+    # materialization + _widen guard; EWMA composite mark; merge lease)
+    "connected_components",
+    "user_event_components",
+    "ngram_jaccard_pairs",
+    "minhash_verified_dups",
     "minhash_recall_check",
     "simhash_exact_containment",
-    "embedding_lsh_recall",
-    "embedding_ivf_recall",
-    "kmeans_objective_check",
-    "streaming_stall_audit",
-    # new round-3 dedup-family queries (span/chunk/SemDeDup)
+    "dedup_cluster_keep",
+    "multimodal_meta_stats",
+    "catalog_upsert",
     "duplicate_span_stats",
     "chunk_dedup_rewrite",
-    "bucketed_cosine_dedup",
-    "semantic_dedup_keep",
-    "semantic_dedup_contract",
-    # new round-3 pipeline queries
-    "embedding_decontamination",
-    "mixture_weights",
-    "streaming_session_windows",
-    # sketch contracts (HLL++ approx-distinct, count-min heavy hitters)
-    "approx_distinct_contract",
-    "heavy_hitters_contract",
+    # round-1 green backfill
+    "pricing_summary",
+    "catalog_stats",
+    "region_rollup",
+    "histogram_mode",
+    "top_orders_per_customer",
+    "asof_click_before_purchase",
+    "customer_order_reconcile",
+    "stalled_users",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
