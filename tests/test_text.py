@@ -106,3 +106,27 @@ def test_repetition_stats(spark):
     assert rows[3]["total_words"] == 1
     assert rows[3]["top_bigram"] == "" and rows[3]["top_bigram_count"] == 0
     assert rows[3]["top_bigram_share"] == 0.0
+
+
+def test_gopher_quality_flags_hand_values(spark):
+    from worlddatapipeline_spark.operators.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            # 4 sentences, one duplicated, one bullet, one ellipsis-ended
+            (1, "the cat sat here. the cat sat here. - bullet item. trailing off..."),
+            # repetitive junk: words without letters
+            (2, "123 456 789 000"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == 0.25          # 1 duplicate of 4
+    assert r1["bullet_ratio"] == 0.25
+    assert r1["ellipsis_ratio"] == 0.25
+    r2 = out[2]
+    assert r2["alpha_word_frac"] == 0.0
+    assert r2["mean_word_len"] == 3.0
+    assert not r2["keep_doc"]                   # fails alpha-word rule

@@ -203,6 +203,73 @@ def repetition_stats(
     return out
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    word_len_bounds: tuple[float, float] = (3.0, 10.0),
+) -> DataFrame:
+    """The remaining Gopher document-quality rules (Rae et al. 2021 §A1.1,
+    public) not covered by ``repetition_stats``: duplicate-LINE fraction,
+    bullet-point and ellipsis line ratios, alphabetic-word fraction, and
+    mean-word-length bounds — the standard pretraining heuristics for
+    machine-generated or boilerplate text.
+
+    All signals are pure Catalyst expressions over one split of the text
+    (lines) and one split (words): no shuffle at all — the per-doc flags
+    are computed inside the scan's projection, so at 100 TB this is a pure
+    map stage that fuses with whatever filter consumes ``keep_doc``.
+    Fractions round to 6 so threshold boundaries are engine-stable.
+    """
+    raw = F.col(text_col)
+    # pseudo-lines: the corpus is single-line text, so sentences (". ")
+    # stand in for newline-delimited lines; both engines split identically
+    lines = F.filter(
+        F.split(raw, r"\. "), lambda s: F.length(F.trim(s)) > 0
+    )
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    bullet = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(F.filter(lines, lambda s: s.rlike(r"\.\.\.$")))
+    words = F.split(F.lower(F.regexp_replace(F.trim(raw), r"\s+", " ")), " ")
+    n_words = F.size(words)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    mean_wlen = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+        6,
+    )
+    lo, hi = word_len_bounds
+    def per_line(num):
+        # ANSI-safe: an all-whitespace doc has zero lines; its ratios are 0
+        return F.when(n_lines > 0, F.round(num / n_lines, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        per_line(dup_lines).alias("dup_line_frac"),
+        per_line(bullet).alias("bullet_ratio"),
+        per_line(ellipsis).alias("ellipsis_ratio"),
+        F.round(alpha_words / n_words, 6).alias("alpha_word_frac"),
+        mean_wlen.alias("mean_word_len"),
+    )
+    return out.withColumn(
+        "keep_doc",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("mean_word_len") >= lo)
+        & (F.col("mean_word_len") <= hi),
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full text profile: one row per doc with every text metric."""
     t = F.col(text_col)

@@ -1187,15 +1187,16 @@ _DRIVER_WINDOW: list[str] = [
     "catalog_upsert",
     "duplicate_span_stats",
     "chunk_dedup_rewrite",
+    # new in round 4 (never checked anywhere before this round)
+    "gopher_quality_flags",
+    "char_entropy_score",
+    "persistent_merge_audit",
     # round-1 green backfill
     "pricing_summary",
     "catalog_stats",
     "region_rollup",
-    "histogram_mode",
-    "top_orders_per_customer",
     "asof_click_before_purchase",
     "customer_order_reconcile",
-    "stalled_users",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

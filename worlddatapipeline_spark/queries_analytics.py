@@ -1342,7 +1342,130 @@ def q_bfs_hops_from_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.bfs_hops(e, seeds, max_hops=4)
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules beyond repetition (Rae et al. 2021
+    §A1.1, public): duplicate-line fraction, bullet/ellipsis line ratios,
+    alphabetic-word fraction, mean-word-length bounds
+    (operators/text.py::gopher_quality_flags).  Every signal is a pure
+    Catalyst expression over one line-split and one word-split — a
+    zero-shuffle map stage that fuses with the consuming filter at any
+    corpus size.  All ratios derive from exact integer counts and one
+    division, so the oracle hash-matches without float-summation caveats."""
+    from .operators import text as text_ops
+
+    documents, = _t(spark, sf_dir, "documents")
+    return text_ops.gopher_quality_flags(documents)
+
+
+SQL_GOPHER_QUALITY_FLAGS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\. '),
+                     s -> len(trim(s)) > 0) AS lines,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS dup_lines,
+         len(list_filter(lines, s -> regexp_matches(trim(s), '^[-*•]')))
+           AS bullets,
+         len(list_filter(lines, s -> regexp_matches(s, '\.\.\.$')))
+           AS ellipses,
+         len(words) AS n_words,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+           AS alpha_words,
+         list_sum(list_transform(words, w -> len(w))) AS total_wlen
+  FROM base
+)
+SELECT doc_id,
+       n_lines,
+       CASE WHEN n_lines > 0 THEN round(dup_lines / n_lines, 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN n_lines > 0 THEN round(bullets / n_lines, 6)
+            ELSE 0.0 END AS bullet_ratio,
+       CASE WHEN n_lines > 0 THEN round(ellipses / n_lines, 6)
+            ELSE 0.0 END AS ellipsis_ratio,
+       round(alpha_words / n_words, 6) AS alpha_word_frac,
+       round(total_wlen / n_words, 6) AS mean_word_len,
+       (CASE WHEN n_lines > 0 THEN round(dup_lines / n_lines, 6)
+             ELSE 0.0 END) <= 0.3
+       AND round(alpha_words / n_words, 6) >= 0.8
+       AND round(total_wlen / n_words, 6) >= 3.0
+       AND round(total_wlen / n_words, 6) <= 10.0 AS keep_doc
+FROM m
+"""
+
+
+def q_char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model character cross-entropy — the cheap stand-in for
+    perplexity filtering (a real LM is a cluster dependency; a corpus char
+    unigram model is exact, deterministic, and catches the same
+    pathological tails: binary junk, one-char floods).  Two aggregations:
+    per-(doc, char) counts, then corpus char frequencies (a few hundred
+    rows — broadcast back), then bits/char = Σ c·(−log2 p) / len summed as
+    DECIMAL(28,12) so summation order cannot move the hash (verify-skill
+    float rule).  At 100 TB: one shuffle of (doc, char) pairs — bounded by
+    alphabet size per doc, never text — and one broadcast join."""
+    documents, = _t(spark, sf_dir, "documents")
+    chars = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    dc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    freq = dc.groupBy("ch").agg(F.sum("c").alias("cc"))
+    tot = freq.agg(F.sum("cc").alias("t"))
+    scored = (
+        dc.join(F.broadcast(freq), "ch")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("c") * -F.log2(F.col("cc") / F.col("t"))
+                ).cast("decimal(28,12)")
+            ).alias("bits"),
+            F.sum("c").alias("n_chars"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("bits").cast("double") / F.col("n_chars"), 6).alias(
+            "bits_per_char"
+        ),
+    )
+
+
+SQL_CHAR_ENTROPY_SCORE = """
+WITH idx AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+  FROM documents
+), chars AS (
+  SELECT doc_id, substring(text, i, 1) AS ch FROM idx
+), dc AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), freq AS (
+  SELECT ch, CAST(sum(c) AS BIGINT) AS cc FROM dc GROUP BY ch
+), tot AS (
+  SELECT CAST(sum(cc) AS BIGINT) AS t FROM freq
+), scored AS (
+  SELECT dc.doc_id,
+         sum(CAST(dc.c * (-log2(freq.cc / (SELECT t FROM tot)))
+                  AS DECIMAL(28,12))) AS bits,
+         CAST(sum(dc.c) AS BIGINT) AS n_chars
+  FROM dc JOIN freq USING (ch)
+  GROUP BY dc.doc_id
+)
+SELECT doc_id, n_chars,
+       round(CAST(bits AS DOUBLE) / n_chars, 6) AS bits_per_char
+FROM scored
+"""
+
+
 ANALYTICS_QUERIES = {
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "char_entropy_score": q_char_entropy_score,
     "bloom_decontamination": q_bloom_decontamination,
     "approx_quantile_contract": q_approx_quantile_contract,
     "event_rate_zscore": q_event_rate_zscore,
@@ -1372,6 +1495,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+    "char_entropy_score": SQL_CHAR_ENTROPY_SCORE,
     "bloom_decontamination": SQL_BLOOM_DECONTAMINATION,
     "approx_quantile_contract": SQL_APPROX_QUANTILE_CONTRACT,
     "event_rate_zscore": SQL_EVENT_RATE_ZSCORE,

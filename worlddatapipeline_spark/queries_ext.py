@@ -954,6 +954,108 @@ FROM merged GROUP BY c_mktsegment
 """
 
 
+def q_persistent_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT versioned MERGE driven end-to-end
+    (operators/reconcile.py::merge_upsert_parquet): base slice written as a
+    parquet table, then two successive merges — each materializing a new
+    ``_v`` directory behind the atomic ``_CURRENT`` pointer commit under
+    the single-writer lease — and the final table summarized per segment
+    WITH the live version name, so the oracle checks the whole
+    write→merge→merge→pointer-resolve protocol, not just the join algebra.
+    Balances accumulate as DECIMAL(18,2) so no float-summation caveats.
+    Reference analog: SQLite upsert commits (`scene_registry.py:224-239`)."""
+    import shutil
+    import tempfile
+
+    from .operators.reconcile import (
+        _table_current_version,
+        merge_upsert_parquet,
+    )
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    base = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
+    src1 = (
+        orders.filter(F.col("o_custkey") % 2 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(dec_price).cast("double").alias("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("MERGED1"))
+    )
+    src2 = (
+        orders.filter(F.col("o_custkey") % 5 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max(dec_price).cast("double").alias("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("MERGED2"))
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_audit_")
+    try:
+        path = f"{tmp}/tbl"
+        base.write.parquet(path)
+        merge_upsert_parquet(
+            spark, path, src1, ["c_custkey"],
+            update_cols=["c_acctbal", "c_mktsegment"],
+        )
+        final = merge_upsert_parquet(
+            spark, path, src2, ["c_custkey"],
+            update_cols=["c_acctbal", "c_mktsegment"],
+        )
+        version = _table_current_version(path) or ""
+        rows = (
+            final.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double"),
+                    2,
+                ).alias("total_bal"),
+            )
+            .withColumn("version", F.lit(version))
+            .collect()  # materialize BEFORE the table directory is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_rows long, total_bal double, version string"
+    )
+
+
+SQL_PERSISTENT_MERGE_AUDIT = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+), s1 AS (
+  SELECT o_custkey AS c_custkey,
+         CAST('MERGED1' AS VARCHAR) AS c_mktsegment,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+), m1 AS (
+  SELECT coalesce(b.c_custkey, s.c_custkey) AS c_custkey,
+         coalesce(s.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+         coalesce(s.c_acctbal, b.c_acctbal) AS c_acctbal
+  FROM base b FULL OUTER JOIN s1 s ON s.c_custkey = b.c_custkey
+), s2 AS (
+  SELECT o_custkey AS c_custkey,
+         CAST('MERGED2' AS VARCHAR) AS c_mktsegment,
+         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey
+), m2 AS (
+  SELECT coalesce(m.c_custkey, s.c_custkey) AS c_custkey,
+         coalesce(s.c_mktsegment, m.c_mktsegment) AS c_mktsegment,
+         coalesce(s.c_acctbal, m.c_acctbal) AS c_acctbal
+  FROM m1 m FULL OUTER JOIN s2 s ON s.c_custkey = m.c_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_bal,
+       '_v00000002' AS version
+FROM m2 GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # large multi-join plans (fact-fact shuffle joins + broadcast dims)
 # ---------------------------------------------------------------------------
@@ -3371,6 +3473,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_join_parts": q_prefix_join_parts,
     "user_event_components": q_user_event_components,
     "catalog_upsert": q_catalog_upsert,
+    "persistent_merge_audit": q_persistent_merge_audit,
     "top_unshipped_orders": q_top_unshipped_orders,
     "supplier_volume": q_supplier_volume,
     "latest_status": q_latest_status,
@@ -3452,6 +3555,7 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "simulate_trajectories": SQL_SIMULATE_TRAJECTORIES,
     "behavior_resample": SQL_BEHAVIOR_RESAMPLE,
+    "persistent_merge_audit": SQL_PERSISTENT_MERGE_AUDIT,
 }
 
 # The streaming pipeline must produce the exact rows of its batch twin —
