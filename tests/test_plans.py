@@ -232,8 +232,23 @@ def test_minhash_bucket_guard_shares_join_exchange(spark):
 def test_bloom_probe_is_map_side(spark):
     """The Bloom prefilter must evaluate BEFORE any join/exchange on the
     corpus side: the probe filter sits under the first Exchange above the
-    train-shingle scan, so pruned rows never shuffle."""
-    plan = _plan(spark, "bloom_decontamination")
+    train-shingle scan, so pruned rows never shuffle.  Inspects the LAZY
+    frame builder — the registry query materializes through
+    materialize_and_release, whose checkpoint truncates the visible plan."""
+    from worlddatapipeline_spark.queries_analytics import (
+        bloom_decontamination_frame,
+    )
+
+    out, cached = bloom_decontamination_frame(spark, SF)
+    try:
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
     assert "CartesianProduct" not in plan
     # the probe is an ArrowEvalPython/pythonUDF stage feeding a Filter
     assert "pythonUDF" in plan or "ArrowEvalPython" in plan

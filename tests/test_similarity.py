@@ -281,3 +281,30 @@ def test_cross_cosine_flags_probe_bound(spark):
     )
     with pytest.raises(ValueError, match="max_probes"):
         similarity.cross_cosine_flags(corpus, probes, threshold=0.5, max_probes=3)
+
+
+def test_int8_quantize_roundtrip_and_guards(spark):
+    from worlddatapipeline_spark.operators.similarity import (
+        int8_dequantize,
+        int8_quantize,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector: scale 0, codes 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = int8_quantize(vecs, "embedding", "vec_id")
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["codes"] == [1, -2, 1, 127]  # scale = 1.0; 0.5 rounds up
+    assert rows[1]["scale"] == 1.0 and rows[1]["dim"] == 4
+    assert rows[2]["codes"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+    deq = q.select(
+        "vec_id", int8_dequantize(F.col("codes"), F.col("scale")).alias("v")
+    )
+    got = {r["vec_id"]: r["v"] for r in deq.collect()}
+    assert got[1] == [1.0, -2.0, 1.0, 127.0]
+    assert got[2] == [0.0, 0.0, 0.0, 0.0]

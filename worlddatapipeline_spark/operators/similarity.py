@@ -811,3 +811,51 @@ def cross_cosine_flags(
         .mapInPandas(score, "id long, n_hits long, max_sim double")
         .withColumnRenamed("id", id_col)
     )
+
+
+def int8_quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard 4x
+    memory/bandwidth reduction in front of large-scale ANN (FAISS SQ8 /
+    scalar-quantized HNSW, public): ``scale = max|x| / 127``, ``code =
+    clamp(floor(x / scale + 0.5), -127, 127)``.
+
+    Pure Catalyst expressions (fold for the max, transform for the codes):
+    zero shuffle, fuses into the scan — at 100 TB this is a map stage
+    whose output is written once and read by every downstream ANN pass.
+    ``floor(x/s + 0.5)`` instead of ``round``: round-half semantics are
+    engine-specific; floor(+0.5) is the same IEEE op everywhere, so the
+    codes are bit-reproducible across engines and retries.  Zero vectors
+    get scale 0 and all-zero codes (guarded division).
+
+    Returns (id, codes array<int>, scale double, dim int).
+    """
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    codes = F.when(
+        max_abs > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / (max_abs / 127.0) + 0.5).cast("int"),
+                ),
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0))).alias("codes")
+    return df.select(
+        F.col(id_col), codes, scale, F.size(v).alias("dim")
+    )
+
+
+def int8_dequantize(codes_col, scale_col):
+    """codes + scale → array<double> reconstruction (q * scale)."""
+    return F.transform(
+        codes_col, lambda q: q.cast("double") * scale_col
+    )

@@ -27,8 +27,16 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # Bloom-pruned decontamination (LLM-pipeline extension)
 # ---------------------------------------------------------------------------
 
-def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-side decontamination with a broadcast Bloom prefilter: flag
+def bloom_decontamination_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy plan builder for `q_bloom_decontamination` — returns (result,
+    persisted intermediates).  Split out so plan-shape tests can inspect
+    the REAL physical plan (the query wrapper materializes through
+    ``materialize_and_release``, whose checkpoint truncates lineage down
+    to a Scan ExistingRDD).
+
+    Train-side decontamination with a broadcast Bloom prefilter: flag
     TRAIN documents containing any 5-word shingle from the (small) TEST
     split — the mirror image of `train_test_decontamination`, which audits
     the test side.
@@ -107,9 +115,15 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Per-doc audit is small; materialize it and release both shingle caches
-    # (otherwise they linger until ContextCleaner GC — ADVICE r3).
-    return materialize_and_release(out, test_shingles, train)
+    return out, (test_shingles, train)
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `bloom_decontamination_frame` (the plan lives there).  This
+    wrapper materializes the small per-doc audit and releases both shingle
+    caches (otherwise they linger until ContextCleaner GC — ADVICE r3)."""
+    out, cached = bloom_decontamination_frame(spark, sf_dir)
+    return materialize_and_release(out, *cached)
 
 
 SQL_BLOOM_DECONTAMINATION = """

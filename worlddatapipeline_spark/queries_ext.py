@@ -1598,6 +1598,217 @@ FROM norms GROUP BY label
 """
 
 
+def q_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (operators/similarity.py::int8_quantize — the FAISS-SQ8-style 4x
+    memory reduction in front of large-scale ANN) with a per-label
+    reconstruction audit: max |code| (127 for any non-zero vector) and the
+    mean relative RMSE of the dequantized vectors.  Codes use
+    ``floor(x/scale + 0.5)`` so rounding is the same IEEE op on every
+    engine; error sums are sequential folds and label sums are DECIMAL, so
+    the audit hash-matches bit-for-bit."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = sim_ops.int8_quantize(embeddings, "embedding", "vec_id")
+    j = embeddings.select("vec_id", "label", "embedding").join(q, "vec_id")
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("codes"),
+            lambda x, c: (x.cast("double") - c.cast("double") * F.col("scale"))
+            * (x.cast("double") - c.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    ss = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    maxc = F.aggregate(
+        F.col("codes"), F.lit(0), lambda acc, c: F.greatest(acc, F.abs(c))
+    )
+    per_vec = j.select(
+        "label",
+        maxc.alias("max_code"),
+        F.when(ss > 0, F.sqrt(err / ss)).otherwise(F.lit(0.0)).alias("rel_rmse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("max_code").alias("max_code"),
+        F.round(
+            F.sum(F.col("rel_rmse").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_rel_rmse"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE_AUDIT = """
+WITH qz AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, label, embedding, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding, x ->
+             CAST(greatest(-127.0, least(127.0,
+                  floor(x::DOUBLE / scale + 0.5))) AS INTEGER))
+         ELSE list_transform(embedding, x -> 0) END AS codes
+  FROM qz
+), per_vec AS (
+  SELECT label,
+         list_max(list_transform(codes, q -> abs(q))) AS max_code,
+         list_sum(list_transform(list_zip(embedding, codes),
+           p -> (p[1]::DOUBLE - p[2]::DOUBLE * scale)
+              * (p[1]::DOUBLE - p[2]::DOUBLE * scale))) AS err,
+         list_sum(list_transform(embedding,
+           x -> x::DOUBLE * x::DOUBLE)) AS ss
+  FROM coded
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(max(max_code) AS INTEGER) AS max_code,
+       round(CAST(sum(CAST(CASE WHEN ss > 0 THEN sqrt(err / ss)
+                                ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS avg_rel_rmse
+FROM per_vec GROUP BY label
+"""
+
+
+def q_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for quantized ANN: exact float cosine top-5 vs
+    top-5 over the int8-DEQUANTIZED corpus (float probes — the standard
+    asymmetric SQ search), per probe.  Both rankings use the sequential-
+    fold cosine (bit-identical to DuckDB's list_sum fold) ordered by the
+    raw double with a vec_id tie-break, so ranks are deterministic even
+    where quantization collapses scores into exact ties.  The batched
+    numpy / LSH operators stay the 100 TB scoring path; the expression
+    form here exists precisely to make the recall contract exact."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    deq = sim_ops.int8_quantize(embeddings, "embedding", "vec_id").select(
+        "vec_id",
+        sim_ops.int8_dequantize(F.col("codes"), F.col("scale")).alias("v"),
+    )
+
+    def fold_cos(qv, cv):
+        dot = F.aggregate(
+            F.zip_with(qv, cv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nq = F.sqrt(
+            F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        nc = F.sqrt(
+            F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return dot / (nq * nc)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+
+    def top5(cand):
+        scored = (
+            F.broadcast(probes)
+            .crossJoin(cand)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                fold_cos(F.col("qv"), F.col("v")).alias("cos"),
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "vec_id")
+        )
+
+    exact = top5(corpus)
+    quant = top5(deq)
+    hits = exact.join(quant, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        probes.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+SQL_INT8_ANN_RECALL = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 50 = 0
+), qz AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings
+), deq AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding, x ->
+             CAST(greatest(-127.0, least(127.0,
+                  floor(x::DOUBLE / scale + 0.5))) AS INTEGER)::DOUBLE * scale)
+         ELSE list_transform(embedding, x -> 0.0) END AS v
+  FROM qz
+), exact5 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           list_sum(list_transform(list_zip(p.qv, c.v), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_sum(list_transform(list_zip(p.qv, c.v),
+                               x -> x[1] * x[2]))
+                      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.v, x -> x * x))))
+                      DESC, c.vec_id ASC) AS rank
+    FROM probes p, c WHERE c.vec_id <> p.query_id
+  ) WHERE rank <= 5
+), quant5 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, d.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_sum(list_transform(list_zip(p.qv, d.v),
+                               x -> x[1] * x[2]))
+                      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(d.v, x -> x * x))))
+                      DESC, d.vec_id ASC) AS rank
+    FROM probes p, deq d WHERE d.vec_id <> p.query_id
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact5 e JOIN quant5 q USING (query_id, vec_id)
+  GROUP BY e.query_id
+)
+SELECT p.query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 5.0, 2) AS recall_at_5
+FROM probes p LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_event_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over consecutive event ids per user: the classic
     ``id - row_number()`` grouping trick — runs of consecutive ids collapse
@@ -3474,6 +3685,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_components": q_user_event_components,
     "catalog_upsert": q_catalog_upsert,
     "persistent_merge_audit": q_persistent_merge_audit,
+    "embedding_quantize_audit": q_embedding_quantize_audit,
+    "int8_ann_recall": q_int8_ann_recall,
     "top_unshipped_orders": q_top_unshipped_orders,
     "supplier_volume": q_supplier_volume,
     "latest_status": q_latest_status,
@@ -3556,6 +3769,8 @@ EXT_ORACLES: dict[str, str] = {
     "simulate_trajectories": SQL_SIMULATE_TRAJECTORIES,
     "behavior_resample": SQL_BEHAVIOR_RESAMPLE,
     "persistent_merge_audit": SQL_PERSISTENT_MERGE_AUDIT,
+    "embedding_quantize_audit": SQL_EMBEDDING_QUANTIZE_AUDIT,
+    "int8_ann_recall": SQL_INT8_ANN_RECALL,
 }
 
 # The streaming pipeline must produce the exact rows of its batch twin —
