@@ -90,3 +90,32 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_dst == 1
     assert spark.read.parquet(dst).count() == 10000
+
+
+def test_zorder_key_interleave(spark):
+    """Hand-checked Morton codes + locality property."""
+    from pyspark.sql import functions as F
+
+    from worlddatapipeline_spark.catalog.layout import zorder_key, zorder_key_sql
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (15, 15)], "x long, y long"
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 4).alias("z")).collect()
+    }
+    # bit-interleave: z(x,y) = x bits at even positions, y bits at odd
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(1, 1)] == 3
+    assert out[(2, 3)] == 0b1110          # x=10 -> 1_0_, y=11 -> _1_1
+    assert out[(15, 15)] == 255
+    # SQL restatement produces identical keys
+    df.createOrReplaceTempView("zt")
+    sql = {
+        (r["x"], r["y"]): r["z"]
+        for r in spark.sql(
+            f"SELECT x, y, {zorder_key_sql('x', 'y', 4)} AS z FROM zt"
+        ).collect()
+    }
+    assert sql == out

@@ -97,3 +97,41 @@ def compact(
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     spark.read.parquet(src_path).repartition(n).write.mode(mode).parquet(dst_path)
     return n
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative bucket ids — the
+    multi-column data-clustering key behind Delta OPTIMIZE ZORDER /
+    Iceberg sort orders (public technique): rows sorted by this key keep
+    records close in BOTH dimensions physically adjacent, so parquet
+    row-group min/max stats prune 2-D predicates instead of only the
+    leading sort column.
+
+    Built as a fixed sum of literal-shift terms (``((x >> i) & 1) <<
+    2i``), so the whole key is codegen'd JVM arithmetic — no UDF, no
+    shuffle; usable directly in ``repartitionByRange``/``sortWithinPartitions``
+    write paths (`compact` above) and restatable verbatim in SQL.
+    Inputs must fit ``bits`` (caller buckets first); output fits a long
+    for bits <= 31.
+    """
+    from pyspark.sql import functions as F
+
+    xc = x.cast("long")
+    yc = y.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        key = key + F.shiftleft(
+            F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return key
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The exact SQL restatement of ``zorder_key`` (same literal shifts),
+    for engine-independent oracles and for pasting into a SQL write job."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

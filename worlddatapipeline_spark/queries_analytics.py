@@ -1477,9 +1477,91 @@ FROM scored
 """
 
 
+def q_zorder_cell_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (catalog/layout.py::zorder_key — the
+    Delta OPTIMIZE ZORDER / Iceberg sort-order technique) computed per
+    (user-bucket, value-bucket) cell of the events table, with the cell's
+    row count.  The key is a fixed sum of literal bit-shifts — pure
+    codegen'd JVM arithmetic, restated VERBATIM in the oracle via
+    `zorder_key_sql`, so the interleave is verified bit-for-bit per cell.
+    In production this key feeds `repartitionByRange` +
+    `sortWithinPartitions` at write time so parquet min/max stats prune
+    2-D predicates; the verified piece is the key function itself."""
+    from .catalog.layout import zorder_key
+
+    (events,) = _t(spark, sf_dir, "events")
+    xb = (F.col("user_id") % 16).cast("long")
+    yb = (
+        (F.floor(F.col("value")).cast("long") % 16 + 16) % 16
+    ).cast("long")
+    cells = events.select(
+        xb.alias("xb"), yb.alias("yb")
+    ).withColumn("zkey", zorder_key(F.col("xb"), F.col("yb"), bits=4))
+    return cells.groupBy("xb", "yb", "zkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _sql_zorder_cell_keys() -> str:
+    from .catalog.layout import zorder_key_sql
+
+    return f"""
+WITH cells AS (
+  SELECT user_id % 16 AS xb,
+         ((CAST(floor(value) AS BIGINT) % 16) + 16) % 16 AS yb
+  FROM events
+)
+SELECT xb, yb, {zorder_key_sql('xb', 'yb', bits=4)} AS zkey,
+       count(*) AS n_rows
+FROM cells GROUP BY xb, yb
+"""
+
+
+def q_join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight a 100 TB join runs before
+    choosing between plain shuffle, AQE skew-split, and explicit salting
+    (operators/joins.py::salted variants): per-key row counts, each hot
+    key's share of the table, and the salt factor that would level it to
+    the mean key population.  One partial-agg shuffle on the key; the
+    top-10 is TakeOrderedAndProject, never a global sort."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("nkeys")
+    )
+    enriched = counts.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.ceil(F.col("cnt") / (F.col("total") / F.col("nkeys")))
+        .cast("long")
+        .alias("salt_factor"),
+    )
+    return enriched.orderBy(F.col("cnt").desc(), F.col("l_suppkey")).limit(10)
+
+
+SQL_JOIN_SKEW_DIAGNOSIS = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM counts
+)
+SELECT l_suppkey, cnt,
+       round(cnt / total, 6) AS share,
+       CAST(ceil(cnt / (total / nkeys)) AS BIGINT) AS salt_factor
+FROM counts, tot
+ORDER BY cnt DESC, l_suppkey
+LIMIT 10
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
+    "zorder_cell_keys": q_zorder_cell_keys,
+    "join_skew_diagnosis": q_join_skew_diagnosis,
     "bloom_decontamination": q_bloom_decontamination,
     "approx_quantile_contract": q_approx_quantile_contract,
     "event_rate_zscore": q_event_rate_zscore,
@@ -1511,6 +1593,8 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLES = {
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
     "char_entropy_score": SQL_CHAR_ENTROPY_SCORE,
+    "zorder_cell_keys": _sql_zorder_cell_keys(),
+    "join_skew_diagnosis": SQL_JOIN_SKEW_DIAGNOSIS,
     "bloom_decontamination": SQL_BLOOM_DECONTAMINATION,
     "approx_quantile_contract": SQL_APPROX_QUANTILE_CONTRACT,
     "event_rate_zscore": SQL_EVENT_RATE_ZSCORE,
