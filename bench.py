@@ -107,6 +107,12 @@ LLM = [
     "chunk_dedup_rewrite",
     "bucketed_cosine_dedup",
     "bloom_decontamination",
+    # round-4 additions (reported as new_queries vs the r4 baseline until
+    # BENCH_BASELINE.json is refreshed)
+    "gopher_quality_flags",
+    "char_entropy_score",
+    "embedding_quantize_audit",
+    "int8_ann_recall",
 ]
 
 

@@ -119,3 +119,42 @@ def test_zorder_key_interleave(spark):
         ).collect()
     }
     assert sql == out
+
+
+def test_compact_zorder_writes_clustered_files(spark, tmp_path):
+    """compact(zorder_cols=...) must produce files internally SORTED by the
+    Morton key (row-group min/max pruning on both columns depends on it),
+    and round-trip every row."""
+    from pyspark.sql import functions as F
+
+    from worlddatapipeline_spark.catalog import layout
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(50_000).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # shuffle the write order so sortedness can't be accidental
+    df.orderBy(F.xxhash64("payload")).write.parquet(src)
+    n = layout.compact(
+        spark, src, dst, target_file_mb=1, zorder_cols=("x", "y"), zorder_bits=6
+    )
+    assert n >= 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 50_000
+    key = layout.zorder_key(F.col("x"), F.col("y"), bits=6)
+    keyed = out.select(
+        F.input_file_name().alias("f"), key.alias("z")
+    ).withColumn("rid", F.monotonically_increasing_id())
+    # within every file, zkey must be non-decreasing in physical row order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy("rid")
+    bad = (
+        keyed.withColumn("prev", F.lag("z").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("z") < F.col("prev")))
+        .count()
+    )
+    assert bad == 0

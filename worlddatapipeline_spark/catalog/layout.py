@@ -80,6 +80,8 @@ def compact(
     dst_path: str,
     target_file_mb: int = 128,
     mode: str = "overwrite",
+    zorder_cols: tuple[str, str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Rewrite a parquet directory into ~target-sized files; returns the
     output file count.
@@ -88,6 +90,12 @@ def compact(
     number comes from the listing inventory.  The repartition count is
     ceil(bytes/target) — AQE cannot do this for a plain write (no shuffle to
     coalesce), so the explicit repartition IS the compaction.
+
+    ``zorder_cols=(x, y)`` additionally CLUSTERS the rewrite by the Morton
+    interleave of the two (non-negative integer) columns — Delta's
+    ``OPTIMIZE ... ZORDER BY`` restated on plain parquet: range-partition
+    by the key, sort within files, so row-group min/max stats prune
+    predicates on BOTH columns, not just a leading sort column.
     """
     total = 0
     for root, _dirs, files in os.walk(src_path):
@@ -95,7 +103,21 @@ def compact(
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(src_path).repartition(n).write.mode(mode).parquet(dst_path)
+    df = spark.read.parquet(src_path)
+    if zorder_cols is not None:
+        from pyspark.sql import functions as F
+
+        zx, zy = zorder_cols
+        key = zorder_key(F.col(zx), F.col(zy), bits=zorder_bits)
+        df = (
+            df.withColumn("__zkey", key)
+            .repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        df = df.repartition(n)
+    df.write.mode(mode).parquet(dst_path)
     return n
 
 
