@@ -1356,6 +1356,57 @@ def q_bfs_hops_from_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.bfs_hops(e, seeds, max_hops=4)
 
 
+def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension surface: a Python UDTF (Spark 4 table function) —
+    one input row fans out to N output rows through the SQL namespace
+    (`SELECT * FROM doc_sentences(...)` via LATERAL), the per-row-generator
+    shape the reference's scanners use (`scene_scanner.py` yields rows per
+    scene).  The UDTF splits a document into sentences with positions; the
+    per-source rollup keeps the oracle comparison small.  Plan note: UDTFs
+    run row-at-a-time Python — the registry's bulk splitters stay on the
+    codegen'd `split`/`transform` path; this entry exists to cover (and
+    pin) the table-function API surface itself."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="sent_idx int, sentence string, n_words int")
+    class DocSentences:
+        def eval(self, text: str):  # noqa: ANN001
+            if not text:
+                return
+            parts = [s for s in text.split(". ") if s.strip()]
+            for i, s in enumerate(parts):
+                yield i, s, len([w for w in s.split(" ") if w])
+
+    spark.udtf.register("doc_sentences", DocSentences)
+    _t(spark, sf_dir, "documents")
+    return spark.sql("""
+        SELECT d.source,
+               count(*) AS n_sentences,
+               CAST(max(s.sent_idx) AS BIGINT) AS max_idx,
+               CAST(sum(s.n_words) AS BIGINT) AS total_words
+        FROM documents d, LATERAL doc_sentences(d.text) s
+        GROUP BY d.source
+    """)
+
+
+SQL_SENTENCE_SPLIT_UDTF = r"""
+WITH sents AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, '. '),
+                            s -> len(trim(s)) > 0)) AS sentence,
+         generate_subscripts(list_filter(string_split(text, '. '),
+                             s -> len(trim(s)) > 0), 1) - 1 AS sent_idx
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+)
+SELECT source,
+       count(*) AS n_sentences,
+       CAST(max(sent_idx) AS BIGINT) AS max_idx,
+       CAST(sum(len(list_filter(string_split(sentence, ' '),
+                                w -> w <> ''))) AS BIGINT) AS total_words
+FROM sents GROUP BY source
+"""
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules beyond repetition (Rae et al. 2021
     §A1.1, public): duplicate-line fraction, bullet/ellipsis line ratios,
@@ -1562,6 +1613,7 @@ ANALYTICS_QUERIES = {
     "char_entropy_score": q_char_entropy_score,
     "zorder_cell_keys": q_zorder_cell_keys,
     "join_skew_diagnosis": q_join_skew_diagnosis,
+    "sentence_split_udtf": q_sentence_split_udtf,
     "bloom_decontamination": q_bloom_decontamination,
     "approx_quantile_contract": q_approx_quantile_contract,
     "event_rate_zscore": q_event_rate_zscore,
@@ -1595,6 +1647,7 @@ ANALYTICS_ORACLES = {
     "char_entropy_score": SQL_CHAR_ENTROPY_SCORE,
     "zorder_cell_keys": _sql_zorder_cell_keys(),
     "join_skew_diagnosis": SQL_JOIN_SKEW_DIAGNOSIS,
+    "sentence_split_udtf": SQL_SENTENCE_SPLIT_UDTF,
     "bloom_decontamination": SQL_BLOOM_DECONTAMINATION,
     "approx_quantile_contract": SQL_APPROX_QUANTILE_CONTRACT,
     "event_rate_zscore": SQL_EVENT_RATE_ZSCORE,
