@@ -309,3 +309,33 @@ def test_session_scale_configs_pinned(spark):
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
         == "true"
     )
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    """The Morton key must stay JVM-side arithmetic — no Python eval stage
+    anywhere in the plan."""
+    plan = _plan(spark, "zorder_cell_keys")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "shiftleft" in plan or "SHIFTLEFT" in plan.upper()
+
+
+def test_skew_diagnosis_topk_not_global_sort(spark):
+    """Top-10 hot keys must be TakeOrderedAndProject, never a full Sort of
+    the counted frame."""
+    plan = _plan(spark, "join_skew_diagnosis")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_char_entropy_two_aggregates_no_python(spark):
+    """Char entropy = (doc, char) counts + corpus model + broadcast join —
+    all JVM-side; the model side must come back as a broadcast."""
+    plan = _plan(spark, "char_entropy_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_gopher_flags_zero_shuffle(spark):
+    """The Gopher rules are a pure map stage: no Exchange in the plan."""
+    plan = _plan(spark, "gopher_quality_flags")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
