@@ -339,3 +339,46 @@ def test_gopher_flags_zero_shuffle(spark):
     plan = _plan(spark, "gopher_quality_flags")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_query_side_no_python(spark):
+    """BM25: query vocabulary, df, and corpus stats must all arrive as
+    broadcasts (inverted-index semi-join); scoring is pure codegen — no
+    Python stage, no sort-merge join anywhere."""
+    from worlddatapipeline_spark.operators.search import bm25_topk
+    from worlddatapipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    queries = spark.createDataFrame(
+        [("q1", "spark join table")], "query_id string, query_text string"
+    )
+    df = bm25_topk(docs, queries, materialize=False)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_k_anonymity_single_agg_shuffle(spark):
+    plan = _plan(spark, "k_anonymity_audit")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_single_window_shuffle(spark):
+    """A-ES sampling: one hash exchange on the group key for the window;
+    the md5-uniform key is codegen'd, never Python."""
+    plan = _plan(spark, "weighted_sample_wor")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_scd2_one_exchange_per_key(spark):
+    """SCD2 collapse: every window and the run-collapse groupBy must ride
+    ONE exchange keyed by the dimension key — no per-window re-shuffle."""
+    plan = _plan(spark, "scd2_status_history")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan

@@ -253,3 +253,31 @@ def test_torn_lease_counts_as_crashed(tmp_path):
     lease = reconcile._acquire_lease(path)
     assert os.path.isfile(lease)
     reconcile._release_lease(lease)
+
+
+def test_scd2_collapse(spark):
+    from worlddatapipeline_spark.operators.reconcile import scd2_collapse
+
+    rows = [
+        # user 1: A,A,B,A -> three runs, same-day flip covered by seq col
+        (1, "A", 10, 100),
+        (1, "A", 11, 101),
+        (1, "B", 12, 102),
+        (1, "A", 12, 103),
+        # user 2: single run, always current
+        (2, "X", 10, 200),
+        (2, "X", 20, 201),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "status", "ts", "change_id"])
+    out = scd2_collapse(df, ["uid"], "status", "ts", seq_cols=["change_id"])
+    got = {
+        (r["uid"], r["version"]): (
+            r["status"], r["valid_from"], r["valid_to"], r["n_changes"], r["is_current"]
+        )
+        for r in out.collect()
+    }
+    assert got[(1, 1)] == ("A", 10, 12, 2, False)
+    assert got[(1, 2)] == ("B", 12, 12, 1, False)
+    assert got[(1, 3)] == ("A", 12, None, 1, True)
+    assert got[(2, 1)] == ("X", 10, None, 2, True)
+    assert len(got) == 4

@@ -322,3 +322,57 @@ def directory_content_hash(
             F.size("__entries").alias("file_count"),
         )
     )
+
+
+def scd2_collapse(
+    changelog: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    seq_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 build from an append-only changelog.
+
+    Collapses consecutive runs of an equal ``attr_col`` value per key (in
+    ``(ts_col, *seq_cols)`` order) into validity intervals:
+    (key…, attr, valid_from, n_changes, version, valid_to, is_current) with
+    ``valid_to`` = the next run's ``valid_from`` (NULL on the open interval).
+    The warehouse-dimension counterpart of the engine's latest-status state
+    machine (reference `scene_registry.py` status transitions keep only the
+    LATEST state; a type-2 dimension keeps the full history queryable).
+
+    Gaps-and-islands by row_number difference; ``seq_cols`` must make the
+    per-key order total (e.g. a unique changelog id) or version numbering is
+    tie-dependent.  Versions are ordered by the run's first changelog
+    position, not by valid_from, so same-day attribute flips stay ordered.
+
+    Scale: one shuffle keyed by ``key_cols`` serves every window and the
+    collapse groupBy; no self-join, no second scan.
+    """
+    from pyspark.sql import Window
+
+    seq_cols = seq_cols or []
+    order = [F.col(ts_col), *[F.col(c) for c in seq_cols]]
+    w_all = Window.partitionBy(*key_cols).orderBy(*order)
+    w_attr = Window.partitionBy(*key_cols, attr_col).orderBy(*order)
+    runs = changelog.select(
+        *key_cols,
+        attr_col,
+        ts_col,
+        F.row_number().over(w_all).alias("__rn"),
+        (F.row_number().over(w_all) - F.row_number().over(w_attr)).alias("__grp"),
+    )
+    collapsed = runs.groupBy(*key_cols, attr_col, "__grp").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.min("__rn").alias("__seq"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    w_ver = Window.partitionBy(*key_cols).orderBy("__seq")
+    return collapsed.select(
+        *key_cols,
+        attr_col,
+        "valid_from",
+        "n_changes",
+        F.row_number().over(w_ver).alias("version"),
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1,0 +1,151 @@
+"""Full-text retrieval: inverted-index BM25 scoring and top-k search.
+
+Extends the engine's LLM-pipeline surface (BASELINE.json "north_star") with
+the retrieval primitive a training-data stack needs for RAG corpus curation,
+query-based quality probes, and hard-negative mining: score documents
+against a (small) set of text queries with Lucene-style BM25 and return the
+top-k per query.
+
+Scale design (100 TB corpus, thousands of queries):
+- The corpus text is scanned ONCE: tokenize → explode → (doc, term, tf)
+  postings with the per-doc length carried through the grouping key, so no
+  second scan and no join back to the text column.  Only 8-byte-ish
+  (id, term) pairs ever shuffle — never the document body.
+- The query side is tiny by construction and is BROADCAST onto the postings
+  (an inverted-index semi-join): documents sharing no term with any query
+  are pruned at the join, never scored.
+- Document frequencies and corpus stats (N, avgdl) are aggregates of the
+  postings, not re-scans; the 1-row stats frame rides a broadcast crossJoin
+  (the scalar-from-aggregate pattern used across the engine).
+- Scoring is pure Column arithmetic inside whole-stage codegen; ranking is
+  a bounded per-query row_number window (k rows survive per query).
+
+Determinism: ranks order by the ROUNDED score (6 dp) with doc-id tiebreak,
+so a last-ulp float divergence between engines cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenizer shared with text.tfidf_terms and the oracle SQL:
+    trim → collapse whitespace → lower → split, empties dropped."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass inverted index: (id, dl, term, tf) per document-term.
+
+    ``dl`` (document length in tokens) is computed from the token array
+    BEFORE the explode and carried through the groupBy key — it is constant
+    per id, so this costs nothing and avoids a doc-length join (which would
+    be a second shuffle keyed by id).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("ts")
+    )
+    return (
+        toks.select("id", F.size("ts").alias("dl"), F.explode("ts").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-k documents per query under Lucene BM25.
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))      (always positive)
+    score(q,d)= Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1)
+                 / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Returns (query_id, doc_id, score, rank) with score rounded to 6 dp and
+    rank 1..k ordered by (rounded score DESC, doc_id ASC).
+
+    The postings frame has three consumers (corpus stats, df, scoring);
+    without a persist each would re-tokenize the corpus.  It is persisted
+    for the duration of the call and released via an eager materialize of
+    the (≤ k·|queries|-row) result — no cache leak (ADVICE r3 rule).
+    ``materialize=False`` returns the lazy plan instead (postings persist
+    then stays pinned until the caller's action / ContextCleaner) — for
+    plan inspection and composition into a larger cached pipeline.
+    """
+    from ..session import materialize_and_release
+
+    postings = build_postings(docs, text_col, id_col)
+    if materialize:
+        postings = postings.persist()
+
+    # Corpus stats over distinct (id, dl) pairs: map-side combine collapses
+    # the postings to one pair per doc per partition before the shuffle, so
+    # this never re-scans the text and shuffles ~12 bytes per document.
+    stats = (
+        postings.select("id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(F.array_distinct(tokenize(F.col(qtext_col)))).alias("term"),
+    )
+
+    # Inverted-index prune FIRST (broadcast semi-join on the distinct query
+    # vocabulary), then df over the pruned frame — df(t) only matters for
+    # query terms, and the pruned count per term IS the full-corpus df.
+    # dfreq is then ≤ |query vocab| rows → broadcast, not a shuffle join.
+    qp = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        qp.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part_score"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("part_score"), 6).alias("score"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("doc_id"), "score", "rank")
+    )
+    if not materialize:
+        return out
+    return materialize_and_release(out, postings)

@@ -1608,6 +1608,202 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval (operators/search.py)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    ("q1", "spark join table"),
+    ("q2", "hash index scan"),
+    ("q3", "stream batch window"),
+    ("q4", "vector value cache"),
+]
+
+
+def q_bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per text query under Lucene BM25
+    (operators/search.py::bm25_topk): one-pass inverted index, broadcast
+    query vocabulary as an inverted-index semi-join, corpus stats via a
+    1-row broadcast aggregate.  Ranks order by the rounded score so a
+    last-ulp float divergence cannot flip a rank across engines."""
+    from .operators.search import bm25_topk
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return bm25_topk(documents, queries, k=5)
+
+
+SQL_BM25_TOPK_SEARCH = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents
+), tokens AS (
+  SELECT id, len(ts) AS dl, unnest(ts) AS term FROM toks
+), tf AS (
+  SELECT id, dl, term, count(*) AS tf FROM tokens GROUP BY 1, 2, 3
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT id, dl FROM tf)
+), qraw(query_id, query_text) AS (
+  VALUES ('q1', 'spark join table'), ('q2', 'hash index scan'),
+         ('q3', 'stream batch window'), ('q4', 'vector value cache')
+), qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(
+           string_split(lower(regexp_replace(trim(query_text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM qraw
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+), scored AS (
+  SELECT q.query_id, tf.id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS score
+  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term), stats
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, id AS doc_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (warehouse surface)
+# ---------------------------------------------------------------------------
+
+def q_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an append-only changelog:
+    per customer, collapse consecutive equal order-status runs (ordered by
+    (o_orderdate, o_orderkey)) into validity intervals with a version number
+    and an is_current flag (operators/reconcile.py::scd2_collapse).
+    Restricted to custkey % 10 = 0 to bound driver-side output."""
+    from .operators.reconcile import scd2_collapse
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ch = orders.filter(F.col("o_custkey") % 10 == 0).select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    hist = scd2_collapse(
+        ch, ["o_custkey"], "o_orderstatus", "o_orderdate", seq_cols=["o_orderkey"]
+    )
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.col("n_changes").alias("n_orders"),
+        "version",
+        "valid_to",
+        "is_current",
+    )
+
+
+SQL_SCD2_STATUS_HISTORY = """
+WITH ch AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM orders WHERE o_custkey % 10 = 0
+), runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderdate, o_orderkey) AS grp
+  FROM ch
+), collapsed AS (
+  SELECT o_custkey, o_orderstatus, grp,
+         min(o_orderdate) AS valid_from, min(rn) AS seq, count(*) AS n_orders
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from, n_orders,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY seq) AS version,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seq)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seq)
+         IS NULL AS is_current
+FROM collapsed
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy surface, alongside PII redaction)
+# ---------------------------------------------------------------------------
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: equivalence classes over the quasi-identifier tuple
+    (nation, market segment, account-balance band of width 1000) whose size
+    is below k=5 — the rows a k-anonymity release would have to suppress or
+    generalize.  Pure groupBy; at 100 TB this is one partial-agg shuffle on
+    a 3-column key."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    classes = customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.filter(F.col("class_size") < 5)
+
+
+SQL_K_ANONYMITY_AUDIT = """
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       count(*) AS class_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (data-mixing surface)
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement: per
+    language, the 5 documents minimizing key = -ln(u)/w with weight
+    w = n_chars and u a deterministic md5-derived uniform (the engine's
+    hash-based-randomness rule: stable under reshuffles and engine-portable,
+    which rand() is not).  One window per group; ranks order by the rounded
+    key so a last-ulp ln() divergence cannot flip a selection."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    key = F.round(-F.log(u) / F.col("n_chars"), 12)
+    w = Window.partitionBy("lang").orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    return (
+        documents.select("lang", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 5)
+    )
+
+
+SQL_WEIGHTED_SAMPLE_WOR = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0) / n_chars, 12) AS key
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, key,
+       row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC)
+         AS pick
+FROM keyed
+QUALIFY pick <= 5
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -1640,6 +1836,10 @@ ANALYTICS_QUERIES = {
     "session_funnel": q_session_funnel,
     "cohort_retention": q_cohort_retention,
     "asof_next_click_after_view": q_asof_next_click_after_view,
+    "bm25_topk_search": q_bm25_topk_search,
+    "scd2_status_history": q_scd2_status_history,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "weighted_sample_wor": q_weighted_sample_wor,
 }
 
 ANALYTICS_ORACLES = {
@@ -1674,4 +1874,8 @@ ANALYTICS_ORACLES = {
     "session_funnel": SQL_SESSION_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "asof_next_click_after_view": SQL_ASOF_NEXT_CLICK_AFTER_VIEW,
+    "bm25_topk_search": SQL_BM25_TOPK_SEARCH,
+    "scd2_status_history": SQL_SCD2_STATUS_HISTORY,
+    "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+    "weighted_sample_wor": SQL_WEIGHTED_SAMPLE_WOR,
 }
