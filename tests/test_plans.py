@@ -382,3 +382,22 @@ def test_scd2_one_exchange_per_key(spark):
     plan = _plan(spark, "scd2_status_history")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ivm_merge_single_join_no_rescan(spark):
+    """IVM merge: base and delta each aggregate once, combine via ONE
+    full-outer join keyed by the group key — no extra exchanges beyond the
+    two rollups + join, and no Python stage."""
+    plan = _plan(spark, "incremental_agg_maintenance")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # 2 rollup exchanges + (at most) the join's repartitions
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_cdc_apply_one_window_shuffle(spark):
+    """CDC apply: union + one row_number window keyed by the entity —
+    a single hash exchange, never a join per operation type."""
+    plan = _plan(spark, "cdc_snapshot_apply")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -281,3 +281,48 @@ def test_scd2_collapse(spark):
     assert got[(1, 3)] == ("A", 12, None, 1, True)
     assert got[(2, 1)] == ("X", 10, None, 2, True)
     assert len(got) == 4
+
+
+def test_merge_agg_state(spark):
+    from worlddatapipeline_spark.operators.reconcile import merge_agg_state
+
+    base = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 1, 5.0)], ["k", "n", "s"]
+    )
+    delta = spark.createDataFrame(
+        [(2, 3, 7.0), (3, 1, 1.0)], ["k", "n", "s"]
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_agg_state(base, delta, ["k"], "n", ["s"]).collect()
+    }
+    # base-only key passes through, shared key adds, delta-only key appears
+    assert out == {1: (2, 10.0), 2: (4, 12.0), 3: (1, 1.0)}
+
+
+def test_cdc_apply_last_writer_wins_and_delete(spark):
+    from worlddatapipeline_spark.operators.reconcile import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),
+            (1, "a3", "U", 2),   # latest change wins over earlier + snapshot
+            (2, None, "D", 1),   # delete removes the key
+            (4, "d", "I", 1),    # insert of a new key
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"], ["seq"]).collect()}
+    assert out == {1: "a3", 3: "c", 4: "d"}
+
+
+def test_cdc_apply_reinsert_after_delete(spark):
+    from worlddatapipeline_spark.operators.reconcile import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, None, "D", 1), (1, "re", "I", 2)], ["k", "v", "op", "seq"]
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"], ["seq"]).collect()}
+    assert out == {1: "re"}

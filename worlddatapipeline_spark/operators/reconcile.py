@@ -376,3 +376,84 @@ def scd2_collapse(
         F.row_number().over(w_ver).alias("version"),
         F.lead("valid_from").over(w_ver).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_agg_state(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental-view-maintenance merge of two partial aggregate states.
+
+    ``base`` and ``delta`` both carry (keys…, count_col, sum_cols…); the
+    merge is a full-outer join on the keys with null-safe addition — the
+    commutative-monoid combine Spark itself uses for map-side partial
+    aggregation, lifted to the table level.  Maintaining a 100 TB rollup
+    under a daily delta this way costs one join keyed by the group key
+    instead of a full-history rescan; averages derive as sum/count AFTER
+    the merge (never merge averages directly).
+    """
+    sum_cols = sum_cols or []
+    merged = base.alias("b").join(
+        delta.alias("d"), on=key_cols, how="full_outer"
+    )
+    zero = F.lit(0)
+    out_cols = [F.col(c) for c in key_cols]
+    out_cols.append(
+        (
+            F.coalesce(F.col(f"b.{count_col}"), zero)
+            + F.coalesce(F.col(f"d.{count_col}"), zero)
+        ).alias(count_col)
+    )
+    for c in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"b.{c}"), zero)
+                + F.coalesce(F.col(f"d.{c}"), zero)
+            ).alias(c)
+        )
+    return merged.select(*out_cols)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an ordered change-data-capture log to a snapshot.
+
+    Last-writer-wins per key: the snapshot rows enter the race as sequence
+    -infinity (they lose to any change), the latest change per key decides
+    the row's fate — ``upsert_ops`` replace the payload, ``delete_op``
+    removes the key.  One window over one shuffle keyed by ``key_cols``;
+    the engine-level form of Delta's ``MERGE INTO … WHEN MATCHED DELETE``
+    fed from a CDC stream (extends merge_upsert, which is upsert-only).
+
+    ``changes``' (seq_cols) order must be total per key — ties make the
+    winner engine-dependent.  Columns of ``snapshot`` and ``changes`` must
+    match apart from ``op_col`` (snapshot rows get an implicit upsert op).
+    """
+    snap = snapshot.withColumn(op_col, F.lit(upsert_ops[0])).withColumn(
+        "__is_change", F.lit(0)
+    )
+    ch = changes.withColumn("__is_change", F.lit(1))
+    # snapshot may omit the sequence columns (they arrive as NULL and never
+    # decide: __is_change already outranks every snapshot row)
+    unioned = snap.unionByName(ch, allowMissingColumns=True)
+    # change rows beat snapshot rows; among changes, highest seq wins
+    order = [F.col("__is_change").desc()] + [F.col(c).desc() for c in seq_cols]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    latest = unioned.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(
+        "__rk", "__is_change", op_col
+    )

@@ -1804,6 +1804,125 @@ QUALIFY pick <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: partial-agg state merge (reconcile.py)
+# ---------------------------------------------------------------------------
+
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-user (count, sum) rollup under an incremental delta
+    batch WITHOUT rescanning history (operators/reconcile.py::
+    merge_agg_state): state built from the first half of the event log
+    (event_id below the midpoint), delta from the second half, merged by a
+    null-safe full-outer combine.  The oracle recomputes the rollup from
+    the full log — maintained state must equal recompute exactly, which is
+    why sums accumulate in DECIMAL (drift-free, engine-portable) and cast
+    to double only at the edge."""
+    from .operators.reconcile import merge_agg_state
+
+    (events,) = _t(spark, sf_dir, "events")
+    mid = events.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).cast("long").alias("m")
+    )
+    ev = events.crossJoin(F.broadcast(mid)).select(
+        "user_id",
+        "value",
+        (F.col("event_id") <= F.col("m")).alias("in_base"),
+    )
+
+    def rollup(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+
+    base = rollup(ev.filter(F.col("in_base")))
+    delta = rollup(ev.filter(~F.col("in_base")))
+    merged = merge_agg_state(
+        base, delta, ["user_id"], count_col="n_events", sum_cols=["sum_value"]
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6)
+        .cast("double")
+        .alias("avg_value"),
+    )
+
+
+SQL_INCREMENTAL_AGG_MAINTENANCE = """
+WITH mid AS (
+  SELECT CAST((min(event_id) + max(event_id)) / 2 AS BIGINT) AS m FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))) / count(*), 6) AS DOUBLE)
+         AS avg_value
+FROM events, mid
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot apply (reconcile.py::cdc_apply)
+# ---------------------------------------------------------------------------
+
+def q_cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered insert/update/delete change log to a snapshot with
+    last-writer-wins semantics (operators/reconcile.py::cdc_apply).  The
+    change log derives deterministically from orders (op by orderkey mod:
+    0-1 → D, 2-3 → I, else U; payload = order total; sequence =
+    (o_orderdate, o_orderkey)); the snapshot is the customer table's
+    balance.  Restricted to custkey % 10 = 0 to bound output."""
+    from .operators.reconcile import cdc_apply
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    snap = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal"), 2).alias("val"),
+    )
+    changes = orders.filter(F.col("o_custkey") % 10 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice"), 2).alias("val"),
+        F.when(F.col("o_orderkey") % 10 <= 1, "D")
+        .when(F.col("o_orderkey") % 10 <= 3, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+    )
+    applied = cdc_apply(
+        snap, changes, ["custkey"], ["seq_ts", "seq_id"], op_col="op"
+    )
+    return applied.select("custkey", "val")
+
+
+SQL_CDC_SNAPSHOT_APPLY = """
+WITH snap AS (
+  SELECT c_custkey AS custkey, round(c_acctbal, 2) AS val,
+         'I' AS op, 0 AS is_change,
+         CAST(NULL AS TIMESTAMP) AS seq_ts, CAST(NULL AS BIGINT) AS seq_id
+  FROM customer WHERE c_custkey % 10 = 0
+), changes AS (
+  SELECT o_custkey AS custkey, round(o_totalprice, 2) AS val,
+         CASE WHEN o_orderkey % 10 <= 1 THEN 'D'
+              WHEN o_orderkey % 10 <= 3 THEN 'I'
+              ELSE 'U' END AS op,
+         1 AS is_change, o_orderdate AS seq_ts, o_orderkey AS seq_id
+  FROM orders WHERE o_custkey % 10 = 0
+), unioned AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM changes
+), latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY custkey
+    ORDER BY is_change DESC, seq_ts DESC, seq_id DESC) AS rk
+  FROM unioned
+)
+SELECT custkey, val FROM latest WHERE rk = 1 AND op <> 'D'
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -1840,6 +1959,8 @@ ANALYTICS_QUERIES = {
     "scd2_status_history": q_scd2_status_history,
     "k_anonymity_audit": q_k_anonymity_audit,
     "weighted_sample_wor": q_weighted_sample_wor,
+    "incremental_agg_maintenance": q_incremental_agg_maintenance,
+    "cdc_snapshot_apply": q_cdc_snapshot_apply,
 }
 
 ANALYTICS_ORACLES = {
@@ -1878,4 +1999,6 @@ ANALYTICS_ORACLES = {
     "scd2_status_history": SQL_SCD2_STATUS_HISTORY,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
     "weighted_sample_wor": SQL_WEIGHTED_SAMPLE_WOR,
+    "incremental_agg_maintenance": SQL_INCREMENTAL_AGG_MAINTENANCE,
+    "cdc_snapshot_apply": SQL_CDC_SNAPSHOT_APPLY,
 }
