@@ -113,6 +113,12 @@ LLM = [
     "char_entropy_score",
     "embedding_quantize_audit",
     "int8_ann_recall",
+    "bm25_topk_search",
+    "weighted_sample_wor",
+    "k_anonymity_audit",
+    "scd2_status_history",
+    "incremental_agg_maintenance",
+    "cdc_snapshot_apply",
 ]
 
 

@@ -1142,29 +1142,43 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r1+r2+r3+r4 windows = the full registry; zero rows-only entries in this
 # window, so the driver artifact should show zero `no_oracle` rows.
 _DRIVER_WINDOW: list[str] = [
-    # never driver-checked (31)
+    # every registry entry never seen in a driver CORRECTNESS window
+    # (r1 U r2 U r3 checked 137 of 182; these are the other 45 —
+    # includes all round-4 additions)
     "approx_quantile_contract",
     "asof_next_click_after_view",
     "behavior_resample",
     "bfs_hops_from_hubs",
     "bloom_decontamination",
+    "bm25_topk_search",
+    "cdc_snapshot_apply",
+    "char_entropy_score",
     "cohort_retention",
     "csv_roundtrip_stats",
     "doc_chunk_windows",
+    "embedding_quantize_audit",
     "event_rate_zscore",
     "event_value_rank_bands",
     "ewma_event_value",
     "funnel_conversion",
+    "gopher_quality_flags",
+    "incremental_agg_maintenance",
     "incremental_dedup_audit",
+    "int8_ann_recall",
+    "join_skew_diagnosis",
     "jsonl_roundtrip_stats",
+    "k_anonymity_audit",
     "lateral_topk_suppliers",
     "multimodal_features",
     "multimodal_features_checked",
     "orc_roundtrip_stats",
     "pagerank_scores",
     "partition_pruned_stats",
+    "persistent_merge_audit",
     "recursive_discount_chain",
     "reservoir_sample_groups",
+    "scd2_status_history",
+    "sentence_split_udtf",
     "session_funnel",
     "simulate_contract",
     "simulate_trajectories",
@@ -1174,29 +1188,14 @@ _DRIVER_WINDOW: list[str] = [
     "triangle_count",
     "value_histogram",
     "variant_props_extract",
-    # changed in round 4 — re-verify (graph parity encoding; dedup cache
-    # materialization + _widen guard; EWMA composite mark; merge lease)
+    "weighted_sample_wor",
+    "zorder_cell_keys",
+    # round-4 implementation-change re-verify backfill to 50
     "connected_components",
     "user_event_components",
     "ngram_jaccard_pairs",
-    "minhash_verified_dups",
-    "minhash_recall_check",
-    "simhash_exact_containment",
     "dedup_cluster_keep",
-    "multimodal_meta_stats",
     "catalog_upsert",
-    "duplicate_span_stats",
-    "chunk_dedup_rewrite",
-    # new in round 4 (never checked anywhere before this round)
-    "gopher_quality_flags",
-    "char_entropy_score",
-    "persistent_merge_audit",
-    # round-1 green backfill
-    "pricing_summary",
-    "catalog_stats",
-    "region_rollup",
-    "asof_click_before_purchase",
-    "customer_order_reconcile",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
