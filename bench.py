@@ -119,6 +119,7 @@ LLM = [
     "scd2_status_history",
     "incremental_agg_maintenance",
     "cdc_snapshot_apply",
+    "curation_pipeline_stats",
 ]
 
 

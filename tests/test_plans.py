@@ -401,3 +401,12 @@ def test_cdc_apply_one_window_shuffle(spark):
     plan = _plan(spark, "cdc_snapshot_apply")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_plan_shapes(spark):
+    """Composed curation flow: quality filters must fuse into the scan
+    (pushed/codegen'd, no Python), the dedup + shingle joins must not
+    degrade to cartesian, and the anti-join stays a join (no collect)."""
+    plan = _plan(spark, "curation_pipeline_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1190,12 +1190,12 @@ _DRIVER_WINDOW: list[str] = [
     "variant_props_extract",
     "weighted_sample_wor",
     "zorder_cell_keys",
+    "curation_pipeline_stats",
     # round-4 implementation-change re-verify backfill to 50
     "connected_components",
     "user_event_components",
     "ngram_jaccard_pairs",
     "dedup_cluster_keep",
-    "catalog_upsert",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

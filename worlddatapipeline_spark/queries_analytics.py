@@ -1923,6 +1923,118 @@ SELECT custkey, val FROM latest WHERE rk = 1 AND op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed end-to-end curation pipeline (flagship composition)
+# ---------------------------------------------------------------------------
+
+def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation flow as ONE declarative plan —
+    quality gate → exact dedup (keep min id) → hash split → train-vs-test
+    5-gram decontamination → per-(split, lang) release stats.  Every stage
+    reuses an individually-oracle-checked operator (text.token_count/
+    punct_ratio, dedup.normalize_text, the md5-bucket split rule, the
+    decontamination shingle join), demonstrating they compose into a single
+    Catalyst plan: filters fuse into the scan, the dedup and shingle joins
+    shuffle 16-byte hashes only, and nothing materializes between stages.
+    """
+    from .operators import text as text_ops
+    from .operators.dedup import normalize_text
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    kept = documents.filter(
+        (text_ops.token_count(F.col("text")) >= 20)
+        & (text_ops.punct_ratio(F.col("text")) <= 0.2)
+    )
+    with_fp = kept.select(
+        "doc_id", "lang", "n_chars", "text",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    reps = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = with_fp.join(reps, ["fp", "doc_id"])
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    sp = deduped.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+
+    words = F.split(F.col("text"), " ")
+    sh = (
+        sp.filter(F.size(words) >= 5)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 4),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))),
+                )
+            ).alias("sh"),
+        )
+    )
+    test_sh = sh.filter(F.col("split") == "test").select("sh").distinct()
+    contaminated = (
+        sh.filter(F.col("split") == "train")
+        .join(test_sh, "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    final = sp.join(contaminated, "doc_id", "left_anti")
+    return final.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_CURATION_PIPELINE_STATS = """
+WITH kept AS (
+  SELECT doc_id, lang, n_chars, text FROM documents
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 20
+    AND (CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))
+              * 1.0 / length(text) END) <= 0.2
+), fpd AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM kept
+), deduped AS (
+  SELECT * FROM fpd
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), sp AS (
+  SELECT doc_id, lang, n_chars, text,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM deduped
+), sh AS (
+  SELECT doc_id, split,
+         md5(array_to_string(list_slice(words, i, i + 4), ' ')) AS sh
+  FROM (
+    SELECT doc_id, split, string_split(text, ' ') AS words,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 4)) AS i
+    FROM sp
+    WHERE len(string_split(text, ' ')) >= 5
+  )
+), contaminated AS (
+  SELECT DISTINCT a.doc_id FROM sh a
+  WHERE a.split = 'train'
+    AND a.sh IN (SELECT sh FROM sh WHERE split = 'test')
+), final AS (
+  SELECT * FROM sp WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM final GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -1961,6 +2073,7 @@ ANALYTICS_QUERIES = {
     "weighted_sample_wor": q_weighted_sample_wor,
     "incremental_agg_maintenance": q_incremental_agg_maintenance,
     "cdc_snapshot_apply": q_cdc_snapshot_apply,
+    "curation_pipeline_stats": q_curation_pipeline_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -2001,4 +2114,5 @@ ANALYTICS_ORACLES = {
     "weighted_sample_wor": SQL_WEIGHTED_SAMPLE_WOR,
     "incremental_agg_maintenance": SQL_INCREMENTAL_AGG_MAINTENANCE,
     "cdc_snapshot_apply": SQL_CDC_SNAPSHOT_APPLY,
+    "curation_pipeline_stats": SQL_CURATION_PIPELINE_STATS,
 }
