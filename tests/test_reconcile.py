@@ -326,3 +326,32 @@ def test_cdc_apply_reinsert_after_delete(spark):
     )
     out = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"], ["seq"]).collect()}
     assert out == {1: "re"}
+
+
+def test_merge_agg_state_null_key_merges(spark):
+    """NULL group keys must combine into one state row, exactly as groupBy
+    would put all NULLs in one group."""
+    from worlddatapipeline_spark.operators.reconcile import merge_agg_state
+
+    base = spark.createDataFrame([(None, 2, 10.0), (1, 1, 1.0)], "k int, n int, s double")
+    delta = spark.createDataFrame([(None, 3, 7.0)], "k int, n int, s double")
+    rows = merge_agg_state(base, delta, ["k"], "n", ["s"]).collect()
+    out = {r["k"]: (r["n"], r["s"]) for r in rows}
+    assert len(rows) == 2
+    assert out[None] == (5, 17.0)
+    assert out[1] == (1, 1.0)
+
+
+def test_cdc_apply_unknown_op_filtered(spark):
+    """A malformed op value must not win the per-key race as an implicit
+    upsert; it is excluded before ranking."""
+    from worlddatapipeline_spark.operators.reconcile import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, "good", "U", 1), (1, None, "d", 2), (2, "x", "T", 1)],
+        ["k", "v", "op", "seq"],
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"], ["seq"]).collect()}
+    # lowercase 'd' and 'T' dropped: key 1 keeps the valid update, key 2 never appears
+    assert out == {1: "good"}

