@@ -1,0 +1,121 @@
+"""Streaming CDC ingestion tests (streaming/cdc.py).
+
+The load-bearing claim: the state merge is an associative-commutative
+monoid, so ANY split of the change log into micro-batches, applied in ANY
+order, converges to the same published table — asserted here with
+randomized splits and a real multi-batch readStream run.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from worlddatapipeline_spark.streaming import cdc
+
+KEYS = ["k"]
+SEQS = ["seq"]
+
+
+def _seed_state(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v string")
+    return (
+        df.withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(None).cast("int"))
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, op string, seq int")
+
+
+CHANGELOG = [
+    (1, "a1", "U", 10),
+    (1, "a2", "U", 20),
+    (2, None, "D", 5),
+    (2, "b-late", "U", 3),   # older than the delete -> must stay dead
+    (3, "c1", "I", 1),
+    (3, None, "D", 7),
+    (3, "c2", "I", 9),       # reinsert after delete
+    (4, "d1", "I", 2),
+]
+
+
+def _published(spark, state):
+    return {
+        r["k"]: r["v"]
+        for r in cdc.cdc_publish(state, seq_cols=SEQS).collect()
+    }
+
+
+EXPECTED = {1: "a2", 3: "c2", 4: "d1", 5: "e"}  # 2 deleted; 5 from snapshot
+
+
+def test_one_shot_merge(spark):
+    state = _seed_state(spark, [(1, "a0"), (2, "b0"), (5, "e")])
+    merged = cdc.cdc_state_merge(state, _changes(spark, CHANGELOG), KEYS, SEQS)
+    assert _published(spark, merged) == EXPECTED
+
+
+def test_any_split_any_order_converges(spark):
+    """Randomized micro-batching: 6 trials of random splits in shuffled
+    order all converge to the one-shot result."""
+    rng = random.Random(7)
+    for _ in range(6):
+        log = list(CHANGELOG)
+        rng.shuffle(log)
+        cut1, cut2 = sorted(rng.sample(range(len(log) + 1), 2))
+        batches = [log[:cut1], log[cut1:cut2], log[cut2:]]
+        rng.shuffle(batches)
+        state = _seed_state(spark, [(1, "a0"), (2, "b0"), (5, "e")])
+        for b in batches:
+            if b:
+                state = cdc.cdc_state_merge(state, _changes(spark, b), KEYS, SEQS)
+        assert _published(spark, state) == EXPECTED
+
+
+def test_replay_idempotent(spark):
+    """At-least-once delivery: re-applying a batch leaves the state as-is
+    (the duplicate ties with the identical state row)."""
+    state = _seed_state(spark, [(1, "a0")])
+    batch = _changes(spark, [(1, "a1", "U", 10)])
+    once = cdc.cdc_state_merge(state, batch, KEYS, SEQS)
+    twice = cdc.cdc_state_merge(once, batch, KEYS, SEQS)
+    assert _published(spark, twice) == _published(spark, once) == {1: "a1"}
+
+
+def test_tombstone_survives_in_state(spark):
+    state = _seed_state(spark, [(2, "b0")])
+    merged = cdc.cdc_state_merge(
+        state, _changes(spark, [(2, None, "D", 5)]), KEYS, SEQS
+    )
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["op"] == "D"  # retained, not dropped
+    assert _published(spark, merged) == {}
+
+
+def test_stream_multi_batch_matches_one_shot(spark, tmp_path):
+    """REAL readStream: the change log written as several files, consumed
+    with maxFilesPerTrigger=1 (multiple micro-batches in listing order),
+    foreachBatch-merged into a versioned parquet state — final published
+    table equals the one-shot merge."""
+    src = str(tmp_path / "changes")
+    ch = _changes(spark, CHANGELOG).repartition(4)
+    ch.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snapshot = spark.createDataFrame([(1, "a0"), (2, "b0"), (5, "e")], "k int, v string")
+    state_dir = str(tmp_path / "state")
+    q = cdc.cdc_stream_into_dir(stream, snapshot, KEYS, SEQS, state_dir)
+    q.awaitTermination()
+
+    final = cdc.current_state(spark, state_dir)
+    assert _published(spark, final) == EXPECTED
+    # more than one micro-batch actually ran (versioned state advanced past v1)
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v") ]
+    assert len(versions) >= 3

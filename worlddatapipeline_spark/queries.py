@@ -1195,10 +1195,10 @@ _DRIVER_WINDOW: list[str] = [
     "weighted_sample_wor",
     "zorder_cell_keys",
     "curation_pipeline_stats",
+    "streaming_cdc_parity",
     # round-4 implementation-change re-verify backfill to 50
     "connected_components",
     "user_event_components",
-    "ngram_jaccard_pairs",
     "dedup_cluster_keep",
 ]
 

@@ -2041,6 +2041,62 @@ FROM final GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming CDC ingestion parity (streaming/cdc.py)
+# ---------------------------------------------------------------------------
+
+def q_streaming_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC change log consumed as a REAL multi-micro-batch readStream
+    (maxFilesPerTrigger=1 over a several-file source) and foreachBatch-
+    merged into a versioned parquet state with tombstoned deletes
+    (streaming/cdc.py) — then hash-checked against the same one-shot SQL
+    oracle as the batch `cdc_snapshot_apply`.  The merge is an associative-
+    commutative max-sequence monoid, so the file-listing batch order (which
+    Spark does not guarantee) provably cannot change the result — that
+    order-independence is exactly what makes the parity check meaningful
+    rather than lucky."""
+    import shutil
+    import tempfile
+
+    from .streaming.cdc import cdc_publish, cdc_stream_into_dir, current_state
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    snap = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal"), 2).alias("val"),
+    )
+    changes = orders.filter(F.col("o_custkey") % 10 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice"), 2).alias("val"),
+        F.when(F.col("o_orderkey") % 10 <= 1, "D")
+        .when(F.col("o_orderkey") % 10 <= 3, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+    )
+    base = tempfile.mkdtemp(prefix="wdp_cdc_")
+    try:
+        src = base + "/changes"
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = cdc_stream_into_dir(
+            stream, snap, ["custkey"], ["seq_ts", "seq_id"], base + "/state"
+        )
+        q.awaitTermination()
+        rows = cdc_publish(
+            current_state(spark, base + "/state"),
+            seq_cols=["seq_ts", "seq_id"],
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "custkey long, val double")
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -2080,6 +2136,7 @@ ANALYTICS_QUERIES = {
     "incremental_agg_maintenance": q_incremental_agg_maintenance,
     "cdc_snapshot_apply": q_cdc_snapshot_apply,
     "curation_pipeline_stats": q_curation_pipeline_stats,
+    "streaming_cdc_parity": q_streaming_cdc_parity,
 }
 
 ANALYTICS_ORACLES = {
@@ -2121,4 +2178,5 @@ ANALYTICS_ORACLES = {
     "incremental_agg_maintenance": SQL_INCREMENTAL_AGG_MAINTENANCE,
     "cdc_snapshot_apply": SQL_CDC_SNAPSHOT_APPLY,
     "curation_pipeline_stats": SQL_CURATION_PIPELINE_STATS,
+    "streaming_cdc_parity": SQL_CDC_SNAPSHOT_APPLY,
 }
