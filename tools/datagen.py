@@ -12,7 +12,8 @@ Deterministic under a fixed seed.  Usage:
 
 Row counts scale linearly with sf (matching the driver's observed ratios):
 customer 150k*sf, supplier 10k*sf, part 200k*sf, orders 1.5M*sf,
-lineitem ~4 lines/order, events 10M*sf, documents 50k*sf, embeddings 20k*sf.
+lineitem ~4 lines/order, events 1M*sf over 15k*sf users, documents 50k*sf,
+embeddings 20k*sf.
 """
 
 from __future__ import annotations
@@ -73,7 +74,13 @@ def gen(sf: float, out: str) -> None:
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
     n_ord = int(1_500_000 * sf)
-    n_evt = int(10_000_000 * sf)
+    # events scale at 1M*sf with 15k*sf users (measured on the driver's
+    # sf0.01/0.1 parquet: 10k/100k events over 150/1500 users — a constant
+    # ~67 events/user).  The original 10M*sf with 1.5k*sf users made the
+    # per-user series 66x longer than the driver's, which is quadratic
+    # death for the sequential-walk recursive-CTE oracles (rate limiter,
+    # EWMA) at sf0.5.
+    n_evt = int(1_000_000 * sf)
     n_doc = int(50_000 * sf)
     n_emb = int(20_000 * sf)
 
@@ -134,7 +141,7 @@ def gen(sf: float, out: str) -> None:
         "l_shipdate": _ts_us("1995-01-01T00:00:00", ship_us),
     }))
 
-    n_users = max(int(1500 * sf), 10)
+    n_users = max(int(15_000 * sf), 10)
     evt_us = np.sort(rng.integers(0, 30 * DAY_US, n_evt))
     write("events", pa.table({
         "event_id": pa.array(range(n_evt), pa.int64()),
