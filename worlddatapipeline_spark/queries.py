@@ -1196,10 +1196,13 @@ _DRIVER_WINDOW: list[str] = [
     "zorder_cell_keys",
     "curation_pipeline_stats",
     "streaming_cdc_parity",
-    # round-4 implementation-change re-verify backfill to 50
+    # round-4 implementation-change re-verify backfill to 50 (the two
+    # sf0.5-stress-sweep float-boundary fixes first, then the graph
+    # encoding change; other round-4-changed queries are sweep-verified
+    # post-change at sf0.1 and sf0.5)
+    "value_band_bucketed",
+    "min_cost_supplier",
     "connected_components",
-    "user_event_components",
-    "dedup_cluster_keep",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -443,7 +443,12 @@ def q_value_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # DECIMAL accumulator: at sf0.5 band populations (~25k rows) the
+        # double-sum accumulation-order drift crosses the round(2)
+        # boundary (caught by the round-4 sf0.5 stress sweep)
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -454,7 +459,9 @@ WITH bands AS (
          CAST(2500 * i + 2499 AS DOUBLE) / 100 AS hi
   FROM range(0, 20) t(i)
 )
-SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT band_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS total_value
 FROM events JOIN bands ON value >= lo AND value <= hi
 GROUP BY band_id
 """
@@ -2448,7 +2455,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_name",
         "s_name",
-        F.round("min_cost", 6).alias("min_unit_cost"),
+        # micro-units via pure-IEEE ops (mul, add, floor are bit-identical
+        # across engines) — round(double, 6) is NOT: Spark rounds the
+        # shortest decimal repr, DuckDB the binary value, and an exact
+        # …5e-7 quotient at sf0.5 split them (round-4 stress sweep)
+        F.floor(F.col("min_cost") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("min_unit_cost_micros"),
     )
 
 
@@ -2460,7 +2473,8 @@ WITH offers AS (
   WHERE p.p_size <= 5
 )
 SELECT o.p_partkey, o.p_name, s.s_name,
-       round(o.unit_cost, 6) AS min_unit_cost
+       CAST(floor(o.unit_cost * 1000000.0 + 0.5) AS BIGINT)
+         AS min_unit_cost_micros
 FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
 WHERE o.unit_cost = (
   SELECT min(unit_cost) FROM offers o2 WHERE o2.p_partkey = o.p_partkey
