@@ -355,3 +355,37 @@ def test_cdc_apply_unknown_op_filtered(spark):
     out = {r["k"]: r["v"] for r in cdc_apply(snap, changes, ["k"], ["seq"]).collect()}
     # lowercase 'd' and 'T' dropped: key 1 keeps the valid update, key 2 never appears
     assert out == {1: "good"}
+
+
+def test_time_travel_read_previous_version(spark, tmp_path):
+    """VERSION-AS-OF read: after a second merge the previous version stays
+    readable by explicit name; unknown versions raise with the available
+    rollback horizon."""
+    import pytest as _pytest
+
+    from worlddatapipeline_spark.operators.reconcile import (
+        merge_upsert_parquet,
+        read_parquet_table,
+        table_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10.0)], ["k", "bal"]).write.parquet(path)
+    merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(2, 20.0)], ["k", "bal"]), ["k"],
+        update_cols=["bal"],
+    )
+    merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(1, 99.0)], ["k", "bal"]), ["k"],
+        update_cols=["bal"],
+    )
+    assert table_versions(path) == ["_v00000001", "_v00000002"]
+    cur = {r["k"]: r["bal"] for r in read_parquet_table(spark, path).collect()}
+    old = {
+        r["k"]: r["bal"]
+        for r in read_parquet_table(spark, path, version="_v00000001").collect()
+    }
+    assert cur == {1: 99.0, 2: 20.0}
+    assert old == {1: 10.0, 2: 20.0}  # pre-second-merge state
+    with _pytest.raises(ValueError, match="_v00000001"):
+        read_parquet_table(spark, path, version="_v99999999")

@@ -118,10 +118,34 @@ def _table_current_version(path: str) -> str | None:
     return None
 
 
-def read_parquet_table(spark, path: str) -> DataFrame:
-    """Read a table written by ``merge_upsert_parquet``: resolve the
-    ``_CURRENT`` pointer to the live version directory; fall back to a plain
-    parquet read for tables that have never been merged."""
+def table_versions(path: str) -> list[str]:
+    """Version directories of a merged table, oldest first.  The GC policy
+    keeps the live and previous versions, so this normally returns two —
+    the rollback horizon (Delta keeps N by retention time; same knob)."""
+    return sorted(
+        d for d in os.listdir(path)
+        if d.startswith("_v") and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def read_parquet_table(spark, path: str, version: str | None = None) -> DataFrame:
+    """Read a table written by ``merge_upsert_parquet``.
+
+    Default: resolve the ``_CURRENT`` pointer to the live version (plain
+    parquet fallback for never-merged directories).  Time travel: pass an
+    explicit version name from ``table_versions`` (e.g. the previous one to
+    read the pre-merge state — the engine-level `VERSION AS OF`).  Readers
+    are lock-free either way: version directories are immutable once the
+    pointer has moved past them, until GC'd by the next merge.
+    """
+    if version is not None:
+        avail = table_versions(path)
+        if version not in avail:
+            raise ValueError(
+                f"version {version!r} not available; table has {avail} "
+                "(GC keeps live + previous — raise the horizon by snapshotting)"
+            )
+        return spark.read.parquet(os.path.join(path, version))
     v = _table_current_version(path)
     if v is None:
         return spark.read.parquet(path)
