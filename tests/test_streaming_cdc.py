@@ -114,8 +114,48 @@ def test_stream_multi_batch_matches_one_shot(spark, tmp_path):
 
     final = cdc.current_state(spark, state_dir)
     assert _published(spark, final) == EXPECTED
-    # more than one micro-batch actually ran (versioned state advanced past v1)
+    # more than one micro-batch actually ran (pointer advanced past v1) and
+    # GC bounded the state copies to live + previous
     import os
 
-    versions = [d for d in os.listdir(state_dir) if d.startswith("v") ]
-    assert len(versions) >= 3
+    with open(os.path.join(state_dir, "_CURRENT"), encoding="utf-8") as fh:
+        live = fh.read().strip()
+    assert not live.startswith(("v0", "v1_"))
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) <= 2
+
+
+def test_stream_resume_keeps_applied_state(spark, tmp_path):
+    """Crash-restart/rerun: a second invocation over the same state_dir must
+    NOT reseed — the checkpoint skips already-processed files, so the state
+    carrying their changes has to survive for the resume to be lossless."""
+    import os
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    snapshot = spark.createDataFrame([(1, "a0"), (2, "b0"), (5, "e")], "k int, v string")
+    state_dir = str(tmp_path / "state")
+
+    first, second = CHANGELOG[:5], CHANGELOG[5:]
+    _changes(spark, first).coalesce(1).write.mode("append").parquet(src)
+    schema = _changes(spark, CHANGELOG).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    cdc.cdc_stream_into_dir(stream, snapshot, KEYS, SEQS, state_dir).awaitTermination()
+
+    # new files arrive; rerun with the SAME state_dir and checkpoint
+    _changes(spark, second).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    cdc.cdc_stream_into_dir(stream2, snapshot, KEYS, SEQS, state_dir).awaitTermination()
+
+    final = cdc.current_state(spark, state_dir)
+    assert _published(spark, final) == EXPECTED
+
+
+def test_null_seq_change_filtered(spark):
+    """A change row with a NULL sequence has no position in the log: it is
+    excluded rather than racing nondeterministically with the NULL-seq
+    seed row."""
+    state = _seed_state(spark, [(1, "a0")])
+    batch = spark.createDataFrame([(1, "bad", "U", None)], "k int, v string, op string, seq int")
+    merged = cdc.cdc_state_merge(state, batch, KEYS, SEQS)
+    assert _published(spark, merged) == {1: "a0"}

@@ -27,11 +27,16 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# Formatted-mode explain renders each Exchange as a numbered node with its
+# partitioning on a separate "Arguments:" line — 'Exchange hashpartitioning'
+# as an adjacent string ONLY exists in simple mode.  The original patterns
+# silently matched nothing (0 across all 184 queries in the first committed
+# fingerprint set), which made the audit blind to every shuffle regression.
 FEATURES = {
-    "exchange_hash": r"Exchange hashpartitioning",
-    "exchange_range": r"Exchange rangepartitioning",
-    "exchange_single": r"Exchange SinglePartition",
-    "broadcast_exchange": r"BroadcastExchange",
+    "exchange_hash": r"Arguments: hashpartitioning\(",
+    "exchange_range": r"Arguments: rangepartitioning\(",
+    "exchange_single": r"Arguments: SinglePartition",
+    "broadcast_exchange": r"\bBroadcastExchange\b",
     "sort_merge_join": r"SortMergeJoin",
     "broadcast_hash_join": r"BroadcastHashJoin",
     "broadcast_nl_join": r"BroadcastNestedLoopJoin",
@@ -40,7 +45,8 @@ FEATURES = {
     "python_batch": r"BatchEvalPython",
     "python_arrow": r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
     "take_ordered": r"TakeOrderedAndProject",
-    "global_sort": r"Sort \[.*\], true",
+    # a Sort node whose global flag is true: "Arguments: […], true, 0"
+    "global_sort": r"Arguments: \[[^\]]*\], true, ",
     "window": r"\bWindow\b|RunningWindowFunction",
 }
 

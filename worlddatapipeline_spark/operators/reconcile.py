@@ -137,6 +137,13 @@ def read_parquet_table(spark, path: str, version: str | None = None) -> DataFram
     read the pre-merge state — the engine-level `VERSION AS OF`).  Readers
     are lock-free either way: version directories are immutable once the
     pointer has moved past them, until GC'd by the next merge.
+
+    The existence check here is EAGER but the read is lazy: if a writer
+    merges twice between plan construction and the action, GC removes the
+    directory and the job fails with the file-source's own error, not this
+    ValueError.  Pin the version by acting on it promptly (or snapshot it);
+    a reader cannot hold versions alive — same contract as Delta's vacuum
+    horizon.
     """
     if version is not None:
         avail = table_versions(path)

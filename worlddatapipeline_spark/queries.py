@@ -1143,8 +1143,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window, so the driver artifact should show zero `no_oracle` rows.
 _DRIVER_WINDOW: list[str] = [
     # every registry entry never seen in a driver CORRECTNESS window
-    # (r1 U r2 U r3 checked 137 of 183; these are the other 46 —
-    # includes all round-4 additions).  The four re-verify slots cover the
+    # (r1 U r2 U r3 checked 137 of 184; these are the other 47 —
+    # includes all round-4 additions).  The three re-verify slots cover the
     # highest-risk round-4 implementation changes; the remaining changed
     # queries (minhash/simhash/span/chunk-dedup/multimodal_meta/catalog_
     # upsert) are verified POST-change by the committed full-registry

@@ -77,6 +77,11 @@ def materialize_and_release(result, *cached):
     executors and is lost with them, so this is only for results that are
     small aggregates / candidate-pair sets (every call site here is).  A
     large result should be written to durable storage and read back instead.
+
+    The returned checkpoint RDD itself stays pinned until the DataFrame is
+    GC'd and the ContextCleaner runs — bounded by the (small) result size
+    per call, but a driver LOOPING over such calls should `.unpersist()`
+    each returned frame when done with it rather than relying on GC pace.
     """
     out = result.localCheckpoint(eager=True)
     for c in cached:

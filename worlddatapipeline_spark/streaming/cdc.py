@@ -50,7 +50,15 @@ def cdc_state_merge(
     snapshot by adding ``op = upsert_ops[0]`` and NULL sequence columns.
     Unrecognized ops are filtered like the batch operator."""
     known = [*upsert_ops, delete_op]
-    clean = batch.filter(F.col(op_col).isin(known))
+    # malformed change rows are excluded BEFORE the race: an unknown op must
+    # not win as an implicit upsert, and a NULL sequence has no position in
+    # the log — it would tie with the NULL-seq seed row and make the winner
+    # partition-order-dependent (validate/raise upstream for hard errors)
+    seq_ok = None
+    for c in seq_cols:
+        nn = F.col(c).isNotNull()
+        seq_ok = nn if seq_ok is None else seq_ok & nn
+    clean = batch.filter(F.col(op_col).isin(known) & seq_ok)
     unioned = state.unionByName(clean)
     order = [F.col(c).desc_nulls_last() for c in seq_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -91,19 +99,36 @@ def cdc_stream_into_dir(
     versioned-dir + pointer commit, or Delta `MERGE INTO`, instead of a
     full rewrite).  Returns the StreamingQuery; the caller awaits it and
     reads ``current_state(spark, state_dir)``.
+
+    RESUME-SAFE: the seed snapshot is only written on first use of
+    ``state_dir``.  The streaming checkpoint records which source files
+    were already processed, so on a rerun/crash-restart the existing state
+    (which already contains those files' changes) MUST survive — reseeding
+    would silently drop every previously applied change while the source
+    skips the already-consumed files.  To start over, use a fresh
+    ``state_dir`` (which holds the checkpoint too).
+
+    Commit protocol mirrors the persistent MERGE: version directory first,
+    then an fsync'd pointer tmp + atomic rename; versions older than the
+    previous are GC'd so a long-running stream holds at most two state
+    copies, and a crash between write and pointer-swap leaves the prior
+    version live.
     """
-    seed = snapshot.withColumn(op_col, F.lit(upsert_ops[0]))
-    for c in seq_cols:
-        if c not in seed.columns:
-            seed = seed.withColumn(c, F.lit(None))
     spark = snapshot.sparkSession
-    # align seq column types with the stream's so the union never widens
-    for c in seq_cols:
-        seed = seed.withColumn(c, F.col(c).cast(changes_stream.schema[c].dataType))
     os.makedirs(state_dir, exist_ok=True)
-    seed.write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
-    with open(os.path.join(state_dir, "_CURRENT"), "w", encoding="utf-8") as fh:
-        fh.write("v0")
+    pointer = os.path.join(state_dir, "_CURRENT")
+    if not os.path.isfile(pointer):
+        seed = snapshot.withColumn(op_col, F.lit(upsert_ops[0]))
+        for c in seq_cols:
+            if c not in seed.columns:
+                seed = seed.withColumn(c, F.lit(None))
+        # align seq column types with the stream's so the union never widens
+        for c in seq_cols:
+            seed = seed.withColumn(
+                c, F.col(c).cast(changes_stream.schema[c].dataType)
+            )
+        seed.write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+        _commit_pointer(state_dir, "v0")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         cur = _read_current(spark, state_dir)
@@ -112,10 +137,14 @@ def cdc_stream_into_dir(
         )
         version = f"v{batch_id + 1}_{os.getpid()}"
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-        tmp = os.path.join(state_dir, "_CURRENT.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(version)
-        os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
+        prev = _commit_pointer(state_dir, version)
+        # GC: keep live + previous; drop anything older (bounded disk)
+        import shutil
+
+        keep = {version, prev, "_checkpoint"}
+        for d in os.listdir(state_dir):
+            if d.startswith("v") and d not in keep:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     return (
         changes_stream.writeStream.foreachBatch(_apply)
@@ -123,6 +152,23 @@ def cdc_stream_into_dir(
         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
         .start()
     )
+
+
+def _commit_pointer(state_dir: str, version: str) -> str | None:
+    """fsync'd tmp + atomic rename of the ``_CURRENT`` pointer; returns the
+    previously live version (None on first commit)."""
+    pointer = os.path.join(state_dir, "_CURRENT")
+    prev = None
+    if os.path.isfile(pointer):
+        with open(pointer, encoding="utf-8") as fh:
+            prev = fh.read().strip()
+    tmp = pointer + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, pointer)
+    return prev
 
 
 def _read_current(spark, state_dir: str) -> DataFrame:
