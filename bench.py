@@ -120,6 +120,7 @@ LLM = [
     "incremental_agg_maintenance",
     "cdc_snapshot_apply",
     "curation_pipeline_stats",
+    "pit_customer_status",
 ]
 
 

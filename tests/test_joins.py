@@ -187,3 +187,34 @@ def test_salted_join_rejects_outer_modes(spark):
         for r in joins.salted_join(fact, dim, "k", n_salts=4, how="left").collect()
     )
     assert salted == plain
+
+
+def test_validity_join_pit_lookup(spark):
+    """Point-in-time join: facts pick the dimension version covering their
+    timestamp; before-first-version and in-gap facts get NULLs."""
+    from worlddatapipeline_spark.operators.joins import validity_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20),
+            (1, "silver", 20, 40),
+            (1, "gold", 40, None),
+            (2, "only", 5, 8),      # gapped history: ends at 8
+        ],
+        "k int, tier string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 19), (1, 20), (1, 39), (1, 40), (1, 99), (1, 5), (2, 6), (2, 9)],
+        "k int, ts int",
+    )
+    out = {(r["k"], r["ts"]): r["tier"] for r in
+           validity_join(facts, dim, "k", "ts", ["tier"]).collect()}
+    assert out[(1, 10)] == "bronze"     # inclusive start
+    assert out[(1, 19)] == "bronze"
+    assert out[(1, 20)] == "silver"     # exclusive end / next version start
+    assert out[(1, 39)] == "silver"
+    assert out[(1, 40)] == "gold"
+    assert out[(1, 99)] == "gold"       # open interval
+    assert out[(1, 5)] is None          # before first version
+    assert out[(2, 6)] == "only"
+    assert out[(2, 9)] is None          # in the gap after valid_to

@@ -418,3 +418,13 @@ def test_curation_pipeline_single_plan_shapes(spark):
     plan = _plan(spark, "curation_pipeline_stats")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_join_single_asof_shuffle_no_range_join(spark):
+    """Point-in-time join must ride the union+window as-of kernel — no
+    BroadcastNestedLoopJoin/CartesianProduct from a range condition, no
+    rangepartitioning."""
+    plan = _plan(spark, "pit_customer_status")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()

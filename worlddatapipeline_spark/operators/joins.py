@@ -59,6 +59,12 @@ def asof_join(
     no per-group pandas, no cross product.  ``merge_asof``-style per-group
     processing would force all of a key's history through one python worker;
     this stays in the JVM with whole-stage codegen.
+
+    CAVEAT: each value column fills independently, so a right row whose
+    value is legitimately NULL lets the previous non-null value show
+    through.  If NULL is a meaningful payload (e.g. an open-interval
+    end-date), wrap the carried columns in ONE struct so the match is
+    atomic — validity_join below does exactly this.
     """
     lcols = left.columns
     tag = "__side"
@@ -320,3 +326,47 @@ def anti_diff(
     `bos_manager.py:249-259`) — the incremental-copy primitive.
     """
     return source.join(target.select(*on).dropDuplicates(on), on, "left_anti")
+
+
+def validity_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    on: str,
+    fact_ts: str,
+    value_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal validity) join: each fact row gets the
+    dimension version whose ``[valid_from, valid_to)`` interval covers
+    ``fact_ts`` — the lookup side of an SCD type-2 dimension
+    (reconcile.py::scd2_collapse builds the history this consumes).
+
+    Spark-first: NOT a range-condition join (which degrades to a nested
+    loop or an interval fan-out); for version intervals — which are
+    non-overlapping per key by construction — the covering version is
+    exactly the as-of-backward match on ``valid_from``, so this rides the
+    engine's single-shuffle union+window as-of kernel.  An open-interval
+    guard then nulls the version columns for facts that fall AFTER a
+    version's ``valid_to`` into a gap (contiguous SCD2 histories have no
+    gaps; gapped ones stay correct instead of leaking the stale version).
+    Facts before the first version come back with NULL version columns
+    (left-join semantics).
+    """
+    # Carry the version's fields as ONE struct: the as-of kernel fills each
+    # carried column independently with last(col, ignorenulls=True), so a
+    # legitimately-NULL field on the matched version (e.g. the open
+    # interval's valid_to) would inherit the PREVIOUS version's value.  A
+    # struct is picked atomically — NULL fields ride along.
+    pit = "__pit"
+    dim = dim_history.withColumn(
+        pit, F.struct(*[F.col(c) for c in value_cols], F.col(valid_to))
+    )
+    out = asof_join(
+        facts, dim, on, fact_ts, valid_from, [pit], direction="backward"
+    )
+    end = F.col(f"{pit}.{valid_to}")
+    in_interval = end.isNull() | (F.col(fact_ts) < end)
+    for c in value_cols:
+        out = out.withColumn(c, F.when(in_interval, F.col(f"{pit}.{c}")))
+    return out.drop(pit)

@@ -1143,8 +1143,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window, so the driver artifact should show zero `no_oracle` rows.
 _DRIVER_WINDOW: list[str] = [
     # every registry entry never seen in a driver CORRECTNESS window
-    # (r1 U r2 U r3 checked 137 of 184; these are the other 47 —
-    # includes all round-4 additions).  The three re-verify slots cover the
+    # (r1 U r2 U r3 checked 137 of 185; these are the other 48 —
+    # includes all round-4 additions).  The two re-verify slots cover the
     # highest-risk round-4 implementation changes; the remaining changed
     # queries (minhash/simhash/span/chunk-dedup/multimodal_meta/catalog_
     # upsert) are verified POST-change by the committed full-registry
@@ -1196,13 +1196,13 @@ _DRIVER_WINDOW: list[str] = [
     "zorder_cell_keys",
     "curation_pipeline_stats",
     "streaming_cdc_parity",
+    "pit_customer_status",
     # round-4 implementation-change re-verify backfill to 50 (the two
     # sf0.5-stress-sweep float-boundary fixes first, then the graph
     # encoding change; other round-4-changed queries are sweep-verified
     # post-change at sf0.1 and sf0.5)
     "value_band_bucketed",
     "min_cost_supplier",
-    "connected_components",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

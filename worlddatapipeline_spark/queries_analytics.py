@@ -2097,6 +2097,91 @@ def q_streaming_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "custkey long, val double")
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal validity) join over the SCD2 history
+# ---------------------------------------------------------------------------
+
+def q_pit_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup (operators/joins.py::validity_join): each
+    lineitem ship event finds the customer-status version valid at its ship
+    date in the SCD2 history built by scd2_collapse — the classic
+    "fact joins the dimension AS OF event time" warehouse query, expressed
+    as the single-shuffle as-of kernel instead of a range-condition join.
+    Ship dates trail order dates, so matches genuinely cross version
+    boundaries; ships before a customer's first status version land in the
+    NULL bucket (left-join semantics).  Rolled up per status."""
+    from .operators.joins import validity_join
+    from .operators.reconcile import scd2_collapse
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    sub = orders.filter(F.col("o_custkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    hist = scd2_collapse(
+        sub, ["o_custkey"], "o_orderstatus", "o_orderdate", seq_cols=["o_orderkey"]
+    )
+    facts = lineitem.join(
+        sub.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "l_quantity")
+    pit = validity_join(
+        facts,
+        hist.select("o_custkey", "o_orderstatus", "valid_from", "valid_to"),
+        "o_custkey",
+        "l_shipdate",
+        ["o_orderstatus"],
+    )
+    return pit.groupBy(F.col("o_orderstatus").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_ship_events"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+SQL_PIT_CUSTOMER_STATUS = """
+WITH sub AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+  FROM orders WHERE o_custkey % 10 = 0
+), runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderdate, o_orderkey) AS grp
+  FROM sub
+), collapsed AS (
+  SELECT o_custkey, o_orderstatus, grp,
+         min(o_orderdate) AS valid_from, min(rn) AS seq
+  FROM runs GROUP BY 1, 2, 3
+), hist AS (
+  SELECT o_custkey, o_orderstatus, valid_from,
+         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seq)
+           AS valid_to
+  FROM collapsed
+), facts AS (
+  SELECT s.o_custkey, l.l_shipdate, l.l_quantity
+  FROM lineitem l JOIN sub s ON l.l_orderkey = s.o_orderkey
+), pit AS (
+  SELECT f.o_custkey, f.l_quantity, h.o_orderstatus
+  FROM facts f
+  LEFT JOIN hist h
+    ON f.o_custkey = h.o_custkey
+   AND f.l_shipdate >= h.valid_from
+   AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+)
+SELECT o_orderstatus AS status_at_ship,
+       count(*) AS n_ship_events,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS total_qty
+FROM pit GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -2137,6 +2222,7 @@ ANALYTICS_QUERIES = {
     "cdc_snapshot_apply": q_cdc_snapshot_apply,
     "curation_pipeline_stats": q_curation_pipeline_stats,
     "streaming_cdc_parity": q_streaming_cdc_parity,
+    "pit_customer_status": q_pit_customer_status,
 }
 
 ANALYTICS_ORACLES = {
@@ -2179,4 +2265,5 @@ ANALYTICS_ORACLES = {
     "cdc_snapshot_apply": SQL_CDC_SNAPSHOT_APPLY,
     "curation_pipeline_stats": SQL_CURATION_PIPELINE_STATS,
     "streaming_cdc_parity": SQL_CDC_SNAPSHOT_APPLY,
+    "pit_customer_status": SQL_PIT_CUSTOMER_STATUS,
 }
