@@ -121,6 +121,7 @@ LLM = [
     "cdc_snapshot_apply",
     "curation_pipeline_stats",
     "pit_customer_status",
+    "last_touch_attribution",
 ]
 
 

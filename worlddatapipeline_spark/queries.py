@@ -1143,12 +1143,13 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window, so the driver artifact should show zero `no_oracle` rows.
 _DRIVER_WINDOW: list[str] = [
     # every registry entry never seen in a driver CORRECTNESS window
-    # (r1 U r2 U r3 checked 137 of 185; these are the other 48 —
-    # includes all round-4 additions).  The two re-verify slots cover the
-    # highest-risk round-4 implementation changes; the remaining changed
-    # queries (minhash/simhash/span/chunk-dedup/multimodal_meta/catalog_
-    # upsert) are verified POST-change by the committed full-registry
-    # sweeps (ORACLE_SWEEP_r4_sf0.1 and _sf0.5).
+    # (r1 U r2 U r3 checked 137 of 186; these are the other 49 —
+    # includes all round-4 additions).  One re-verify slot remains for the
+    # highest-risk round-4 change (value_band_bucketed's DECIMAL-sum fix);
+    # every other changed query (min_cost_supplier, minhash/simhash/span/
+    # chunk-dedup, multimodal_meta, catalog_upsert, connected_components)
+    # is verified POST-change by the committed full-registry sweeps
+    # (ORACLE_SWEEP_r4_sf0.1 and _sf0.5, both 0 fail).
     "approx_quantile_contract",
     "asof_next_click_after_view",
     "behavior_resample",
@@ -1197,12 +1198,12 @@ _DRIVER_WINDOW: list[str] = [
     "curation_pipeline_stats",
     "streaming_cdc_parity",
     "pit_customer_status",
+    "last_touch_attribution",
     # round-4 implementation-change re-verify backfill to 50 (the two
     # sf0.5-stress-sweep float-boundary fixes first, then the graph
     # encoding change; other round-4-changed queries are sweep-verified
     # post-change at sf0.1 and sf0.5)
     "value_band_bucketed",
-    "min_cost_supplier",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -2182,6 +2182,80 @@ FROM pit GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Last-touch attribution (marketing-funnel surface over the as-of kernel)
+# ---------------------------------------------------------------------------
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the user's most
+    recent non-purchase touch (click/view/signup) at-or-before it, but only
+    within a 24 h lookback — outside it (or with no touch at all) the
+    purchase is 'direct'.  One as-of backward join (single-shuffle
+    union+window kernel) + a lookback guard + a channel rollup; the oracle
+    is DuckDB's native ASOF JOIN, so this also pins our kernel's tie
+    semantics against a second independent implementation."""
+    (events,) = _t(spark, sf_dir, "events")
+    from .operators import joins as join_ops
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("revenue"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    a = join_ops.asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="touch_ts",
+        value_cols=["touch_ts", "touch_type"],
+        direction="backward",
+    )
+    within = (
+        F.col("touch_type").isNotNull()
+        & (
+            F.unix_micros("purchase_ts") - F.unix_micros("touch_ts")
+            <= 86_400_000_000
+        )
+    )
+    channel = F.when(within, F.col("touch_type")).otherwise("direct")
+    return a.select(channel.alias("channel"), "revenue").groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("revenue").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("total_revenue"),
+    )
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, value AS revenue
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts AS touch_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+), a AS (
+  SELECT p.purchase_ts, p.revenue, t.touch_ts, t.touch_type
+  FROM p ASOF LEFT JOIN t
+    ON p.user_id = t.user_id AND t.touch_ts <= p.purchase_ts
+)
+SELECT CASE WHEN touch_type IS NOT NULL
+             AND epoch_us(purchase_ts) - epoch_us(touch_ts) <= 86400000000
+            THEN touch_type ELSE 'direct' END AS channel,
+       count(*) AS n_purchases,
+       CAST(round(sum(CAST(revenue AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS total_revenue
+FROM a GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -2223,6 +2297,7 @@ ANALYTICS_QUERIES = {
     "curation_pipeline_stats": q_curation_pipeline_stats,
     "streaming_cdc_parity": q_streaming_cdc_parity,
     "pit_customer_status": q_pit_customer_status,
+    "last_touch_attribution": q_last_touch_attribution,
 }
 
 ANALYTICS_ORACLES = {
@@ -2266,4 +2341,5 @@ ANALYTICS_ORACLES = {
     "curation_pipeline_stats": SQL_CURATION_PIPELINE_STATS,
     "streaming_cdc_parity": SQL_CDC_SNAPSHOT_APPLY,
     "pit_customer_status": SQL_PIT_CUSTOMER_STATUS,
+    "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
 }
