@@ -122,6 +122,8 @@ LLM = [
     "curation_pipeline_stats",
     "pit_customer_status",
     "last_touch_attribution",
+    "unigram_lm_perplexity",
+    "dsir_importance_weights",
 ]
 
 

@@ -130,3 +130,60 @@ def test_gopher_quality_flags_hand_values(spark):
     assert r2["alpha_word_frac"] == 0.0
     assert r2["mean_word_len"] == 3.0
     assert not r2["keep_doc"]                   # fails alpha-word rule
+
+
+def test_unigram_lm_scores_hand_values(spark):
+    import math
+
+    from worlddatapipeline_spark.operators.text import unigram_lm_scores
+
+    # Corpus: 4 tokens total — "a" x3, "b" x1.  p(a)=3/4, p(b)=1/4.
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in unigram_lm_scores(docs).collect()}
+    # doc 1: 3 tokens of -log2(3/4); doc 2: one token of -log2(1/4) = 2.
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["bits_per_token"] == round(-math.log2(3 / 4), 6)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["bits_per_token"] == 2.0
+
+
+def test_dsir_logweights_direction(spark):
+    from pyspark.sql import functions as F
+
+    from worlddatapipeline_spark.operators.text import dsir_logweights
+
+    # Target = docs 1-2 (English-ish vocabulary); raw adds junk docs that
+    # share no tokens with the target.  A doc made of target-only tokens
+    # must weigh strictly more than a doc of junk-only tokens.
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", 1),
+            (2, "the dog ran", 1),
+            (3, "zzz qqq xxx", 0),
+            (4, "qqq zzz vvv", 0),
+        ],
+        "doc_id long, text string, is_en int",
+    )
+    out = {
+        r["id"]: r["log2_weight"]
+        for r in dsir_logweights(docs, F.col("is_en") == 1).collect()
+    }
+    assert out[1] > 0 > out[3]
+    assert out[2] > out[4]
+
+
+def test_dsir_logweights_bucket_count_independence(spark):
+    from pyspark.sql import functions as F
+
+    from worlddatapipeline_spark.operators.text import dsir_logweights
+
+    # With every doc in the target, target == raw, so every smoothed
+    # bucket ratio is log2(1) = 0 regardless of bucket count.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    for nb in (16, 256):
+        rows = dsir_logweights(docs, F.lit(True), n_buckets=nb).collect()
+        assert all(r["log2_weight"] == 0.0 for r in rows)

@@ -357,3 +357,126 @@ def pii_counts(text: Column) -> dict[str, Column]:
     """Per-type PII match counts (``regexp_count``) — the audit metric next
     to the redaction."""
     return {t.lower() + "_hits": F.regexp_count(text, F.lit(p)) for t, p in PII_PATTERNS.items()}
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    token-level analog of the char-entropy scorer and the cheap stand-in
+    for CCNet/RedPajama perplexity filtering (Wenzek et al. 2020 buckets a
+    corpus into head/middle/tail by LM perplexity; a self-trained unigram
+    model is deterministic, dependency-free, and flags the same tails:
+    boilerplate floods score low, token soup scores high).
+
+    Relational plan: explode tokens → per-(doc, term) counts → corpus term
+    frequencies (shuffle by term — the vocabulary is NOT broadcast: at
+    corpus scale unigram vocab is unbounded, unlike the char alphabet) →
+    per-doc bits = Σ c·(−log2(cc/N)) summed as DECIMAL(28,12) so summation
+    order cannot move the hash across engines.  The corpus text itself
+    never shuffles — only (doc_id, term) pairs do.
+
+    Returns (id, n_tokens, bits_per_token) — bucketing into perplexity
+    tertiles is a separate ntile step (see q_unigram_lm_perplexity) so this
+    core stays shuffle-minimal for pipeline composition.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    dt = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
+    freq = dt.groupBy("term").agg(F.sum("c").alias("cc"))
+    tot = freq.agg(F.sum("cc").alias("t"))
+    return (
+        dt.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                (F.col("c") * -F.log2(F.col("cc") / F.col("t"))).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("bits"),
+            F.sum("c").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.col("bits").cast("double") / F.col("n_tokens"), 6
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) log importance weights: score every raw document by
+    how much more likely its hashed-unigram bag is under the TARGET
+    distribution than under the RAW distribution, log w(x) =
+    Σ_b c_x[b]·(log2 p_target[b] − log2 p_raw[b]) with Laplace-smoothed
+    bucket probabilities.  Downstream selection samples ∝ exp(w) — the
+    existing `weighted_sample_wor` operator composes directly.
+
+    Feature hashing uses the repo's portable md5 idiom
+    (conv(substr(md5(term),1,8),16,10) % n_buckets) so the oracle SQL can
+    restate it bit-for-bit; Spark's native hash() would be faster but is
+    not cross-engine checkable (swap it in production, the plan shape is
+    identical).  The bucket ratio table is n_buckets rows — broadcast back
+    to the per-doc counts, so the only shuffles are the two groupBys on
+    (doc, bucket): the text never moves.  Per-doc sums ride DECIMAL(28,12)
+    (order-independent summation, verify-skill float rule).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+    # raw bucket counts over ALL docs; target counts over the target slice.
+    raw = tokens.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tokens.filter(F.col("is_target"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw.join(tgt, "b", "left").select(
+        "b",
+        "cr",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    sums = totals.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    ratio = totals.crossJoin(F.broadcast(sums)).select(
+        "b",
+        (
+            F.log2((F.col("ct") + 1) / (F.col("nt") + n_buckets))
+            - F.log2((F.col("cr") + 1) / (F.col("nr") + n_buckets))
+        ).alias("lr"),
+    )
+    dc = tokens.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum((F.col("c") * F.col("lr")).cast("decimal(28,12)")).alias(
+                "lw"
+            ),
+            F.sum("c").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(F.col("lw").cast("double"), 6).alias("log2_weight"),
+        )
+    )

@@ -2256,6 +2256,122 @@ FROM a GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-LM perplexity bucketing (CCNet-style head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def q_unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document under a corpus-trained unigram LM
+    (operators/text.py::unigram_lm_scores), then split the corpus into
+    head/middle/tail perplexity tertiles with ntile(3).  The ntile orders
+    by the ROUNDED score with doc_id as the total-order tie-break, so a
+    last-ulp float divergence cannot flip a bucket boundary across
+    engines.  Scale: the scorer shuffles only (doc, term) pairs; the
+    tertile split is a global sort of one small row per DOC (not text) —
+    at 100 TB you'd swap ntile for approx thresholds from
+    approxQuantile, same bucket semantics."""
+    from .operators.text import unigram_lm_scores
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = unigram_lm_scores(documents)
+    w = Window.orderBy(F.col("bits_per_token").asc(), F.col("id").asc())
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "bits_per_token",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("ppl_bucket"),
+    )
+
+
+SQL_UNIGRAM_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents
+), tokens AS (
+  SELECT id, unnest(ts) AS term FROM toks
+), dt AS (
+  SELECT id, term, count(*) AS c FROM tokens GROUP BY 1, 2
+), freq AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM dt GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cc) AS BIGINT) AS t FROM freq
+), scored AS (
+  SELECT dt.id,
+         sum(CAST(dt.c * (-log2(freq.cc / (SELECT t FROM tot)))
+                  AS DECIMAL(28,12))) AS bits,
+         CAST(sum(dt.c) AS BIGINT) AS n_tokens
+  FROM dt JOIN freq USING (term)
+  GROUP BY dt.id
+), pertok AS (
+  SELECT id, n_tokens,
+         round(CAST(bits AS DOUBLE) / n_tokens, 6) AS bits_per_token
+  FROM scored
+)
+SELECT id AS doc_id, n_tokens, bits_per_token,
+       ['head', 'middle', 'tail'][ntile(3) OVER (ORDER BY bits_per_token, id)]
+         AS ppl_bucket
+FROM pertok
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-unigram target/raw log-ratio)
+# ---------------------------------------------------------------------------
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) log importance weights with English docs as
+    the target domain (operators/text.py::dsir_logweights): hashed-unigram
+    bag features into 256 buckets, Laplace-smoothed target/raw bucket
+    probabilities, per-doc log2 ratio summed as DECIMAL.  The md5 bucket
+    hash is restated verbatim in the oracle.  Composition: feed
+    `log2_weight` into `weighted_sample_wor` to materialize the resampled
+    corpus."""
+    from .operators.text import dsir_logweights
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return dsir_logweights(
+        documents, target_pred=F.col("lang") == "en", n_buckets=256
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "log2_weight")
+
+
+SQL_DSIR_IMPORTANCE_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id AS id, lang = 'en' AS is_target,
+         list_filter(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents
+), tokens AS (
+  SELECT id, is_target,
+         ('0x' || substr(md5(unnest(ts)), 1, 8))::BIGINT % 256 AS b
+  FROM toks
+), buckets AS (
+  SELECT b, count(*) AS cr,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tokens GROUP BY b
+), sums AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM buckets
+), ratio AS (
+  SELECT b, log2((ct + 1) / (nt + 256)) - log2((cr + 1) / (nr + 256)) AS lr
+  FROM buckets, sums
+), dc AS (
+  SELECT id, b, count(*) AS c FROM tokens GROUP BY id, b
+)
+SELECT dc.id AS doc_id,
+       CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(dc.c * ratio.lr AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS log2_weight
+FROM dc JOIN ratio USING (b)
+GROUP BY dc.id
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -2298,6 +2414,8 @@ ANALYTICS_QUERIES = {
     "streaming_cdc_parity": q_streaming_cdc_parity,
     "pit_customer_status": q_pit_customer_status,
     "last_touch_attribution": q_last_touch_attribution,
+    "unigram_lm_perplexity": q_unigram_lm_perplexity,
+    "dsir_importance_weights": q_dsir_importance_weights,
 }
 
 ANALYTICS_ORACLES = {
@@ -2342,4 +2460,6 @@ ANALYTICS_ORACLES = {
     "streaming_cdc_parity": SQL_CDC_SNAPSHOT_APPLY,
     "pit_customer_status": SQL_PIT_CUSTOMER_STATUS,
     "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
+    "unigram_lm_perplexity": SQL_UNIGRAM_LM_PERPLEXITY,
+    "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
 }
