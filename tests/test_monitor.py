@@ -266,3 +266,56 @@ def test_streaming_ewma_tie_at_batch_boundary(spark, tmp_path):
     assert sorted(got) == [1, 2, 3, 4, 5]
     assert got == {i + 1: expected[i] for i in range(5)}
     assert os.path.isdir(ckpt)
+
+
+def test_interval_join_streams_cross_batch_state(spark, tmp_path):
+    """A purchase arriving one availableNow run AFTER its matching view
+    must still pair (out of the buffered join state); a view outside the
+    lookback must not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    psrc, vsrc = str(tmp_path / "p"), str(tmp_path / "v")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # run 1: two views only (user 1 in-window later, user 2 too old later)
+    spark.createDataFrame(
+        [(1, ts(0)), (2, ts(0))], "user_id long, v_ts timestamp"
+    ).write.parquet(vsrc)
+    spark.createDataFrame([], "user_id long, p_ts timestamp, value double").write.parquet(psrc)
+
+    def run_batch():
+        p = spark.readStream.schema(
+            "user_id long, p_ts timestamp, value double"
+        ).parquet(psrc)
+        v = spark.readStream.schema("user_id long, v_ts timestamp").parquet(vsrc)
+        j = monitor.interval_join_streams(
+            p, v, on="user_id", left_ts="p_ts", right_ts="v_ts",
+            lookback="1 hour", watermark="2 hours",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch()
+    # run 2: user 1 purchase 30 min after its view (in lookback, cross-run
+    # match); user 2 purchase 90 min after (outside the 1 h lookback)
+    spark.createDataFrame(
+        [(1, ts(30), 10.0), (2, ts(90), 20.0)],
+        "user_id long, p_ts timestamp, value double",
+    ).write.mode("append").parquet(psrc)
+    run_batch()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1 and rows[0]["value"] == 10.0

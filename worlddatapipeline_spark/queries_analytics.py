@@ -2372,6 +2372,130 @@ GROUP BY dc.id
 """
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (watermarked, two-batch parity run)
+# ---------------------------------------------------------------------------
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join executed as a REAL two-batch Structured
+    Streaming run (streaming/monitor.py::interval_join_streams): purchases
+    and views stream from separate time-split parquet sources, pair when
+    the view falls within the hour before the purchase, and the join
+    output appends through a checkpointed parquet sink across TWO
+    availableNow runs — so pairs whose view arrived a run earlier than
+    the purchase must come out of the buffered join state, the piece a
+    single-batch run would not exercise.  The per-hour rollup of the sink
+    hash-checks against the DuckDB batch interval join: Spark's
+    stream-stream join contract (results = batch join when disorder stays
+    within the watermark) stated as an oracle equality.  Scale: state is
+    bounded by the 1 h lookback + 2 h watermark per side — the join never
+    buffers the stream's history."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.monitor import interval_join_streams
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("p_ts"), "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("timestamp").alias("v_ts")
+    )
+    lo, hi = events.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).collect()[0]
+    mid = F.timestamp_micros(F.lit((int(lo) + int(hi)) // 2))
+
+    base = tempfile.mkdtemp(prefix="stream_ij_")
+    psrc = os.path.join(base, "p")
+    vsrc = os.path.join(base, "v")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        purchases.filter(F.col("p_ts") <= mid).write.parquet(psrc)
+        views.filter(F.col("v_ts") <= mid).write.parquet(vsrc)
+
+        def run_batch():
+            p_stream = spark.readStream.schema(
+                "user_id long, p_ts timestamp, value double"
+            ).parquet(psrc)
+            v_stream = spark.readStream.schema(
+                "user_id long, v_ts timestamp"
+            ).parquet(vsrc)
+            joined = interval_join_streams(
+                p_stream,
+                v_stream,
+                on="user_id",
+                left_ts="p_ts",
+                right_ts="v_ts",
+                lookback="1 hour",
+                watermark="2 hours",
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_batch()
+        purchases.filter(F.col("p_ts") > mid).write.mode("append").parquet(psrc)
+        views.filter(F.col("v_ts") > mid).write.mode("append").parquet(vsrc)
+        run_batch()
+
+        rolled = (
+            spark.read.parquet(out)
+            .groupBy(
+                F.date_format(
+                    F.window(F.col("p_ts"), "1 hour")["start"],
+                    "yyyy-MM-dd HH",
+                ).alias("hour_start")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,10)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("paired_revenue"),
+            )
+        )
+        rows = rolled.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "hour_start string, n_pairs long, paired_revenue double"
+    )
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), pairs AS (
+  SELECT p.p_ts, p.value
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.v_ts <= p.p_ts
+   AND v.v_ts >= p.p_ts - INTERVAL '1 hour'
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', p_ts), '%Y-%m-%d %H')
+         AS hour_start,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+         AS paired_revenue
+FROM pairs GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
@@ -2416,6 +2540,7 @@ ANALYTICS_QUERIES = {
     "last_touch_attribution": q_last_touch_attribution,
     "unigram_lm_perplexity": q_unigram_lm_perplexity,
     "dsir_importance_weights": q_dsir_importance_weights,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 ANALYTICS_ORACLES = {
@@ -2462,4 +2587,5 @@ ANALYTICS_ORACLES = {
     "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
     "unigram_lm_perplexity": SQL_UNIGRAM_LM_PERPLEXITY,
     "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
 }

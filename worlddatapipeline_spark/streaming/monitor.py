@@ -345,3 +345,43 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each left row pairs with the right rows of the same key whose
+    timestamp falls in ``[left_ts - lookback, left_ts]`` — the streaming
+    form of the batch range join (operators/joins.py::range_join), and the
+    canonical enrich-purchases-with-recent-views shape.
+
+    Both sides carry the SAME watermark so Spark can derive a state
+    retention bound from the join's time constraint: right rows are
+    evicted once ``right_ts < watermark_left - lookback`` (they can no
+    longer match any future left row), left rows once they pass the
+    watermark.  Without the time-range condition the state would grow
+    unboundedly — that is why ``lookback`` is part of the operator's
+    signature, not an optional filter.
+
+    Correctness contract (same as Spark's): results equal the batch join
+    as long as each side's disorder stays within ``watermark``.  Feed
+    time-split files (oldest first) and the cross-batch pairs — a left
+    row arriving batches after its right match — come out of the buffered
+    state; q_streaming_interval_join pins exactly that against a DuckDB
+    batch oracle.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {lookback}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])
