@@ -875,12 +875,13 @@ GROUP BY o_orderstatus
 
 
 def _roundtrip_stats(
-    spark: SparkSession, sf_dir: str, fmt: str
+    spark: SparkSession, sf_dir: str, fmt: str, options: dict | None = None
 ) -> DataFrame:
-    """Shared body for the ORC / JSON-lines round-trips: write the exact
-    (integer/string) order columns in ``fmt``, read back with an explicit
-    schema, aggregate, and hash-match against the ORIGINAL parquet table.
-    Eager + try/finally like the CSV form so the temp dir never leaks."""
+    """Shared body for the ORC / JSON-lines / XML round-trips: write the
+    exact (integer/string) order columns in ``fmt``, read back with an
+    explicit schema, aggregate, and hash-match against the ORIGINAL parquet
+    table.  Eager + try/finally like the CSV form so the temp dir never
+    leaks."""
     import shutil
     import tempfile
 
@@ -889,12 +890,13 @@ def _roundtrip_stats(
     path = base + "/orders"
     try:
         sub = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
-        sub.write.mode("overwrite").format(fmt).save(path)
+        sub.write.mode("overwrite").format(fmt).options(**(options or {})).save(path)
         back = (
             spark.read.schema(
                 "o_orderkey long, o_custkey long, o_orderstatus string"
             )
             .format(fmt)
+            .options(**(options or {}))
             .load(path)
         )
         rows = back.groupBy("o_orderstatus").agg(
@@ -920,6 +922,15 @@ def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchange format for status files and manifests; exact columns only
     (ints survive JSON text, floats deliberately excluded)."""
     return _roundtrip_stats(spark, sf_dir, "json")
+
+
+def q_xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (§2.1) via Spark 4's NATIVE xml data
+    source (built-in since 4.0 — previously the spark-xml package): same
+    lossless exact-column contract as the CSV/ORC/JSONL forms.  rowTag is
+    mandatory on both sides; schema stays explicit so attribute inference
+    cannot drift the types."""
+    return _roundtrip_stats(spark, sf_dir, "xml", options={"rowTag": "order"})
 
 
 def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2541,6 +2552,7 @@ ANALYTICS_QUERIES = {
     "unigram_lm_perplexity": q_unigram_lm_perplexity,
     "dsir_importance_weights": q_dsir_importance_weights,
     "streaming_interval_join": q_streaming_interval_join,
+    "xml_roundtrip_stats": q_xml_roundtrip_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -2588,4 +2600,5 @@ ANALYTICS_ORACLES = {
     "unigram_lm_perplexity": SQL_UNIGRAM_LM_PERPLEXITY,
     "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
+    "xml_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
 }
