@@ -79,3 +79,34 @@ def test_scan_directory(spark, tmp_path):
     ).collect()
     rel = {r["relpath"]: r["size"] for r in out}
     assert rel == {"a.txt": 5, "sub/b.bin": 8}
+
+
+def test_python_datasource_parity_with_expression_parse(spark, tmp_path):
+    """The Spark 4 Python DataSource (bos_listing) and the expression
+    parser are independent implementations of the same line format — they
+    must produce identical rows over the same files (malformed line and
+    footer dropped, key-with-spaces kept, prefix rows typed-null)."""
+    f1 = tmp_path / "part1.txt"
+    f2 = tmp_path / "part2.txt"
+    f1.write_text("\n".join(SAMPLE[:4]) + "\n", encoding="utf-8")
+    f2.write_text(
+        "\n".join(SAMPLE[4:] + ["not a listing line at all"]) + "\n",
+        encoding="utf-8",
+    )
+
+    listings.register_bos_listing_source(spark)
+    via_ds = spark.read.format("bos_listing").load(str(tmp_path)).collect()
+    via_expr = listings.parse_bos_listing(
+        spark.read.text(str(tmp_path) + "/*.txt")
+    ).collect()
+
+    key = lambda r: (r["kind"], r["key"])  # noqa: E731
+    assert sorted(map(tuple, via_ds), key=str) == sorted(
+        map(tuple, via_expr), key=str
+    )
+    assert len(via_ds) == 5  # 2 PRE + 3 objects
+    # partition-per-file parallelism: two files -> two input partitions
+    assert (
+        spark.read.format("bos_listing").load(str(tmp_path)).rdd.getNumPartitions()
+        == 2
+    )

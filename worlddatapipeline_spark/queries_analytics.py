@@ -2487,6 +2487,51 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Python DataSource (Spark 4): listing files through a pluggable source
+# ---------------------------------------------------------------------------
+
+def q_pyds_listing_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The listing parse consumed through the Spark 4 PYTHON DATA SOURCE
+    API (sources/listings.py::BosListingDataSource) instead of
+    spark.read.text + expressions: synthetic bcecmd listing text is
+    written to files, read back via `format("bos_listing")` with
+    partition-per-file parallelism, and aggregated — against the SAME
+    DuckDB oracle as `listing_parse_stats`, so the pluggable source and
+    the codegen'd expression parse are pinned to identical semantics (two
+    engines AND two implementations agreeing)."""
+    import shutil
+    import tempfile
+
+    from .queries_ext import _synth_listing_lines
+    from .sources.listings import register_bos_listing_source
+
+    (part,) = _t(spark, sf_dir, "part")
+    base = tempfile.mkdtemp(prefix="wdp_pyds_")
+    try:
+        _synth_listing_lines(part).coalesce(4).write.mode("overwrite").text(
+            base + "/listing"
+        )
+        register_bos_listing_source(spark)
+        parsed = (
+            spark.read.format("bos_listing")
+            .load(base + "/listing/*.txt")
+            .select("kind", "key", "size")
+        )
+        brand = F.element_at(F.split(F.col("key"), "/"), 2).alias("brand")
+        rows = (
+            parsed.select("kind", brand, "size")
+            .groupBy("kind", "brand")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_size"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, brand string, n long, total_size long"
+    )
+
+
 SQL_STREAMING_INTERVAL_JOIN = """
 WITH p AS (
   SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
@@ -2553,6 +2598,7 @@ ANALYTICS_QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "streaming_interval_join": q_streaming_interval_join,
     "xml_roundtrip_stats": q_xml_roundtrip_stats,
+    "pyds_listing_parse_stats": q_pyds_listing_parse_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -2602,3 +2648,7 @@ ANALYTICS_ORACLES = {
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "xml_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
 }
+
+from .queries_ext import SQL_LISTING_PARSE_STATS  # noqa: E402  (shared oracle)
+
+ANALYTICS_ORACLES["pyds_listing_parse_stats"] = SQL_LISTING_PARSE_STATS
