@@ -441,18 +441,21 @@ def dsir_logweights(
         "b",
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
         % n_buckets,
+    ).filter(F.col("b").isNotNull())
+    # ONE pass over the text: per-(doc, bucket) counts with the doc's
+    # target flag folded into the GROUPING KEY (constant per doc, so the
+    # groups are identical to (id, b)).  A grouping key cannot be
+    # column-pruned away, so the ratio branch and the per-doc branch see
+    # byte-identical aggregate subtrees and ReuseExchange computes the
+    # explode once — the corpus is scanned a single time.  (Carrying the
+    # flag as max(is_target) instead lets pruning specialize the two
+    # subtrees and the scan runs per branch; caught via the plan audit.)
+    dc = tokens.groupBy("id", "b", "is_target").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    # raw bucket counts over ALL docs; target counts over the target slice.
-    raw = tokens.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        tokens.filter(F.col("is_target"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    totals = raw.join(tgt, "b", "left").select(
-        "b",
-        "cr",
-        F.coalesce("ct", F.lit(0)).alias("ct"),
+    totals = dc.groupBy("b").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
     )
     sums = totals.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
@@ -464,7 +467,6 @@ def dsir_logweights(
             - F.log2((F.col("cr") + 1) / (F.col("nr") + n_buckets))
         ).alias("lr"),
     )
-    dc = tokens.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
     return (
         dc.join(F.broadcast(ratio), "b")
         .groupBy("id")
