@@ -218,3 +218,25 @@ def test_validity_join_pit_lookup(spark):
     assert out[(1, 5)] is None          # before first version
     assert out[(2, 6)] == "only"
     assert out[(2, 9)] is None          # in the gap after valid_to
+
+
+def test_validity_join_zero_width_version_dropped(spark):
+    """A zero-width version ([t, t) — two changes at one quantized
+    timestamp) covers nothing: facts at t must get the superseding
+    version, regardless of which tied row a window would have picked."""
+    from worlddatapipeline_spark.operators.joins import validity_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", 10, 20),
+            (1, "flash", 20, 20),   # zero-width: superseded same-instant
+            (1, "new", 20, None),
+        ],
+        "k int, tier string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame([(1, 20), (1, 25), (1, 15)], "k int, ts int")
+    out = {(r["k"], r["ts"]): r["tier"] for r in
+           validity_join(facts, dim, "k", "ts", ["tier"]).collect()}
+    assert out[(1, 20)] == "new"
+    assert out[(1, 25)] == "new"
+    assert out[(1, 15)] == "old"

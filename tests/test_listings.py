@@ -110,3 +110,73 @@ def test_python_datasource_parity_with_expression_parse(spark, tmp_path):
         spark.read.format("bos_listing").load(str(tmp_path)).rdd.getNumPartitions()
         == 2
     )
+
+
+def test_python_datasource_lenient_typed_fields(spark, tmp_path):
+    """Digit-shaped but invalid datetimes and overflowing sizes must yield
+    NULL fields (matching try_to_timestamp / try_cast), not task crashes."""
+    bad = [
+        "2024-02-31 11:22:33    123  STANDARD  k/feb31.bin",
+        "2024-01-05 25:00:00    456  STANDARD  k/hour25.bin",
+        "2024-01-05 11:22:33    99999999999999999999  STANDARD  k/huge.bin",
+    ]
+    (tmp_path / "l.txt").write_text("\n".join(bad) + "\n", encoding="utf-8")
+    listings.register_bos_listing_source(spark)
+    via_ds = {
+        r["key"]: r
+        for r in spark.read.format("bos_listing").load(str(tmp_path)).collect()
+    }
+    via_expr = {
+        r["key"]: r
+        for r in listings.parse_bos_listing(
+            spark.read.text(str(tmp_path) + "/*.txt")
+        ).collect()
+    }
+    assert set(via_ds) == set(via_expr) == {"k/feb31.bin", "k/hour25.bin", "k/huge.bin"}
+    for k in via_ds:
+        assert via_ds[k]["modified"] == via_expr[k]["modified"]
+        assert via_ds[k]["size"] == via_expr[k]["size"]
+    assert via_ds["k/feb31.bin"]["modified"] is None
+    assert via_ds["k/huge.bin"]["size"] is None
+
+
+def test_python_datasource_streaming_incremental(spark, tmp_path):
+    """readStream over the bos_listing source: each availableNow run must
+    consume exactly the files that appeared since the checkpointed offset
+    (exactly-once per file across restarts)."""
+    src = tmp_path / "drops"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (src / "a.txt").write_text("\n".join(SAMPLE[:4]) + "\n", encoding="utf-8")
+
+    listings.register_bos_listing_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("bos_listing")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 4  # 2 PRE + 2 objects from a.txt
+
+    # second file appears; rerun from the checkpoint — only the delta reads
+    (src / "b.txt").write_text("\n".join(SAMPLE[4:]) + "\n", encoding="utf-8")
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    keys = sorted(r["key"] for r in rows if r["kind"] == "object")
+    assert len(keys) == 3 and keys[-1].endswith("p.uasset")
+
+    # rerun with nothing new: no duplicates
+    run_once()
+    assert spark.read.parquet(out).count() == 5

@@ -359,7 +359,17 @@ def validity_join(
     # interval's valid_to) would inherit the PREVIOUS version's value.  A
     # struct is picked atomically — NULL fields ride along.
     pit = "__pit"
-    dim = dim_history.withColumn(
+    # A zero-width version ([t, t) — created when a key changes twice at
+    # the same quantized timestamp, e.g. two same-day status flips) covers
+    # NO fact timestamp, so drop it BEFORE the as-of join.  Without this,
+    # the superseded twin ties with the real version on valid_from and the
+    # window's pick among tied rows is plan-dependent: if it lands on the
+    # zero-width row, the valid_to guard NULLs every fact the real version
+    # should cover.  After the drop, duplicate (key, valid_from) rows
+    # cannot exist in a well-formed (non-overlapping) SCD2 history.
+    dim = dim_history.filter(
+        F.col(valid_to).isNull() | (F.col(valid_to) != F.col(valid_from))
+    ).withColumn(
         pit, F.struct(*[F.col(c) for c in value_cols], F.col(valid_to))
     )
     out = asof_join(

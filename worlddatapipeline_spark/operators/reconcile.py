@@ -377,6 +377,11 @@ def scd2_collapse(
     tie-dependent.  Versions are ordered by the run's first changelog
     position, not by valid_from, so same-day attribute flips stay ordered.
 
+    Same-timestamp flips produce ZERO-WIDTH versions ([t, t)) — correct
+    history records (the flip happened and is numbered), but they cover no
+    lookup timestamp: ``validity_join`` drops them before its as-of lookup
+    so a fact at t deterministically gets the superseding version.
+
     Scale: one shuffle keyed by ``key_cols`` serves every window and the
     collapse groupBy; no self-join, no second scan.
     """

@@ -1142,9 +1142,15 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r1+r2+r3+r4 windows = the full registry; zero rows-only entries in this
 # window, so the driver artifact should show zero `no_oracle` rows.
 _DRIVER_WINDOW: list[str] = [
-    # every registry entry never seen in a driver CORRECTNESS window
-    # (r1 U r2 U r3 checked 137 of 186; these are the other 49 —
-    # includes all round-4 additions).  One re-verify slot remains for the
+    # every registry entry never seen in a driver CORRECTNESS window as of
+    # the r4 window freeze (r1 U r2 U r3 checked 137; this window holds 49
+    # of the then-unchecked entries + 1 re-verify slot).  Five late-r4
+    # additions (unigram_lm_perplexity, dsir_importance_weights,
+    # streaming_interval_join, xml_roundtrip_stats,
+    # pyds_listing_parse_stats) were registered AFTER the freeze — they sit
+    # outside the first-50 and roll into the round-5 window
+    # (NOTES_round5.md); each is check_oracle-verified at
+    # sf0.001/0.01/0.1 + plain individually.  The re-verify slot covers the
     # highest-risk round-4 change (value_band_bucketed's DECIMAL-sum fix);
     # every other changed query (min_cost_supplier, minhash/simhash/span/
     # chunk-dedup, multimodal_meta, catalog_upsert, connected_components)

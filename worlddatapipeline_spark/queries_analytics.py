@@ -2213,12 +2213,15 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("revenue"),
     )
-    touches = events.filter(
-        F.col("event_type").isin("click", "view", "signup")
-    ).select(
-        "user_id",
-        F.col("ts").alias("touch_ts"),
-        F.col("event_type").alias("touch_type"),
+    # Two touches at one (user, ts) would make the as-of pick (and DuckDB
+    # ASOF's) arbitrary — unlike earlier as-of queries that carry only the
+    # timestamp, the carried value here (touch_type) differs between tied
+    # rows.  Collapse ties first with a deterministic winner (max
+    # event_id), mirrored in the oracle, so neither engine ever chooses.
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("user_id", F.col("ts").alias("touch_ts"))
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
     )
     a = join_ops.asof_join(
         purchases,
@@ -2250,8 +2253,9 @@ WITH p AS (
   SELECT user_id, ts AS purchase_ts, value AS revenue
   FROM events WHERE event_type = 'purchase'
 ), t AS (
-  SELECT user_id, ts AS touch_ts, event_type AS touch_type
+  SELECT user_id, ts AS touch_ts, max_by(event_type, event_id) AS touch_type
   FROM events WHERE event_type IN ('click', 'view', 'signup')
+  GROUP BY user_id, ts
 ), a AS (
   SELECT p.purchase_ts, p.revenue, t.touch_ts, t.touch_type
   FROM p ASOF LEFT JOIN t

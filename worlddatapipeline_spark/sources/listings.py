@@ -189,6 +189,7 @@ class BosListingDataSource:
             DataSource,
             DataSourceReader,
             InputPartition,
+            SimpleDataSourceStreamReader,
         )
 
         obj_re = re.compile(
@@ -201,6 +202,41 @@ class BosListingDataSource:
             def __init__(self, path):
                 self.path = path
 
+        def _list_files(path):
+            if os.path.isdir(path):
+                files = sorted(globmod.glob(os.path.join(path, "*")))
+            else:
+                files = sorted(globmod.glob(path)) or [path]
+            return [f for f in files if os.path.isfile(f)]
+
+        def _parse_file(path):
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    if total_re.match(line) or not line.strip():
+                        continue
+                    if pre_re.match(line):
+                        yield ("prefix", pre_re.sub("", line.rstrip("\n")), None, None, None)
+                        continue
+                    m = obj_re.match(line)
+                    if not m:
+                        continue
+                    # Mirror the expression parser's lenient typed fields
+                    # (try_to_timestamp / try_cast): a digit-shaped but
+                    # invalid datetime ('2024-02-31', hour 25) or an
+                    # int64-overflowing size yields NULL, never a
+                    # task-killing exception — the parity contract is
+                    # row-identical output.
+                    try:
+                        modified = datetime.datetime.strptime(
+                            f"{m.group(1)} {m.group(2)}", "%Y-%m-%d %H:%M:%S"
+                        )
+                    except ValueError:
+                        modified = None
+                    size = int(m.group(3))
+                    if size > 0x7FFFFFFFFFFFFFFF:
+                        size = None
+                    yield ("object", m.group(5), size, modified, m.group(4))
+
         class _Reader(DataSourceReader):
             def __init__(self, options):
                 self._path = options.get("path")
@@ -208,33 +244,70 @@ class BosListingDataSource:
                     raise ValueError("bos_listing requires a path")
 
             def partitions(self):
-                p = self._path
-                if os.path.isdir(p):
-                    files = sorted(globmod.glob(os.path.join(p, "*")))
-                else:
-                    files = sorted(globmod.glob(p)) or [p]
-                return [_FilePartition(f) for f in files if os.path.isfile(f)]
+                return [_FilePartition(f) for f in _list_files(self._path)]
 
             def read(self, partition):
-                with open(partition.path, encoding="utf-8") as fh:
-                    for line in fh:
-                        if total_re.match(line) or not line.strip():
-                            continue
-                        if pre_re.match(line):
-                            yield ("prefix", pre_re.sub("", line.rstrip("\n")), None, None, None)
-                            continue
-                        m = obj_re.match(line)
-                        if not m:
-                            continue
-                        yield (
-                            "object",
-                            m.group(5),
-                            int(m.group(3)),
-                            datetime.datetime.strptime(
-                                f"{m.group(1)} {m.group(2)}", "%Y-%m-%d %H:%M:%S"
-                            ),
-                            m.group(4),
-                        )
+                yield from _parse_file(partition.path)
+
+        class _StreamReader(SimpleDataSourceStreamReader):
+            """Incremental form: each micro-batch consumes the listing
+            files that appeared since the last offset — the
+            inventory-drop ingestion loop (the reference re-runs its
+            listing command and diffs; here the diff IS the offset).
+
+            Offset = sorted comma-joined basenames consumed so far:
+            exact (late-arriving files with low-sorting names are still
+            picked up — a max-name high-water would skip them) and
+            replayable (readBetweenOffsets re-reads exactly end−start).
+            Offset size grows with file count, fine at inventory scale
+            (thousands of drops); a production source would compact
+            committed names into a retention-bounded set via commit().
+            """
+
+            def __init__(self, options):
+                self._path = options.get("path")
+                if not self._path:
+                    raise ValueError("bos_listing requires a path")
+
+            def initialOffset(self):
+                return {"done": ""}
+
+            def _consumed(self, offset):
+                return set(f for f in offset.get("done", "").split(",") if f)
+
+            def read(self, start):
+                done = self._consumed(start)
+                new = [
+                    f
+                    for f in _list_files(self._path)
+                    if os.path.basename(f) not in done
+                ]
+
+                # a materialized list's ITERATOR, not a bare generator:
+                # the runner copy()s the prefetched iterator to serve the
+                # rows as the batch's partition, and generators don't
+                # support copy/pickle (listing drops are metadata-scale,
+                # so materializing is fine)
+                rows = [r for f in new for r in _parse_file(f)]
+                end = {
+                    "done": ",".join(
+                        sorted(done | {os.path.basename(f) for f in new})
+                    )
+                }
+                return iter(rows), end
+
+            def readBetweenOffsets(self, start, end):
+                batch = self._consumed(end) - self._consumed(start)
+                base = (
+                    self._path
+                    if os.path.isdir(self._path)
+                    else os.path.dirname(self._path)
+                )
+                return [
+                    r
+                    for name in sorted(batch)
+                    for r in _parse_file(os.path.join(base, name))
+                ]
 
         class _Source(DataSource):
             @classmethod
@@ -246,6 +319,9 @@ class BosListingDataSource:
 
             def reader(self, schema):
                 return _Reader(self.options)
+
+            def simpleStreamReader(self, schema):
+                return _StreamReader(self.options)
 
         cls._impl = _Source
         return cls._impl
