@@ -2492,6 +2492,159 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DataSketches theta sketches: distinct-set algebra with error contracts
+# ---------------------------------------------------------------------------
+
+def q_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra via Apache DataSketches theta sketches
+    (Spark 4 `theta_sketch_agg` / `theta_union` / `theta_intersection`):
+    one pass builds a purchase-user sketch and a click-user sketch in the
+    SAME aggregate; union and intersection cardinalities come from sketch
+    algebra, no second scan and no key shuffle.  This is what HLL cannot
+    do — HLL unions but never intersects; theta's set algebra is the
+    100 TB audience-overlap path (fixed ~32 KB state per sketch vs a
+    distinct shuffle of every user).  Contract: all four estimates within
+    5% of exact (theta k=4096 ⇒ rse ≈ 1.6%, so 5% ≈ 3σ; intersection
+    error scales with union size — this corpus' overlap is large, well
+    inside the bound).  Oracle recomputes the exact values; the booleans
+    pin the sketches."""
+    (events,) = _t(spark, sf_dir, "events")
+    pu = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    cu = F.when(F.col("event_type") == "click", F.col("user_id"))
+    agg = events.agg(
+        F.theta_sketch_agg(pu).alias("sp"),
+        F.theta_sketch_agg(cu).alias("sc"),
+        F.count_distinct(pu).alias("exact_purchase"),
+        F.count_distinct(cu).alias("exact_click"),
+    )
+    est = agg.select(
+        "exact_purchase",
+        "exact_click",
+        F.theta_sketch_estimate(F.col("sp")).alias("ep"),
+        F.theta_sketch_estimate(F.col("sc")).alias("ec"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sp"), F.col("sc"))).alias("eu"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sp"), F.col("sc"))
+        ).alias("ei"),
+    )
+    exact_union = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .agg(F.count_distinct("user_id").alias("exact_union"))
+    )
+    both = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+
+    def ok(est_col, exact_col):
+        return (
+            F.abs(est_col - F.col(exact_col)) / F.col(exact_col) <= 0.05
+        )
+
+    return (
+        est.crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "exact_purchase",
+            "exact_click",
+            "exact_union",
+            "exact_overlap",
+            ok(F.col("ep"), "exact_purchase").alias("purchase_ok"),
+            ok(F.col("ec"), "exact_click").alias("click_ok"),
+            ok(F.col("eu"), "exact_union").alias("union_ok"),
+            ok(F.col("ei"), "exact_overlap").alias("overlap_ok"),
+        )
+    )
+
+
+SQL_THETA_SKETCH_OVERLAP = """
+WITH pc AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type IN ('purchase', 'click')
+)
+SELECT
+  (SELECT count(DISTINCT user_id) FROM pc WHERE event_type = 'purchase')
+    AS exact_purchase,
+  (SELECT count(DISTINCT user_id) FROM pc WHERE event_type = 'click')
+    AS exact_click,
+  (SELECT count(DISTINCT user_id) FROM pc) AS exact_union,
+  (SELECT count(*) FROM (
+     SELECT user_id FROM pc GROUP BY user_id
+     HAVING count(DISTINCT event_type) = 2
+   )) AS exact_overlap,
+  true AS purchase_ok, true AS click_ok, true AS union_ok, true AS overlap_ok
+"""
+
+
+def q_bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmap aggregation (Spark
+    4 `bitmap_construct_agg`): user ids bucket into 32k-bit bitmaps
+    (`bitmap_bucket_number`/`bitmap_bit_position`), one bitmap per
+    (event_type, bucket), `bitmap_count` sums per type.  For dense integer
+    keys this replaces the count_distinct shuffle of every key occurrence
+    with a shuffle of fixed-size bitmaps — the exact-distinct analog of
+    the sketch path, and mergeable across partitions/days (bitmap_or_agg
+    rolls daily bitmaps into monthly distinct counts for free).  Oracle is
+    the plain exact distinct — bitmaps must agree bit-for-bit."""
+    (events,) = _t(spark, sf_dir, "events")
+    b = events.select(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    )
+    per_bucket = b.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg(F.col("pos")).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct_users")
+    )
+
+
+SQL_BITMAP_DISTINCT_COUNTS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_nation_vip_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via SQL:2016 LISTAGG ... WITHIN GROUP
+    (Spark 4 native): the names of each nation's high-balance customers as
+    one deterministic comma-joined string — the export/report surface
+    (reference CSV manifests concatenate member lists the same way).
+    WITHIN GROUP ordering (name, then custkey) makes the string total-order
+    deterministic; DuckDB restates it as string_agg(... ORDER BY).  Scale:
+    listagg is a one-shuffle groupBy; the high-balance filter bounds the
+    string length — an UNfiltered listagg over millions of rows per group
+    is an anti-pattern (unbounded row size), which is why the filter is
+    part of the query shape."""
+    _t(spark, sf_dir, "customer", "nation")
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               count(*) AS n_vips,
+               listagg(c.c_name, ',') WITHIN GROUP (ORDER BY c.c_name, c.c_custkey)
+                 AS vip_names
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9900
+        GROUP BY n.n_name
+    """)
+
+
+SQL_NATION_VIP_LISTAGG = """
+SELECT n.n_name AS nation,
+       count(*) AS n_vips,
+       string_agg(c.c_name, ',' ORDER BY c.c_name, c.c_custkey) AS vip_names
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 9900
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Python DataSource (Spark 4): listing files through a pluggable source
 # ---------------------------------------------------------------------------
 
@@ -2603,6 +2756,9 @@ ANALYTICS_QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     "xml_roundtrip_stats": q_xml_roundtrip_stats,
     "pyds_listing_parse_stats": q_pyds_listing_parse_stats,
+    "theta_sketch_overlap": q_theta_sketch_overlap,
+    "bitmap_distinct_counts": q_bitmap_distinct_counts,
+    "nation_vip_listagg": q_nation_vip_listagg,
 }
 
 ANALYTICS_ORACLES = {
@@ -2656,3 +2812,6 @@ ANALYTICS_ORACLES = {
 from .queries_ext import SQL_LISTING_PARSE_STATS  # noqa: E402  (shared oracle)
 
 ANALYTICS_ORACLES["pyds_listing_parse_stats"] = SQL_LISTING_PARSE_STATS
+ANALYTICS_ORACLES["theta_sketch_overlap"] = SQL_THETA_SKETCH_OVERLAP
+ANALYTICS_ORACLES["bitmap_distinct_counts"] = SQL_BITMAP_DISTINCT_COUNTS
+ANALYTICS_ORACLES["nation_vip_listagg"] = SQL_NATION_VIP_LISTAGG
