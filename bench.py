@@ -124,6 +124,12 @@ LLM = [
     "last_touch_attribution",
     "unigram_lm_perplexity",
     "dsir_importance_weights",
+    "theta_sketch_overlap",
+    "bitmap_distinct_counts",
+    "nation_vip_listagg",
+    "hll_rollup_contract",
+    "xml_roundtrip_stats",
+    "pyds_listing_parse_stats",
 ]
 
 
