@@ -2698,6 +2698,49 @@ GROUP BY n.n_name
 
 
 # ---------------------------------------------------------------------------
+# Parameterized SQL + SQL session variables (injection-safe query surface)
+# ---------------------------------------------------------------------------
+
+def q_param_sql_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The injection-safe SQL parameter surface: named PARAMETER MARKERS
+    (`spark.sql(..., args=…)` — values bound as literals by the engine,
+    never string-spliced) combined with a SQL SESSION VARIABLE
+    (DECLARE/SET VAR) read inside the same statement.  This is how a
+    catalog service should template per-tenant queries (the reference
+    formats SQL strings in python — the classic injection/cache-miss
+    anti-pattern; bound parameters keep ONE plan cache entry per shape).
+    The oracle inlines the same constants."""
+    _t(spark, sf_dir, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE wdp_band_width DOUBLE DEFAULT 50000.0"
+    )
+    spark.sql("SET VAR wdp_band_width = 100000.0")
+    return spark.sql(
+        """
+        SELECT CAST(floor(o_totalprice / wdp_band_width) AS BIGINT) AS band,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                    AS DOUBLE) AS band_revenue
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor_price
+        GROUP BY 1
+        """,
+        args={"status": "F", "floor_price": 1000.0},
+    )
+
+
+SQL_PARAM_SQL_REVENUE_BANDS = """
+SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS band,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS band_revenue
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Python DataSource (Spark 4): listing files through a pluggable source
 # ---------------------------------------------------------------------------
 
@@ -2813,6 +2856,7 @@ ANALYTICS_QUERIES = {
     "bitmap_distinct_counts": q_bitmap_distinct_counts,
     "nation_vip_listagg": q_nation_vip_listagg,
     "hll_rollup_contract": q_hll_rollup_contract,
+    "param_sql_revenue_bands": q_param_sql_revenue_bands,
 }
 
 ANALYTICS_ORACLES = {
@@ -2870,3 +2914,4 @@ ANALYTICS_ORACLES["theta_sketch_overlap"] = SQL_THETA_SKETCH_OVERLAP
 ANALYTICS_ORACLES["bitmap_distinct_counts"] = SQL_BITMAP_DISTINCT_COUNTS
 ANALYTICS_ORACLES["nation_vip_listagg"] = SQL_NATION_VIP_LISTAGG
 ANALYTICS_ORACLES["hll_rollup_contract"] = SQL_HLL_ROLLUP_CONTRACT
+ANALYTICS_ORACLES["param_sql_revenue_bands"] = SQL_PARAM_SQL_REVENUE_BANDS
