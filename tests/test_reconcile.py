@@ -389,3 +389,48 @@ def test_time_travel_read_previous_version(spark, tmp_path):
     assert old == {1: 10.0, 2: 20.0}  # pre-second-merge state
     with _pytest.raises(ValueError, match="_v00000001"):
         read_parquet_table(spark, path, version="_v99999999")
+
+
+def test_snapshot_changes_ops(spark):
+    """I/U/D classification with NULL keys and NULL payload edges."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (None, "x")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")],
+        "k int, v string",
+    )
+    ch = {
+        (r["k"], r["op"]): r["v"]
+        for r in reconcile.snapshot_changes(old, new, ["k"]).collect()
+    }
+    assert ch == {
+        (2, "U"): "B",       # value change -> new payload
+        (3, "U"): "c",       # NULL -> value is an update
+        (4, "I"): "d",
+        (None, "D"): "x",    # NULL key deleted, pre-image payload
+    }
+
+
+def test_snapshot_changes_roundtrip_law(spark):
+    """cdc_apply(old, snapshot_changes(old, new)) must row-equal new."""
+    old = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(0, 40, 2)] + [(None, "nk", 0.5)],
+        "k int, s string, x double",
+    )
+    new = spark.createDataFrame(
+        # drop multiples of 6, change multiples of 10, add odds < 9
+        [(i, f"v{i}" if i % 10 else "CHANGED", float(i))
+         for i in range(0, 40, 2) if i % 6]
+        + [(i, "new", -1.0) for i in (1, 3, 5, 7)],
+        "k int, s string, x double",
+    )
+    changes = reconcile.snapshot_changes(old, new, ["k"]).withColumn(
+        "seq", F.lit(1)
+    )
+    applied = reconcile.cdc_apply(old, changes, ["k"], ["seq"])
+    assert sorted(map(tuple, applied.select("k", "s", "x").collect()), key=str) == \
+        sorted(map(tuple, new.collect()), key=str)
+    # delta-sized: unchanged rows are absent from the changelog
+    assert changes.count() < old.count() + new.count()

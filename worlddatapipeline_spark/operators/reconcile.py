@@ -328,6 +328,73 @@ def changed_rows(
     )
 
 
+def snapshot_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-capture BETWEEN two snapshots — the engine's analog of
+    Delta's Change Data Feed over the versioned MERGE table: diff two
+    ``table_versions`` reads into an I/U/D changelog (``changed_rows``
+    above detects upserts only; this also emits deletes with their
+    pre-image payload, like CDF's delete rows).
+
+    Full-outer join NULL-SAFE on the keys (a NULL key identifies a row
+    like any other value — the IVM merge had exactly this bug once);
+    payload equality is per-column eqNullSafe, so NULL→value and
+    value→NULL edits register as updates.  Unchanged rows drop out, so
+    the changelog is delta-sized.  I/U rows carry the NEW payload, D rows
+    the pre-image.
+
+    Law (pinned by pytest): ``cdc_apply(old, snapshot_changes(old, new),
+    keys, seq)`` row-equals ``new`` — changes compose back.  Scale: one
+    full-outer join keyed by ``key_cols``; co-partitions with the table's
+    bucketing; output is |changed| rows, not |table|.
+    """
+    payload = [c for c in old.columns if c not in key_cols]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    # presence flags that survive NULL keys and all-NULL payloads: a
+    # literal TRUE carried per side is NULL exactly when that side missed
+    o_mark = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n_mark = new.withColumn("__in_new", F.lit(True)).alias("n")
+    cond = None
+    for k in key_cols:
+        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = e if cond is None else (cond & e)
+    joined = o_mark.join(n_mark, cond, "full_outer")
+    same = None
+    for c in payload:
+        e = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = e if same is None else (same & e)
+    if same is None:
+        same = F.lit(True)  # key-only table: present-in-both means equal
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(~same, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+        for k in key_cols
+    ] + [
+        # I/U carry the new payload; D the pre-image
+        F.when(F.col("__in_new").isNotNull(), F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*out_cols, op_col)
+    )
+
+
 def directory_content_hash(
     files: DataFrame,
     group_cols: list[str],

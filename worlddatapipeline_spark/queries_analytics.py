@@ -2698,6 +2698,144 @@ GROUP BY n.n_name
 
 
 # ---------------------------------------------------------------------------
+# Version-diff CDC (Change Data Feed analog over the versioned MERGE table)
+# ---------------------------------------------------------------------------
+
+def q_version_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the persistent versioned MERGE table: two
+    chained merges leave `_v` version directories behind the `_CURRENT`
+    pointer (reconcile.py::merge_upsert_parquet, GC keeps live+previous);
+    `snapshot_changes` diffs the VERSION-AS-OF reads into an I/U/D
+    changelog — Delta's `table_changes()` re-expressed over the engine's
+    own table format.  The roundtrip law `cdc_apply(v_old, changes) ==
+    v_new` is asserted IN the query (emitted as a boolean the oracle pins
+    to true), so the changelog is verified to compose back, then the log
+    is summarized per op.  Scale: the diff is one full-outer join on the
+    table key; output is delta-sized."""
+    import shutil
+    import tempfile
+
+    from .operators.reconcile import (
+        cdc_apply,
+        merge_upsert_parquet,
+        read_parquet_table,
+        snapshot_changes,
+        table_versions,
+    )
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    base = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
+    src1 = (
+        orders.filter(F.col("o_custkey") % 2 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(dec_price).cast("double").alias("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("MERGED1"))
+    )
+    src2 = (
+        orders.filter(F.col("o_custkey") % 5 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max(dec_price).cast("double").alias("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("MERGED2"))
+    )
+    tmp = tempfile.mkdtemp(prefix="version_diff_")
+    try:
+        path = f"{tmp}/tbl"
+        base.write.parquet(path)
+        merge_upsert_parquet(
+            spark, path, src1, ["c_custkey"],
+            update_cols=["c_acctbal", "c_mktsegment"],
+        )
+        merge_upsert_parquet(
+            spark, path, src2, ["c_custkey"],
+            update_cols=["c_acctbal", "c_mktsegment"],
+        )
+        v_old, v_new = table_versions(path)[-2:]
+        old_df = read_parquet_table(spark, path, version=v_old)
+        new_df = read_parquet_table(spark, path, version=v_new)
+        changes = snapshot_changes(old_df, new_df, ["c_custkey"])
+        replayed = cdc_apply(
+            old_df, changes.withColumn("seq", F.lit(1)), ["c_custkey"], ["seq"]
+        )
+        roundtrip_ok = (
+            replayed.select("c_custkey", "c_mktsegment", "c_acctbal")
+            .exceptAll(new_df.select("c_custkey", "c_mktsegment", "c_acctbal"))
+            .unionAll(
+                new_df.select("c_custkey", "c_mktsegment", "c_acctbal")
+                .exceptAll(
+                    replayed.select("c_custkey", "c_mktsegment", "c_acctbal")
+                )
+            )
+            .limit(1)
+            .count()
+            == 0
+        )
+        rows = (
+            changes.groupBy("op")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double"),
+                    2,
+                ).alias("bal_sum"),
+            )
+            .withColumn("roundtrip_ok", F.lit(bool(roundtrip_ok)))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "op string, n_rows long, bal_sum double, roundtrip_ok boolean"
+    )
+
+
+SQL_VERSION_DIFF_CHANGES = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+), s1 AS (
+  SELECT o_custkey AS c_custkey,
+         CAST('MERGED1' AS VARCHAR) AS c_mktsegment,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+), m1 AS (
+  SELECT coalesce(b.c_custkey, s.c_custkey) AS c_custkey,
+         coalesce(s.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+         coalesce(s.c_acctbal, b.c_acctbal) AS c_acctbal
+  FROM base b FULL OUTER JOIN s1 s ON s.c_custkey = b.c_custkey
+), s2 AS (
+  SELECT o_custkey AS c_custkey,
+         CAST('MERGED2' AS VARCHAR) AS c_mktsegment,
+         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey
+), m2 AS (
+  SELECT coalesce(m.c_custkey, s.c_custkey) AS c_custkey,
+         coalesce(s.c_mktsegment, m.c_mktsegment) AS c_mktsegment,
+         coalesce(s.c_acctbal, m.c_acctbal) AS c_acctbal
+  FROM m1 m FULL OUTER JOIN s2 s ON s.c_custkey = m.c_custkey
+), diff AS (
+  SELECT CASE WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN n.c_custkey IS NULL THEN 'D'
+              WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'U'
+         END AS op,
+         CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal
+              ELSE o.c_acctbal END AS c_acctbal
+  FROM m1 o FULL OUTER JOIN m2 n ON o.c_custkey = n.c_custkey
+)
+SELECT op, count(*) AS n_rows,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS bal_sum,
+       true AS roundtrip_ok
+FROM diff WHERE op IS NOT NULL
+GROUP BY op
+"""
+
+
+# ---------------------------------------------------------------------------
 # Parameterized SQL + SQL session variables (injection-safe query surface)
 # ---------------------------------------------------------------------------
 
@@ -2857,6 +2995,7 @@ ANALYTICS_QUERIES = {
     "nation_vip_listagg": q_nation_vip_listagg,
     "hll_rollup_contract": q_hll_rollup_contract,
     "param_sql_revenue_bands": q_param_sql_revenue_bands,
+    "version_diff_changes": q_version_diff_changes,
 }
 
 ANALYTICS_ORACLES = {
@@ -2915,3 +3054,4 @@ ANALYTICS_ORACLES["bitmap_distinct_counts"] = SQL_BITMAP_DISTINCT_COUNTS
 ANALYTICS_ORACLES["nation_vip_listagg"] = SQL_NATION_VIP_LISTAGG
 ANALYTICS_ORACLES["hll_rollup_contract"] = SQL_HLL_ROLLUP_CONTRACT
 ANALYTICS_ORACLES["param_sql_revenue_bands"] = SQL_PARAM_SQL_REVENUE_BANDS
+ANALYTICS_ORACLES["version_diff_changes"] = SQL_VERSION_DIFF_CHANGES
