@@ -2698,6 +2698,78 @@ GROUP BY n.n_name
 
 
 # ---------------------------------------------------------------------------
+# Data-quality constraint suite (Deequ/dbt-test shape, one-pass)
+# ---------------------------------------------------------------------------
+
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.py): seven
+    constraints over orders — uniqueness, non-null, domain, range, a
+    business predicate, and referential integrity against customer —
+    compiled into one conditional-aggregate scan + one groupBy + one
+    broadcast anti-join, reporting violation COUNTS per constraint (a
+    publish gate thresholds damage, not just booleans).  This is the
+    check-before-pointer-move step in front of merge_upsert_parquet.
+    The corpus is clean, so counts are 0 and passed is true — the oracle
+    recomputes every count from scratch, pinning both the zero and the
+    constraint semantics."""
+    from .operators import quality as Q
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    report = Q.check_constraints(
+        orders,
+        [
+            Q.unique(["o_orderkey"]),
+            Q.not_null("o_custkey"),
+            Q.in_set("o_orderstatus", ["F", "O", "P"]),
+            Q.in_range("o_totalprice", 0.0, 1e7),
+            Q.satisfies(
+                "orderdate_in_epoch",
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+            ),
+            Q.not_null("o_orderdate"),
+            Q.foreign_key(["o_custkey"], customer, ["c_custkey"]),
+        ],
+    )
+    return report
+
+
+SQL_DQ_CONSTRAINT_REPORT = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
+    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS dom,
+    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+    CAST(sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+                   OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS epoch,
+    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_date
+  FROM orders
+), uq AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS v FROM (
+    SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+  )
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+)
+SELECT check_name, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'unique(o_orderkey)' AS check_name, (SELECT v FROM uq) AS n_violations
+  UNION ALL SELECT 'not_null(o_custkey)', (SELECT nn_cust FROM agg)
+  UNION ALL SELECT 'in_set(o_orderstatus)', (SELECT dom FROM agg)
+  UNION ALL SELECT 'in_range(o_totalprice)', (SELECT rng FROM agg)
+  UNION ALL SELECT 'orderdate_in_epoch', (SELECT epoch FROM agg)
+  UNION ALL SELECT 'not_null(o_orderdate)', (SELECT nn_date FROM agg)
+  UNION ALL SELECT 'foreign_key(o_custkey)', (SELECT v FROM fk)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Version-diff CDC (Change Data Feed analog over the versioned MERGE table)
 # ---------------------------------------------------------------------------
 
@@ -2996,6 +3068,7 @@ ANALYTICS_QUERIES = {
     "hll_rollup_contract": q_hll_rollup_contract,
     "param_sql_revenue_bands": q_param_sql_revenue_bands,
     "version_diff_changes": q_version_diff_changes,
+    "dq_constraint_report": q_dq_constraint_report,
 }
 
 ANALYTICS_ORACLES = {
@@ -3055,3 +3128,4 @@ ANALYTICS_ORACLES["nation_vip_listagg"] = SQL_NATION_VIP_LISTAGG
 ANALYTICS_ORACLES["hll_rollup_contract"] = SQL_HLL_ROLLUP_CONTRACT
 ANALYTICS_ORACLES["param_sql_revenue_bands"] = SQL_PARAM_SQL_REVENUE_BANDS
 ANALYTICS_ORACLES["version_diff_changes"] = SQL_VERSION_DIFF_CHANGES
+ANALYTICS_ORACLES["dq_constraint_report"] = SQL_DQ_CONSTRAINT_REPORT
