@@ -130,6 +130,8 @@ LLM = [
     "hll_rollup_contract",
     "xml_roundtrip_stats",
     "pyds_listing_parse_stats",
+    "param_sql_revenue_bands",
+    "dq_constraint_report",
 ]
 
 
