@@ -46,3 +46,10 @@ def test_check_constraints_clean_frame(spark):
     ).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in rep)
     assert len(rep) == 3
+
+
+def test_check_constraints_empty_suite(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = Q.check_constraints(df, [])
+    assert out.count() == 0
+    assert out.columns == ["check_name", "n_violations", "passed"]

@@ -21,8 +21,9 @@ Check kinds (all pure Column expressions; one scan total):
 - ``foreign_key(cols, ref_df, ref_cols)`` — referential integrity via a
   left-anti join against the (deduplicated) reference keys
 
-Scale: the single-pass aggregate is map-side partial; FK anti-joins
-broadcast when the reference side is a dimension; ``unique`` keys by the
+Scale: the single-pass aggregate is map-side partial; FK anti-joins are
+left to AQE (broadcast when the deduplicated reference keys are small,
+shuffle anti-join when the parent is fact-sized); ``unique`` keys by the
 constraint columns.  The report is |constraints| rows.
 """
 
@@ -140,13 +141,20 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             all_present = F.lit(True)
             for cc in c.cols:
                 all_present = all_present & F.col(cc).isNotNull()
+            # no forced broadcast: a reference can be fact-sized (orders
+            # as parent) — AQE picks broadcast when refs is small enough
+            # and a shuffle anti-join otherwise
             orphans = (
                 df.filter(all_present)
-                .join(F.broadcast(refs), c.cols, "left_anti")
+                .join(refs, c.cols, "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
                 .select(F.lit(c.name).alias("check_name"), "n_violations")
             )
             reports.append(orphans)
+    if not reports:  # empty suite -> empty report, not IndexError
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, n_violations long, passed boolean"
+        )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
