@@ -428,3 +428,44 @@ def test_pit_join_single_asof_shuffle_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def _final_plan(spark, name):
+    """FINAL adaptive plan (after an action): AQE stage reuse only shows
+    here — the static/initial plan prints every duplicate subtree.  The
+    action must be collect() on the SAME DataFrame: a .write creates its
+    own QueryExecution and df's stays an un-finalized initial plan."""
+    df = QUERIES[name](spark, SF)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in s
+    return s
+
+
+def test_dsir_single_scan_via_reuse(spark):
+    """dsir_importance_weights must scan the corpus ONCE: the (doc,
+    bucket, is_target) stage feeds the ratio branches through
+    ReusedExchange.  Guards the grouping-key trick (the target flag rides
+    the key so column pruning can't specialize the subtrees) and the
+    explicit isNotNull(b) that keeps them canonical-identical."""
+    s = _final_plan(spark, "dsir_importance_weights")
+    final = s.split("Initial Plan")[0] if "Initial Plan" in s else s
+    assert final.count("Scan parquet") == 1
+    assert final.count("ReusedExchange") >= 2
+
+
+def test_unigram_lm_single_scan_via_reuse(spark):
+    s = _final_plan(spark, "unigram_lm_perplexity")
+    final = s.split("Initial Plan")[0] if "Initial Plan" in s else s
+    assert final.count("Scan parquet") == 1
+
+
+def test_dq_report_single_conditional_agg_pass(spark):
+    """All agg-kind constraints fuse into one scan; the suite's total
+    scans = 1 (fused aggs) + 1 (unique groupBy) + 2 (FK sides)."""
+    plan = _plan(spark, "dq_constraint_report")
+    # five agg constraints -> exactly one aggregate subtree over orders
+    # with five conditional sums (count the fused sum(CASE WHEN ...))
+    import re
+    partials = re.findall(r"partial_sum\(CASE WHEN", plan)
+    assert len(partials) == 5
