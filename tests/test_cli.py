@@ -47,3 +47,24 @@ def test_cli_query_dispatch(spark, capsys):
 def test_cli_unknown_query(spark, capsys):
     rc = main(["query", "nope", "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 2
+
+
+def test_cli_dq_gate(spark, tmp_path, capsys):
+    import json
+
+    from worlddatapipeline_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (1, None)], "id int, v string"
+    ).write.parquet(p)
+    rc = main(["dq", "--table", p, "--unique", "id", "--not-null", "v",
+               "--fail-on-violation"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["unique(id)"] == 2 and out["not_null(v)"] == 1
+
+    clean = str(tmp_path / "c")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(clean)
+    assert main(["dq", "--table", clean, "--unique", "id",
+                 "--fail-on-violation"]) == 0

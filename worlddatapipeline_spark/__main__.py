@@ -12,6 +12,7 @@ are parquet/CSV/JSON paths, and "execution" is one Spark action.
     python -m worlddatapipeline_spark render-plan --sequences seqs.parquet --maps maps.parquet --out outdir
     python -m worlddatapipeline_spark reconcile  --catalog cat.parquet --listing ls.parquet --keys scene_name --out outdir
     python -m worlddatapipeline_spark stats      --sf-dir /root/testdata/sf0.01
+    python -m worlddatapipeline_spark dq         --table t.parquet --unique id --not-null col1,col2 [--fail-on-violation]
     python -m worlddatapipeline_spark query NAME --sf-dir /root/testdata/sf0.01 [--out outdir]
 
 Every subcommand accepts ``--manifest job.json`` (template/default deep-merge
@@ -62,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--sf-dir", required=True)
     qp.add_argument("--out")
     qp.add_argument("--manifest")
+    dq = sub.add_parser("dq")
+    dq.add_argument("--table", required=True, help="parquet path to check")
+    dq.add_argument("--unique", help="comma-joined unique-key columns")
+    dq.add_argument("--not-null", help="comma-joined required columns")
+    dq.add_argument("--fail-on-violation", action="store_true")
+    dq.add_argument("--manifest")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"wdp-{args.cmd}")
@@ -124,6 +131,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             _write(df, args.out)
         print(json.dumps({"query": args.name, "rows": df.count()}))
+    elif args.cmd == "dq":
+        # publish gate: run a constraint suite on a landed table and exit
+        # non-zero on violations when asked (CI/pipeline-gate usage)
+        from .operators import quality as Q
+
+        df = spark.read.parquet(args.table)
+        cs = []
+        if args.unique:
+            cs.append(Q.unique(args.unique.split(",")))
+        for c in (args.not_null or "").split(","):
+            if c:
+                cs.append(Q.not_null(c))
+        report = Q.check_constraints(df, cs).collect()
+        print(json.dumps(
+            {r["check_name"]: r["n_violations"] for r in report}
+        ))
+        if args.fail_on_violation and any(not r["passed"] for r in report):
+            return 1
     return 0
 
 
