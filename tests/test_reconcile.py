@@ -434,3 +434,45 @@ def test_snapshot_changes_roundtrip_law(spark):
         sorted(map(tuple, new.collect()), key=str)
     # delta-sized: unchanged rows are absent from the changelog
     assert changes.count() < old.count() + new.count()
+
+
+def test_snapshot_changes_roundtrip_randomized(spark):
+    """Roundtrip law over randomized edit scripts (fixed seeds): for any
+    old/new pair with inserts, deletes, updates, NULL keys, and NULL
+    payloads, cdc_apply(old, snapshot_changes(old, new)) == new."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        keys = list(range(30)) + [None]
+        old_rows = [
+            (k, rng.choice(["a", "b", None]), rng.choice([1.5, 2.5, None]))
+            for k in keys
+            if rng.random() < 0.8
+        ]
+        old_keys = {r[0] for r in old_rows}
+        new_rows = []
+        for r in old_rows:
+            roll = rng.random()
+            if roll < 0.2:
+                continue  # delete
+            if roll < 0.5:  # update (possibly to/from NULL)
+                new_rows.append(
+                    (r[0], rng.choice(["a", "b", "z", None]),
+                     rng.choice([1.5, 9.9, None]))
+                )
+            else:
+                new_rows.append(r)  # unchanged
+        new_rows += [
+            (k, "ins", 0.1) for k in range(100, 110) if rng.random() < 0.5
+        ]
+        schema = "k int, s string, x double"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        changes = reconcile.snapshot_changes(old, new, ["k"]).withColumn(
+            "seq", F.lit(1)
+        )
+        applied = reconcile.cdc_apply(old, changes, ["k"], ["seq"])
+        got = sorted(map(tuple, applied.select("k", "s", "x").collect()), key=str)
+        want = sorted(map(tuple, new.collect()), key=str)
+        assert got == want, f"seed {seed}: {got} != {want}"
