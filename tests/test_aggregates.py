@@ -70,3 +70,73 @@ def test_argmax(spark):
     )
     out = aggregates.argmax(df, ["grp"], "score", ["payload"]).collect()[0]
     assert out["max_score"] == 9 and out["payload"] == "b"
+
+
+def test_skyline_2d_dominance_and_ties(spark):
+    """Dominated rows drop; exact-duplicate frontier points ALL survive
+    (neither strictly beats its twin); equal-x smaller-y drops."""
+    from worlddatapipeline_spark.operators.aggregates import skyline_2d
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 5),   # frontier
+            (2, 10.0, 5),   # exact duplicate of the frontier point
+            (3, 10.0, 4),   # same price, smaller size -> dominated
+            (4, 12.0, 5),   # pricier, same size -> dominated
+            (5, 12.0, 9),   # frontier (bigger size costs more)
+            (6, 8.0, 2),    # frontier (cheapest)
+            (7, 9.0, 1),    # dominated by 6 (pricier AND smaller)
+        ],
+        "id int, price double, size int",
+    )
+    kept = sorted(
+        r["id"]
+        for r in skyline_2d(df, "price", "size").collect()
+    )
+    assert kept == [1, 2, 5, 6]
+
+
+def test_skyline_2d_direction_flags(spark):
+    """maximize_x/minimize_y quadrant: same kernel, negated axes."""
+    from worlddatapipeline_spark.operators.aggregates import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 3.0)],
+        "id int, x double, y double",
+    )
+    # maximize x, minimize y: (1,1) and (3,3) are incomparable corners,
+    # (2,2) is dominated by neither -> chain means all survive except none;
+    # flip: dominance needs x' >= x AND y' <= y with one strict -> none
+    # dominates anything on an increasing chain, so all 3 survive.
+    kept = sorted(
+        r["id"]
+        for r in skyline_2d(df, "x", "y", minimize_x=False, maximize_y=False).collect()
+    )
+    assert kept == [1, 2, 3]
+    # minimize x, minimize y on the same chain: (1,1) dominates the rest.
+    kept = sorted(
+        r["id"]
+        for r in skyline_2d(df, "x", "y", minimize_x=True, maximize_y=False).collect()
+    )
+    assert kept == [1]
+
+
+def test_skyline_2d_matches_bruteforce_random(spark):
+    """Property check vs an O(n^2) reference on a seeded random cloud that
+    spans many partitions (exercises the local-prune + merge path)."""
+    import random
+
+    from worlddatapipeline_spark.operators.aggregates import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 30) * 1.0, rng.randint(0, 30)) for i in range(400)]
+    df = spark.createDataFrame(pts, "id int, x double, y int").repartition(16)
+    kept = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+    expected = sorted(
+        i
+        for (i, x, y) in pts
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for (_, qx, qy) in pts
+        )
+    )
+    assert kept == expected

@@ -240,3 +240,60 @@ def test_validity_join_zero_width_version_dropped(spark):
     assert out[(1, 20)] == "new"
     assert out[(1, 25)] == "new"
     assert out[(1, 15)] == "old"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tolerance_matches_merge_asof(spark, direction):
+    """Tolerance gate == pandas merge_asof(tolerance=...): matches farther
+    than the bound become NULL, matches at exactly the bound survive."""
+    left = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 10.0, 2), ("a", 0.5, 3), ("b", 7.0, 4)],
+        ["k", "t", "lid"],
+    )
+    right = spark.createDataFrame(
+        [("a", 1.0, 100), ("a", 5.0, 200), ("a", 9.0, 300), ("b", 1.0, 400)],
+        ["k", "rt", "val"],
+    )
+    out = (
+        joins.asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            value_cols=["val"], direction=direction, tolerance=2.0,
+        )
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    lp = pd.DataFrame(
+        {"k": ["a", "a", "a", "b"], "t": [5.0, 10.0, 0.5, 7.0], "lid": [1, 2, 3, 4]}
+    ).sort_values("t")
+    rp = pd.DataFrame(
+        {"k": ["a", "a", "a", "b"], "rt": [1.0, 5.0, 9.0, 1.0],
+         "val": [100, 200, 300, 400]}
+    ).sort_values("rt")
+    exp = (
+        pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k",
+            direction=direction, tolerance=2.0,
+        )
+        .sort_values("lid").reset_index(drop=True)
+    )
+    assert list(out["val"].fillna(-1)) == list(exp["val"].fillna(-1))
+
+
+def test_asof_tolerance_timestamp_axis_in_seconds(spark):
+    """On a datetime axis the tolerance is seconds; an exactly-at-bound
+    match is inclusive (merge_asof semantics)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 02:00:00")],
+        "lid int, t string",
+    ).select("lid", F.col("t").cast("timestamp").alias("t"), F.lit("k").alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 7)], "rt string, val int"
+    ).select(F.col("rt").cast("timestamp").alias("rt"), "val", F.lit("k").alias("k"))
+    out = {
+        r["lid"]: r["val"]
+        for r in joins.asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            value_cols=["val"], tolerance=600.0,
+        ).collect()
+    }
+    assert out[1] == 7      # exactly 600 s back — inclusive
+    assert out[2] is None   # 2 h back — beyond tolerance

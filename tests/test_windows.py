@@ -292,3 +292,39 @@ def test_time_grid_ffill_sub_hour_step(spark):
     )
     assert [r["bucket_ts"].minute for r in out] == [0, 15, 30, 45]
     assert [r["filled"] for r in out] == [1.0, 1.0, 1.0, 2.0]
+
+
+def test_merge_intervals_overlap_touch_nest_disjoint(spark):
+    from worlddatapipeline_spark.operators.windows import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            # u1: [0,10] overlaps [5,20], touched by [20,25] -> one island;
+            # [30,40] nests [32,35] -> second island
+            ("u1", 1, 0, 10), ("u1", 2, 5, 20), ("u1", 3, 20, 25),
+            ("u1", 4, 30, 40), ("u1", 5, 32, 35),
+            # u2: two disjoint singletons
+            ("u2", 6, 0, 1), ("u2", 7, 3, 4),
+        ],
+        "k string, id int, s int, e int",
+    )
+    out = {
+        (r["k"], r["island_start"]): (r["island_end"], r["n_intervals"])
+        for r in merge_intervals(df, "k", "s", "e", tie_col="id").collect()
+    }
+    assert out[("u1", 0)] == (25, 3)
+    assert out[("u1", 30)] == (40, 2)
+    assert out[("u2", 0)] == (1, 1)
+    assert out[("u2", 3)] == (4, 1)
+    assert len(out) == 4
+
+
+def test_merge_intervals_null_bounds_dropped(spark):
+    from worlddatapipeline_spark.operators.windows import merge_intervals
+
+    df = spark.createDataFrame(
+        [("k", 1, 0, 5), ("k", 2, None, 9), ("k", 3, 7, None)],
+        "k string, id int, s int, e int",
+    )
+    rows = merge_intervals(df, "k", "s", "e", tie_col="id").collect()
+    assert len(rows) == 1 and rows[0]["n_intervals"] == 1

@@ -16,7 +16,7 @@ one shuffle (or zero for the global aggregates, which reduce map-side first).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -169,3 +169,77 @@ def salted_sum(
         .agg(F.sum(value_col).alias("_partial"))
     )
     return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(out_col))
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+) -> DataFrame:
+    """Pareto frontier (skyline) over two numeric criteria.
+
+    A row survives iff no other row is at-least-as-good on BOTH axes and
+    strictly better on at least one (standard skyline dominance; exact
+    ties on both axes all survive — neither strictly beats the other).
+    Direction flags normalize both axes to "bigger is better" by negation
+    so all four quadrant combinations share one code path.
+
+    Spark-first two-pass plan (the partial/merge shape every global top-k
+    uses):
+
+    1. LOCAL conservative prune, ZERO shuffle: within each input partition
+       (window keyed by ``spark_partition_id()``, sorted x desc / y desc),
+       drop rows whose running-max y over prior rows strictly exceeds
+       their own — such a prior row is at-least-as-good on x (sort order)
+       and strictly better on y.  Strictness makes the prune duplicate-safe
+       (a twin row never evicts its copy); survivors are a superset of the
+       global frontier, and frontiers are tiny relative to their input
+       (O(sqrt n) expected under independent axes).
+    2. EXACT merge on the remnant: the distinct (x, y) pairs — small by
+       construction — pass through the same sorted scan in ONE task, where
+       on distinct pairs the test ``prior running-max y >= y`` is exactly
+       dominance (the prior row is strictly better on x, or same-x strictly
+       better on y).  Surviving pairs broadcast-semi-join back to the
+       remnant rows, so duplicate frontier rows are all kept.
+
+    Pure Column expressions — codegen'd windows, no UDFs, no driver
+    collect; the only exchanges are the remnant-sized distinct and the
+    broadcast of surviving pairs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    sx = F.col(x_col) * F.lit(-1 if minimize_x else 1)
+    sy = F.col(y_col) * F.lit(1 if maximize_y else -1)
+    staged = df.withColumn("__sx", sx).withColumn("__sy", sy)
+
+    # stage 1: per-partition conservative prune (no exchange — the window
+    # key IS the physical partition)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__sx").desc(), F.col("__sy").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    remnant = (
+        staged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__prior", F.max("__sy").over(w_local))
+        .filter(F.col("__prior").isNull() | (F.col("__prior") <= F.col("__sy")))
+        .drop("__pid", "__prior")
+    )
+
+    # stage 2: exact skyline on the remnant's distinct pairs, single task
+    w_glob = (
+        Window.orderBy(F.col("__sx").desc(), F.col("__sy").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_pairs = (
+        remnant.select("__sx", "__sy")
+        .distinct()
+        .withColumn("__prior", F.max("__sy").over(w_glob))
+        .filter(F.col("__prior").isNull() | (F.col("__prior") < F.col("__sy")))
+        .select("__sx", "__sy")
+    )
+    return remnant.join(
+        broadcast(frontier_pairs), ["__sx", "__sy"], "left_semi"
+    ).drop("__sx", "__sy")

@@ -45,10 +45,18 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row pick the right row with the greatest
     ``right_ts <= left_ts`` (backward) or smallest ``right_ts >= left_ts``
     (forward), per key ``on``.
+
+    ``tolerance`` bounds how far back (backward) / ahead (forward) the
+    match may sit: a left row whose nearest right row is MORE than
+    ``tolerance`` away gets NULLs instead (pandas ``merge_asof`` semantics).
+    Units: seconds when the axis is a datetime type, else the axis's own
+    units.  The gate is evaluated on the matched right row's own timestamp
+    (carried through the same fill window), so it adds zero extra shuffles.
 
     Reference analog: nearest-keyframe channel sampling
     (`camera_exporter.py:221-232`) — a per-frame linear scan over keys.
@@ -90,19 +98,32 @@ def asof_join(
     if lt == rt and isinstance(lt, _datetime_family + (NumericType,)):
         l_ts_expr = F.col(left_ts)
         r_ts_expr = F.col(right_ts)
+        axis_type, axis_datetime = rt, isinstance(rt, _datetime_family)
     elif isinstance(lt, _datetime_family) and isinstance(rt, _datetime_family):
         l_ts_expr = F.col(left_ts).cast("timestamp")
         r_ts_expr = F.col(right_ts).cast("timestamp")
+        axis_type, axis_datetime = TimestampType(), True
     else:
         l_ts_expr = F.col(left_ts).cast("double")
         r_ts_expr = F.col(right_ts).cast("double")
-    # right rows carry the values; left rows carry nulls that get filled
+        axis_type, axis_datetime = None, False
+    # right rows carry the values; left rows carry nulls that get filled.
+    # Under a tolerance, __mt additionally carries the right row's own axis
+    # value so the gate can measure the matched gap without a second join;
+    # without one the column is omitted so the plan is unchanged.
+    mt_r = [r_ts_expr.alias("__mt")] if tolerance is not None else []
+    mt_l = (
+        [F.lit(None).cast(axis_type if axis_type is not None else "double").alias("__mt")]
+        if tolerance is not None
+        else []
+    )
     r = right.select(
         F.col(on).alias(on),
         r_ts_expr.alias(ts),
         F.lit(0).alias(tag),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         *[F.lit(None).alias(f"__l_{c}") for c in lcols],
+        *mt_r,
     )
     l = left.select(
         F.col(on).alias(on),
@@ -110,6 +131,7 @@ def asof_join(
         F.lit(1).alias(tag),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *mt_l,
     )
     if direction == "backward":
         # right row at time t is visible to left rows with ts >= t;
@@ -135,12 +157,31 @@ def asof_join(
         tag,
         *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
         *[F.col(f"__l_{c}") for c in lcols],
+        *(
+            [F.last("__mt", ignorenulls=True).over(w).alias("__mt")]
+            if tolerance is not None
+            else []
+        ),
     )
-    out = filled.filter(F.col(tag) == 1).select(
+    if tolerance is None:
+        return filled.filter(F.col(tag) == 1).select(
+            *[F.col(f"__l_{c}").alias(c) for c in lcols],
+            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        )
+
+    def _num(c):
+        return c.cast("timestamp").cast("double") if axis_datetime else c.cast("double")
+
+    gap = (
+        _num(F.col(ts)) - _num(F.col("__mt"))
+        if direction == "backward"
+        else _num(F.col("__mt")) - _num(F.col(ts))
+    )
+    in_tol = F.col("__mt").isNotNull() & (gap <= F.lit(float(tolerance)))
+    return filled.filter(F.col(tag) == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        *[F.when(in_tol, F.col(f"__v_{c}")).alias(c) for c in value_cols],
     )
-    return out
 
 
 def salted_join(

@@ -526,3 +526,54 @@ def with_session_ids(
     gap = F.unix_micros(ts_col) - F.lag(F.unix_micros(ts_col)).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     return events.withColumn("session_id", F.sum(new_sess).over(wcum))
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Union overlapping/touching intervals per key into maximal islands.
+
+    The classic interval-coverage sweep, window-expressed: order a key's
+    intervals by (start, end), take the running max of ``end`` over all
+    PRIOR rows; a new island starts exactly where ``start`` exceeds that
+    high-water mark (a touching interval, ``start == prior max end``,
+    merges — coverage is measured on closed intervals).  Island ids are a
+    running sum of the starts, the standard gaps-and-islands trick.
+
+    Output: one row per island — key, island_start, island_end,
+    n_intervals.  Inputs with NULL bounds are dropped (they cannot be
+    placed on the axis).
+
+    Scale: ONE shuffle, on ``key_col`` — both windows and the final
+    groupBy share it (the island key extends the partition key, so AQE
+    plans no second exchange).  A key's intervals land in one task, keys
+    parallelize; no cross-key state, no driver loop.  Start/end may be
+    any mutually comparable orderable type (numeric, timestamp).
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prior_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col(start_col) > prior_max_end), 1
+    ).otherwise(0)
+    islands = (
+        df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .withColumn("__new", new_island)
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy(key_col, "__island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("__island")

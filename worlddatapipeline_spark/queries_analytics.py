@@ -3015,7 +3015,334 @@ FROM pairs GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# As-of join with a match tolerance (pandas merge_asof semantics)
+# ---------------------------------------------------------------------------
+
+def q_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute tolerance: each purchase gets
+    the user's most recent click at-or-before it, but only if that click is
+    within 30 minutes — staler matches become NULL (pandas ``merge_asof``
+    tolerance semantics).  The gate rides the SAME single-shuffle
+    union+last-over-window plan as the plain as-of (operators/joins.py::
+    asof_join): the matched right timestamp is carried through the fill
+    window, so tolerance costs one codegen'd comparison, zero extra
+    exchanges.  Oracle: DuckDB native ASOF JOIN + an interval CASE."""
+    from .operators import joins as join_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = join_ops.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        value_cols=["click_id"],
+        direction="backward",
+        tolerance=1800.0,
+    )
+    return out.select("purchase_id", "user_id", "click_id")
+
+
+SQL_ASOF_TOLERANCE_CLICK = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+       CASE WHEN c.click_ts >= p.purchase_ts - INTERVAL '30 minutes'
+            THEN c.click_id END AS click_id
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval union / coverage (merge overlapping intervals per key)
+# ---------------------------------------------------------------------------
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage: each event opens an interval of
+    floor(value*60) seconds; overlapping/touching intervals merge into
+    maximal islands (operators/windows.py::merge_intervals — the running
+    high-water-mark sweep, window-expressed), then per user: island count,
+    total covered microseconds, and the largest merge.  The whole pipeline
+    is ONE shuffle on user_id — both windows, the island groupBy, and the
+    final per-user rollup extend the same partitioning.  All arithmetic on
+    integer epoch-microseconds, so coverage sums are engine-exact."""
+    from .operators import windows as win_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60).cast("long") * F.lit(1000000)
+        ).alias("e_us"),
+    )
+    islands = win_ops.merge_intervals(
+        iv, "user_id", "s_us", "e_us", tie_col="event_id"
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
+        F.max("n_intervals").alias("max_merged"),
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e_us
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER w IS NULL OR s_us > max(e_us) OVER w
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), islandized AS (
+  SELECT user_id, s_us, e_us,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s_us, e_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), isl AS (
+  SELECT user_id, island, min(s_us) AS island_start, max(e_us) AS island_end,
+         count(*) AS n_intervals
+  FROM islandized GROUP BY user_id, island
+)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(island_end - island_start) AS BIGINT) AS covered_us,
+       max(n_intervals) AS max_merged
+FROM isl GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier parts — cheapest-for-their-size: a part survives iff
+    no other part is both at-most-as-expensive AND at-least-as-large with
+    one strict.  Runs operators/aggregates.py::skyline_2d — local
+    per-partition prune (zero shuffle) + exact single-task merge over the
+    tiny remnant's distinct pairs — against a DuckDB window restatement of
+    the same sort-based dominance test (the NOT EXISTS form is quadratic
+    and would not survive the sf0.5 stress sweep)."""
+    from .operators import aggregates as agg_ops
+
+    (part,) = _t(spark, sf_dir, "part")
+    sky = agg_ops.skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+        minimize_x=True,
+        maximize_y=True,
+    )
+    return sky.select("p_partkey", "p_retailprice", "p_size")
+
+
+SQL_PARETO_PARTS = """
+WITH d AS (
+  SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part
+), s AS (
+  SELECT x, y,
+         max(y) OVER (ORDER BY x ASC, y DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM d
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN s ON p.p_retailprice = s.x AND p.p_size = s.y
+WHERE s.prior IS NULL OR s.prior < s.y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per user the
+    events form a (ts, event_id)-ordered sequence; count each adjacent
+    (prev -> next) pair and normalize per source state.  Two shuffles — the
+    per-user lag window and the (prev, next) count; the per-prev total is a
+    window over the 25-row count frame, not a third aggregate+join.
+    Probabilities in integer parts-per-million via floor division, the
+    micro-units discipline that keeps double rounding out of checked
+    output."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("prev_type")
+    return counts.withColumn("total", F.sum("n").over(wt)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(n * 1000000) div total").alias("prob_ppm"),
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_ppm
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via exact octile boundaries
+# ---------------------------------------------------------------------------
+
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 8-bin histogram of order totals — the
+    complement of the equi-width `value_histogram`.  Boundaries are EXACT
+    octiles of integer cents: percentile positions p*(n-1) with p = k/8
+    interpolate with power-of-two fractions over integers, so every
+    boundary is exactly representable and engine-identical (the same
+    reason the micro-units pattern works).  One pass for the boundary
+    aggregate (broadcast back as a 1-row frame — the scalar-from-aggregate
+    pattern), one codegen'd comparison chain to bin, one count shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    qs = [i / 8.0 for i in range(1, 8)]
+    bounds = cents.agg(
+        F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    bin_expr = sum(
+        (F.col("cents") > F.element_at("bs", j + 1)).cast("long")
+        for j in range(7)
+    ).alias("bin")
+    return (
+        cents.crossJoin(broadcast(bounds))
+        .select("cents", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+SQL_EQUI_DEPTH_BINS = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), b AS (
+  SELECT quantile_cont(cents,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM c
+)
+SELECT (CAST(cents > bs[1] AS BIGINT) + CAST(cents > bs[2] AS BIGINT)
+      + CAST(cents > bs[3] AS BIGINT) + CAST(cents > bs[4] AS BIGINT)
+      + CAST(cents > bs[5] AS BIGINT) + CAST(cents > bs[6] AS BIGINT)
+      + CAST(cents > bs[7] AS BIGINT)) AS bin,
+       count(*) AS n_rows, min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM c, b GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch contract
+# ---------------------------------------------------------------------------
+
+def q_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter contract: build Spark's native CMS
+    over event_type (treeAggregate under the hood — executors build
+    partial sketches, the driver merges them associatively; the sketch is
+    the ONLY thing collected) and check the CMS guarantees against the
+    exact counts: never an underestimate, overestimates bounded by
+    eps * N, and — at this key cardinality vs width 2/eps — exact equality
+    (collisions need all `depth` rows to collide, which the fixed seed
+    makes a checked deterministic fact, not a probability).  The exact
+    side is a 5-row groupBy collect (bounded contract fetch).  Complements
+    the freqItems-based `heavy_hitters_contract` with the mergeable-sketch
+    form a 1000-executor cluster would actually ship."""
+    eps, confidence, seed = 0.005, 0.99, 42
+    (events,) = _t(spark, sf_dir, "events")
+    # PySpark doesn't surface Dataset.stat().countMinSketch, but the JVM
+    # Dataset does — call it through the gateway (classic mode only; the
+    # sketch object itself lives JVM-side, estimateCount crosses per key).
+    sketch = events._jdf.stat().countMinSketch(
+        "event_type", eps, confidence, seed
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(exact.values())
+    ests = {k: sketch.estimateCount(k) for k in exact}
+    n_under = sum(1 for k in exact if ests[k] < exact[k])
+    n_over_bound = sum(1 for k in exact if ests[k] > exact[k] + eps * total)
+    all_exact = all(ests[k] == exact[k] for k in exact)
+    return spark.createDataFrame(
+        [(len(exact), n_under, n_over_bound, bool(all_exact))],
+        "n_types long, n_underestimates long, n_over_bound long, all_exact boolean",
+    )
+
+
+SQL_COUNTMIN_CONTRACT = """
+SELECT count(DISTINCT event_type) AS n_types,
+       CAST(0 AS BIGINT) AS n_underestimates,
+       CAST(0 AS BIGINT) AS n_over_bound,
+       TRUE AS all_exact
+FROM events
+"""
+
+
 ANALYTICS_QUERIES = {
+    "asof_tolerance_click": q_asof_tolerance_click,
+    "interval_coverage": q_interval_coverage,
+    "pareto_parts": q_pareto_parts,
+    "event_transition_matrix": q_event_transition_matrix,
+    "equi_depth_bins": q_equi_depth_bins,
+    "countmin_contract": q_countmin_contract,
     "gopher_quality_flags": q_gopher_quality_flags,
     "char_entropy_score": q_char_entropy_score,
     "zorder_cell_keys": q_zorder_cell_keys,
@@ -3072,6 +3399,12 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "asof_tolerance_click": SQL_ASOF_TOLERANCE_CLICK,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "pareto_parts": SQL_PARETO_PARTS,
+    "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
+    "equi_depth_bins": SQL_EQUI_DEPTH_BINS,
+    "countmin_contract": SQL_COUNTMIN_CONTRACT,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
     "char_entropy_score": SQL_CHAR_ENTROPY_SCORE,
     "zorder_cell_keys": _sql_zorder_cell_keys(),
