@@ -476,3 +476,92 @@ def test_snapshot_changes_roundtrip_randomized(spark):
         got = sorted(map(tuple, applied.select("k", "s", "x").collect()), key=str)
         want = sorted(map(tuple, new.collect()), key=str)
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_merge_retention_horizon_and_vacuum(spark, tmp_path):
+    """keep_versions widens the GC horizon; vacuum_table trims it back,
+    never removes the live version, and read/time-travel behave across."""
+    import os
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 0.0)], ["k", "bal"]).write.parquet(path)
+    for i in range(1, 5):
+        reconcile.merge_upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([(1, float(i))], ["k", "bal"]),
+            ["k"],
+            keep_versions=3,
+        )
+    vers = reconcile.table_versions(path)
+    assert vers == ["_v00000002", "_v00000003", "_v00000004"]
+    # time travel to the oldest retained version
+    old = reconcile.read_parquet_table(spark, path, version="_v00000002")
+    assert old.collect()[0]["bal"] == 2.0
+
+    removed = reconcile.vacuum_table(path, keep_last=1)
+    assert removed == ["_v00000002", "_v00000003"]
+    assert reconcile.table_versions(path) == ["_v00000004"]
+    assert (
+        reconcile.read_parquet_table(spark, path).collect()[0]["bal"] == 4.0
+    )
+    # vacuum never dangles the pointer and refuses keep_last < 1
+    with open(os.path.join(path, "_CURRENT"), encoding="utf-8") as fh:
+        assert fh.read().strip() == "_v00000004"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reconcile.vacuum_table(path, keep_last=0)
+
+
+def test_vacuum_respects_live_lease(spark, tmp_path):
+    """vacuum takes the single-writer lease: a live merge blocks it."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 0.0)], ["k", "bal"]).write.parquet(path)
+    reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(1, 1.0)], ["k", "bal"]), ["k"]
+    )
+    with open(os.path.join(path, "_LEASE"), "w", encoding="utf-8") as fh:
+        fh.write(f"pid=0 expires={time.time() + 60:.3f}\n")
+    try:
+        with _pytest.raises(reconcile.ConcurrentMergeError):
+            reconcile.vacuum_table(path, keep_last=1)
+    finally:
+        os.remove(os.path.join(path, "_LEASE"))
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Source columns absent from the target are appended (NULL for
+    unmatched rows); old versions keep the old schema for time travel."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], ["k", "name"]).write.parquet(path)
+    reconcile.merge_upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(2, "b")], ["k", "name"]),
+        ["k"],
+    )
+    out = reconcile.merge_upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.5)], ["k", "name", "score"]),
+        ["k"],
+    )
+    got = {r["k"]: (r["name"], r["score"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.5)}
+    # the pre-evolution version still reads with its own (old) schema
+    old = reconcile.read_parquet_table(
+        spark, path, version=reconcile.table_versions(path)[0]
+    )
+    assert old.columns == ["k", "name"]

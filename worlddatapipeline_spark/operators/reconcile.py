@@ -166,6 +166,7 @@ def merge_upsert_parquet(
     keys: list[str],
     update_cols: list[str] | None = None,
     lease_ttl_s: float = 3600.0,
+    keep_versions: int = 2,
 ) -> DataFrame:
     """Persistent MERGE into a parquet table via versioned directories and
     an atomic pointer-file commit.  Returns the re-read merged table.
@@ -211,6 +212,18 @@ def merge_upsert_parquet(
     expires and the next merge takes over and sweeps its orphans.  Readers
     never take the lease: they only resolve ``_CURRENT``, so reads stay
     lock-free at any concurrency.
+
+    ``keep_versions`` is the retention horizon (Delta's
+    ``delta.logRetentionDuration`` analog, counted in versions rather than
+    time): GC keeps the newest ``keep_versions`` directories, minimum 2 so
+    the rollback target always survives.  ``vacuum_table`` trims further on
+    demand.
+
+    Schema evolution is automatic, as in Delta's ``mergeSchema``: source
+    columns absent from the target are appended (NULL for unmatched target
+    rows), target columns absent from the source pass through — each
+    version directory is self-describing parquet, so old versions keep
+    their old schema and time travel reads it unchanged.
     """
     lease = _acquire_lease(path, ttl_s=lease_ttl_s)
     try:
@@ -235,10 +248,13 @@ def merge_upsert_parquet(
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(path, "_CURRENT"))
 
-        # GC: keep the live and previous versions.  Legacy root files (from
-        # the pre-versioned layout) are the "previous version" of the first
-        # merge — they are removed only once a versioned predecessor exists.
+        # GC: keep the newest `keep_versions` directories (min 2: live +
+        # rollback target).  Legacy root files (from the pre-versioned
+        # layout) are the "previous version" of the first merge — they are
+        # removed only once a versioned predecessor exists.
+        horizon = max(2, int(keep_versions))
         keep = {"_CURRENT", "_LEASE", new_v}
+        keep.update(table_versions(path)[-horizon:])
         if cur:
             keep.add(cur)
         for entry in os.listdir(path):
@@ -253,6 +269,41 @@ def merge_upsert_parquet(
                 else:
                     os.remove(full)
         return read_parquet_table(spark, path)
+    finally:
+        _release_lease(lease)
+
+
+def vacuum_table(path: str, keep_last: int = 1) -> list[str]:
+    """Trim a merged table's version history to the newest ``keep_last``
+    directories (Delta ``VACUUM`` analog, version-counted).  Returns the
+    removed version names.
+
+    The live version is ALWAYS kept even if ``keep_last`` would not reach
+    it (a stale ``_CURRENT`` pointing below the horizon must never become
+    a dangling pointer).  Takes the same single-writer lease as a merge —
+    vacuuming concurrently with a merge would race its GC sweep — and also
+    sweeps crashed-run ``_staging-*`` orphans.  Readers stay lock-free but
+    lose time-travel targets below the horizon, exactly like Delta: vacuum
+    is the explicit trade of rollback depth for storage.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the live version)")
+    lease = _acquire_lease(path)
+    try:
+        versions = table_versions(path)
+        cur = _table_current_version(path)
+        keep = set(versions[-keep_last:])
+        if cur is not None:
+            keep.add(cur)
+        removed = []
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if entry.startswith("_staging-"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif entry.startswith("_v") and os.path.isdir(full) and entry not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(entry)
+        return sorted(removed)
     finally:
         _release_lease(lease)
 
