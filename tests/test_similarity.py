@@ -308,3 +308,41 @@ def test_int8_quantize_roundtrip_and_guards(spark):
     got = {r["vec_id"]: r["v"] for r in deq.collect()}
     assert got[1] == [1.0, -2.0, 1.0, 127.0]
     assert got[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_filtered_cosine_topk_respects_predicate(spark):
+    """Every hit shares the query's label; results equal a per-label
+    brute-force reference; k under-fills when the label group is small."""
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.similarity import filtered_cosine_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(60)
+    ]
+    # label 2 made tiny: only 2 corpus rows besides the query
+    rows = [r for r in rows if r[2] != 2 or r[0] in (2, 5, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = df.filter("vec_id in (0, 1, 2)").select(
+        df.vec_id.alias("query_id"), "embedding", "label"
+    )
+    out = filtered_cosine_topk(df, queries, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    labels = {i: lab for (i, _, lab) in rows}
+    vecs = {i: np.array(v) for (i, v, _) in rows}
+    for qid, hits in by_q.items():
+        assert all(labels[h["vec_id"]] == labels[qid] for h in hits)
+        # brute-force reference within the label group
+        cand = [
+            (j, float(vecs[qid] @ vecs[j] / (np.linalg.norm(vecs[qid]) * np.linalg.norm(vecs[j]))))
+            for j in vecs
+            if j != qid and labels[j] == labels[qid]
+        ]
+        cand.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        expect = [j for j, _ in cand[:4]]
+        got = [h["vec_id"] for h in sorted(hits, key=lambda h: h["rank"])]
+        assert got == expect
+    assert len(by_q[2]) == 2  # small label group under-fills k

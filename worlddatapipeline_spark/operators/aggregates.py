@@ -189,46 +189,59 @@ def skyline_2d(
     Spark-first two-pass plan (the partial/merge shape every global top-k
     uses):
 
-    1. LOCAL conservative prune, ZERO shuffle: within each input partition
-       (window keyed by ``spark_partition_id()``, sorted x desc / y desc),
-       drop rows whose running-max y over prior rows strictly exceeds
-       their own — such a prior row is at-least-as-good on x (sort order)
-       and strictly better on y.  Strictness makes the prune duplicate-safe
-       (a twin row never evicts its copy); survivors are a superset of the
-       global frontier, and frontiers are tiny relative to their input
-       (O(sqrt n) expected under independent axes).
-    2. EXACT merge on the remnant: the distinct (x, y) pairs — small by
-       construction — pass through the same sorted scan in ONE task, where
-       on distinct pairs the test ``prior running-max y >= y`` is exactly
-       dominance (the prior row is strictly better on x, or same-x strictly
-       better on y).  Surviving pairs broadcast-semi-join back to the
-       remnant rows, so duplicate frontier rows are all kept.
+    1. LOCAL conservative prune, ZERO shuffle: one vectorized Arrow pass
+       per scan batch (numpy lexsort x-desc/y-desc + running-max filter)
+       drops rows whose prior running-max y strictly exceeds their own —
+       such a prior row is at-least-as-good on x and strictly better on y.
+       Strictness makes the prune duplicate-safe (a twin never evicts its
+       copy); survivors are a superset of the global frontier, and
+       frontiers are tiny relative to their input (O(sqrt n) expected
+       under independent axes).  A window keyed by spark_partition_id
+       would compute the same thing but plans an Exchange on the id —
+       a full shuffle of the corpus; the Arrow pass is scan-local.
+       Project down to the columns you need first: the whole row crosses
+       the Arrow boundary.
 
-    Pure Column expressions — codegen'd windows, no UDFs, no driver
-    collect; the only exchanges are the remnant-sized distinct and the
-    broadcast of surviving pairs.
+    2. EXACT merge on the remnant: the distinct (x, y) pairs — small by
+       construction — pass through one sorted scan in ONE task, where on
+       distinct pairs the test ``prior running-max y >= y`` is exactly
+       dominance (the prior row is strictly better on x, or same-x
+       strictly better on y).  Surviving pairs broadcast-semi-join back
+       to the remnant, so duplicate frontier rows are all kept.
+
+    The only exchanges are the remnant-sized distinct + single-task window
+    and the broadcast of surviving pairs.
     """
+    import numpy as np
     from pyspark.sql.functions import broadcast
 
     sx = F.col(x_col) * F.lit(-1 if minimize_x else 1)
     sy = F.col(y_col) * F.lit(1 if maximize_y else -1)
     staged = df.withColumn("__sx", sx).withColumn("__sy", sy)
 
-    # stage 1: per-partition conservative prune (no exchange — the window
-    # key IS the physical partition)
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col("__sx").desc(), F.col("__sy").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    remnant = (
-        staged.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__prior", F.max("__sy").over(w_local))
-        .filter(F.col("__prior").isNull() | (F.col("__prior") <= F.col("__sy")))
-        .drop("__pid", "__prior")
-    )
+    def local_prune(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            bsx = pdf["__sx"].to_numpy()
+            bsy = pdf["__sy"].to_numpy()
+            order = np.lexsort((-bsy, -bsx))  # primary: sx desc, then sy desc
+            sy_sorted = bsy[order]
+            run = np.maximum.accumulate(sy_sorted)
+            keep_sorted = np.empty(n, dtype=bool)
+            keep_sorted[0] = True
+            keep_sorted[1:] = sy_sorted[1:] >= run[:-1]  # drop only strict
+            yield pdf.iloc[np.sort(order[keep_sorted])]
 
-    # stage 2: exact skyline on the remnant's distinct pairs, single task
+    # persisted: the remnant feeds BOTH semi-join sides (frontier build +
+    # probe); without a barrier the corpus scan + prune would run twice.
+    # Cache-cheap by construction (it is the pruned survivors), released
+    # via the same materialize pattern the dedup operators use.
+    from ..session import materialize_and_release  # noqa: PLC0415
+
+    remnant = staged.mapInPandas(local_prune, staged.schema).persist()
+
     w_glob = (
         Window.orderBy(F.col("__sx").desc(), F.col("__sy").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -240,6 +253,7 @@ def skyline_2d(
         .filter(F.col("__prior").isNull() | (F.col("__prior") < F.col("__sy")))
         .select("__sx", "__sy")
     )
-    return remnant.join(
+    out = remnant.join(
         broadcast(frontier_pairs), ["__sx", "__sy"], "left_semi"
     ).drop("__sx", "__sy")
+    return materialize_and_release(out, remnant)

@@ -859,3 +859,77 @@ def int8_dequantize(codes_col, scale_col):
     return F.transform(
         codes_col, lambda q: q.cast("double") * scale_col
     )
+
+
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    attr_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search: exact cosine top-k where each query only
+    matches corpus rows sharing its ``attr_col`` value (the metadata-
+    predicate + ANN composition every vector store exposes as
+    "filtered search").
+
+    Same batched-BLAS shape as ``cosine_topk_batched`` — the corpus never
+    shuffles, queries broadcast once — with the predicate applied INSIDE
+    the scoring kernel as a mask on the similarity matrix (mismatched
+    attributes score -inf before the per-batch top-k).  Pre-filtering the
+    corpus per query would re-scan it n_queries times; post-filtering the
+    top-k would under-fill it.  The mask costs one vectorized comparison
+    per batch and keeps both exactness and the single-scan plan.
+    """
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(attr_col).cast("long").alias("qa"),
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_attrs = np.array([r["qa"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = qm / qn[:, None]
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qm, q_attrs))
+
+    def score(batches):
+        ids_b, qm_b, qa_b = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cas = pdf["ca"].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            cn[cn == 0] = 1.0
+            sims = (cm / cn[:, None]) @ qm_b.T  # (batch, n_queries)
+            sims[cids[:, None] == ids_b[None, :]] = -np.inf  # self-matches
+            sims[cas[:, None] != qa_b[None, :]] = -np.inf  # predicate mask
+            kk = min(k, len(cids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            out_q = np.repeat(ids_b, kk)
+            out_c = cids[top.T.ravel()]
+            out_s = np.take_along_axis(sims, top, axis=0).T.ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "vec_id": out_c[keep],
+                    "cosine_sim": np.round(out_s[keep], 6),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(attr_col).cast("long").alias("ca"),
+    ).mapInPandas(score, "query_id long, vec_id long, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

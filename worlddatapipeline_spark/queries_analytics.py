@@ -3336,7 +3336,58 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Filtered vector search (metadata predicate + exact top-k)
+# ---------------------------------------------------------------------------
+
+def q_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the metadata-predicate + ANN composition
+    every vector store exposes: each query vector retrieves its top-5 by
+    cosine among corpus vectors sharing its label only.  The predicate is
+    a vectorized mask INSIDE the batched-BLAS scoring kernel
+    (operators/similarity.py::filtered_cosine_topk) — the corpus is
+    scanned once and never shuffles, queries broadcast once; pre-filtering
+    per query would rescan the corpus per query, post-filtering would
+    under-fill k."""
+    from .operators import similarity as sim_ops
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    corpus = embeddings.select("vec_id", "embedding", "label")
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return sim_ops.filtered_cosine_topk(corpus, queries, k=5).select(
+        "query_id", "vec_id", "cosine_sim", "rank"
+    )
+
+
+SQL_FILTERED_VECTOR_SEARCH = """
+WITH c AS (
+  SELECT vec_id, embedding, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(
+           list_sum(list_transform(list_zip(q.qv, c.embedding),
+                                   x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.embedding,
+                                             x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cosine_sim
+  FROM c JOIN q ON c.label = q.label AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 ANALYTICS_QUERIES = {
+    "filtered_vector_search": q_filtered_vector_search,
     "asof_tolerance_click": q_asof_tolerance_click,
     "interval_coverage": q_interval_coverage,
     "pareto_parts": q_pareto_parts,
@@ -3399,6 +3450,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "filtered_vector_search": SQL_FILTERED_VECTOR_SEARCH,
     "asof_tolerance_click": SQL_ASOF_TOLERANCE_CLICK,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "pareto_parts": SQL_PARETO_PARTS,
