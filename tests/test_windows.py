@@ -328,3 +328,20 @@ def test_merge_intervals_null_bounds_dropped(spark):
     )
     rows = merge_intervals(df, "k", "s", "e", tie_col="id").collect()
     assert len(rows) == 1 and rows[0]["n_intervals"] == 1
+
+
+def test_global_index_dense_and_ordered(spark):
+    """Indices are exactly 0..n-1 and monotone in the requested total
+    order, across many range partitions."""
+    import random
+
+    from worlddatapipeline_spark.operators.windows import global_index
+
+    rng = random.Random(11)
+    rows = [(i, rng.random()) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(16)
+    out = global_index(df, ["v", "id"], num_partitions=8).collect()
+    assert sorted(r["row_idx"] for r in out) == list(range(5000))
+    by_idx = sorted(out, key=lambda r: r["row_idx"])
+    keys = [(r["v"], r["id"]) for r in by_idx]
+    assert keys == sorted(keys)

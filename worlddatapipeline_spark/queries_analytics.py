@@ -3386,7 +3386,103 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Scalable global row index (zipWithIndex analog)
+# ---------------------------------------------------------------------------
+
+def q_stable_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row index over purchases in (ts, event_id) order via
+    operators/windows.py::global_index — range-partitioned parallel sort +
+    broadcast per-partition offsets + one Arrow pass, instead of the
+    single-task ``row_number() OVER (ORDER BY …)`` window the naive form
+    plans.  (ts, event_id) is a total order (event_id unique), the
+    operator's determinism requirement.  Checked value-for-value against
+    the oracle's global row_number."""
+    from .operators import windows as win_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    out = win_ops.global_index(purchases, ["ts", "event_id"])
+    return out.select("event_id", "row_idx")
+
+
+SQL_STABLE_ROW_INDEX = """
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id) - 1 AS row_idx
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across ALL of the user's clicks in the 7 days up to it (the
+    multi-touch complement of `last_touch_attribution`).  Plan: user-key
+    equi-join with the time band as a residual predicate (clicks and
+    purchases co-shuffle on user_id once), per-purchase touch count via a
+    window over purchase_id — no second aggregate-and-join — then credits
+    roll up per click.  Credit math in integer micro-units with floor
+    division, so the equal split is engine-exact."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_us"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    week_us = 7 * 24 * 3600 * 1000000
+    touches = purchases.join(clicks, "user_id").filter(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - F.lit(week_us))
+    )
+    wn = Window.partitionBy("purchase_id")
+    credited = touches.withColumn(
+        "n_touches", F.count(F.lit(1)).over(wn)
+    ).withColumn("credit_us", F.expr("value_us div n_touches"))
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_us").alias("credited_us"),
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT p.purchase_id, c.click_id, p.value_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000
+), credited AS (
+  SELECT click_id,
+         value_us // count(*) OVER (PARTITION BY purchase_id) AS credit_us
+  FROM touches
+)
+SELECT click_id, count(*) AS n_credits,
+       CAST(sum(credit_us) AS BIGINT) AS credited_us
+FROM credited GROUP BY click_id
+"""
+
+
 ANALYTICS_QUERIES = {
+    "stable_row_index": q_stable_row_index,
+    "linear_attribution": q_linear_attribution,
     "filtered_vector_search": q_filtered_vector_search,
     "asof_tolerance_click": q_asof_tolerance_click,
     "interval_coverage": q_interval_coverage,
@@ -3450,6 +3546,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "stable_row_index": SQL_STABLE_ROW_INDEX,
+    "linear_attribution": SQL_LINEAR_ATTRIBUTION,
     "filtered_vector_search": SQL_FILTERED_VECTOR_SEARCH,
     "asof_tolerance_click": SQL_ASOF_TOLERANCE_CLICK,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
