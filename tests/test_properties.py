@@ -122,3 +122,25 @@ def test_bloom_sizing_monotone(n, k):
     m = optimal_n_bits(n, 0.01)
     assert m & (m - 1) == 0
     assert m >= optimal_n_bits(max(1, n // 2), 0.01) // 2
+
+
+def test_cusum_closed_form_equals_recursion():
+    """The window-expressible closed form S_i = P_i - min(0, min_prefix(P))
+    used by q_cusum_drift_alarms equals the textbook recursion
+    S_i = max(0, S_{i-1} + d_i), both drift directions, on random series."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        d = rng.integers(-1000, 1000, size=rng.integers(1, 200))
+        p = np.cumsum(d)
+        s_pos_closed = p - np.minimum(0, np.minimum.accumulate(p))
+        s_neg_closed = np.maximum(0, np.maximum.accumulate(p)) - p
+        s_pos, s_neg = np.zeros_like(p), np.zeros_like(p)
+        sp = sn = 0
+        for i, di in enumerate(d):
+            sp = max(0, sp + di)
+            sn = max(0, sn - di)
+            s_pos[i], s_neg[i] = sp, sn
+        assert (s_pos_closed == s_pos).all()
+        assert (s_neg_closed == s_neg).all()

@@ -3480,7 +3480,84 @@ FROM credited GROUP BY click_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+def q_cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user, in closed window form.
+    The textbook recursion S_i = max(0, S_{i-1} + (v_i - target)) looks
+    like a stateful scan, but has the exact closed form
+    S_i = P_i - min(0, min_{j<=i} P_j) with P the running sum of
+    deviations — so it runs as two cumulative windows over ONE shuffle on
+    the user key, fully codegen'd, no Python state.  Both drift
+    directions share the same prefix sums (the negative side is the
+    mirror identity S-_i = max(0, min-prefix...) = max(0, max_prefix - P).
+    All arithmetic in integer micro-units; alarms fire where the positive
+    CUSUM exceeds a fixed threshold."""
+    (events,) = _t(spark, sf_dir, "events")
+    target_us = 100_000_000          # drift target: 100 value-units
+    h_us = 500_000_000               # alarm threshold: 500 units of drift
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        - F.lit(target_us)
+    )
+    staged = (
+        events.select("user_id", "ts", "event_id", d.alias("d_us"))
+        .withColumn("p_us", F.sum("d_us").over(wc))
+        .withColumn(
+            "s_pos",
+            F.col("p_us") - F.least(F.lit(0), F.min("p_us").over(wc)),
+        )
+        .withColumn(
+            "s_neg",
+            F.greatest(F.lit(0), F.max("p_us").over(wc)) - F.col("p_us"),
+        )
+    )
+    return staged.groupBy("user_id").agg(
+        F.max("s_pos").alias("max_pos_cusum_us"),
+        F.max("s_neg").alias("max_neg_cusum_us"),
+        F.sum((F.col("s_pos") > h_us).cast("long")).alias("n_alarms"),
+        F.min(
+            F.when(F.col("s_pos") > h_us, F.col("event_id"))
+        ).alias("first_alarm_event"),
+    )
+
+
+SQL_CUSUM_DRIFT_ALARMS = """
+WITH staged AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 100000000 AS d_us,
+         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 100000000)
+           OVER w AS p_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cusum AS (
+  SELECT user_id, event_id,
+         p_us - least(0, min(p_us) OVER w) AS s_pos,
+         greatest(0, max(p_us) OVER w) - p_us AS s_neg
+  FROM staged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(max(s_pos) AS BIGINT) AS max_pos_cusum_us,
+       CAST(max(s_neg) AS BIGINT) AS max_neg_cusum_us,
+       CAST(sum(CASE WHEN s_pos > 500000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       min(CASE WHEN s_pos > 500000000 THEN event_id END)
+         AS first_alarm_event
+FROM cusum GROUP BY user_id
+"""
+
+
 ANALYTICS_QUERIES = {
+    "cusum_drift_alarms": q_cusum_drift_alarms,
     "stable_row_index": q_stable_row_index,
     "linear_attribution": q_linear_attribution,
     "filtered_vector_search": q_filtered_vector_search,
@@ -3546,6 +3623,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "cusum_drift_alarms": SQL_CUSUM_DRIFT_ALARMS,
     "stable_row_index": SQL_STABLE_ROW_INDEX,
     "linear_attribution": SQL_LINEAR_ATTRIBUTION,
     "filtered_vector_search": SQL_FILTERED_VECTOR_SEARCH,
