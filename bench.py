@@ -132,6 +132,17 @@ LLM = [
     "pyds_listing_parse_stats",
     "param_sql_revenue_bands",
     "dq_constraint_report",
+    # round-4 third-session additions (new_queries vs the committed baseline)
+    "asof_tolerance_click",
+    "interval_coverage",
+    "pareto_parts",
+    "event_transition_matrix",
+    "equi_depth_bins",
+    "countmin_contract",
+    "filtered_vector_search",
+    "stable_row_index",
+    "linear_attribution",
+    "cusum_drift_alarms",
 ]
 
 

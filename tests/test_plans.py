@@ -469,3 +469,50 @@ def test_dq_report_single_conditional_agg_pass(spark):
     import re
     partials = re.findall(r"partial_sum\(CASE WHEN", plan)
     assert len(partials) == 5
+
+
+def test_interval_coverage_single_shuffle(spark):
+    """Both windows + island groupBy + per-user rollup ride ONE user-key
+    exchange (the island key extends the partitioning)."""
+    plan = _plan(spark, "interval_coverage")
+    assert _hash_exchanges(plan) == 1
+
+
+def test_cusum_single_shuffle(spark):
+    """Closed-form CUSUM: all four cumulative windows share one user-key
+    exchange; no Python stage anywhere."""
+    plan = _plan(spark, "cusum_drift_alarms")
+    assert _hash_exchanges(plan) == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_tolerance_plan_matches_plain_asof(spark):
+    """The tolerance gate must not change the single-shuffle as-of shape:
+    same exchange count as the tolerance-free query, no extra join."""
+    tol = _plan(spark, "asof_tolerance_click")
+    plain = _plan(spark, "asof_click_before_purchase")
+    assert _hash_exchanges(tol) == _hash_exchanges(plain)
+    assert "SortMergeJoin" not in tol and "BroadcastHashJoin" not in tol
+
+
+def test_skyline_prunes_at_scan_and_broadcasts_frontier(spark):
+    """Local prune is an Arrow stage directly over the scan (no exchange
+    below it) and the surviving pairs come back as a broadcast semi-join."""
+    from worlddatapipeline_spark.session import load_tables
+    from worlddatapipeline_spark.operators.aggregates import skyline_2d
+
+    part = load_tables(spark, SF, ["part"])["part"]
+    df = skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+        materialize=False,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "MapInPandas" in plan
+    # prune sits on the scan: no shuffle between FileScan and MapInPandas
+    scan_to_prune = plan.split("MapInPandas")[0]
+    assert "Arguments: hashpartitioning(" not in scan_to_prune
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

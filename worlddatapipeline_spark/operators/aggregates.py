@@ -177,6 +177,7 @@ def skyline_2d(
     y_col: str,
     minimize_x: bool = True,
     maximize_y: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pareto frontier (skyline) over two numeric criteria.
 
@@ -238,9 +239,14 @@ def skyline_2d(
     # probe); without a barrier the corpus scan + prune would run twice.
     # Cache-cheap by construction (it is the pruned survivors), released
     # via the same materialize pattern the dedup operators use.
+    # ``materialize=False`` returns the fully lazy plan with NO persist —
+    # for plan inspection or composing (persist/checkpoint yourself; the
+    # compose pays the second scan otherwise).
     from ..session import materialize_and_release  # noqa: PLC0415
 
-    remnant = staged.mapInPandas(local_prune, staged.schema).persist()
+    remnant = staged.mapInPandas(local_prune, staged.schema)
+    if materialize:
+        remnant = remnant.persist()
 
     w_glob = (
         Window.orderBy(F.col("__sx").desc(), F.col("__sy").desc())
@@ -256,4 +262,6 @@ def skyline_2d(
     out = remnant.join(
         broadcast(frontier_pairs), ["__sx", "__sy"], "left_semi"
     ).drop("__sx", "__sy")
+    if not materialize:
+        return out
     return materialize_and_release(out, remnant)
