@@ -68,3 +68,23 @@ def test_cli_dq_gate(spark, tmp_path, capsys):
     spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(clean)
     assert main(["dq", "--table", clean, "--unique", "id",
                  "--fail-on-violation"]) == 0
+
+
+def test_cli_vacuum(spark, tmp_path, capsys):
+    import json
+
+    from worlddatapipeline_spark.__main__ import main
+    from worlddatapipeline_spark.operators import reconcile
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 0.0)], ["k", "bal"]).write.parquet(p)
+    for i in (1, 2, 3):
+        reconcile.merge_upsert_parquet(
+            spark, p, spark.createDataFrame([(1, float(i))], ["k", "bal"]),
+            ["k"], keep_versions=3,
+        )
+    rc = main(["vacuum", "--table", p, "--keep-last", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["kept"] == ["_v00000003"]
+    assert out["removed"] == ["_v00000001", "_v00000002"]

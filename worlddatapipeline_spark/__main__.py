@@ -13,6 +13,7 @@ are parquet/CSV/JSON paths, and "execution" is one Spark action.
     python -m worlddatapipeline_spark reconcile  --catalog cat.parquet --listing ls.parquet --keys scene_name --out outdir
     python -m worlddatapipeline_spark stats      --sf-dir /root/testdata/sf0.01
     python -m worlddatapipeline_spark dq         --table t.parquet --unique id --not-null col1,col2 [--fail-on-violation]
+    python -m worlddatapipeline_spark vacuum     --table tbl_dir --keep-last 1
     python -m worlddatapipeline_spark query NAME --sf-dir /root/testdata/sf0.01 [--out outdir]
 
 Every subcommand accepts ``--manifest job.json`` (template/default deep-merge
@@ -69,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--not-null", help="comma-joined required columns")
     dq.add_argument("--fail-on-violation", action="store_true")
     dq.add_argument("--manifest")
+    vac = sub.add_parser("vacuum")
+    vac.add_argument("--table", required=True, help="merged-table directory")
+    vac.add_argument("--keep-last", type=int, default=1)
+    vac.add_argument("--manifest")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"wdp-{args.cmd}")
@@ -149,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
         ))
         if args.fail_on_violation and any(not r["passed"] for r in report):
             return 1
+    elif args.cmd == "vacuum":
+        # trim a merged table's version history (retention maintenance);
+        # refuses to run against a live writer via the shared lease
+        from .operators.reconcile import table_versions, vacuum_table
+
+        removed = vacuum_table(args.table, keep_last=args.keep_last)
+        print(json.dumps(
+            {"removed": removed, "kept": table_versions(args.table)}
+        ))
     return 0
 
 
