@@ -3556,7 +3556,139 @@ FROM cusum GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4) + SQL pipe syntax
+# ---------------------------------------------------------------------------
+
+def q_recursive_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE, run BY SPARK (4.x ships recursive CTEs): an
+    amortization schedule per sampled order — 10%%-of-principal payments
+    until the balance clears, at most 10 recursion steps by construction.
+    The sibling `recursive_discount_chain` proves sequential walks can be
+    re-expressed as windows when the recursion is linear; THIS entry covers
+    the native form for genuinely iterative row generation, same statement
+    text on the DuckDB oracle.  All integer cents, so every step is
+    engine-exact.  Scale: recursion depth is bounded by the payment rule
+    (10 steps), each step is one self-join of the frontier — rows never
+    exceed orders x 11."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql(SQL_RECURSIVE_AMORTIZATION)
+
+
+SQL_RECURSIVE_AMORTIZATION = """
+WITH RECURSIVE seed AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS principal
+  FROM orders WHERE o_orderkey % 500 = 0
+), pay AS (
+  SELECT o_orderkey, principal,
+         CAST(ceil(principal / 10.0) AS BIGINT) AS installment
+  FROM seed
+), sched (o_orderkey, m, remaining, installment) AS (
+  SELECT o_orderkey, 0, principal, installment FROM pay
+  UNION ALL
+  SELECT o_orderkey, m + 1,
+         CASE WHEN remaining > installment
+              THEN remaining - installment ELSE 0 END,
+         installment
+  FROM sched WHERE remaining > 0
+)
+SELECT o_orderkey, m, remaining FROM sched
+"""
+
+
+def q_pipe_sql_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, Spark 4): the order-priority mix for one month
+    written as a left-to-right pipeline — FROM |> WHERE |> AGGREGATE …
+    GROUP BY |> ORDER BY.  Same logical plan as the classic form (pipes
+    are pure syntax), so the oracle is the classic restatement on DuckDB.
+    Covers the surface a pipeline-minded user would actually write."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql("""
+FROM orders
+|> WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-06-01'
+|> AGGREGATE count(*) AS n_orders,
+            CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(28,0))) AS BIGINT) AS total_cents
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+""")
+
+
+SQL_PIPE_SQL_PRIORITY_MIX = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(28,0))) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-06-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# In-flight observed metrics (Observation API)
+# ---------------------------------------------------------------------------
+
+def q_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline run-audit via the Observation API: row count, exact
+    micro-unit value total, and null-props count are OBSERVED on the scan
+    while the real aggregation (revenue per event type) executes — audit
+    metrics cost zero extra passes, the pattern for production counters
+    at 100 TB where a second audit scan is unaffordable.  The query
+    returns the observed metrics plus the aggregation's own totals folded
+    into one row, so the oracle independently recomputes BOTH paths and
+    any observation drift (wrong pass, partial metrics) hash-fails."""
+    from pyspark.sql import Observation
+
+    (events,) = _t(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        ).alias("total_value_us"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+    )
+    per_type = observed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        ).alias("value_us"),
+    )
+    rows = per_type.collect()          # the action that fires the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [(
+            m["n_rows"],
+            m["total_value_us"],
+            m["n_null_props"],
+            len(rows),
+            sum(r["n"] for r in rows),
+            sum(r["value_us"] for r in rows),
+        )],
+        "n_rows long, total_value_us long, n_null_props long, "
+        "n_types long, n_rows_agg long, total_value_us_agg long",
+    )
+
+
+SQL_OBSERVED_METRICS_AUDIT = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_us,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_props,
+       count(DISTINCT event_type) AS n_types,
+       count(*) AS n_rows_agg,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_us_agg
+FROM events
+"""
+
+
 ANALYTICS_QUERIES = {
+    "observed_metrics_audit": q_observed_metrics_audit,
+    "recursive_amortization": q_recursive_amortization,
+    "pipe_sql_priority_mix": q_pipe_sql_priority_mix,
     "cusum_drift_alarms": q_cusum_drift_alarms,
     "stable_row_index": q_stable_row_index,
     "linear_attribution": q_linear_attribution,
@@ -3623,6 +3755,9 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "observed_metrics_audit": SQL_OBSERVED_METRICS_AUDIT,
+    "recursive_amortization": SQL_RECURSIVE_AMORTIZATION,
+    "pipe_sql_priority_mix": SQL_PIPE_SQL_PRIORITY_MIX,
     "cusum_drift_alarms": SQL_CUSUM_DRIFT_ALARMS,
     "stable_row_index": SQL_STABLE_ROW_INDEX,
     "linear_attribution": SQL_LINEAR_ATTRIBUTION,
