@@ -143,6 +143,9 @@ LLM = [
     "stable_row_index",
     "linear_attribution",
     "cusum_drift_alarms",
+    "recursive_amortization",
+    "pipe_sql_priority_mix",
+    "observed_metrics_audit",
 ]
 
 
