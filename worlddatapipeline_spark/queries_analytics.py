@@ -3685,7 +3685,99 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Stream-static join enrichment
+# ---------------------------------------------------------------------------
+
+def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the one basic streaming shape the suite did not
+    yet run for real: a live event stream enriched against a batch-computed
+    dimension (user value tiers, ntile(4) over total purchase micro-units
+    with a user_id tie-break so the tiling is total and engine-stable),
+    then counted per (tier, event_type).  Executes as a REAL readStream →
+    join(static) → groupBy → memory sink pipeline with an availableNow
+    trigger; Spark re-resolves the static side per micro-batch, which is
+    exactly the slowly-refreshing-dimension deployment shape.  Hash-checked
+    against the batch restatement on DuckDB.  Scale: the dim is
+    broadcast-sized per tier design; state is the (tier × type) count grid,
+    constant."""
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (events,) = _t(spark, sf_dir, "events")
+    tiers = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("total_us")
+        )
+        .select(
+            "user_id",
+            F.ntile(4)
+            .over(
+                Window.orderBy(F.col("total_us").asc(), F.col("user_id").asc())
+            )
+            .alias("tier"),
+        )
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    enriched = (
+        stream.join(tiers, "user_id", "inner")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("value_us"),
+        )
+    )
+    sink = "stream_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAMING_STATIC_ENRICHMENT = """
+WITH tiers AS (
+  SELECT user_id,
+         ntile(4) OVER (
+           ORDER BY sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) ASC,
+                    user_id ASC) AS tier
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT t.tier, e.event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_us
+FROM events e JOIN tiers t ON e.user_id = t.user_id
+GROUP BY t.tier, e.event_type
+"""
+
+
 ANALYTICS_QUERIES = {
+    "streaming_static_enrichment": q_streaming_static_enrichment,
     "observed_metrics_audit": q_observed_metrics_audit,
     "recursive_amortization": q_recursive_amortization,
     "pipe_sql_priority_mix": q_pipe_sql_priority_mix,
@@ -3755,6 +3847,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "streaming_static_enrichment": SQL_STREAMING_STATIC_ENRICHMENT,
     "observed_metrics_audit": SQL_OBSERVED_METRICS_AUDIT,
     "recursive_amortization": SQL_RECURSIVE_AMORTIZATION,
     "pipe_sql_priority_mix": SQL_PIPE_SQL_PRIORITY_MIX,
