@@ -146,6 +146,7 @@ LLM = [
     "recursive_amortization",
     "pipe_sql_priority_mix",
     "observed_metrics_audit",
+    "streaming_static_enrichment",
 ]
 
 
