@@ -140,3 +140,22 @@ def test_skyline_2d_matches_bruteforce_random(spark):
         )
     )
     assert kept == expected
+
+
+def test_skyline_2d_null_and_nan_rows_excluded(spark):
+    """NULL/NaN coordinates are incomparable: excluded from the frontier
+    AND harmless to it (a NaN must not poison the local running max)."""
+    from worlddatapipeline_spark.operators.aggregates import skyline_2d
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, None),          # NULL y -> excluded
+            (2, 2.0, 5),             # true frontier point
+            (3, None, 9),            # NULL x -> excluded
+            (4, float("nan"), 7),    # NaN x -> excluded
+            (5, 3.0, 1),             # dominated by 2
+        ],
+        "id int, x double, y int",
+    )
+    kept = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+    assert kept == [2]

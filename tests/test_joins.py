@@ -297,3 +297,33 @@ def test_asof_tolerance_timestamp_axis_in_seconds(spark):
     }
     assert out[1] == 7      # exactly 600 s back — inclusive
     assert out[2] is None   # 2 h back — beyond tolerance
+
+
+def test_asof_tolerance_nearest_null_value_stays_null(spark):
+    """The tolerance gate is ATOMIC with the match: when the nearest right
+    row's value is NULL, the result is NULL (merge_asof), never an older
+    non-null value sneaking past a gate measured on the nearer row."""
+    left = spark.createDataFrame([("k", 5000.0, 1)], ["k", "t", "lid"])
+    right = spark.createDataFrame(
+        [("k", 100.0, "A"), ("k", 4000.0, None)], ["k", "rt", "val"]
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        value_cols=["val"], tolerance=1800.0,
+    ).collect()
+    assert out[0]["val"] is None
+    # and with a wide tolerance the nearest (NULL-valued) row still wins
+    out = joins.asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        value_cols=["val"], tolerance=10000.0,
+    ).collect()
+    assert out[0]["val"] is None
+    # NULL right timestamps are dropped, not sorted into the fill
+    right2 = spark.createDataFrame(
+        [("k", None, "X"), ("k", 4500.0, "B")], ["k", "rt", "val"]
+    )
+    out = joins.asof_join(
+        left, right2, on="k", left_ts="t", right_ts="rt",
+        value_cols=["val"], tolerance=1800.0,
+    ).collect()
+    assert out[0]["val"] == "B"

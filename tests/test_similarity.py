@@ -346,3 +346,32 @@ def test_filtered_cosine_topk_respects_predicate(spark):
         got = [h["vec_id"] for h in sorted(hits, key=lambda h: h["rank"])]
         assert got == expect
     assert len(by_q[2]) == 2  # small label group under-fills k
+
+
+def test_filtered_cosine_topk_string_and_null_labels(spark):
+    """String attributes work (hashed comparison) and NULL labels match
+    nothing on either side, like SQL equality."""
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.similarity import filtered_cosine_topk
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)],
+         None if i == 7 else ("red" if i % 2 == 0 else "blue"))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    queries = df.filter("vec_id in (0, 1, 7)").select(
+        df.vec_id.alias("query_id"), "embedding", "label"
+    )
+    out = filtered_cosine_topk(df, queries, k=3, attr_col="label").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert by_q[0] <= {2, 4, 6, 8}          # red query -> red corpus only
+    assert by_q[1] <= {3, 5, 9}             # blue query -> blue (7 is NULL)
+    assert 7 not in by_q                    # NULL-label query matches nothing
+    assert all(7 not in hits for hits in by_q.values())

@@ -73,9 +73,21 @@ def main(argv: list[str] | None = None) -> int:
     vac = sub.add_parser("vacuum")
     vac.add_argument("--table", required=True, help="merged-table directory")
     vac.add_argument("--keep-last", type=int, default=1)
-    vac.add_argument("--manifest")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "vacuum":
+        # pure-filesystem retention maintenance — no Spark session (a
+        # per-table cron should not pay JVM startup for os.listdir work);
+        # refuses to run against a live writer via the shared lease
+        from .operators.reconcile import table_versions, vacuum_table
+
+        removed = vacuum_table(args.table, keep_last=args.keep_last)
+        print(json.dumps(
+            {"removed": removed, "kept": table_versions(args.table)}
+        ))
+        return 0
+
     spark = get_spark(app_name=f"wdp-{args.cmd}")
 
     if args.cmd == "scan":
@@ -154,15 +166,6 @@ def main(argv: list[str] | None = None) -> int:
         ))
         if args.fail_on_violation and any(not r["passed"] for r in report):
             return 1
-    elif args.cmd == "vacuum":
-        # trim a merged table's version history (retention maintenance);
-        # refuses to run against a live writer via the shared lease
-        from .operators.reconcile import table_versions, vacuum_table
-
-        removed = vacuum_table(args.table, keep_last=args.keep_last)
-        print(json.dumps(
-            {"removed": removed, "kept": table_versions(args.table)}
-        ))
     return 0
 
 

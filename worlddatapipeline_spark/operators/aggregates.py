@@ -218,7 +218,15 @@ def skyline_2d(
 
     sx = F.col(x_col) * F.lit(-1 if minimize_x else 1)
     sy = F.col(y_col) * F.lit(1 if maximize_y else -1)
-    staged = df.withColumn("__sx", sx).withColumn("__sy", sy)
+    # NULL/NaN coordinates are incomparable under dominance and would
+    # poison the numpy running max (NaN >= x is always False, silently
+    # dropping true frontier rows) — exclude them up front, same contract
+    # as merge_intervals' NULL-bounds filter.
+    valid = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for c, col in ((x_col, df.schema[x_col]), (y_col, df.schema[y_col])):
+        if col.dataType.simpleString() in ("float", "double"):
+            valid = valid & ~F.isnan(F.col(c))
+    staged = df.filter(valid).withColumn("__sx", sx).withColumn("__sy", sy)
 
     def local_prune(batches):
         for pdf in batches:

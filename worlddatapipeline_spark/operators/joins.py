@@ -55,8 +55,14 @@ def asof_join(
     match may sit: a left row whose nearest right row is MORE than
     ``tolerance`` away gets NULLs instead (pandas ``merge_asof`` semantics).
     Units: seconds when the axis is a datetime type, else the axis's own
-    units.  The gate is evaluated on the matched right row's own timestamp
-    (carried through the same fill window), so it adds zero extra shuffles.
+    units.  Under a tolerance the carried values are wrapped in ONE struct
+    with the right row's own timestamp, so the match is ATOMIC: the gate
+    and every value column refer to the SAME nearest right row — a nearer
+    right row whose value is NULL yields NULL (exact merge_asof), never a
+    staler value sneaking past the gate (the independent-fill caveat below
+    applies only to the tolerance-free path).  NULL-timestamp right rows
+    are dropped (they cannot sit on the axis; merge_asof rejects NaT).
+    Still the same single shuffle — the struct rides the same fill window.
 
     Reference analog: nearest-keyframe channel sampling
     (`camera_exporter.py:221-232`) — a per-frame linear scan over keys.
@@ -108,30 +114,51 @@ def asof_join(
         r_ts_expr = F.col(right_ts).cast("double")
         axis_type, axis_datetime = None, False
     # right rows carry the values; left rows carry nulls that get filled.
-    # Under a tolerance, __mt additionally carries the right row's own axis
-    # value so the gate can measure the matched gap without a second join;
-    # without one the column is omitted so the plan is unchanged.
-    mt_r = [r_ts_expr.alias("__mt")] if tolerance is not None else []
-    mt_l = (
-        [F.lit(None).cast(axis_type if axis_type is not None else "double").alias("__mt")]
-        if tolerance is not None
-        else []
-    )
+    # Under a tolerance the values AND the right row's own axis value ride
+    # ONE struct, so the fill is atomic per matched row (a right row's
+    # struct is never NULL — its ts field is non-null by the filter — so
+    # last(ignorenulls) always picks the NEAREST right row, NULL payloads
+    # included); without a tolerance the columns fill independently and
+    # the plan is byte-identical to before the feature existed.
+    if tolerance is not None:
+        right = right.filter(r_ts_expr.isNotNull())
+        pk_r = [
+            F.struct(
+                r_ts_expr.alias("__mt"),
+                *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+            ).alias("__pk")
+        ]
+        pk_l_type = "struct<__mt:{},{}>".format(
+            (axis_type.simpleString() if axis_type is not None else "double"),
+            ",".join(
+                f"__v_{c}:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            ),
+        )
+        pk_l = [F.lit(None).cast(pk_l_type).alias("__pk")]
+        v_r, v_l = [], []
+    else:
+        pk_r, pk_l = [], []
+        v_r = [F.col(c).alias(f"__v_{c}") for c in value_cols]
+        v_l = [
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ]
     r = right.select(
         F.col(on).alias(on),
         r_ts_expr.alias(ts),
         F.lit(0).alias(tag),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *v_r,
         *[F.lit(None).alias(f"__l_{c}") for c in lcols],
-        *mt_r,
+        *pk_r,
     )
     l = left.select(
         F.col(on).alias(on),
         l_ts_expr.alias(ts),
         F.lit(1).alias(tag),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *v_l,
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *mt_l,
+        *pk_l,
     )
     if direction == "backward":
         # right row at time t is visible to left rows with ts >= t;
@@ -151,36 +178,43 @@ def asof_join(
         )
     else:
         raise ValueError(f"unknown direction: {direction}")
-    filled = u.select(
-        on,
-        ts,
-        tag,
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
-        *[F.col(f"__l_{c}") for c in lcols],
-        *(
-            [F.last("__mt", ignorenulls=True).over(w).alias("__mt")]
-            if tolerance is not None
-            else []
-        ),
-    )
     if tolerance is None:
+        filled = u.select(
+            on,
+            ts,
+            tag,
+            *[
+                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+                for c in value_cols
+            ],
+            *[F.col(f"__l_{c}") for c in lcols],
+        )
         return filled.filter(F.col(tag) == 1).select(
             *[F.col(f"__l_{c}").alias(c) for c in lcols],
             *[F.col(f"__v_{c}").alias(c) for c in value_cols],
         )
 
+    filled = u.select(
+        on,
+        ts,
+        tag,
+        *[F.col(f"__l_{c}") for c in lcols],
+        F.last("__pk", ignorenulls=True).over(w).alias("__pk"),
+    )
+
     def _num(c):
         return c.cast("timestamp").cast("double") if axis_datetime else c.cast("double")
 
+    mt = F.col("__pk.__mt")
     gap = (
-        _num(F.col(ts)) - _num(F.col("__mt"))
+        _num(F.col(ts)) - _num(mt)
         if direction == "backward"
-        else _num(F.col("__mt")) - _num(F.col(ts))
+        else _num(mt) - _num(F.col(ts))
     )
-    in_tol = F.col("__mt").isNotNull() & (gap <= F.lit(float(tolerance)))
+    in_tol = F.col("__pk").isNotNull() & (gap <= F.lit(float(tolerance)))
     return filled.filter(F.col(tag) == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.when(in_tol, F.col(f"__v_{c}")).alias(c) for c in value_cols],
+        *[F.when(in_tol, F.col(f"__pk.__v_{c}")).alias(c) for c in value_cols],
     )
 
 

@@ -883,10 +883,20 @@ def filtered_cosine_topk(
     top-k would under-fill it.  The mask costs one vectorized comparison
     per batch and keeps both exactness and the single-scan plan.
     """
+    # attributes of ANY type (string, int, nullable) are compared by their
+    # 64-bit hash, computed JVM-side so the Arrow column is a non-null
+    # int64 (a pandas nullable int would arrive as float64 and lose
+    # precision on full-range hashes).  NULL attrs get disjoint sentinels
+    # per side so a NULL never matches anything, like SQL equality.
+    def _attr_hash(col, sentinel):
+        return F.when(
+            col.isNotNull(), F.xxhash64(col.cast("string"))
+        ).otherwise(F.lit(sentinel))
+
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        F.col(attr_col).cast("long").alias("qa"),
+        _attr_hash(F.col(attr_col), -2).alias("qa"),
     ).collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_attrs = np.array([r["qa"] for r in q_rows], dtype=np.int64)
@@ -927,7 +937,7 @@ def filtered_cosine_topk(
     cand = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        F.col(attr_col).cast("long").alias("ca"),
+        _attr_hash(F.col(attr_col), -1).alias("ca"),
     ).mapInPandas(score, "query_id long, vec_id long, cosine_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()

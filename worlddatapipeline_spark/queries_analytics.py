@@ -3111,6 +3111,7 @@ WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s_us,
          epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e_us
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ), marked AS (
   SELECT user_id, event_id, s_us, e_us,
          CASE WHEN max(e_us) OVER w IS NULL OR s_us > max(e_us) OVER w
@@ -3727,19 +3728,16 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from pyspark.sql.types import LongType, TimestampNTZType
-
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # no event-time operator downstream (complete-mode count grid), so the
+    # ts column needs no normalization — project it away before the join
     enriched = (
-        stream.join(tiers, "user_id", "inner")
+        stream.select("user_id", "event_type", "value")
+        .join(tiers, "user_id", "inner")
         .groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
