@@ -147,6 +147,7 @@ LLM = [
     "pipe_sql_priority_mix",
     "observed_metrics_audit",
     "streaming_static_enrichment",
+    "ab_test_zscore",
 ]
 
 

@@ -3774,7 +3774,112 @@ GROUP BY t.tier, e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B experiment analysis
+# ---------------------------------------------------------------------------
+
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout: users deterministically split into
+    arms by md5 parity (the same no-rand() discipline as dataset_split),
+    per-user purchase totals as the metric, then a Welch z-statistic.
+    Moment sums are EXACT — counts and micro-unit sums as BIGINT, squared
+    sums as DECIMAL(38,0) (per-user totals square past int64) — and only
+    the final z evaluation leaves integers for one rounded double, built
+    from the same exact operands on both engines.  Plan: one shuffle for
+    the per-user totals, conditional-agg map-side fold to a single row."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("total_us")
+        )
+        .withColumn(
+            "arm",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+                .cast("long") % 2
+            ).cast("int"),
+        )
+    )
+    stats = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("total_us")).otherwise(0))
+        .cast("long").alias("sum_a_us"),
+        F.sum(F.when(F.col("arm") == 1, F.col("total_us")).otherwise(0))
+        .cast("long").alias("sum_b_us"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("total_us").cast("decimal(38,0)") * F.col("total_us"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("ssq_a"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("total_us").cast("decimal(38,0)") * F.col("total_us"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("ssq_b"),
+    )
+    ma = F.col("sum_a_us").cast("double") / F.col("n_a")
+    mb = F.col("sum_b_us").cast("double") / F.col("n_b")
+    va = F.col("ssq_a").cast("double") / F.col("n_a") - ma * ma
+    vb = F.col("ssq_b").cast("double") / F.col("n_b") - mb * mb
+    z = (ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    return stats.select(
+        "n_a", "n_b", "sum_a_us", "sum_b_us",
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+SQL_AB_TEST_ZSCORE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_us,
+         CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 2 AS INTEGER) AS arm
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), stats AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN total_us ELSE 0 END) AS BIGINT)
+           AS sum_a_us,
+         CAST(sum(CASE WHEN arm = 1 THEN total_us ELSE 0 END) AS BIGINT)
+           AS sum_b_us,
+         CAST(sum(CASE WHEN arm = 0
+                       THEN CAST(total_us AS DECIMAL(38,0)) * total_us
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+           AS ssq_a,
+         CAST(sum(CASE WHEN arm = 1
+                       THEN CAST(total_us AS DECIMAL(38,0)) * total_us
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+           AS ssq_b
+  FROM per_user
+)
+SELECT n_a, n_b, sum_a_us, sum_b_us,
+       round(
+         (CAST(sum_a_us AS DOUBLE) / n_a - CAST(sum_b_us AS DOUBLE) / n_b)
+         / sqrt(
+             (CAST(ssq_a AS DOUBLE) / n_a
+              - (CAST(sum_a_us AS DOUBLE) / n_a) * (CAST(sum_a_us AS DOUBLE) / n_a)) / n_a
+           + (CAST(ssq_b AS DOUBLE) / n_b
+              - (CAST(sum_b_us AS DOUBLE) / n_b) * (CAST(sum_b_us AS DOUBLE) / n_b)) / n_b
+         ), 4) AS z_stat,
+       abs(
+         (CAST(sum_a_us AS DOUBLE) / n_a - CAST(sum_b_us AS DOUBLE) / n_b)
+         / sqrt(
+             (CAST(ssq_a AS DOUBLE) / n_a
+              - (CAST(sum_a_us AS DOUBLE) / n_a) * (CAST(sum_a_us AS DOUBLE) / n_a)) / n_a
+           + (CAST(ssq_b AS DOUBLE) / n_b
+              - (CAST(sum_b_us AS DOUBLE) / n_b) * (CAST(sum_b_us AS DOUBLE) / n_b)) / n_b
+         )) > 1.96 AS significant_95
+FROM stats
+"""
+
+
 ANALYTICS_QUERIES = {
+    "ab_test_zscore": q_ab_test_zscore,
     "streaming_static_enrichment": q_streaming_static_enrichment,
     "observed_metrics_audit": q_observed_metrics_audit,
     "recursive_amortization": q_recursive_amortization,
@@ -3845,6 +3950,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "ab_test_zscore": SQL_AB_TEST_ZSCORE,
     "streaming_static_enrichment": SQL_STREAMING_STATIC_ENRICHMENT,
     "observed_metrics_audit": SQL_OBSERVED_METRICS_AUDIT,
     "recursive_amortization": SQL_RECURSIVE_AMORTIZATION,
