@@ -148,6 +148,8 @@ LLM = [
     "observed_metrics_audit",
     "streaming_static_enrichment",
     "ab_test_zscore",
+    "session_path_counts",
+    "mad_outlier_counts",
 ]
 
 

@@ -3878,7 +3878,146 @@ FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# Session path analysis
+# ---------------------------------------------------------------------------
+
+def q_session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: each user session (30-min inactivity cutoff,
+    the shared sessionize kernel) becomes its ordered event-type string;
+    count sessions per path and keep the 20 most common.  The full-path
+    complement of the bigram `event_transition_matrix`.  Plan: ONE
+    user-key shuffle covers the session window and the per-session
+    ordered collect (sort_array over (ts, event_id, type) structs keeps
+    the concatenation deterministic); the path count is a second small
+    shuffle on the path string.  Top-k is TakeOrderedAndProject."""
+    from .operators import windows as win_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    sess = win_ops.with_session_ids(events)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("t"),
+                                F.col("event_id").alias("i"),
+                                F.col("event_type").alias("e"),
+                            )
+                        )
+                    ),
+                    lambda s: s["e"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATH_COUNTS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000 OR lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+def q_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median + MAD instead of mean +
+    stddev (immune to the very outliers being hunted).  Exact medians over
+    integer micro-units interpolate at worst to an exact .5, so both
+    engines' medians are bit-identical; deviations and the 3-sigma-scaled
+    MAD threshold (1.4826 * MAD * 3) then compose from identical doubles.
+    Two grouped exact-percentile passes (value median, then deviation
+    median) + one conditional count — three small shuffles on the 5-row
+    type key, all map-side combined."""
+    (events,) = _t(spark, sf_dir, "events")
+    vus = events.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_us"),
+    )
+    med = vus.groupBy("event_type").agg(
+        F.percentile("v_us", F.lit(0.5)).alias("med_us")
+    )
+    dev = vus.join(med, "event_type").select(
+        "event_type", "med_us",
+        F.abs(F.col("v_us") - F.col("med_us")).alias("adev"),
+        "v_us",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_us")
+    )
+    thresholded = dev.join(mad, "event_type").withColumn(
+        "is_outlier",
+        F.abs(F.col("v_us") - F.col("med_us"))
+        > F.lit(3 * 1.4826) * F.col("mad_us"),
+    )
+    return thresholded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med_us"), 4).alias("med_us"),
+        F.round(F.first("mad_us"), 4).alias("mad_us"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
+SQL_MAD_OUTLIER_COUNTS = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_us
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v_us, 0.5) AS med_us FROM v GROUP BY event_type
+), dev AS (
+  SELECT v.event_type, v.v_us, med.med_us,
+         abs(v.v_us - med.med_us) AS adev
+  FROM v JOIN med ON v.event_type = med.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_us FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n,
+       round(any_value(d.med_us), 4) AS med_us,
+       round(any_value(m.mad_us), 4) AS mad_us,
+       CAST(sum(CASE WHEN abs(d.v_us - d.med_us) > 3 * 1.4826 * m.mad_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
 ANALYTICS_QUERIES = {
+    "session_path_counts": q_session_path_counts,
+    "mad_outlier_counts": q_mad_outlier_counts,
     "ab_test_zscore": q_ab_test_zscore,
     "streaming_static_enrichment": q_streaming_static_enrichment,
     "observed_metrics_audit": q_observed_metrics_audit,
@@ -3950,6 +4089,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "session_path_counts": SQL_SESSION_PATH_COUNTS,
+    "mad_outlier_counts": SQL_MAD_OUTLIER_COUNTS,
     "ab_test_zscore": SQL_AB_TEST_ZSCORE,
     "streaming_static_enrichment": SQL_STREAMING_STATIC_ENRICHMENT,
     "observed_metrics_audit": SQL_OBSERVED_METRICS_AUDIT,
