@@ -150,6 +150,7 @@ LLM = [
     "ab_test_zscore",
     "session_path_counts",
     "mad_outlier_counts",
+    "kcore_contract",
 ]
 
 

@@ -190,3 +190,27 @@ def test_star_cc_exact_probe_runs_once(spark, monkeypatch):
     # exactly one fused probe = two exceptAll directions, on the round
     # whose fingerprint matched; every earlier round skipped it
     assert len(calls) == 2, calls
+
+
+def test_k_core_peeling(spark):
+    """Known 3-core: a K4 clique survives; a pendant chain and a triangle
+    hanging off it peel away entirely."""
+    from worlddatapipeline_spark.operators.graph import k_core
+
+    edges = [
+        # K4 on 1-4 (3-core)
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # triangle 5-6-7 attached at 4 (2-core only)
+        (4, 5), (5, 6), (6, 7), (7, 5),
+        # pendant chain
+        (7, 8), (8, 9),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core = {r["node"]: r["degree"] for r in k_core(df, k=3).collect()}
+    assert set(core) == {1, 2, 3, 4}
+    assert all(d == 3 for d in core.values())
+    # k=2 keeps the triangle but still drops the chain
+    core2 = {r["node"] for r in k_core(df, k=2).collect()}
+    assert core2 == {1, 2, 3, 4, 5, 6, 7}
+    # k above the densest structure -> empty
+    assert k_core(df, k=4).count() == 0

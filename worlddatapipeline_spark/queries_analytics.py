@@ -4015,7 +4015,79 @@ GROUP BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition contract
+# ---------------------------------------------------------------------------
+
+def q_kcore_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=3) over the part-supplier graph (same disjoint 2n/2n+1
+    node encoding as the other graph queries), validated by the defining
+    properties instead of a value oracle — iterative peeling is not
+    SQL-expressible (non-monotone recursion), but its RESULT is exactly
+    characterized by: (a) every core node keeps >= k neighbors inside the
+    core, and (b) every excluded node has < k core neighbors (otherwise
+    the core would not be maximal).  Both properties are computed
+    Spark-side from the output; the oracle supplies the plain-SQL graph
+    totals plus the expected booleans, so a wrong core hash-fails."""
+    from .operators import graph as graph_ops
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    edges = lineitem.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    core = graph_ops.k_core(edges, k=3).localCheckpoint(eager=True)
+
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    core_n = core.select("node")
+    # (a) min internal degree — already the operator's output degree
+    min_deg = core.agg(F.min("degree").alias("m")).collect()[0]["m"]
+    n_core = core.count()
+    # (b) maximality: neighbors-in-core counts for EXCLUDED nodes
+    excluded_viol = (
+        sym.join(core_n.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .join(core_n.withColumnRenamed("node", "src"), "src", "left_anti")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 3)
+        .count()
+    )
+    n_nodes = nodes.count()
+    n_edges = sym.count() // 2
+    return spark.createDataFrame(
+        [(
+            n_nodes,
+            n_edges,
+            bool(min_deg is None or min_deg >= 3),
+            excluded_viol == 0,
+            n_core <= n_nodes,
+        )],
+        "n_nodes long, n_edges long, core_min_deg_ok boolean, "
+        "excluded_maximal boolean, core_bounded boolean",
+    )
+
+
+SQL_KCORE_CONTRACT = """
+WITH e AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM lineitem
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+)
+SELECT count(DISTINCT src) AS n_nodes,
+       CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       TRUE AS core_min_deg_ok,
+       TRUE AS excluded_maximal,
+       TRUE AS core_bounded
+FROM sym
+"""
+
+
 ANALYTICS_QUERIES = {
+    "kcore_contract": q_kcore_contract,
     "session_path_counts": q_session_path_counts,
     "mad_outlier_counts": q_mad_outlier_counts,
     "ab_test_zscore": q_ab_test_zscore,
@@ -4089,6 +4161,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "kcore_contract": SQL_KCORE_CONTRACT,
     "session_path_counts": SQL_SESSION_PATH_COUNTS,
     "mad_outlier_counts": SQL_MAD_OUTLIER_COUNTS,
     "ab_test_zscore": SQL_AB_TEST_ZSCORE,
