@@ -565,3 +565,24 @@ def test_merge_schema_evolution(spark, tmp_path):
         spark, path, version=reconcile.table_versions(path)[0]
     )
     assert old.columns == ["k", "name"]
+
+
+def test_reader_across_one_merge_sees_prior_version(spark, tmp_path):
+    """Snapshot behavior: a reader that resolved _CURRENT before a merge
+    still reads its version afterwards — GC keeps the previous version as
+    the rollback/lagging-reader horizon (one merge deep by contract)."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 0.0)], ["k", "bal"]).write.parquet(path)
+    reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(1, 1.0)], ["k", "bal"]), ["k"]
+    )
+    held = reconcile.read_parquet_table(spark, path)  # resolves _v1
+    reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(1, 2.0)], ["k", "bal"]), ["k"]
+    )
+    # the lagging reader still materializes the version it resolved
+    assert held.collect()[0]["bal"] == 1.0
+    # and a fresh resolve sees the new state
+    assert reconcile.read_parquet_table(spark, path).collect()[0]["bal"] == 2.0
