@@ -151,6 +151,7 @@ LLM = [
     "session_path_counts",
     "mad_outlier_counts",
     "kcore_contract",
+    "curriculum_order_stats",
 ]
 
 

@@ -4086,7 +4086,60 @@ FROM sym
 """
 
 
+# ---------------------------------------------------------------------------
+# Curriculum data ordering
+# ---------------------------------------------------------------------------
+
+def q_curriculum_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training data: documents bucketed into
+    length tertiles (short -> long, the classic easy-to-hard proxy), a
+    deterministic md5 shuffle WITHIN each tertile, and one global
+    contiguous training index over (tertile, shuffle_key, doc_id) via the
+    scalable `global_index` operator — the whole "write the training
+    order" step without a single-task sort.  The rollup checks the
+    property that matters: each tertile occupies one contiguous index
+    range (min/max per bucket), which the oracle recomputes from a global
+    row_number over the same total order."""
+    from .operators import windows as win_ops
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id",
+        F.ntile(3)
+        .over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
+        .alias("tertile"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    indexed = win_ops.global_index(
+        staged, ["tertile", "shuffle_key", "doc_id"]
+    )
+    return indexed.groupBy("tertile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("row_idx").alias("min_idx"),
+        F.max("row_idx").alias("max_idx"),
+    )
+
+
+SQL_CURRICULUM_ORDER_STATS = """
+WITH staged AS (
+  SELECT doc_id,
+         ntile(3) OVER (ORDER BY n_chars ASC, doc_id ASC) AS tertile,
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), indexed AS (
+  SELECT tertile,
+         row_number() OVER (ORDER BY tertile, shuffle_key, doc_id) - 1
+           AS row_idx
+  FROM staged
+)
+SELECT tertile, count(*) AS n_docs,
+       min(row_idx) AS min_idx, max(row_idx) AS max_idx
+FROM indexed GROUP BY tertile
+"""
+
+
 ANALYTICS_QUERIES = {
+    "curriculum_order_stats": q_curriculum_order_stats,
     "kcore_contract": q_kcore_contract,
     "session_path_counts": q_session_path_counts,
     "mad_outlier_counts": q_mad_outlier_counts,
@@ -4161,6 +4214,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "curriculum_order_stats": SQL_CURRICULUM_ORDER_STATS,
     "kcore_contract": SQL_KCORE_CONTRACT,
     "session_path_counts": SQL_SESSION_PATH_COUNTS,
     "mad_outlier_counts": SQL_MAD_OUTLIER_COUNTS,
