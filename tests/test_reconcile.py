@@ -586,3 +586,39 @@ def test_reader_across_one_merge_sees_prior_version(spark, tmp_path):
     assert held.collect()[0]["bal"] == 1.0
     # and a fresh resolve sees the new state
     assert reconcile.read_parquet_table(spark, path).collect()[0]["bal"] == 2.0
+
+
+def test_purge_rows_erases_history(spark, tmp_path):
+    """Right-to-be-forgotten: the purged key disappears from the live
+    table AND from every remaining version directory — no time-travel
+    target can resurrect it."""
+    import os
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], ["k", "name"]
+    ).write.parquet(path)
+    for i in (1, 2):
+        reconcile.merge_upsert_parquet(
+            spark, path,
+            spark.createDataFrame([(2, f"bob-v{i}")], ["k", "name"]), ["k"],
+        )
+    # pre-purge: key 2 exists in live and in the rollback version
+    assert {r["k"] for r in reconcile.read_parquet_table(spark, path).collect()} == {1, 2}
+
+    out = reconcile.purge_rows(
+        spark, path, ["k"], spark.createDataFrame([(2,)], ["k"])
+    )
+    assert {r["k"] for r in out.collect()} == {1}
+    # every surviving version directory is free of the purged key
+    for v in reconcile.table_versions(path):
+        rows = spark.read.parquet(os.path.join(path, v)).collect()
+        assert all(r["k"] != 2 for r in rows)
+    # exactly one version remains (history gone), table still merge-able
+    assert len(reconcile.table_versions(path)) == 1
+    after = reconcile.merge_upsert_parquet(
+        spark, path, spark.createDataFrame([(3, "carol")], ["k", "name"]), ["k"]
+    )
+    assert {r["k"] for r in after.collect()} == {1, 3}

@@ -273,6 +273,64 @@ def merge_upsert_parquet(
         _release_lease(lease)
 
 
+def purge_rows(
+    spark,
+    path: str,
+    keys: list[str],
+    key_rows: DataFrame,
+    lease_ttl_s: float = 3600.0,
+) -> DataFrame:
+    """Right-to-be-forgotten purge: delete every row matching ``key_rows``
+    (on ``keys``) from the merged table AND from its whole version
+    history.  Compliance is the one case where time travel must lose data:
+    a GC that keeps rollback versions would keep the purged rows readable,
+    so after the new version commits, ALL older versions are removed —
+    this purge is deliberately not rollback-able (the Delta
+    DELETE-then-VACUUM(0) story as one atomic-feeling step).
+
+    Same lease + staging + pointer-swap protocol as ``merge_upsert_parquet``
+    (crash at any step leaves the table readable; retry completes), with
+    the delete expressed as a broadcast-friendly left_anti join.  Returns
+    the re-read table.
+    """
+    lease = _acquire_lease(path, ttl_s=lease_ttl_s)
+    try:
+        target = read_parquet_table(spark, path)
+        kept = target.join(key_rows.select(*keys).distinct(), keys, "left_anti")
+
+        cur = _table_current_version(path)
+        n = int(cur.lstrip("_v")) if cur else 0
+        new_v = f"_v{n + 1:08d}"
+        staging = os.path.join(path, f"_staging-{new_v}")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(os.path.join(path, new_v), ignore_errors=True)
+
+        kept.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(path, new_v))
+
+        tmp = os.path.join(path, "._CURRENT.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(new_v)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "_CURRENT"))
+
+        # history purge: the point of the operation — nothing readable may
+        # retain the deleted rows, so every older version and legacy root
+        # file goes, not just the beyond-horizon ones
+        for entry in os.listdir(path):
+            if entry in {"_CURRENT", "_LEASE", new_v}:
+                continue
+            full = os.path.join(path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+        return read_parquet_table(spark, path)
+    finally:
+        _release_lease(lease)
+
+
 def vacuum_table(path: str, keep_last: int = 1) -> list[str]:
     """Trim a merged table's version history to the newest ``keep_last``
     directories (Delta ``VACUUM`` analog, version-counted).  Returns the
