@@ -88,3 +88,24 @@ def test_cli_vacuum(spark, tmp_path, capsys):
     assert rc == 0
     assert out["kept"] == ["_v00000003"]
     assert out["removed"] == ["_v00000001", "_v00000002"]
+
+
+def test_cli_purge(spark, tmp_path, capsys):
+    import json
+
+    from worlddatapipeline_spark.__main__ import main
+    from worlddatapipeline_spark.operators import reconcile
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    ).write.parquet(p)
+    reconcile.merge_upsert_parquet(
+        spark, p, spark.createDataFrame([(2, "b2")], ["k", "v"]), ["k"]
+    )
+    keys = str(tmp_path / "erase")
+    spark.createDataFrame([(2,)], ["k"]).write.parquet(keys)
+    rc = main(["purge", "--table", p, "--keys", "k", "--values", keys])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows_after_purge"] == 2
+    assert len(reconcile.table_versions(p)) == 1

@@ -14,6 +14,7 @@ are parquet/CSV/JSON paths, and "execution" is one Spark action.
     python -m worlddatapipeline_spark stats      --sf-dir /root/testdata/sf0.01
     python -m worlddatapipeline_spark dq         --table t.parquet --unique id --not-null col1,col2 [--fail-on-violation]
     python -m worlddatapipeline_spark vacuum     --table tbl_dir --keep-last 1
+    python -m worlddatapipeline_spark purge      --table tbl_dir --keys k --values erase.parquet
     python -m worlddatapipeline_spark query NAME --sf-dir /root/testdata/sf0.01 [--out outdir]
 
 Every subcommand accepts ``--manifest job.json`` (template/default deep-merge
@@ -73,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     vac = sub.add_parser("vacuum")
     vac.add_argument("--table", required=True, help="merged-table directory")
     vac.add_argument("--keep-last", type=int, default=1)
+    pg = sub.add_parser("purge")
+    pg.add_argument("--table", required=True, help="merged-table directory")
+    pg.add_argument("--keys", required=True, help="comma-joined key columns")
+    pg.add_argument(
+        "--values", required=True,
+        help="parquet path holding the key rows to erase",
+    )
 
     args = p.parse_args(argv)
 
@@ -166,6 +174,16 @@ def main(argv: list[str] | None = None) -> int:
         ))
         if args.fail_on_violation and any(not r["passed"] for r in report):
             return 1
+    elif args.cmd == "purge":
+        # right-to-be-forgotten: erase matching keys from the live table
+        # AND its whole version history (not rollback-able by design)
+        from .operators.reconcile import purge_rows
+
+        out = purge_rows(
+            spark, args.table, args.keys.split(","),
+            spark.read.parquet(args.values),
+        )
+        print(json.dumps({"rows_after_purge": out.count()}))
     return 0
 
 
