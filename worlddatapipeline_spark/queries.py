@@ -1144,13 +1144,13 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _DRIVER_WINDOW: list[str] = [
     # every registry entry never seen in a driver CORRECTNESS window as of
     # the r4 window freeze (r1 U r2 U r3 checked 137; this window holds 49
-    # of the then-unchecked entries + 1 re-verify slot).  Five late-r4
-    # additions (unigram_lm_perplexity, dsir_importance_weights,
-    # streaming_interval_join, xml_roundtrip_stats,
-    # pyds_listing_parse_stats) were registered AFTER the freeze — they sit
-    # outside the first-50 and roll into the round-5 window
-    # (NOTES_round5.md); each is check_oracle-verified at
-    # sf0.001/0.01/0.1 + plain individually.  The re-verify slot covers the
+    # of the then-unchecked entries + 1 re-verify slot).  Everything
+    # registered AFTER the freeze (the full list lives in NOTES_round5.md
+    # §rotation — from unigram_lm_perplexity through the late analytics /
+    # Spark-4-surface families) sits outside the first-50 and rolls into
+    # the round-5 window; each is check_oracle-verified at
+    # sf0.001/0.01/0.1 (+ sf0.5 and plain) individually and appears in the
+    # committed end-of-round full-sweep artifacts.  The re-verify slot covers the
     # highest-risk round-4 change (value_band_bucketed's DECIMAL-sum fix);
     # every other changed query (min_cost_supplier, minhash/simhash/span/
     # chunk-dedup, multimodal_meta, catalog_upsert, connected_components)
