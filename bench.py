@@ -152,6 +152,8 @@ LLM = [
     "mad_outlier_counts",
     "kcore_contract",
     "curriculum_order_stats",
+    "rfm_segments",
+    "weighted_median_value",
 ]
 
 

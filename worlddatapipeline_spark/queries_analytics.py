@@ -4138,7 +4138,147 @@ FROM indexed GROUP BY tertile
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user recency (micros since their
+    last purchase, against the dataset's max timestamp so the query is
+    reproducible), frequency (purchase count), monetary (micro-unit
+    total); quintile-score each axis with full (value, user_id) tie-break
+    total orders, and count users per composite segment.  One shuffle for
+    the per-user aggregate; the three ntile windows share one global sort
+    each over the SMALL per-user frame (users ~1.5% of events); the final
+    segment count is map-side combinable."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("monetary_us"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_us", F.col("t_max") - F.col("last_us"))
+    )
+    r_score = F.ntile(5).over(
+        Window.orderBy(F.col("recency_us").asc(), F.col("user_id").asc())
+    )
+    f_score = F.ntile(5).over(
+        Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    )
+    m_score = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_us").desc(), F.col("user_id").asc())
+    )
+    scored = per_user.select(
+        "user_id",
+        r_score.alias("r"),
+        f_score.alias("f"),
+        m_score.alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_us
+  FROM events WHERE event_type = 'purchase'
+), anchor AS (SELECT max(t_us) AS t_max FROM p),
+per_user AS (
+  SELECT user_id, max(t_us) AS last_us, count(*) AS freq,
+         CAST(sum(v_us) AS BIGINT) AS monetary_us
+  FROM p GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY (a.t_max - last_us) ASC, user_id ASC) AS r,
+         ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+         ntile(5) OVER (ORDER BY monetary_us DESC, user_id ASC) AS m
+  FROM per_user, anchor a
+)
+SELECT r, f, m, count(*) AS n_users FROM scored GROUP BY r, f, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median
+# ---------------------------------------------------------------------------
+
+def q_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per event type — each event's value weighted
+    by its quantity proxy (floor(value) + 1), the classic order-statistic
+    that approx sketches can't give exactly.  Window form: sort values
+    within type, running weight vs half the total weight (scalar from the
+    same partition via an unbounded-frame sum — no second aggregate+join),
+    take the FIRST value whose cumulative weight reaches half.  Lower
+    weighted median (no interpolation) with a (value, event_id) tie-break,
+    restated identically on the oracle, so both engines pick the same row.
+    One shuffle on event_type total."""
+    (events,) = _t(spark, sf_dir, "events")
+    staged = events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_us"),
+        (F.floor("value").cast("long") + 1).alias("w"),
+    )
+    ws = Window.partitionBy("event_type").orderBy(
+        F.col("v_us").asc(), F.col("event_id").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    cum = (
+        staged.withColumn(
+            "cw", F.sum("w").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("tw", F.sum("w").over(wall))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+    )
+    wmin = Window.partitionBy("event_type").orderBy(
+        F.col("cw").asc(), F.col("event_id").asc()
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("v_us").alias("weighted_median_us"),
+            "tw",
+        )
+    )
+
+
+SQL_WEIGHTED_MEDIAN_VALUE = """
+WITH staged AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_us,
+         CAST(floor(value) AS BIGINT) + 1 AS w
+  FROM events
+), cum AS (
+  SELECT event_type, event_id, v_us,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM staged
+), hit AS (
+  SELECT event_type, v_us, tw,
+         row_number() OVER (PARTITION BY event_type ORDER BY cw, event_id)
+           AS rn
+  FROM cum WHERE cw * 2 >= tw
+)
+SELECT event_type, v_us AS weighted_median_us, CAST(tw AS BIGINT) AS tw
+FROM hit WHERE rn = 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "rfm_segments": q_rfm_segments,
+    "weighted_median_value": q_weighted_median_value,
     "curriculum_order_stats": q_curriculum_order_stats,
     "kcore_contract": q_kcore_contract,
     "session_path_counts": q_session_path_counts,
@@ -4214,6 +4354,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "weighted_median_value": SQL_WEIGHTED_MEDIAN_VALUE,
     "curriculum_order_stats": SQL_CURRICULUM_ORDER_STATS,
     "kcore_contract": SQL_KCORE_CONTRACT,
     "session_path_counts": SQL_SESSION_PATH_COUNTS,
