@@ -1091,6 +1091,7 @@ FROM grid g JOIN seg s
 
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from .queries_mining import MINING_ORACLES, MINING_QUERIES  # noqa: E402
 from .queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1130,6 +1131,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **EXT_QUERIES,
     **TPCH_QUERIES,
     **ANALYTICS_QUERIES,
+    **MINING_QUERIES,
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
@@ -1251,6 +1253,7 @@ ORACLES: dict[str, str] = {
     **EXT_ORACLES,
     **TPCH_ORACLES,
     **ANALYTICS_ORACLES,
+    **MINING_ORACLES,
 }
 
 # minhash_verified_dups = LSH candidates -> EXACT 3-gram Jaccard >= 0.8.
