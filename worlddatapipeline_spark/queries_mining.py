@@ -239,14 +239,277 @@ FROM counts c JOIN cal USING (dow) CROSS JOIN dt
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini / Lorenz concentration of purchase value
+# ---------------------------------------------------------------------------
+
+def q_gini_purchase_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality audit of purchase value across users: Lorenz-curve
+    deciles (cumulative value share, integer ppm) plus the exact Gini
+    coefficient from the rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)
+    over ascending per-user totals in micro-units.  Rank products are
+    summed in DECIMAL(38,0) (i·x passes int64 near 1e9 users); the three
+    windows (rank, decile, running sum) share ONE global sort of the
+    per-user frame — which is ~1.5% of events, the only fact-sized scan.
+    Ties break on user_id so ranks are total on both engines.  At 1e9+
+    users swap the single-partition window for the distributed rank in
+    `operators/windows.global_index` (range partition + broadcast
+    offsets) and fold cum_us per range the same way — the formula needs
+    only (i, x, running sum), all of which that kernel provides."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("x_us")
+        )
+    )
+    w = Window.orderBy(F.col("x_us").asc(), F.col("user_id").asc())
+    ranked = per_user.select(
+        "user_id",
+        "x_us",
+        F.row_number().over(w).alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+        F.sum("x_us")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_us"),
+    )
+    gini = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x_us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("x_us")
+        ).alias("s1"),
+    ).select(
+        F.expr(
+            "CAST(((2 * s1 - (n + 1) * s) * 1000000) div (CAST(n AS"
+            " DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("gini_ppm")
+    )
+    deciles = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x_us").alias("decile_us"),
+        F.max("cum_us").alias("cum_us"),
+    )
+    total = ranked.agg(F.sum("x_us").alias("total_us"))
+    return (
+        deciles.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            "n_users",
+            "decile_us",
+            F.expr(
+                "CAST((CAST(cum_us AS DECIMAL(38,0)) * 1000000)"
+                " div total_us AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            "gini_ppm",
+        )
+    )
+
+
+SQL_GINI_PURCHASE_CONCENTRATION = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x_us
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), ranked AS (
+  SELECT user_id, x_us,
+         row_number() OVER (ORDER BY x_us ASC, user_id ASC) AS i,
+         ntile(10) OVER (ORDER BY x_us ASC, user_id ASC) AS decile,
+         sum(x_us) OVER (ORDER BY x_us ASC, user_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_us
+  FROM per_user
+), g AS (
+  SELECT CAST(((2 * sum(CAST(i AS HUGEINT) * x_us)
+                - (count(*) + 1) * CAST(sum(x_us) AS HUGEINT)) * 1000000)
+              // (CAST(count(*) AS HUGEINT) * sum(x_us)) AS BIGINT)
+           AS gini_ppm
+  FROM ranked
+), tot AS (
+  SELECT CAST(sum(x_us) AS BIGINT) AS total_us FROM ranked
+)
+SELECT decile, count(*) AS n_users,
+       CAST(sum(x_us) AS BIGINT) AS decile_us,
+       CAST((CAST(max(cum_us) AS HUGEINT) * 1000000) // t.total_us
+         AS BIGINT) AS cum_share_ppm,
+       g.gini_ppm
+FROM ranked CROSS JOIN g CROSS JOIN tot t
+GROUP BY decile, g.gini_ppm, t.total_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in ppm, the Benford expectation — literal on BOTH engines
+# so no transcendental is ever evaluated at query time.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen, a data-quality complement to the constraint
+    suite.  The first significant digit comes from the DECIMAL STRING of
+    exact integer cents (no log10 at query time; the Benford expectations
+    are ppm literals on both engines).  One map stage + one 9-row groupBy;
+    deviation is |observed − expected| in integer ppm."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    exp_map = F.create_map(
+        *[x for d, p in _BENFORD_PPM.items() for x in (F.lit(d), F.lit(p))]
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("obs_ppm", F.expr("(n * 1000000) div n_total"))
+        .withColumn("exp_ppm", exp_map[F.col("digit")])
+        .select(
+            "digit",
+            "n",
+            "obs_ppm",
+            "exp_ppm",
+            F.abs(F.col("obs_ppm") - F.col("exp_ppm")).alias("dev_ppm"),
+        )
+    )
+
+
+SQL_BENFORD_PRICE_AUDIT = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+), dd AS (SELECT digit FROM d WHERE digit >= 1),
+c AS (SELECT digit, count(*) AS n FROM dd GROUP BY digit),
+t AS (SELECT count(*) AS n_total FROM dd),
+e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+SELECT c.digit, c.n,
+       CAST((c.n * 1000000) // t.n_total AS BIGINT) AS obs_ppm,
+       e.exp_ppm,
+       abs(CAST((c.n * 1000000) // t.n_total AS BIGINT) - e.exp_ppm)
+         AS dev_ppm
+FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag autocorrelation of the daily event series
+# ---------------------------------------------------------------------------
+
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1–7 — the
+    weekly-pattern detector feeding dow_seasonality.  Pearson r is kept
+    exact by reporting the SIGNED SQUARE in ppm: r²·sign(cov) =
+    sign·num²/(denx·deny) with num = n·Σxy − Σx·Σy — pure integer moments
+    in DECIMAL(38,0), no sqrt, and the sign extracted as a CASE so no
+    engine-divergent negative floor-division is ever evaluated.  The
+    daily-count frame is one fact scan + date groupBy; the 7 lag
+    self-joins run on that tiny aggregate (broadcast).  Bound: num² needs
+    n·Σxy < 1e16 — at wider spans pre-aggregate counts to thousands
+    before correlating (r is scale-invariant)."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        daily.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(daily.alias("b")),
+            F.col("b.day") == F.col("a.day") + F.col("lag"),
+        )
+        .select(
+            "lag", F.col("a.y").alias("x"), F.col("b.y").alias("yy")
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yy").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
+        F.sum((F.col("yy").cast("decimal(38,0)") * F.col("yy"))).alias("syy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("yy"))).alias("sxy"),
+    )
+    return m.select(
+        "lag",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+            " AS BIGINT)"
+        ).alias("sign"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+SQL_DAILY_AUTOCORRELATION = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS y
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT l.lag, a.y AS x, b.y AS yy
+  FROM (SELECT unnest(range(1, 8)) AS lag) l
+  CROSS JOIN daily a
+  JOIN daily b ON b.day = a.day + l.lag
+), m AS (
+  SELECT lag, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(yy AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(yy AS HUGEINT) * yy) AS syy,
+         sum(CAST(x AS HUGEINT) * yy) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
+         AS sign,
+       CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+         AS r2_ppm
+FROM m
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
     "dow_seasonality": q_dow_seasonality,
+    "gini_purchase_concentration": q_gini_purchase_concentration,
+    "benford_price_audit": q_benford_price_audit,
+    "daily_autocorrelation": q_daily_autocorrelation,
 }
 
 MINING_ORACLES = {
     "basket_brand_rules": SQL_BASKET_BRAND_RULES,
     "brand_affinity_topk": SQL_BRAND_AFFINITY_TOPK,
     "dow_seasonality": SQL_DOW_SEASONALITY,
+    "gini_purchase_concentration": SQL_GINI_PURCHASE_CONCENTRATION,
+    "benford_price_audit": SQL_BENFORD_PRICE_AUDIT,
+    "daily_autocorrelation": SQL_DAILY_AUTOCORRELATION,
 }
