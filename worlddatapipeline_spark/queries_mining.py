@@ -496,6 +496,242 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Distinctive terms per document (keyword extraction)
+# ---------------------------------------------------------------------------
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: the 3 most distinctive terms per sampled
+    document, ranked by (tf desc, df asc, term asc) — highest in-doc
+    frequency, rarest in the corpus — a pure-integer stand-in for TF-IDF
+    ranking (idf is monotone-decreasing in df, so the composite order
+    matches tf-idf whenever tf ties break by rarity; no log evaluated).
+    df is the corpus-wide distinct-doc count per term (one fact-sized
+    groupBy); the sampled tf frame (doc_id < 50, a deterministic slice)
+    is tiny and BROADCAST into the df join, so the vocabulary never
+    shuffles for the sample.  Shares `text.tokenize` with BM25/TF-IDF."""
+    from .operators.text import tokenize
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    df_counts = toks.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    tf_sample = (
+        toks.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        df_counts.join(F.broadcast(tf_sample), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        ' '), t -> t <> '')) AS term
+  FROM documents
+), dfc AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE doc_id < 50 GROUP BY 1, 2
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfc.df ASC, tf.term ASC)
+           AS rk
+  FROM tf JOIN dfc ON tf.term = dfc.term
+)
+SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence over the top vocabulary
+# ---------------------------------------------------------------------------
+
+def q_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information term associations over the corpus,
+    vocabulary-pruned for scale: only the TOP-50 corpus terms (by total
+    count, term tie-break) enter the within-document pair stage, so the
+    quadratic term is ≤ C(50,2) per doc regardless of corpus size — the
+    mining-module cap philosophy applied to text.  PMI's exp is monotone
+    in the integer lift n_ab·N/(n_a·n_b), so the checked output is lift
+    in exact ppm (DECIMAL numerator) and no log is evaluated.  N is the
+    count of docs containing ≥1 top-vocab term — one consistent
+    population for every ratio.  Pairs below 5 joint docs are noise-cut."""
+    from .operators.text import tokenize
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    inc_all = documents.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    ).distinct()
+    wtop = Window.orderBy(F.col("n_docs").desc(), F.col("term").asc())
+    top = (
+        inc_all.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 50)
+        .select("term", F.col("n_docs").alias("n_term"))
+    )
+    inc = inc_all.join(F.broadcast(top), "term")
+    n_docs = inc.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_pop")
+    )
+    pairs = (
+        inc.alias("a")
+        .join(inc.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("a.n_term").alias("n_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("b.n_term").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        F.expr(
+            "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_pop * 1000000)"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+SQL_PMI_TERM_PAIRS = """
+WITH inc_all AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        ' '), t -> t <> '')) AS term
+  FROM documents
+), top AS (
+  SELECT term, n_docs AS n_term
+  FROM (
+    SELECT term, count(*) AS n_docs,
+           row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rk
+    FROM inc_all GROUP BY term
+  ) WHERE rk <= 50
+), inc AS (
+  SELECT i.doc_id, i.term, t.n_term FROM inc_all i JOIN top t USING (term)
+), pop AS (
+  SELECT count(DISTINCT doc_id) AS n_pop FROM inc
+), pairs AS (
+  SELECT a.term AS term_a, a.n_term AS n_a,
+         b.term AS term_b, b.n_term AS n_b, count(*) AS n_ab
+  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5
+)
+SELECT term_a, term_b, n_ab,
+       CAST((CAST(n_ab AS HUGEINT) * p.n_pop * 1000000)
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_ppm
+FROM pairs CROSS JOIN pop p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy record linkage
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking + edit distance, self-contained with
+    a checkable ground truth: a deterministic one-character deletion
+    corrupts each customer name (position keyed off custkey), then the
+    dirty roster is linked back to the clean one by BLOCK-KEY equi-join
+    (last 4 chars — digits, so blocks are ~uniform) + levenshtein ≤ 1.
+    At 100 TB the blocking join is the whole point: candidate pairs are
+    O(n²/#blocks) instead of n², and the edit distance (JVM codegen'd in
+    both engines) runs only inside blocks.  Output is the audit summary —
+    candidate count, matches, true matches (same key), precision and
+    recall in integer ppm — one row, all exact."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    clean = customer.select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    # delete one char from the zero-padding region: pos = 10 + key % 8
+    dirty = clean.select(
+        F.col("key").alias("dkey"),
+        F.concat(
+            F.expr("substr(name, 1, 9 + CAST(key % 8 AS INT))"),
+            F.expr("substr(name, 11 + CAST(key % 8 AS INT))"),
+        ).alias("dname"),
+    )
+    blocked = clean.withColumn("blk", F.expr("right(name, 4)")).join(
+        dirty.withColumn("blk", F.expr("right(dname, 4)")), "blk"
+    )
+    scored = blocked.select(
+        "key",
+        "dkey",
+        (F.levenshtein(F.col("name"), F.col("dname")) <= 1).alias("match"),
+    )
+    n_records = clean.agg(F.count(F.lit(1)).alias("n_rec"))
+    return (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("match"), 1).otherwise(0)).alias("n_matches"),
+            F.sum(
+                F.when(F.col("match") & (F.col("key") == F.col("dkey")), 1)
+                .otherwise(0)
+            ).alias("n_true"),
+        )
+        .crossJoin(F.broadcast(n_records))
+        .select(
+            "n_candidates",
+            "n_matches",
+            "n_true",
+            F.expr("(n_true * 1000000) div n_matches").alias(
+                "precision_ppm"
+            ),
+            F.expr("(n_true * 1000000) div n_rec").alias("recall_ppm"),
+        )
+    )
+
+
+SQL_FUZZY_RECORD_LINKAGE = """
+WITH clean AS (
+  SELECT c_custkey AS key, c_name AS name FROM customer
+), dirty AS (
+  SELECT key AS dkey,
+         substr(name, 1, 9 + CAST(key % 8 AS INTEGER))
+           || substr(name, 11 + CAST(key % 8 AS INTEGER)) AS dname
+  FROM clean
+), blocked AS (
+  SELECT c.key, d.dkey,
+         (levenshtein(c.name, d.dname) <= 1) AS match
+  FROM clean c JOIN dirty d
+    ON right(c.name, 4) = right(d.dname, 4)
+), agg AS (
+  SELECT count(*) AS n_candidates,
+         CAST(sum(CASE WHEN match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matches,
+         CAST(sum(CASE WHEN match AND key = dkey THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_true
+  FROM blocked
+), t AS (SELECT count(*) AS n_rec FROM clean)
+SELECT n_candidates, n_matches, n_true,
+       CAST((n_true * 1000000) // n_matches AS BIGINT) AS precision_ppm,
+       CAST((n_true * 1000000) // n_rec AS BIGINT) AS recall_ppm
+FROM agg CROSS JOIN t
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -503,6 +739,9 @@ MINING_QUERIES = {
     "gini_purchase_concentration": q_gini_purchase_concentration,
     "benford_price_audit": q_benford_price_audit,
     "daily_autocorrelation": q_daily_autocorrelation,
+    "distinctive_terms": q_distinctive_terms,
+    "pmi_term_pairs": q_pmi_term_pairs,
+    "fuzzy_record_linkage": q_fuzzy_record_linkage,
 }
 
 MINING_ORACLES = {
@@ -512,4 +751,7 @@ MINING_ORACLES = {
     "gini_purchase_concentration": SQL_GINI_PURCHASE_CONCENTRATION,
     "benford_price_audit": SQL_BENFORD_PRICE_AUDIT,
     "daily_autocorrelation": SQL_DAILY_AUTOCORRELATION,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "pmi_term_pairs": SQL_PMI_TERM_PAIRS,
+    "fuzzy_record_linkage": SQL_FUZZY_RECORD_LINKAGE,
 }
