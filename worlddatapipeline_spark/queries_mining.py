@@ -732,6 +732,125 @@ FROM agg CROSS JOIN t
 """
 
 
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (churn)
+# ---------------------------------------------------------------------------
+
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime: duration = whole hours
+    between a user's first and last event; a user is a CHURN (death) if
+    their last event is > 12 hours before the dataset's final timestamp
+    (the p90 inactivity gap is ~17 h, so deaths and censors both occur),
+    otherwise right-censored.  S(t) = Π_{u ≤ t} (nᵤ−dᵤ)/nᵤ over death
+    times.  The survival column is a raw double kept engine-bit-identical
+    WITHOUT rounding: IEEE divide and multiply are correctly rounded, so
+    folding the same ratios in the same (sorted, distinct-t) order yields
+    the same bits on Spark (`aggregate` over a sorted array) and DuckDB
+    (`list_reduce` over the same sort) — the same replay discipline as
+    the EWMA contract, needing no recursive CTE.  One fact scan → tiny
+    per-user aggregate; risk sets come from one cumulative window; the
+    death-time array is a broadcast scalar (distinct durations are
+    calendar-bounded, not data-bounded)."""
+    (events,) = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.unix_micros("ts")).alias("t_anchor"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.expr("(last_us - first_us) div 3600000000").alias("t_day"),
+            (F.col("t_anchor") - F.col("last_us") > 43200000000).alias(
+                "churned"
+            ),
+        )
+    )
+    per_t = per_user.groupBy("t_day").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("all_t"),
+    )
+    w = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_users")
+            - F.coalesce(F.sum("all_t").over(w), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "t_day",
+            "d",
+            "n_at_risk",
+            (
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ).alias("ratio"),
+        )
+    )
+    arr = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t_day").alias("t"), "ratio"))
+        ).alias("deaths")
+    )
+    return risk.crossJoin(F.broadcast(arr)).select(
+        F.col("t_day").alias("t_hour"),
+        "n_at_risk",
+        "d",
+        F.aggregate(
+            F.filter(
+                F.col("deaths"), lambda x: x["t"] <= F.col("t_day")
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x["ratio"],
+        ).alias("survival"),
+    )
+
+
+SQL_KAPLAN_MEIER_CHURN = """
+WITH anchor AS (
+  SELECT max(epoch_us(ts)) AS t_anchor FROM events
+), per_user AS (
+  SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t_day,
+         (a.t_anchor - max(epoch_us(ts))) > 43200000000 AS churned
+  FROM events CROSS JOIN anchor a
+  GROUP BY user_id, a.t_anchor
+), per_t AS (
+  SELECT t_day,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         count(*) AS all_t
+  FROM per_user GROUP BY t_day
+), tot AS (SELECT count(*) AS n_users FROM per_user),
+risk AS (
+  SELECT t_day, d,
+         CAST(t.n_users - coalesce(sum(all_t) OVER (
+           ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM per_t CROSS JOIN tot t
+), deaths AS (
+  SELECT t_day, d, n_at_risk,
+         CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+           AS ratio
+  FROM risk WHERE d > 0
+), arr AS (
+  SELECT list_sort(list(struct_pack(t := t_day, ratio := ratio)))
+    AS dl FROM deaths
+)
+SELECT t_day AS t_hour, n_at_risk, d,
+       list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(list_filter(a.dl, x -> x.t <= deaths.t_day),
+                          x -> x.ratio)),
+         (p, q) -> p * q) AS survival
+FROM deaths CROSS JOIN arr a
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -742,6 +861,7 @@ MINING_QUERIES = {
     "distinctive_terms": q_distinctive_terms,
     "pmi_term_pairs": q_pmi_term_pairs,
     "fuzzy_record_linkage": q_fuzzy_record_linkage,
+    "kaplan_meier_churn": q_kaplan_meier_churn,
 }
 
 MINING_ORACLES = {
@@ -754,4 +874,5 @@ MINING_ORACLES = {
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "pmi_term_pairs": SQL_PMI_TERM_PAIRS,
     "fuzzy_record_linkage": SQL_FUZZY_RECORD_LINKAGE,
+    "kaplan_meier_churn": SQL_KAPLAN_MEIER_CHURN,
 }
