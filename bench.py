@@ -154,6 +154,17 @@ LLM = [
     "curriculum_order_stats",
     "rfm_segments",
     "weighted_median_value",
+    # round-4 fourth-session additions (new_queries vs the committed baseline)
+    "basket_brand_rules",
+    "brand_affinity_topk",
+    "dow_seasonality",
+    "gini_purchase_concentration",
+    "benford_price_audit",
+    "daily_autocorrelation",
+    "distinctive_terms",
+    "pmi_term_pairs",
+    "fuzzy_record_linkage",
+    "kaplan_meier_churn",
 ]
 
 

@@ -71,9 +71,12 @@ def association_rules(
     the product passes int64 while the quotient (≤ n * 1e6 only in the
     degenerate single-occurrence case) still fits BIGINT.
     """
-    inc = basket_incidence(df, basket_col, item_col, max_items)
-    # One exchange on basket: the self-join reuses the same shuffled
-    # incidence frame on both sides (ReusedExchange in the plan).
+    # The incidence frame feeds FOUR consumers (pair self-join ×2, item
+    # counts, basket total); without a persist each re-derives it from the
+    # source — the executed plan showed 0 ReusedExchange and ~5 scans of a
+    # fact-fact join upstream.  Persist + eager-checkpoint the (small,
+    # item-domain-bounded) result, then release — the dedup-module pattern.
+    inc = basket_incidence(df, basket_col, item_col, max_items).persist()
     pairs = (
         inc.alias("a")
         .join(inc.alias("b"), "basket")
@@ -87,7 +90,7 @@ def association_rules(
     totals = inc.agg(
         F.countDistinct("basket").cast("long").alias("n_baskets")
     )
-    return (
+    out = (
         pairs.join(
             F.broadcast(item_counts.withColumnRenamed("n_item", "n_ante")),
             F.col("ante") == F.col("item"),
@@ -115,6 +118,9 @@ def association_rules(
             ).alias("lift_ppm"),
         )
     )
+    from ..session import materialize_and_release  # noqa: PLC0415
+
+    return materialize_and_release(out, inc)
 
 
 def cooccurrence_cosine(
@@ -135,7 +141,9 @@ def cooccurrence_cosine(
 
     Returns (item_a, item_b, n_ab, cos2_ppm) with item_a < item_b.
     """
-    inc = basket_incidence(df, context_col, item_col, max_items)
+    # Same multi-consumer shape as association_rules — persist, checkpoint
+    # the (item²-bounded) pair result, release the cache.
+    inc = basket_incidence(df, context_col, item_col, max_items).persist()
     pairs = (
         inc.alias("a")
         .join(inc.alias("b"), "basket")
@@ -146,7 +154,7 @@ def cooccurrence_cosine(
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     item_counts = inc.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    return (
+    out = (
         pairs.join(
             F.broadcast(item_counts.withColumnRenamed("n_item", "n_a")),
             F.col("item_a") == F.col("item"),
@@ -167,3 +175,6 @@ def cooccurrence_cosine(
             ).alias("cos2_ppm"),
         )
     )
+    from ..session import materialize_and_release  # noqa: PLC0415
+
+    return materialize_and_release(out, inc)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import mining as mining_ops
-from .session import load_tables
+from .session import load_tables, materialize_and_release
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -183,24 +183,33 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (this corpus spans 30 days).  Two partial-agg shuffles on tiny keys;
     the day-calendar aggregate is broadcast back."""
     (events,) = _t(spark, sf_dir, "events")
-    staged = events.select(
-        "event_type",
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
-    ).withColumn("dow", F.expr("(day + 3) % 7"))
-    counts = staged.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).alias("n_td")
+    # ONE fact scan into a calendar-bounded (type, day) aggregate; every
+    # downstream branch (dow counts, weekday calendar, day total) derives
+    # from the persisted base so the scan never re-runs
+    base = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+        .withColumn("dow", F.expr("(day + 3) % 7"))
+        .persist()
+    )
+    counts = base.groupBy("event_type", "dow").agg(
+        F.sum("n_d").alias("n_td")
     )
     cal = (
-        staged.select("day", "dow")
+        base.select("day", "dow")
         .distinct()
         .groupBy("dow")
         .agg(F.count(F.lit(1)).alias("d_w"))
     )
-    d_total = staged.select("day").distinct().agg(
+    d_total = base.select("day").distinct().agg(
         F.count(F.lit(1)).alias("d_all")
     )
     wt = Window.partitionBy("event_type")
-    return (
+    out = (
         counts.withColumn("n_t", F.sum("n_td").over(wt))
         .join(F.broadcast(cal), "dow")
         .crossJoin(F.broadcast(d_total))
@@ -214,6 +223,7 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx_ppm"),
         )
     )
+    return materialize_and_release(out, base)
 
 
 SQL_DOW_SEASONALITY = """
@@ -267,6 +277,8 @@ def q_gini_purchase_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     w = Window.orderBy(F.col("x_us").asc(), F.col("user_id").asc())
+    # ranked feeds three consumers (gini scalar, decile rollup, total) —
+    # persist so the fact scan + global sort run once, release on return
     ranked = per_user.select(
         "user_id",
         "x_us",
@@ -275,7 +287,7 @@ def q_gini_purchase_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("x_us")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum_us"),
-    )
+    ).persist()
     gini = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x_us").cast("decimal(38,0)")).alias("s"),
@@ -294,7 +306,7 @@ def q_gini_purchase_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("cum_us").alias("cum_us"),
     )
     total = ranked.agg(F.sum("x_us").alias("total_us"))
-    return (
+    out = (
         deciles.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(gini))
         .select(
@@ -308,6 +320,7 @@ def q_gini_purchase_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             "gini_ppm",
         )
     )
+    return materialize_and_release(out, ranked)
 
 
 SQL_GINI_PURCHASE_CONCENTRATION = """
@@ -378,9 +391,12 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     ).filter(F.col("digit") >= 1)
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    # total as an unbounded window over the 9-row counts frame — no second
+    # aggregate branch, so the orders scan runs exactly once
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.withColumn(
+            "n_total", F.sum("n").over(Window.partitionBy())
+        )
         .withColumn("obs_ppm", F.expr("(n * 1000000) div n_total"))
         .withColumn("exp_ppm", exp_map[F.col("digit")])
         .select(
@@ -400,15 +416,15 @@ WITH d AS (
   FROM orders
 ), dd AS (SELECT digit FROM d WHERE digit >= 1),
 c AS (SELECT digit, count(*) AS n FROM dd GROUP BY digit),
-t AS (SELECT count(*) AS n_total FROM dd),
+ct AS (SELECT digit, n, sum(n) OVER () AS n_total FROM c),
 e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
   (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-SELECT c.digit, c.n,
-       CAST((c.n * 1000000) // t.n_total AS BIGINT) AS obs_ppm,
+SELECT ct.digit, ct.n,
+       CAST((ct.n * 1000000) // ct.n_total AS BIGINT) AS obs_ppm,
        e.exp_ppm,
-       abs(CAST((c.n * 1000000) // t.n_total AS BIGINT) - e.exp_ppm)
+       abs(CAST((ct.n * 1000000) // ct.n_total AS BIGINT) - e.exp_ppm)
          AS dev_ppm
-FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
+FROM ct JOIN e ON ct.digit = e.digit
 """
 
 
@@ -428,12 +444,15 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·Σxy < 1e16 — at wider spans pre-aggregate counts to thousands
     before correlating (r is scale-invariant)."""
     (events,) = _t(spark, sf_dir, "events")
+    # daily feeds both sides of the lag join — persist the calendar-sized
+    # aggregate so the fact scan runs once, release on return
     daily = (
         events.select(
             F.expr("unix_micros(ts) div 86400000000").alias("day")
         )
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("y"))
+        .persist()
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     pairs = (
@@ -455,7 +474,7 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("yy").cast("decimal(38,0)") * F.col("yy"))).alias("syy"),
         F.sum((F.col("x").cast("decimal(38,0)") * F.col("yy"))).alias("sxy"),
     )
-    return m.select(
+    out = m.select(
         "lag",
         "n",
         F.expr(
@@ -467,6 +486,7 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
         ).alias("r2_ppm"),
     )
+    return materialize_and_release(out, daily)
 
 
 SQL_DAILY_AUTOCORRELATION = """
@@ -587,7 +607,12 @@ def q_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .select("term", F.col("n_docs").alias("n_term"))
     )
-    inc = inc_all.join(F.broadcast(top), "term")
+    # inc feeds both sides of the pair self-join and the population count
+    # (persisted; ≤ 50·n_docs rows).  inc_all itself is derived twice —
+    # once for the vocabulary, once pruned — two corpus scans; at 100 TB
+    # write the tokenized incidence to durable storage once per release
+    # instead of re-tokenizing (the bloom-module note).
+    inc = inc_all.join(F.broadcast(top), "term").persist()
     n_docs = inc.agg(
         F.countDistinct("doc_id").cast("long").alias("n_pop")
     )
@@ -604,7 +629,7 @@ def q_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
     )
-    return pairs.crossJoin(F.broadcast(n_docs)).select(
+    out = pairs.crossJoin(F.broadcast(n_docs)).select(
         "term_a",
         "term_b",
         "n_ab",
@@ -613,6 +638,7 @@ def q_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+    return materialize_and_release(out, inc)
 
 
 SQL_PMI_TERM_PAIRS = """
@@ -753,6 +779,9 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded, not data-bounded)."""
     (events,) = _t(spark, sf_dir, "events")
     anchor = events.agg(F.max(F.unix_micros("ts")).alias("t_anchor"))
+    # per_user feeds the per-duration rollup AND the population total;
+    # risk feeds the death-time array AND the output rows — persist both
+    # (user-sized / calendar-sized), release after the checkpoint
     per_user = (
         events.groupBy("user_id")
         .agg(
@@ -766,6 +795,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "churned"
             ),
         )
+        .persist()
     )
     per_t = per_user.groupBy("t_day").agg(
         F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
@@ -798,7 +828,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("t_day").alias("t"), "ratio"))
         ).alias("deaths")
     )
-    return risk.crossJoin(F.broadcast(arr)).select(
+    out = risk.crossJoin(F.broadcast(arr)).select(
         F.col("t_day").alias("t_hour"),
         "n_at_risk",
         "d",
@@ -810,6 +840,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x["ratio"],
         ).alias("survival"),
     )
+    return materialize_and_release(out, per_user, risk)
 
 
 SQL_KAPLAN_MEIER_CHURN = """
@@ -851,6 +882,221 @@ FROM deaths CROSS JOIN arr a
 """
 
 
+# ---------------------------------------------------------------------------
+# Frequent event trigrams (sequential patterns)
+# ---------------------------------------------------------------------------
+
+def q_event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent length-3 event-type sequences (consecutive, per
+    user) — the second-order complement of `event_transition_matrix`.
+    Two lag windows over one (user, ts, id) sort; trigram counts are
+    map-side combinable; share in integer ppm of all trigrams.  Rank ties
+    break on the full (t1, t2, t3) tuple so top-20 is total."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .filter(F.col("t1").isNotNull())
+        .select(
+            "t1", F.col("t2"), F.col("event_type").alias("t3")
+        )
+    )
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.orderBy(
+        F.col("n").desc(),
+        F.col("t1").asc(),
+        F.col("t2").asc(),
+        F.col("t3").asc(),
+    )
+    # total as a window over the |types|^3-bounded counts frame: the
+    # fact-sized lag stage runs exactly once
+    return (
+        counts.withColumn(
+            "n_total", F.sum("n").over(Window.partitionBy())
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.expr("(n * 1000000) div n_total").alias("share_ppm"),
+            "rk",
+        )
+    )
+
+
+SQL_EVENT_TRIGRAM_PATTERNS = """
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT t1, t2, t3 FROM seq WHERE t1 IS NOT NULL
+), c AS (
+  SELECT t1, t2, t3, count(*) AS n FROM tri GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT t1, t2, t3, n,
+         CAST((n * 1000000) // sum(n) OVER () AS BIGINT) AS share_ppm,
+         row_number() OVER (ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS rk
+  FROM c
+)
+SELECT t1, t2, t3, n, share_ppm, rk FROM ranked WHERE rk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity (Gini-Simpson index)
+# ---------------------------------------------------------------------------
+
+def q_behavior_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Gini-Simpson index
+    1 − Σ pᵢ², histogrammed into
+    1%-wide bins.  Unlike Shannon entropy the index is a pure integer
+    ratio — 1e6 − Σ nᵢ²·1e6 div n² — so no log is evaluated and the value
+    is engine-exact.  One (user, type) count shuffle + one per-user
+    reduce; the bin key is a floor division, a pure map stage."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    per_user = per_ut.groupBy("user_id").agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("ss"),
+    )
+    div = per_user.select(
+        "user_id",
+        F.expr(
+            "1000000 - CAST((CAST(ss AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("div_ppm"),
+    )
+    return (
+        div.groupBy(F.expr("div_ppm div 10000").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("div_ppm").alias("min_ppm"),
+            F.max("div_ppm").alias("max_ppm"),
+        )
+    )
+
+
+SQL_BEHAVIOR_DIVERSITY_BANDS = """
+WITH per_ut AS (
+  SELECT user_id, event_type, count(*) AS n_i
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, sum(n_i) AS n, sum(n_i * n_i) AS ss
+  FROM per_ut GROUP BY user_id
+), d AS (
+  SELECT user_id,
+         1000000 - CAST((CAST(ss AS HUGEINT) * 1000000)
+                        // (CAST(n AS HUGEINT) * n) AS BIGINT) AS div_ppm
+  FROM per_user
+)
+SELECT div_ppm // 10000 AS bin,
+       count(*) AS n_users,
+       min(div_ppm) AS min_ppm, max(div_ppm) AS max_ppm
+FROM d GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend per event type via the Theil-Sen
+    estimator: the MEDIAN of all pairwise slopes between daily totals —
+    outlier-immune where least squares is not (the trend complement of
+    `mad_outlier_counts`).  Slopes are integer micro-units/day by floor
+    division; the median is the exact lower order statistic with a
+    (slope, day-pair) tie-break; slope division truncates toward zero
+    on BOTH engines (div and // agree on negatives — verified).  The pair stage is a self-join of the
+    per-type DAILY aggregate — calendar-bounded (30 days → ≤ 435 pairs
+    per type), so it is dimension-sized at any corpus scale; only the
+    daily rollup touches the fact table."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("v_us"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_us").alias("y_us"))
+        .persist()
+    )
+    pairs = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("d1"),
+            F.col("b.day").alias("d2"),
+            F.expr("(b.y_us - a.y_us) div (b.day - a.day)").alias(
+                "slope_us"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope_us").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    out = (
+        pairs.withColumn("i", F.row_number().over(w))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wall))
+        .filter(F.expr("i = (n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("slope_us").alias("median_slope_us"),
+            "n_pairs",
+        )
+    )
+    return materialize_and_release(out, daily)
+
+
+SQL_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y_us
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  -- DuckDB // and Spark div both truncate toward zero, so the raw
+  -- integer division matches the engine expression exactly
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         CAST((b.y_us - a.y_us) // (b.day - a.day) AS BIGINT) AS slope_us
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_us ASC, d1 ASC, d2 ASC) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+)
+SELECT event_type, slope_us AS median_slope_us,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM ranked WHERE i = (n_pairs + 1) // 2
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -862,6 +1108,9 @@ MINING_QUERIES = {
     "pmi_term_pairs": q_pmi_term_pairs,
     "fuzzy_record_linkage": q_fuzzy_record_linkage,
     "kaplan_meier_churn": q_kaplan_meier_churn,
+    "event_trigram_patterns": q_event_trigram_patterns,
+    "behavior_diversity_bands": q_behavior_diversity_bands,
+    "theil_sen_trend": q_theil_sen_trend,
 }
 
 MINING_ORACLES = {
@@ -875,4 +1124,7 @@ MINING_ORACLES = {
     "pmi_term_pairs": SQL_PMI_TERM_PAIRS,
     "fuzzy_record_linkage": SQL_FUZZY_RECORD_LINKAGE,
     "kaplan_meier_churn": SQL_KAPLAN_MEIER_CHURN,
+    "event_trigram_patterns": SQL_EVENT_TRIGRAM_PATTERNS,
+    "behavior_diversity_bands": SQL_BEHAVIOR_DIVERSITY_BANDS,
+    "theil_sen_trend": SQL_THEIL_SEN_TREND,
 }
