@@ -1097,6 +1097,294 @@ FROM ranked WHERE i = (n_pairs + 1) // 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast
+# ---------------------------------------------------------------------------
+
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over each event type's daily
+    micro-unit totals, with a 3-day-ahead forecast.  α = 0.25 and
+    β = 0.125 are exact binary fractions; the coupled level/trend
+    recursion runs as ONE ordered fold over the sorted daily array with a
+    struct accumulator — the Kaplan-Meier bit-replay discipline extended
+    to two-variable state (every op is a correctly-rounded IEEE add/mul,
+    so identical fold order ⇒ identical unrounded doubles on both
+    engines; the oracle folds a uniform struct list since list_reduce
+    has no separate accumulator type).  Init l₀ = y₁, t₀ = y₂ − y₁.  The
+    daily aggregate is the only fact-sized stage; the per-type fold is
+    calendar-bounded."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("v_us"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_us").cast("double").alias("y"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 3)
+    ys = F.col("ys")
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("t"),
+    )
+    state = F.aggregate(
+        F.slice(ys, 3, F.size(ys) - 2),
+        init,
+        lambda acc, y: F.struct(
+            (
+                F.lit(0.25) * y + F.lit(0.75) * (acc["l"] + acc["t"])
+            ).alias("l"),
+            (
+                F.lit(0.125)
+                * (
+                    (F.lit(0.25) * y + F.lit(0.75) * (acc["l"] + acc["t"]))
+                    - acc["l"]
+                )
+                + F.lit(0.875) * acc["t"]
+            ).alias("t"),
+        ),
+    )
+    return arr.select(
+        "event_type",
+        "n_days",
+        state["l"].alias("level"),
+        state["t"].alias("trend"),
+        (state["l"] + F.lit(3.0) * state["t"]).alias("forecast_3d"),
+    )
+
+
+SQL_HOLT_TREND_FORECAST = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT event_type,
+         list_transform(list_sort(list(struct_pack(day := day, y := y))),
+                        s -> s.y) AS ys,
+         count(*) AS n_days
+  FROM daily GROUP BY event_type HAVING count(*) >= 3
+), folded AS (
+  -- list-valued accumulator on purpose: DuckDB's list_reduce updates a
+  -- STRUCT accumulator field-by-field in place (the trend expression
+  -- would see the already-updated level); a list accumulator evaluates
+  -- functionally, matching Spark's aggregate() semantics
+  SELECT event_type, n_days,
+         list_reduce(
+           list_prepend(
+             [ys[1], ys[2] - ys[1]],
+             list_transform(ys[3:], y -> [y, CAST(0.0 AS DOUBLE)])),
+           (acc, x) -> [
+             0.25 * x[1] + 0.75 * (acc[1] + acc[2]),
+             0.125 * ((0.25 * x[1] + 0.75 * (acc[1] + acc[2])) - acc[1])
+             + 0.875 * acc[2]]) AS st
+  FROM arr
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       st[1] AS level, st[2] AS trend,
+       st[1] + 3.0 * st[2] AS forecast_3d
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity (exact OLS slope)
+# ---------------------------------------------------------------------------
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount — does a deeper
+    discount move volume?  Slope = (n·Σxy − Σx·Σy)·1e6 div (n·Σxx − Σx²)
+    entirely in integer micro-unit moments (DECIMAL(38,0) sums), so the
+    regression coefficient is engine-exact with no doubles; both engines
+    truncate integer division toward zero, verified.  One broadcast dim
+    join + one partial-agg shuffle on brand."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    staged = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem["l_partkey"] == part["p_partkey"],
+    ).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = staged.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+    )
+    return m.select(
+        "p_brand",
+        "n",
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000)"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+    )
+
+
+SQL_DISCOUNT_ELASTICITY = """
+WITH staged AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_discount * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), m AS (
+  SELECT p_brand, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM staged GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(((n * sxy - sx * sy) * 1000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC/XYZ inventory classification
+# ---------------------------------------------------------------------------
+
+def q_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ part classification: ABC from the cumulative revenue share
+    (A ≤ 70%, B ≤ 90%, C rest — the Pareto bands of the Lorenz machinery)
+    and XYZ from demand variability as the SQUARED coefficient of
+    variation in exact ppm — cv² = (n·Σq² − (Σq)²)·1e6 div (Σq)², no
+    sqrt (X < 0.25, Y < 1.0 in cv² terms).  One fact shuffle on partkey;
+    the cumulative-share window sorts the PART-sized rollup (at 1e9
+    parts ride `windows.global_index`).  Output: class grid with part
+    counts and exact revenue share per cell."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 1000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("rev_us"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias(
+            "sq"
+        ),
+        F.sum(
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+            * F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+        ).alias("sqq"),
+    )
+    w = Window.orderBy(F.col("rev_us").desc(), F.col("l_partkey").asc())
+    wall = Window.partitionBy()
+    classified = (
+        per_part.withColumn(
+            "cum_us",
+            F.sum("rev_us").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("tot_us", F.sum("rev_us").over(wall))
+        .withColumn(
+            "cum_ppm",
+            F.expr(
+                "CAST((CAST(cum_us AS DECIMAL(38,0)) * 1000000)"
+                " div tot_us AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "cv2_ppm",
+            F.expr(
+                "CAST(((CAST(n AS DECIMAL(38,0)) * sqq - CAST(sq AS"
+                " DECIMAL(38,0)) * sq) * 1000000) div (CAST(sq AS"
+                " DECIMAL(38,0)) * sq) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.when(F.col("cum_ppm") <= 700000, "A")
+            .when(F.col("cum_ppm") <= 900000, "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(F.col("cv2_ppm") < 250000, "X")
+            .when(F.col("cv2_ppm") < 1000000, "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+            "rev_us",
+        )
+    )
+    total = classified.agg(F.sum("rev_us").alias("t_us"))
+    return (
+        classified.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_us").alias("class_rev_us"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            "class_rev_us",
+            F.expr(
+                "CAST((CAST(class_rev_us AS DECIMAL(38,0)) * 1000000)"
+                " div t_us AS BIGINT)"
+            ).alias("rev_share_ppm"),
+        )
+    )
+
+
+SQL_ABC_XYZ_CLASSIFICATION = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev_us,
+         count(*) AS n,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sq,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sqq
+  FROM lineitem GROUP BY l_partkey
+), classified AS (
+  SELECT CASE WHEN CAST((CAST(sum(rev_us) OVER (ORDER BY rev_us DESC,
+                l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS HUGEINT) * 1000000)
+                // sum(rev_us) OVER () AS BIGINT) <= 700000 THEN 'A'
+              WHEN CAST((CAST(sum(rev_us) OVER (ORDER BY rev_us DESC,
+                l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS HUGEINT) * 1000000)
+                // sum(rev_us) OVER () AS BIGINT) <= 900000 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN CAST(((CAST(n AS HUGEINT) * sqq
+                - CAST(sq AS HUGEINT) * sq) * 1000000)
+                // (CAST(sq AS HUGEINT) * sq) AS BIGINT) < 250000 THEN 'X'
+              WHEN CAST(((CAST(n AS HUGEINT) * sqq
+                - CAST(sq AS HUGEINT) * sq) * 1000000)
+                // (CAST(sq AS HUGEINT) * sq) AS BIGINT) < 1000000 THEN 'Y'
+              ELSE 'Z' END AS xyz,
+         rev_us
+  FROM per_part
+), tot AS (SELECT CAST(sum(rev_us) AS BIGINT) AS t_us FROM classified)
+SELECT abc, xyz, count(*) AS n_parts,
+       CAST(sum(rev_us) AS BIGINT) AS class_rev_us,
+       CAST((CAST(sum(rev_us) AS HUGEINT) * 1000000) // t.t_us AS BIGINT)
+         AS rev_share_ppm
+FROM classified CROSS JOIN tot t
+GROUP BY abc, xyz, t.t_us
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -1111,6 +1399,9 @@ MINING_QUERIES = {
     "event_trigram_patterns": q_event_trigram_patterns,
     "behavior_diversity_bands": q_behavior_diversity_bands,
     "theil_sen_trend": q_theil_sen_trend,
+    "holt_trend_forecast": q_holt_trend_forecast,
+    "discount_elasticity": q_discount_elasticity,
+    "abc_xyz_classification": q_abc_xyz_classification,
 }
 
 MINING_ORACLES = {
@@ -1127,4 +1418,7 @@ MINING_ORACLES = {
     "event_trigram_patterns": SQL_EVENT_TRIGRAM_PATTERNS,
     "behavior_diversity_bands": SQL_BEHAVIOR_DIVERSITY_BANDS,
     "theil_sen_trend": SQL_THEIL_SEN_TREND,
+    "holt_trend_forecast": SQL_HOLT_TREND_FORECAST,
+    "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
+    "abc_xyz_classification": SQL_ABC_XYZ_CLASSIFICATION,
 }
