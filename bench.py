@@ -165,6 +165,14 @@ LLM = [
     "pmi_term_pairs",
     "fuzzy_record_linkage",
     "kaplan_meier_churn",
+    "event_trigram_patterns",
+    "behavior_diversity_bands",
+    "theil_sen_trend",
+    "holt_trend_forecast",
+    "discount_elasticity",
+    "abc_xyz_classification",
+    "seasonal_decompose",
+    "sax_symbolic_words",
 ]
 
 

@@ -1385,6 +1385,190 @@ GROUP BY abc, xyz, t.t_us
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each type's daily micro-unit
+    series: trend = centered 7-day moving SUM div 7 (rows with a full
+    window only — integer, no double mean), detrended = y − trend,
+    seasonal = per-weekday mean of detrended (floor division; both
+    engines truncate toward zero), residual = detrended − seasonal.
+    Output is the weekday seasonal profile per type plus the mean
+    absolute residual — the seasonal-strength readout.  One fact scan
+    into the calendar-bounded daily aggregate; every window extends the
+    same (type) partitioning; the detrended frame feeds two consumers so
+    it is persisted and released."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("v_us"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_us").alias("y_us"))
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    detrended = (
+        daily.withColumn("n_w", F.count(F.lit(1)).over(w7))
+        .withColumn("sum_w", F.sum("y_us").over(w7))
+        .filter(F.col("n_w") == 7)
+        .select(
+            "event_type",
+            "day",
+            F.expr("(day + 3) % 7").alias("dow"),
+            (F.col("y_us") - F.expr("sum_w div 7")).alias("det_us"),
+        )
+        .persist()
+    )
+    seasonal = detrended.groupBy("event_type", "dow").agg(
+        F.expr("sum(det_us) div count(1)").alias("seasonal_us"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    out = (
+        detrended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.first("seasonal_us").alias("seasonal_us"),
+            F.first("n_days").alias("n_days"),
+            F.expr(
+                "sum(abs(det_us - seasonal_us)) div count(1)"
+            ).alias("mean_abs_resid_us"),
+        )
+    )
+    return materialize_and_release(out, detrended)
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y_us
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, y_us,
+         count(*) OVER w AS n_w,
+         sum(y_us) OVER w AS sum_w
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT event_type, day, (day + 3) % 7 AS dow,
+         y_us - CAST(sum_w // 7 AS BIGINT) AS det_us
+  FROM win WHERE n_w = 7
+), seas AS (
+  SELECT event_type, dow,
+         CAST(sum(det_us) // count(*) AS BIGINT) AS seasonal_us,
+         count(*) AS n_days
+  FROM det GROUP BY 1, 2
+)
+SELECT d.event_type, d.dow,
+       any_value(s.seasonal_us) AS seasonal_us,
+       any_value(s.n_days) AS n_days,
+       CAST(sum(abs(d.det_us - s.seasonal_us)) // count(*) AS BIGINT)
+         AS mean_abs_resid_us
+FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+GROUP BY d.event_type, d.dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# SAX-style symbolic series representation
+# ---------------------------------------------------------------------------
+
+def q_sax_symbolic_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic series representation (SAX-shaped): each type's daily
+    series is PAA-compressed into 5-day segment means (integer floor
+    division), segments are quartile-coded a–d by RANK within the type
+    (ntile — rank-based discretization instead of the Gaussian
+    breakpoints, so no mean/std/sqrt), and the symbols concatenate in
+    time order into one word per type.  Words of equal series become
+    equal strings — the similarity-search / motif-discovery primitive.
+    Everything is calendar-bounded after the one fact scan; the word
+    assembly is a sorted-array transform, no second shuffle."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("v_us"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_us").alias("y_us"))
+    )
+    wmin = Window.partitionBy("event_type")
+    paa = (
+        daily.withColumn("day0", F.col("day") - F.min("day").over(wmin))
+        .withColumn("seg", F.expr("day0 div 5"))
+        .groupBy("event_type", "seg")
+        .agg(
+            F.expr("sum(y_us) div count(1)").alias("paa_us"),
+            F.count(F.lit(1)).alias("n_d"),
+        )
+        .filter(F.col("n_d") == 5)
+    )
+    wq = Window.partitionBy("event_type").orderBy(
+        F.col("paa_us").asc(), F.col("seg").asc()
+    )
+    sym = paa.withColumn(
+        "sym",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            F.ntile(4).over(wq),
+        ),
+    )
+    return sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("seg", "sym"))
+                ),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("sax_word"),
+        F.count(F.lit(1)).alias("n_segs"),
+    )
+
+
+SQL_SAX_SYMBOLIC_WORDS = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y_us
+  FROM events GROUP BY 1, 2
+), paa AS (
+  SELECT event_type, seg,
+         CAST(sum(y_us) // count(*) AS BIGINT) AS paa_us,
+         count(*) AS n_d
+  FROM (
+    SELECT event_type, y_us,
+           (day - min(day) OVER (PARTITION BY event_type)) // 5 AS seg
+    FROM daily
+  ) GROUP BY 1, 2 HAVING count(*) = 5
+), sym AS (
+  SELECT event_type, seg,
+         ['a', 'b', 'c', 'd'][ntile(4) OVER (PARTITION BY event_type
+             ORDER BY paa_us ASC, seg ASC)] AS sym
+  FROM paa
+)
+SELECT event_type,
+       string_agg(sym, '' ORDER BY seg) AS sax_word,
+       count(*) AS n_segs
+FROM sym GROUP BY event_type
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -1402,6 +1586,8 @@ MINING_QUERIES = {
     "holt_trend_forecast": q_holt_trend_forecast,
     "discount_elasticity": q_discount_elasticity,
     "abc_xyz_classification": q_abc_xyz_classification,
+    "seasonal_decompose": q_seasonal_decompose,
+    "sax_symbolic_words": q_sax_symbolic_words,
 }
 
 MINING_ORACLES = {
@@ -1421,4 +1607,6 @@ MINING_ORACLES = {
     "holt_trend_forecast": SQL_HOLT_TREND_FORECAST,
     "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
     "abc_xyz_classification": SQL_ABC_XYZ_CLASSIFICATION,
+    "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
+    "sax_symbolic_words": SQL_SAX_SYMBOLIC_WORDS,
 }
