@@ -437,8 +437,9 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly-pattern detector feeding dow_seasonality.  Pearson r is kept
     exact by reporting the SIGNED SQUARE in ppm: r²·sign(cov) =
     sign·num²/(denx·deny) with num = n·Σxy − Σx·Σy — pure integer moments
-    in DECIMAL(38,0), no sqrt, and the sign extracted as a CASE so no
-    engine-divergent negative floor-division is ever evaluated.  The
+    in DECIMAL(38,0), no sqrt; the sign rides a separate CASE purely for
+    readability — num² keeps the division non-negative (div and // agree
+    on negatives anyway, both truncate toward zero; see theil_sen).  The
     daily-count frame is one fact scan + date groupBy; the 7 lag
     self-joins run on that tiny aggregate (broadcast).  Bound: num² needs
     n·Σxy < 1e16 — at wider spans pre-aggregate counts to thousands
@@ -529,7 +530,11 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df is the corpus-wide distinct-doc count per term (one fact-sized
     groupBy); the sampled tf frame (doc_id < 50, a deterministic slice)
     is tiny and BROADCAST into the df join, so the vocabulary never
-    shuffles for the sample.  Shares `text.tokenize` with BM25/TF-IDF."""
+    shuffles for the sample.  Shares `text.tokenize` with BM25/TF-IDF.
+    The corpus is tokenized twice (df branch + sample branch — the sample
+    branch's doc_id predicate pushes to the scan, so its cost is the
+    sample, not the corpus); at 100 TB write the (doc, term) incidence to
+    durable storage once per release instead (the PMI/bloom note)."""
     from .operators.text import tokenize
 
     (documents,) = _t(spark, sf_dir, "documents")
@@ -684,19 +689,22 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last 4 chars — digits, so blocks are ~uniform) + levenshtein ≤ 1.
     At 100 TB the blocking join is the whole point: candidate pairs are
     O(n²/#blocks) instead of n², and the edit distance (JVM codegen'd in
-    both engines) runs only inside blocks.  Output is the audit summary —
+    both engines) runs only inside blocks.  The corruption position is
+    confined to chars 10–14 so it can NEVER move the last-4 block key —
+    recall audits the LINKER; when the corruption model can touch the
+    block key, add a second blocking pass on a rotated key (SCALE.md).  Output is the audit summary —
     candidate count, matches, true matches (same key), precision and
     recall in integer ppm — one row, all exact."""
     (customer,) = _t(spark, sf_dir, "customer")
     clean = customer.select(
         F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
     )
-    # delete one char from the zero-padding region: pos = 10 + key % 8
+    # delete one char from positions 10-14 — outside the last-4 block key
     dirty = clean.select(
         F.col("key").alias("dkey"),
         F.concat(
-            F.expr("substr(name, 1, 9 + CAST(key % 8 AS INT))"),
-            F.expr("substr(name, 11 + CAST(key % 8 AS INT))"),
+            F.expr("substr(name, 1, 9 + CAST(key % 5 AS INT))"),
+            F.expr("substr(name, 11 + CAST(key % 5 AS INT))"),
         ).alias("dname"),
     )
     blocked = clean.withColumn("blk", F.expr("right(name, 4)")).join(
@@ -735,8 +743,8 @@ WITH clean AS (
   SELECT c_custkey AS key, c_name AS name FROM customer
 ), dirty AS (
   SELECT key AS dkey,
-         substr(name, 1, 9 + CAST(key % 8 AS INTEGER))
-           || substr(name, 11 + CAST(key % 8 AS INTEGER)) AS dname
+         substr(name, 1, 9 + CAST(key % 5 AS INTEGER))
+           || substr(name, 11 + CAST(key % 5 AS INTEGER)) AS dname
   FROM clean
 ), blocked AS (
   SELECT c.key, d.dkey,
@@ -822,6 +830,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_at_risk").cast("double")
             ).alias("ratio"),
         )
+        .persist()
     )
     arr = risk.agg(
         F.sort_array(
@@ -971,7 +980,12 @@ def q_behavior_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = per_ut.groupBy("user_id").agg(
         F.sum("n_i").alias("n"),
-        F.sum(F.col("n_i") * F.col("n_i")).alias("ss"),
+        # DECIMAL before the square: a single-type count past ~3e9 would
+        # wrap int64 silently under non-ANSI mode (the oracle's BIGINT
+        # product errors instead — an undetectable divergence otherwise)
+        F.sum(
+            F.col("n_i").cast("decimal(38,0)") * F.col("n_i")
+        ).alias("ss"),
     )
     div = per_user.select(
         "user_id",
@@ -995,7 +1009,7 @@ WITH per_ut AS (
   SELECT user_id, event_type, count(*) AS n_i
   FROM events GROUP BY 1, 2
 ), per_user AS (
-  SELECT user_id, sum(n_i) AS n, sum(n_i * n_i) AS ss
+  SELECT user_id, sum(n_i) AS n, sum(CAST(n_i AS HUGEINT) * n_i) AS ss
   FROM per_ut GROUP BY user_id
 ), d AS (
   SELECT user_id,
@@ -1321,16 +1335,18 @@ def q_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("Z")
             .alias("xyz"),
             "rev_us",
+            "tot_us",
         )
     )
-    total = classified.agg(F.sum("rev_us").alias("t_us"))
+    # tot_us rides through from the window total — no second aggregate
+    # branch, so the fact shuffle and the global sort run exactly once
     return (
         classified.groupBy("abc", "xyz")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("rev_us").alias("class_rev_us"),
+            F.first("tot_us").alias("t_us"),
         )
-        .crossJoin(F.broadcast(total))
         .select(
             "abc",
             "xyz",
