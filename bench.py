@@ -173,6 +173,9 @@ LLM = [
     "abc_xyz_classification",
     "seasonal_decompose",
     "sax_symbolic_words",
+    "cuped_adjusted_ab",
+    "trimmed_mean_values",
+    "lead_lag_correlation",
 ]
 
 

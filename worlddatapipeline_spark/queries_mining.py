@@ -1585,6 +1585,303 @@ FROM sym GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout: per-user PRE-period purchase totals (the
+    first 15 days) serve as the covariate for the POST-period metric —
+    adjusted = post − θ·(pre − mean_pre) with θ = cov(pre, post)/var(pre)
+    pooled across arms.  θ is an exact integer ppm from DECIMAL moments
+    (the OLS-slope form of discount_elasticity); the adjustment applies
+    as integer micro-units (θ·Δpre div 1e6), so the whole variance
+    reduction is engine-exact.  Arms split by the registry's md5-parity
+    discipline.  One per-user shuffle; θ and mean_pre are broadcast
+    scalars-from-aggregates; arm means are a conditional one-row fold."""
+    (events,) = _t(spark, sf_dir, "events")
+    anchor = events.agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0")
+    )
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts) div 86400000000 - d0") < 15,
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("pre_us"),
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(ts) div 86400000000 - d0") >= 15,
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("post_us"),
+        )
+        .withColumn(
+            "arm",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).cast("int"),
+        )
+        .persist()
+    )
+    theta = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pre_us").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("post_us").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("pre_us").cast("decimal(38,0)") * F.col("pre_us")
+        ).alias("sxx"),
+        F.sum(
+            F.col("pre_us").cast("decimal(38,0)") * F.col("post_us")
+        ).alias("sxy"),
+    ).select(
+        "n",
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000)"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("theta_ppm"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_pre_us"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta)).withColumn(
+        "adj_us",
+        F.expr(
+            "post_us - (theta_ppm * (pre_us - mean_pre_us)) div 1000000"
+        ),
+    )
+    out = adjusted.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("sum(post_us) div count(1)").alias("mean_raw_us"),
+        F.expr("sum(adj_us) div count(1)").alias("mean_adj_us"),
+        F.first("theta_ppm").alias("theta_ppm"),
+    )
+    return materialize_and_release(out, per_user)
+
+
+SQL_CUPED_ADJUSTED_AB = """
+WITH anchor AS (
+  SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events
+), per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 - a.d0 < 15
+             THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS pre_us,
+         CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 - a.d0 >= 15
+             THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS post_us,
+         CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 2 AS INTEGER) AS arm
+  FROM events, anchor a
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, a.d0
+), theta AS (
+  SELECT count(*) AS n,
+         CAST(((count(*) * sum(CAST(pre_us AS HUGEINT) * post_us)
+                - sum(CAST(pre_us AS HUGEINT)) * sum(CAST(post_us AS HUGEINT)))
+               * 1000000)
+              // (count(*) * sum(CAST(pre_us AS HUGEINT) * pre_us)
+                  - sum(CAST(pre_us AS HUGEINT)) * sum(CAST(pre_us AS HUGEINT)))
+           AS BIGINT) AS theta_ppm,
+         CAST(sum(CAST(pre_us AS HUGEINT)) // count(*) AS BIGINT)
+           AS mean_pre_us
+  FROM per_user
+), adjusted AS (
+  SELECT arm,
+         post_us,
+         post_us - (t.theta_ppm * (pre_us - t.mean_pre_us)) // 1000000
+           AS adj_us,
+         t.theta_ppm
+  FROM per_user CROSS JOIN theta t
+)
+SELECT arm, count(*) AS n_users,
+       CAST(sum(post_us) // count(*) AS BIGINT) AS mean_raw_us,
+       CAST(sum(adj_us) // count(*) AS BIGINT) AS mean_adj_us,
+       any_value(theta_ppm) AS theta_ppm
+FROM adjusted GROUP BY arm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (trimmed) means
+# ---------------------------------------------------------------------------
+
+def q_trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of event value per type — the robust-mean
+    complement of mad_outlier_counts: drop the lowest and highest
+    n div 20 rows by (value, event_id) rank, then an exact integer
+    floor-division mean of the remainder alongside the raw mean.  The
+    rank and count windows share one per-type sort; trimming is a
+    codegen'd comparison, no second shuffle."""
+    (events,) = _t(spark, sf_dir, "events")
+    staged = events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_us"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v_us").asc(), F.col("event_id").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = (
+        staged.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("cut", F.expr("n div 20"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("rk") > F.col("cut"))
+                & (F.col("rk") <= F.col("n") - F.col("cut")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_kept"),
+        F.expr("sum(v_us) div count(1)").alias("raw_mean_us"),
+        F.expr(
+            "sum(CASE WHEN rk > cut AND rk <= n - cut THEN v_us ELSE 0 END)"
+            " div sum(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0"
+            " END)"
+        ).alias("trimmed_mean_us"),
+    )
+
+
+SQL_TRIMMED_MEAN_VALUES = """
+WITH staged AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_us
+  FROM events
+), ranked AS (
+  SELECT event_type, v_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v_us ASC, event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM staged
+)
+SELECT event_type, any_value(n) AS n,
+       CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(v_us) // count(*) AS BIGINT) AS raw_mean_us,
+       CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                THEN v_us ELSE 0 END)
+            // sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                   THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_us
+FROM ranked GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation (clicks vs purchases)
+# ---------------------------------------------------------------------------
+
+def q_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily click and purchase count
+    series at lags −7…7 — do clicks lead purchases?  Same signed-square
+    ppm discipline as daily_autocorrelation (DECIMAL integer moments, no
+    sqrt), ranked so rk = 1 is the strongest alignment.  The two daily
+    series come from ONE fact scan (conditional aggregate), persisted
+    against the 15 lag joins."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).cast("long").alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("yy"),
+        )
+        .persist()
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        daily.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(daily.alias("b")),
+            F.col("b.day") == F.col("a.day") + F.col("lag"),
+        )
+        .select("lag", F.col("a.x").alias("x"), F.col("b.yy").alias("yy"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yy").cast("decimal(38,0)") * F.col("yy")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("yy")).alias("sxy"),
+    )
+    scored = m.select(
+        "lag",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+            " AS BIGINT)"
+        ).alias("sign"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+    wr = Window.orderBy(F.col("r2_ppm").desc(), F.col("lag").asc())
+    out = scored.withColumn("rk", F.row_number().over(wr))
+    return materialize_and_release(out, daily)
+
+
+SQL_LEAD_LAG_CORRELATION = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS yy
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), pairs AS (
+  SELECT l.lag, a.x, b.yy
+  FROM (SELECT unnest(range(-7, 8)) AS lag) l
+  CROSS JOIN daily a
+  JOIN daily b ON b.day = a.day + l.lag
+), m AS (
+  SELECT lag, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(yy AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(yy AS HUGEINT) * yy) AS syy,
+         sum(CAST(x AS HUGEINT) * yy) AS sxy
+  FROM pairs GROUP BY lag
+), scored AS (
+  SELECT lag, n,
+         CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
+           AS sign,
+         CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+              // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+           AS r2_ppm
+  FROM m
+)
+SELECT lag, n, sign, r2_ppm,
+       row_number() OVER (ORDER BY r2_ppm DESC, lag ASC) AS rk
+FROM scored
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -1604,6 +1901,9 @@ MINING_QUERIES = {
     "abc_xyz_classification": q_abc_xyz_classification,
     "seasonal_decompose": q_seasonal_decompose,
     "sax_symbolic_words": q_sax_symbolic_words,
+    "cuped_adjusted_ab": q_cuped_adjusted_ab,
+    "trimmed_mean_values": q_trimmed_mean_values,
+    "lead_lag_correlation": q_lead_lag_correlation,
 }
 
 MINING_ORACLES = {
@@ -1625,4 +1925,7 @@ MINING_ORACLES = {
     "abc_xyz_classification": SQL_ABC_XYZ_CLASSIFICATION,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "sax_symbolic_words": SQL_SAX_SYMBOLIC_WORDS,
+    "cuped_adjusted_ab": SQL_CUPED_ADJUSTED_AB,
+    "trimmed_mean_values": SQL_TRIMMED_MEAN_VALUES,
+    "lead_lag_correlation": SQL_LEAD_LAG_CORRELATION,
 }
