@@ -176,6 +176,7 @@ LLM = [
     "cuped_adjusted_ab",
     "trimmed_mean_values",
     "lead_lag_correlation",
+    "audio_dominant_bins",
 ]
 
 

@@ -92,3 +92,19 @@ def test_theil_sen_ignores_single_outlier(spark):
     dirty[4] = 10_000
     assert median_slope(clean) == 2
     assert median_slope(dirty) == 2
+
+
+def test_dominant_frequency_16bit_path(spark):
+    import numpy as np
+
+    from worlddatapipeline_spark.operators import multimodal as mm
+
+    # int16 WAV at bin 17 of 512 samples; the 16-bit decode branch must
+    # recover the same bin the 8-bit registry query exercises
+    t = np.arange(512, dtype=np.float64)
+    wave = (12000 * np.sin(2 * np.pi * 17 * t / 512)).astype(np.int16)
+    payload = mm.encode_wav_pcm(wave, sample_rate=16000)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, data binary")
+    row = mm.dominant_frequency_bins(df).collect()[0]
+    assert row.n_samples == 512
+    assert row.dom_bin == 17

@@ -430,6 +430,85 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return resized.join(meta, "media_id")
 
 
+def dominant_frequency_bins(media: DataFrame) -> DataFrame:
+    """Dominant spectral bin per audio payload: real WAV decode →
+    DC-removed rFFT magnitude → argmax over bins 1..n/2.  ``mapInPandas``
+    pure map (no shuffle, one Arrow batch of payloads resident per task);
+    numpy's pocketfft is deterministic for a given input, and the checked
+    output is the integer BIN index, robust to float noise whenever the
+    signal has one dominant tone (quantization noise is ~48 dB down).
+    Returns (media_id, n_samples, dom_bin)."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), True),
+            StructField("dom_bin", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                arr = _decode_bytes(data)
+                if arr.size >= 4:
+                    x = arr.astype(np.float64)
+                    spec = np.abs(np.fft.rfft(x - x.mean()))
+                    out.append(
+                        (int(mid), int(arr.size), int(spec[1:].argmax()) + 1)
+                    )
+                else:
+                    out.append((int(mid), int(arr.size), None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "dom_bin"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(run, schema)
+
+
+def synthesize_tone_wavs(
+    df: DataFrame, id_col: str, n_samples: int = 256, amp: float = 80.0
+) -> DataFrame:
+    """Synthesize a REAL 8-bit PCM WAV per row containing one pure sine at
+    FFT bin ``id % 100 + 4`` of an ``n_samples``-sample frame — a KNOWN
+    ground truth derivable from the id by arithmetic alone, which is what
+    makes the FFT path end-to-end ORACLE-CHECKABLE: an integer-bin sine
+    under a rectangular window concentrates all its energy in its own
+    bin, so `dominant_frequency_bins` must return exactly that bin."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samples, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for rid in pdf[id_col]:
+                k = int(rid) % 100 + 4
+                wave = 127.5 + amp * np.sin(2.0 * np.pi * k * t / n_samples)
+                samples = np.clip(np.round(wave), 0, 255).astype(np.uint8)
+                out.append((int(rid), encode_wav_pcm(samples)))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
 def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling fan-out: one output row per kept frame.
 

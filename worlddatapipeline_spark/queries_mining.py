@@ -1882,6 +1882,43 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio dominant-frequency extraction (end-to-end FFT oracle)
+# ---------------------------------------------------------------------------
+
+def q_audio_dominant_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio feature extraction, oracle-checked end to end: per doc a
+    pure sine tone at FFT bin (doc_id % 100 + 4) is synthesized, encoded
+    as a REAL 8-bit PCM WAV, decoded back through the RIFF parser, and
+    its dominant spectral bin recovered by numpy rFFT inside Arrow
+    batches (`multimodal.dominant_frequency_bins`).  The oracle computes
+    the expected bin ARITHMETICALLY from doc_id — any corruption in the
+    encode, decode, or FFT path hash-fails.  Pure map end to end (no
+    shuffle but the final count rollup); doc_id < 200 bounds the synth
+    cost and pushes to the scan."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sample = documents.filter(F.col("doc_id") < 200).select("doc_id")
+    wavs = mm.synthesize_tone_wavs(sample, "doc_id")
+    bins = mm.dominant_frequency_bins(wavs)
+    return bins.select(
+        F.col("media_id").alias("doc_id"),
+        "n_samples",
+        "dom_bin",
+        (F.col("dom_bin") * 31250).alias("dom_mhz"),
+    )
+
+
+SQL_AUDIO_DOMINANT_BINS = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(doc_id % 100 + 4 AS BIGINT) AS dom_bin,
+       CAST((doc_id % 100 + 4) * 31250 AS BIGINT) AS dom_mhz
+FROM documents WHERE doc_id < 200
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -1904,6 +1941,7 @@ MINING_QUERIES = {
     "cuped_adjusted_ab": q_cuped_adjusted_ab,
     "trimmed_mean_values": q_trimmed_mean_values,
     "lead_lag_correlation": q_lead_lag_correlation,
+    "audio_dominant_bins": q_audio_dominant_bins,
 }
 
 MINING_ORACLES = {
@@ -1928,4 +1966,5 @@ MINING_ORACLES = {
     "cuped_adjusted_ab": SQL_CUPED_ADJUSTED_AB,
     "trimmed_mean_values": SQL_TRIMMED_MEAN_VALUES,
     "lead_lag_correlation": SQL_LEAD_LAG_CORRELATION,
+    "audio_dominant_bins": SQL_AUDIO_DOMINANT_BINS,
 }
