@@ -177,6 +177,7 @@ LLM = [
     "trimmed_mean_values",
     "lead_lag_correlation",
     "audio_dominant_bins",
+    "streaming_trending_topk",
 ]
 
 

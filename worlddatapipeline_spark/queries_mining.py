@@ -1919,6 +1919,94 @@ FROM documents WHERE doc_id < 200
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming trending top-k
+# ---------------------------------------------------------------------------
+
+def q_streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard as a REAL Structured Streaming pipeline: file
+    readStream → event-time watermark → 6-hour tumbling window counts per
+    event type → in-memory sink (availableNow) — then the top-3 rank per
+    window applied over the SINK table, the serving-layer step a live
+    dashboard runs on each refresh.  Deterministic on the single-file
+    source, so it hash-checks against the batch SQL restatement; on a
+    live feed the same code runs with a processing trigger + update mode
+    and the watermark bounds state to (lookback / window) rows per type.
+    Tenth real streaming-vs-batch parity in the registry."""
+    import uuid  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        TimestampNTZType,
+    )
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "6 hours")
+        .groupBy(
+            F.window(F.col("ts"), "6 hours").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = "stream_trend_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wr = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+SQL_STREAMING_TRENDING_TOPK = """
+WITH c AS (
+  SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+                  '%Y-%m-%d %H') AS win_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT win_start, event_type, n_events,
+         row_number() OVER (PARTITION BY win_start
+                            ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM c
+)
+SELECT win_start, event_type, n_events, rk FROM ranked WHERE rk <= 3
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -1942,6 +2030,7 @@ MINING_QUERIES = {
     "trimmed_mean_values": q_trimmed_mean_values,
     "lead_lag_correlation": q_lead_lag_correlation,
     "audio_dominant_bins": q_audio_dominant_bins,
+    "streaming_trending_topk": q_streaming_trending_topk,
 }
 
 MINING_ORACLES = {
@@ -1967,4 +2056,5 @@ MINING_ORACLES = {
     "trimmed_mean_values": SQL_TRIMMED_MEAN_VALUES,
     "lead_lag_correlation": SQL_LEAD_LAG_CORRELATION,
     "audio_dominant_bins": SQL_AUDIO_DOMINANT_BINS,
+    "streaming_trending_topk": SQL_STREAMING_TRENDING_TOPK,
 }
