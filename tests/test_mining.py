@@ -59,3 +59,84 @@ def test_cooccurrence_cosine_square(spark):
     assert (r.item_a, r.item_b, r.n_ab) == ("x", "y", 2)
     # cos^2 = 4/6 -> floor(4e6/6) = 666666
     assert r.cos2_ppm == 666666
+
+
+def test_association_rules_match_bruteforce_on_seeded_random(spark):
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        baskets = {}
+        for bk in range(20):
+            items = rng.sample("abcdef", rng.randint(1, 5))
+            baskets[bk] = set(items)
+            rows += [(bk, it) for it in items]
+        df = spark.createDataFrame(rows, ["bk", "it"])
+        got = {
+            (r.ante, r.conseq): (
+                r.n_ab,
+                r.support_ppm,
+                r.confidence_ppm,
+                r.lift_ppm,
+            )
+            for r in mining_ops.association_rules(
+                df, "bk", "it", min_support_ppm=0
+            ).collect()
+        }
+        # brute force with the same exact integer formulas
+        n = len(baskets)
+        item_n = {}
+        for s in baskets.values():
+            for it in s:
+                item_n[it] = item_n.get(it, 0) + 1
+        want = {}
+        for a in item_n:
+            for b in item_n:
+                if a == b:
+                    continue
+                n_ab = sum(1 for s in baskets.values() if a in s and b in s)
+                if n_ab == 0:
+                    continue
+                want[(a, b)] = (
+                    n_ab,
+                    (n_ab * 1000000) // n,
+                    (n_ab * 1000000) // item_n[a],
+                    (n_ab * n * 1000000) // (item_n[a] * item_n[b]),
+                )
+        assert got == want, f"seed {seed}"
+
+
+def test_cooccurrence_cosine_matches_bruteforce_on_seeded_random(spark):
+    import random
+
+    for seed in (3, 4):
+        rng = random.Random(seed)
+        rows = []
+        ctxs = {}
+        for c in range(15):
+            items = rng.sample("pqrst", rng.randint(1, 4))
+            ctxs[c] = set(items)
+            rows += [(c, it) for it in items]
+        df = spark.createDataFrame(rows, ["ctx", "it"])
+        got = {
+            (r.item_a, r.item_b): (r.n_ab, r.cos2_ppm)
+            for r in mining_ops.cooccurrence_cosine(df, "ctx", "it").collect()
+        }
+        item_n = {}
+        for s in ctxs.values():
+            for it in s:
+                item_n[it] = item_n.get(it, 0) + 1
+        want = {}
+        for a in item_n:
+            for b in item_n:
+                if a >= b:
+                    continue
+                n_ab = sum(1 for s in ctxs.values() if a in s and b in s)
+                if n_ab == 0:
+                    continue
+                want[(a, b)] = (
+                    n_ab,
+                    (n_ab * n_ab * 1000000) // (item_n[a] * item_n[b]),
+                )
+        assert got == want, f"seed {seed}"
