@@ -1993,7 +1993,10 @@ def q_streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAMING_TRENDING_TOPK = """
 WITH c AS (
-  SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+  -- make_timestamp stays tz-naive TIMESTAMP; to_timestamp would return
+  -- TIMESTAMPTZ and strftime would render it in the HOST timezone while
+  -- the Spark side is pinned UTC (caught in review)
+  SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
                   '%Y-%m-%d %H') AS win_start,
          event_type, count(*) AS n_events
   FROM events GROUP BY 1, 2
