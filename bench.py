@@ -178,6 +178,7 @@ LLM = [
     "lead_lag_correlation",
     "audio_dominant_bins",
     "streaming_trending_topk",
+    "image_ahash_dedup",
 ]
 
 

@@ -108,3 +108,31 @@ def test_dominant_frequency_16bit_path(spark):
     row = mm.dominant_frequency_bins(df).collect()[0]
     assert row.n_samples == 512
     assert row.dom_bin == 17
+
+
+def test_average_hash_robust_to_pixel_noise(spark):
+    import hashlib
+
+    import numpy as np
+
+    from worlddatapipeline_spark.operators import multimodal as mm
+
+    # the defining perceptual property: small pixel jitter must not move
+    # the hash, so a noisy re-encode of the same image dedups with it
+    v = int(hashlib.md5(b"7").hexdigest()[:15], 16)
+    bits = np.array([(v >> k) & 1 for k in range(64)], dtype=np.uint8)
+    img = np.where(
+        np.kron(bits.reshape(8, 8), np.ones((8, 8), dtype=np.uint8)), 200, 50
+    ).astype(np.int16)
+    rng = np.random.default_rng(42)
+    noisy = np.clip(img + rng.integers(-3, 4, img.shape), 0, 255).astype(
+        np.uint8
+    )
+    rows = [
+        (1, bytearray(mm.encode_bmp_gray8(img.astype(np.uint8)))),
+        (2, bytearray(mm.encode_bmp_gray8(noisy))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r.media_id: r.ahash for r in mm.average_hash_64(df).collect()}
+    assert out[1] == v
+    assert out[2] == v

@@ -509,6 +509,93 @@ def synthesize_tone_wavs(
     return df.select(id_col).mapInPandas(run, schema)
 
 
+def synthesize_pattern_bmps(
+    df: DataFrame, id_col: str, classes: int = 50
+) -> DataFrame:
+    """Synthesize a REAL 64×64 grayscale BMP per row whose 8×8 block
+    pattern encodes the low 60 bits of md5(id % classes): block k is
+    bright (200) iff bit k is set, else dark (50).  The average-hash of
+    such an image equals that 60-bit value EXACTLY (uniform blocks sit
+    strictly above/below the global mean whenever 0 < popcount < 64), so
+    `average_hash_64` becomes end-to-end oracle-checkable by arithmetic —
+    the image counterpart of `synthesize_tone_wavs`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for rid in pdf[id_col]:
+                key = str(int(rid) % classes)
+                v = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                bits = np.array(
+                    [(v >> k) & 1 for k in range(64)], dtype=np.uint8
+                ).reshape(8, 8)
+                img = np.where(
+                    np.kron(bits, np.ones((8, 8), dtype=np.uint8)), 200, 50
+                ).astype(np.uint8)
+                out.append((int(rid), encode_bmp_gray8(img)))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def average_hash_64(media: DataFrame, side: int = 64) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: real BMP decode →
+    8×8 block means → bit k set iff block k's mean exceeds the global
+    mean → one signed 64-bit hash.  Near-identical images land on equal
+    (or Hamming-close) hashes, so exact-hash groupBy IS perceptual
+    dedup — the image member of the dedup family, scale-shaped like
+    exact text dedup (16-byte key shuffle, payload never shuffles).
+    Returns (media_id, ahash)."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                arr = _decode_bytes(data)
+                if arr.size != side * side:
+                    out.append((int(mid), None))
+                    continue
+                img = arr.reshape(side, side).astype(np.float64)
+                b = side // 8
+                means = img.reshape(8, b, 8, b).mean(axis=(1, 3))
+                bits = (means > img.mean()).reshape(-1)
+                h = 0
+                for k in range(64):
+                    if bits[k]:
+                        h |= 1 << k
+                out.append((int(mid), int(h)))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "data").mapInPandas(run, schema)
+
+
 def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling fan-out: one output row per kept frame.
 

@@ -2010,6 +2010,43 @@ SELECT win_start, event_type, n_events, rk FROM ranked WHERE rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (average-hash through the real BMP codec)
+# ---------------------------------------------------------------------------
+
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup, oracle-checked end to end: per doc a 64×64
+    BMP whose 8×8 block pattern encodes md5(doc_id % 50)'s low 60 bits is
+    encoded through the REAL BMP writer, decoded back through the real
+    parser, average-hashed (`multimodal.average_hash_64`), and duplicate
+    groups collapse by exact hash — 200 images → 50 perceptual classes.
+    The oracle derives every hash ARITHMETICALLY from doc_id, so any
+    corruption in the BMP encode, the palette/row-padding decode, the
+    block-mean pipeline, or the bit packing hash-fails.  Scale shape =
+    exact dedup: an 8-byte key shuffle; image payloads never shuffle."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sample = documents.filter(F.col("doc_id") < 200).select("doc_id")
+    hashes = mm.average_hash_64(
+        mm.synthesize_pattern_bmps(sample, "doc_id", classes=50)
+    )
+    return hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("min_doc"),
+    )
+
+
+SQL_IMAGE_AHASH_DEDUP = """
+SELECT CAST(('0x' || substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15))
+         AS BIGINT) AS ahash,
+       count(*) AS n_images,
+       min(doc_id) AS min_doc
+FROM documents WHERE doc_id < 200
+GROUP BY 1
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2034,6 +2071,7 @@ MINING_QUERIES = {
     "lead_lag_correlation": q_lead_lag_correlation,
     "audio_dominant_bins": q_audio_dominant_bins,
     "streaming_trending_topk": q_streaming_trending_topk,
+    "image_ahash_dedup": q_image_ahash_dedup,
 }
 
 MINING_ORACLES = {
@@ -2060,4 +2098,5 @@ MINING_ORACLES = {
     "lead_lag_correlation": SQL_LEAD_LAG_CORRELATION,
     "audio_dominant_bins": SQL_AUDIO_DOMINANT_BINS,
     "streaming_trending_topk": SQL_STREAMING_TRENDING_TOPK,
+    "image_ahash_dedup": SQL_IMAGE_AHASH_DEDUP,
 }
