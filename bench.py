@@ -179,6 +179,8 @@ LLM = [
     "audio_dominant_bins",
     "streaming_trending_topk",
     "image_ahash_dedup",
+    "did_readout",
+    "negative_sampling_pairs",
 ]
 
 

@@ -2047,6 +2047,174 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Difference-in-differences readout
+# ---------------------------------------------------------------------------
+
+def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: md5-parity cohorts × pre/post periods
+    (first/last 15 days), per-cell user-mean purchase value in integer
+    micro-units, DiD = (B_post − B_pre) − (A_post − A_pre) — the quasi-
+    experimental complement of ab_test_zscore/cuped when only one cohort
+    receives a change mid-stream.  Everything is exact: per-user totals,
+    floor-division cell means, and the closed DiD difference; the single
+    fact scan folds to a 4-cell conditional aggregate.  Output is the
+    cell grid plus the DiD estimate repeated as a scalar column."""
+    (events,) = _t(spark, sf_dir, "events")
+    anchor = events.agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0")
+    )
+    per_user_period = (
+        events.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            (F.expr("unix_micros(ts) div 86400000000 - d0") >= 15)
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("v_us")
+        )
+        .withColumn(
+            "cohort",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).cast("int"),
+        )
+    )
+    cells = per_user_period.groupBy("cohort", "post").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("sum(v_us) div count(1)").alias("mean_us"),
+    )
+    wide = cells.groupBy().pivot("cohort", [0, 1]).agg(
+        F.min(F.when(F.col("post") == 0, F.col("mean_us"))).alias("pre"),
+        F.min(F.when(F.col("post") == 1, F.col("mean_us"))).alias("post_m"),
+    )
+    did = wide.select(
+        (
+            (F.col("1_post_m") - F.col("1_pre"))
+            - (F.col("0_post_m") - F.col("0_pre"))
+        ).alias("did_us")
+    )
+    return cells.crossJoin(F.broadcast(did)).select(
+        "cohort", "post", "n_users", "mean_us", "did_us"
+    )
+
+
+SQL_DID_READOUT = """
+WITH anchor AS (
+  SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events
+), per_up AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 - a.d0 >= 15 AS INTEGER) AS post,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_us,
+         CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 2 AS INTEGER) AS cohort
+  FROM events, anchor a
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, 2, 4
+), cells AS (
+  SELECT cohort, post, count(*) AS n_users,
+         CAST(sum(v_us) // count(*) AS BIGINT) AS mean_us
+  FROM per_up GROUP BY 1, 2
+), did AS (
+  SELECT (max(CASE WHEN cohort = 1 AND post = 1 THEN mean_us END)
+          - max(CASE WHEN cohort = 1 AND post = 0 THEN mean_us END))
+         - (max(CASE WHEN cohort = 0 AND post = 1 THEN mean_us END)
+            - max(CASE WHEN cohort = 0 AND post = 0 THEN mean_us END))
+           AS did_us
+  FROM cells
+)
+SELECT cohort, post, n_users, mean_us, d.did_us
+FROM cells CROSS JOIN did d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair generation: for each customer, the 2
+    top-ranked NON-purchased brands by a deterministic md5 key — the
+    negative-sampling step of recommender / embedding training, with the
+    registry's no-rand() discipline so the sample is replayable.  The
+    candidate space is customers × the brand DIMENSION (25), built as a
+    broadcast nested-loop against the distinct-brand frame and anti-
+    filtered by the interaction set — never a fact×fact product.  Output
+    counts negatives per (brand, rank) to keep the checked frame small
+    while pinning every sampled pair through the group sizes."""
+    lineitem, orders, part = _t(
+        spark, sf_dir, "lineitem", "orders", "part"
+    )
+    interacted = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .select(F.col("o_custkey").alias("cust"), "p_brand")
+        .distinct()
+    )
+    users = interacted.select("cust").distinct()
+    brands = part.select("p_brand").distinct()
+    candidates = users.crossJoin(F.broadcast(brands)).join(
+        interacted, ["cust", "p_brand"], "left_anti"
+    )
+    wr = Window.partitionBy("cust").orderBy(
+        F.md5(F.concat_ws("#", F.col("cust"), F.col("p_brand"))).asc(),
+        F.col("p_brand").asc(),
+    )
+    sampled = candidates.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 2
+    )
+    return sampled.groupBy("p_brand", "rk").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.min("cust").alias("min_cust"),
+    )
+
+
+SQL_NEGATIVE_SAMPLING_PAIRS = """
+WITH interacted AS (
+  SELECT DISTINCT o.o_custkey AS cust, p.p_brand
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), users AS (SELECT DISTINCT cust FROM interacted),
+brands AS (SELECT DISTINCT p_brand FROM part),
+candidates AS (
+  SELECT u.cust, b.p_brand
+  FROM users u CROSS JOIN brands b
+  WHERE NOT EXISTS (SELECT 1 FROM interacted i
+                    WHERE i.cust = u.cust AND i.p_brand = b.p_brand)
+), sampled AS (
+  SELECT cust, p_brand,
+         row_number() OVER (PARTITION BY cust
+                            ORDER BY md5(CAST(cust AS VARCHAR) || '#'
+                                         || p_brand) ASC,
+                                     p_brand ASC) AS rk
+  FROM candidates
+)
+SELECT p_brand, rk, count(*) AS n_negatives, min(cust) AS min_cust
+FROM sampled WHERE rk <= 2
+GROUP BY p_brand, rk
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2072,6 +2240,8 @@ MINING_QUERIES = {
     "audio_dominant_bins": q_audio_dominant_bins,
     "streaming_trending_topk": q_streaming_trending_topk,
     "image_ahash_dedup": q_image_ahash_dedup,
+    "did_readout": q_did_readout,
+    "negative_sampling_pairs": q_negative_sampling_pairs,
 }
 
 MINING_ORACLES = {
@@ -2099,4 +2269,6 @@ MINING_ORACLES = {
     "audio_dominant_bins": SQL_AUDIO_DOMINANT_BINS,
     "streaming_trending_topk": SQL_STREAMING_TRENDING_TOPK,
     "image_ahash_dedup": SQL_IMAGE_AHASH_DEDUP,
+    "did_readout": SQL_DID_READOUT,
+    "negative_sampling_pairs": SQL_NEGATIVE_SAMPLING_PAIRS,
 }
