@@ -516,3 +516,30 @@ def test_skyline_prunes_at_scan_and_broadcasts_frontier(spark):
     scan_to_prune = plan.split("MapInPandas")[0]
     assert "Arguments: hashpartitioning(" not in scan_to_prune
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_negative_sampling_candidates_broadcast(spark):
+    """The users × brands candidate space must build as a broadcast
+    nested-loop against the 25-row brand DIMENSION — a shuffled cartesian
+    here would be fact-sized at scale — and the interaction filter must
+    stay a broadcast/hash anti-join, never a cartesian."""
+    plan = _plan(spark, "negative_sampling_pairs")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_distinctive_terms_sample_broadcast(spark):
+    """The sampled tf frame (doc_id < 50) broadcasts into the corpus df
+    join so the vocabulary never shuffles for the sample, and the sample
+    predicate reaches the parquet scan."""
+    plan = _plan(spark, "distinctive_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "LessThan(doc_id,50)" in plan
+
+
+def test_trimmed_mean_single_sort_shuffle(spark):
+    """Rank and count windows share ONE per-type exchange; the trim is a
+    codegen'd comparison, not a second shuffle."""
+    plan = _plan(spark, "trimmed_mean_values")
+    assert _hash_exchanges(plan) == 1
