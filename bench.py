@@ -181,6 +181,7 @@ LLM = [
     "image_ahash_dedup",
     "did_readout",
     "negative_sampling_pairs",
+    "product_analytics_pipeline",
 ]
 
 

@@ -2215,6 +2215,90 @@ GROUP BY p_brand, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed product-analytics pipeline
+# ---------------------------------------------------------------------------
+
+def q_product_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics composition in ONE Catalyst plan from reused,
+    individually-verified operators — the events-side sibling of
+    curation_pipeline_stats: the shared sessionize kernel
+    (`windows.with_session_ids`) → per-session conversion flag → per-user
+    session/conversion rollup → conversion-rate quintiles (full tie-break)
+    → per-quintile readout with integer ppm rates and floor-division
+    averages.  Sessionization, rollups, and the quintile window all
+    extend ONE user-keyed sort lineage until the final tiny quintile
+    aggregate; nothing re-scans the fact table."""
+    from .operators import windows as win_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    sess = win_ops.with_session_ids(events)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    per_user = per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("conv_sessions"),
+        F.sum("n_events").alias("n_events"),
+    ).withColumn(
+        "conv_ppm",
+        F.expr("(conv_sessions * 1000000) div n_sessions"),
+    )
+    wq = Window.orderBy(F.col("conv_ppm").asc(), F.col("user_id").asc())
+    return (
+        per_user.withColumn("quintile", F.ntile(5).over(wq))
+        .groupBy("quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("sum(n_sessions) div count(1)").alias(
+                "avg_sessions"
+            ),
+            F.expr("sum(n_events) div count(1)").alias("avg_events"),
+            F.min("conv_ppm").alias("min_conv_ppm"),
+            F.max("conv_ppm").alias("max_conv_ppm"),
+        )
+    )
+
+
+SQL_PRODUCT_ANALYTICS_PIPELINE = """
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM s GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, count(*) AS n_sessions,
+         CAST(sum(converted) AS BIGINT) AS conv_sessions,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST((CAST(sum(converted) AS BIGINT) * 1000000) // count(*)
+           AS BIGINT) AS conv_ppm
+  FROM per_session GROUP BY user_id
+), q AS (
+  SELECT *, ntile(5) OVER (ORDER BY conv_ppm ASC, user_id ASC) AS quintile
+  FROM per_user
+)
+SELECT quintile, count(*) AS n_users,
+       CAST(sum(n_sessions) // count(*) AS BIGINT) AS avg_sessions,
+       CAST(sum(n_events) // count(*) AS BIGINT) AS avg_events,
+       min(conv_ppm) AS min_conv_ppm, max(conv_ppm) AS max_conv_ppm
+FROM q GROUP BY quintile
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2242,6 +2326,7 @@ MINING_QUERIES = {
     "image_ahash_dedup": q_image_ahash_dedup,
     "did_readout": q_did_readout,
     "negative_sampling_pairs": q_negative_sampling_pairs,
+    "product_analytics_pipeline": q_product_analytics_pipeline,
 }
 
 MINING_ORACLES = {
@@ -2271,4 +2356,5 @@ MINING_ORACLES = {
     "image_ahash_dedup": SQL_IMAGE_AHASH_DEDUP,
     "did_readout": SQL_DID_READOUT,
     "negative_sampling_pairs": SQL_NEGATIVE_SAMPLING_PAIRS,
+    "product_analytics_pipeline": SQL_PRODUCT_ANALYTICS_PIPELINE,
 }
