@@ -136,3 +136,20 @@ def test_average_hash_robust_to_pixel_noise(spark):
     out = {r.media_id: r.ahash for r in mm.average_hash_64(df).collect()}
     assert out[1] == v
     assert out[2] == v
+
+
+def test_average_hash_bit63_wraps_signed(spark):
+    import numpy as np
+
+    from worlddatapipeline_spark.operators import multimodal as mm
+
+    # dark image with only the bottom-right (bit-63) block bright: the
+    # hash must wrap to a negative signed int64, not overflow Arrow
+    img = np.full((64, 64), 50, dtype=np.uint8)
+    img[56:, 56:] = 200
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_bmp_gray8(img)))],
+        "media_id long, data binary",
+    )
+    row = mm.average_hash_64(df).collect()[0]
+    assert row.ahash == -(1 << 63)  # only bit 63 set, signed

@@ -590,6 +590,8 @@ def average_hash_64(media: DataFrame, side: int = 64) -> DataFrame:
                 for k in range(64):
                     if bits[k]:
                         h |= 1 << k
+                if h >= 1 << 63:  # signed int64 wrap — bit 63 is valid
+                    h -= 1 << 64
                 out.append((int(mid), int(h)))
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
 

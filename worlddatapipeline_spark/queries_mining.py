@@ -2092,10 +2092,12 @@ def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
+    # cells feeds both the DiD derivation and the returned grid — persist
+    # the 4-row aggregate so the fact scan runs once, release on return
     cells = per_user_period.groupBy("cohort", "post").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.expr("sum(v_us) div count(1)").alias("mean_us"),
-    )
+    ).persist()
     wide = cells.groupBy().pivot("cohort", [0, 1]).agg(
         F.min(F.when(F.col("post") == 0, F.col("mean_us"))).alias("pre"),
         F.min(F.when(F.col("post") == 1, F.col("mean_us"))).alias("post_m"),
@@ -2106,9 +2108,10 @@ def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("0_post_m") - F.col("0_pre"))
         ).alias("did_us")
     )
-    return cells.crossJoin(F.broadcast(did)).select(
+    out = cells.crossJoin(F.broadcast(did)).select(
         "cohort", "post", "n_users", "mean_us", "did_us"
     )
+    return materialize_and_release(out, cells)
 
 
 SQL_DID_READOUT = """
