@@ -182,6 +182,9 @@ LLM = [
     "did_readout",
     "negative_sampling_pairs",
     "product_analytics_pipeline",
+    "position_attribution",
+    "readability_bands",
+    "distribution_drift",
 ]
 
 

@@ -2302,6 +2302,294 @@ FROM q GROUP BY quintile
 """
 
 
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) attribution
+# ---------------------------------------------------------------------------
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — 40% to the
+    first touch, 40% to the last, the middle 20% split equally —
+    completing the attribution family (last-touch / linear / U).  The
+    credit arithmetic is exact integer micro-units with every remainder
+    assigned deterministically (n=1 → all, n=2 → halves with the
+    remainder to the first, n≥3 → 40/40 floors with the mid remainder to
+    the FIRST middle), restated identically in the oracle so both
+    engines split to the cent.  Same single user-key co-shuffle as
+    linear_attribution; position ranks ride one window per purchase."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_us"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    week_us = 7 * 24 * 3600 * 1000000
+    touches = purchases.join(clicks, "user_id").filter(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - F.lit(week_us))
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_us").asc(), F.col("click_id").asc()
+    )
+    ranked = touches.withColumn("n", F.count(F.lit(1)).over(wn)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    credit = F.expr(
+        """
+        CASE
+          WHEN n = 1 THEN value_us
+          WHEN n = 2 AND rk = 1 THEN value_us - (value_us div 2)
+          WHEN n = 2 THEN value_us div 2
+          WHEN rk = 1 OR rk = n THEN (value_us * 40) div 100
+          WHEN rk = 2 THEN
+            (value_us - 2 * ((value_us * 40) div 100))
+            - (n - 3) * ((value_us - 2 * ((value_us * 40) div 100))
+                         div (n - 2))
+          ELSE (value_us - 2 * ((value_us * 40) div 100)) div (n - 2)
+        END
+        """
+    )
+    pos = (
+        F.when(F.col("n") == 1, "solo")
+        .when(F.col("rk") == 1, "first")
+        .when(F.col("rk") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    return (
+        ranked.withColumn("credit_us", credit)
+        .groupBy(pos.alias("position"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_us").alias("credited_us"),
+        )
+    )
+
+
+SQL_POSITION_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), t AS (
+  SELECT p.purchase_id, c.click_id, p.value_us, c.c_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000
+), ranked AS (
+  SELECT purchase_id, click_id, value_us,
+         count(*) OVER (PARTITION BY purchase_id) AS n,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY c_us ASC, click_id ASC) AS rk
+  FROM t
+), credited AS (
+  SELECT CASE WHEN n = 1 THEN 'solo'
+              WHEN rk = 1 THEN 'first'
+              WHEN rk = n THEN 'last'
+              ELSE 'middle' END AS position,
+         CASE
+           WHEN n = 1 THEN value_us
+           WHEN n = 2 AND rk = 1 THEN value_us - (value_us // 2)
+           WHEN n = 2 THEN value_us // 2
+           WHEN rk = 1 OR rk = n THEN (value_us * 40) // 100
+           WHEN rk = 2 THEN
+             (value_us - 2 * ((value_us * 40) // 100))
+             - (n - 3) * ((value_us - 2 * ((value_us * 40) // 100))
+                          // (n - 2))
+           ELSE (value_us - 2 * ((value_us * 40) // 100)) // (n - 2)
+         END AS credit_us
+  FROM ranked
+)
+SELECT position, count(*) AS n_credits,
+       CAST(sum(credit_us) AS BIGINT) AS credited_us
+FROM credited GROUP BY position
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability bands
+# ---------------------------------------------------------------------------
+
+def q_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring as a corpus-quality filter, in exact
+    integer micro-points: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with syllables approximated by vowel groups
+    (`[aeiouy]+` runs — the standard heuristic) and the two ratio terms
+    floor-divided identically on both engines.  Pure map + one 10-point
+    band groupBy; joins the Gopher/entropy/unigram quality family."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id",
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"\. "), lambda x: x != ""
+                )
+            ),
+            F.lit(1),
+        ).alias("s"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(
+                        F.lower(
+                            F.regexp_replace(F.trim("text"), r"\s+", " ")
+                        ),
+                        " ",
+                    ),
+                    lambda t: t != "",
+                )
+            ),
+            F.lit(1),
+        ).alias("w"),
+        F.expr(
+            "regexp_count(lower(text), '[aeiouy]+')"
+        ).alias("syl"),
+    ).withColumn(
+        "flesch_u",
+        F.expr(
+            "206835000 - (1015000 * CAST(w AS BIGINT)) div s"
+            " - (84600000 * CAST(syl AS BIGINT)) div w"
+        ),
+    )
+    return scored.groupBy(
+        F.expr("flesch_u div 10000000").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("flesch_u").alias("min_u"),
+        F.max("flesch_u").alias("max_u"),
+    )
+
+
+SQL_READABILITY_BANDS = """
+WITH scored AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split(text, '. '),
+                                  x -> x <> '')), 1) AS s,
+         greatest(len(list_filter(
+           string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        ' '), t -> t <> '')), 1) AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents
+), f AS (
+  SELECT 206835000 - (1015000 * w) // s - (84600000 * syl) // w
+           AS flesch_u
+  FROM scored
+)
+SELECT CAST(flesch_u // 10000000 AS BIGINT) AS band,
+       count(*) AS n_docs,
+       CAST(min(flesch_u) AS BIGINT) AS min_u,
+       CAST(max(flesch_u) AS BIGINT) AS max_u
+FROM f GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift score (train/serve skew monitor)
+# ---------------------------------------------------------------------------
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first and second 15-day halves of
+    each event type's value distribution — the ML-monitoring screen that
+    catches train/serve skew.  Values bin by a global-max-scaled integer
+    rule (20 bins), each half's bin shares go to exact ppm, and the
+    drift score is Σ (a−b)²/(a+b+1) over bins — the χ²-shaped statistic
+    kept in pure integers (PSI's log is avoided on purpose).  One fact
+    scan → (type, half, bin) counts; everything after is tiny."""
+    (events,) = _t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.max(
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        ).alias("max_us"),
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0"),
+    )
+    binned = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            (F.expr("unix_micros(ts) div 86400000000 - d0") >= 15)
+            .cast("int")
+            .alias("half"),
+            F.expr(
+                "(CAST(floor(value * 1000000 + 0.5) AS BIGINT) * 20)"
+                " div (max_us + 1)"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type", "half")
+    shares = binned.withColumn("tot", F.sum("n").over(wt)).select(
+        "event_type",
+        "half",
+        "bin",
+        F.expr("(n * 1000000) div tot").alias("ppm"),
+    )
+    a = shares.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("ppm").alias("a_ppm")
+    )
+    b = shares.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("ppm").alias("b_ppm")
+    )
+    joined = a.join(b, ["event_type", "bin"], "full").select(
+        "event_type",
+        "bin",
+        F.coalesce("a_ppm", F.lit(0)).alias("a_ppm"),
+        F.coalesce("b_ppm", F.lit(0)).alias("b_ppm"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(
+            F.expr(
+                "((a_ppm - b_ppm) * (a_ppm - b_ppm))"
+                " div (a_ppm + b_ppm + 1)"
+            )
+        ).cast("long").alias("drift_score"),
+    )
+
+
+SQL_DISTRIBUTION_DRIFT = """
+WITH bounds AS (
+  SELECT max(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS max_us,
+         min(epoch_us(ts) // 86400000000) AS d0
+  FROM events
+), binned AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 - b.d0 >= 15 AS INTEGER) AS half,
+         (CAST(floor(value * 1000000 + 0.5) AS BIGINT) * 20)
+           // (b.max_us + 1) AS bin,
+         count(*) AS n
+  FROM events, bounds b
+  GROUP BY 1, 2, 3
+), shares AS (
+  SELECT event_type, half, bin,
+         CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type, half)
+           AS BIGINT) AS ppm
+  FROM binned
+), sides AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.bin, b.bin) AS bin,
+         coalesce(a.ppm, 0) AS a_ppm, coalesce(b.ppm, 0) AS b_ppm
+  FROM (SELECT * FROM shares WHERE half = 0) a
+  FULL JOIN (SELECT * FROM shares WHERE half = 1) b
+    ON a.event_type = b.event_type AND a.bin = b.bin
+)
+SELECT event_type, count(*) AS n_bins,
+       CAST(sum(((a_ppm - b_ppm) * (a_ppm - b_ppm))
+                // (a_ppm + b_ppm + 1)) AS BIGINT) AS drift_score
+FROM sides GROUP BY event_type
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2330,6 +2618,9 @@ MINING_QUERIES = {
     "did_readout": q_did_readout,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "product_analytics_pipeline": q_product_analytics_pipeline,
+    "position_attribution": q_position_attribution,
+    "readability_bands": q_readability_bands,
+    "distribution_drift": q_distribution_drift,
 }
 
 MINING_ORACLES = {
@@ -2360,4 +2651,7 @@ MINING_ORACLES = {
     "did_readout": SQL_DID_READOUT,
     "negative_sampling_pairs": SQL_NEGATIVE_SAMPLING_PAIRS,
     "product_analytics_pipeline": SQL_PRODUCT_ANALYTICS_PIPELINE,
+    "position_attribution": SQL_POSITION_ATTRIBUTION,
+    "readability_bands": SQL_READABILITY_BANDS,
+    "distribution_drift": SQL_DISTRIBUTION_DRIFT,
 }
