@@ -185,6 +185,8 @@ LLM = [
     "position_attribution",
     "readability_bands",
     "distribution_drift",
+    "user_feature_vector",
+    "session_conformance",
 ]
 
 

@@ -2590,6 +2590,194 @@ FROM sides GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Feature-store user vector assembly
+# ---------------------------------------------------------------------------
+
+def q_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: one wide ML feature row per user —
+    recency, purchase frequency, monetary total, behavioral diversity
+    (Gini-Simpson ppm), session count, event count — from ONE windowed
+    pass over the user's events (the sessionize kernel carries
+    session_id) followed by a (user, type) rollup and a per-user
+    combine; no fact re-scan per feature, the assembly shape a feature
+    platform materializes nightly.  The user_id predicate pushes to the
+    scan (per-user features need only that user's rows), and every
+    feature is exact integer micro-units/ppm."""
+    from .operators import windows as win_ops
+
+    (events,) = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    sess = win_ops.with_session_ids(
+        events.filter(F.col("user_id") < 300)
+    )
+    per_ut = sess.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.max("session_id").alias("m_sess"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("v_us"),
+    )
+    return (
+        per_ut.groupBy("user_id")
+        .agg(
+            F.sum("n_i").alias("n_events"),
+            F.max("m_sess").alias("n_sessions"),
+            F.max("last_us").alias("last_us"),
+            F.sum("v_us").alias("monetary_us"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("n_i"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("freq_purchases"),
+            F.sum(
+                F.col("n_i").cast("decimal(38,0)") * F.col("n_i")
+            ).alias("ss"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("t_max") - F.col("last_us")).alias("recency_us"),
+            "freq_purchases",
+            "monetary_us",
+            F.expr(
+                "1000000 - CAST((ss * 1000000) div (CAST(n_events AS"
+                " DECIMAL(38,0)) * n_events) AS BIGINT)"
+            ).alias("diversity_ppm"),
+            "n_sessions",
+            "n_events",
+        )
+    )
+
+
+SQL_USER_FEATURE_VECTOR = """
+WITH anchor AS (
+  SELECT max(epoch_us(ts)) AS t_max FROM events
+), g AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events WHERE user_id < 300
+), s AS (
+  SELECT user_id, event_type, ts, value,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per_ut AS (
+  SELECT user_id, event_type, count(*) AS n_i,
+         max(session_id) AS m_sess, max(epoch_us(ts)) AS last_us,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS v_us
+  FROM s GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id,
+         CAST(sum(n_i) AS BIGINT) AS n_events,
+         CAST(max(m_sess) AS BIGINT) AS n_sessions,
+         max(last_us) AS last_us,
+         CAST(sum(v_us) AS BIGINT) AS monetary_us,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN n_i ELSE 0 END)
+           AS BIGINT) AS freq_purchases,
+         sum(CAST(n_i AS HUGEINT) * n_i) AS ss
+  FROM per_ut GROUP BY user_id
+)
+SELECT user_id, (a.t_max - last_us) AS recency_us, freq_purchases,
+       monetary_us,
+       1000000 - CAST((ss * 1000000)
+                      // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT)
+         AS diversity_ppm,
+       n_sessions, n_events
+FROM per_user CROSS JOIN anchor a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session conformance (edit distance to the modal path)
+# ---------------------------------------------------------------------------
+
+def q_session_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral conformance: each user's event-type-initial path string
+    (first 20 events, ordered, deterministic) is compared by levenshtein
+    to the corpus's MODAL path — how far users deviate from the dominant
+    behavior pattern, banded by edit distance.  Path building reuses the
+    session-path sort discipline (sort_array over (ts, id) structs); the
+    modal path is a broadcast scalar-from-aggregate; levenshtein is
+    JVM-codegen'd in both engines.  Distances band by 4-edit steps."""
+    (events,) = _t(spark, sf_dir, "events")
+    paths = events.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+                1,
+                20,
+            ),
+            "",
+        ).alias("path")
+    )
+    wtop = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    modal = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select(F.col("path").alias("modal_path"))
+    )
+    return (
+        paths.crossJoin(F.broadcast(modal))
+        .select(
+            F.expr(
+                "levenshtein(path, modal_path) div 4"
+            ).alias("dist_band"),
+            F.levenshtein("path", F.col("modal_path")).alias("d"),
+        )
+        .groupBy("dist_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("d").alias("min_dist"),
+            F.max("d").alias("max_dist"),
+        )
+    )
+
+
+SQL_SESSION_CONFORMANCE = """
+WITH p AS (
+  SELECT user_id,
+         list_aggr(
+           list_transform(
+             list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                        event_type := event_type)))[1:20],
+             x -> substr(x.event_type, 1, 1)),
+           'string_agg', '') AS path
+  FROM events GROUP BY user_id
+), modal AS (
+  SELECT path AS modal_path
+  FROM (SELECT path, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rk
+        FROM p GROUP BY path)
+  WHERE rk = 1
+)
+SELECT levenshtein(p.path, m.modal_path) // 4 AS dist_band,
+       count(*) AS n_users,
+       CAST(min(levenshtein(p.path, m.modal_path)) AS BIGINT) AS min_dist,
+       CAST(max(levenshtein(p.path, m.modal_path)) AS BIGINT) AS max_dist
+FROM p CROSS JOIN modal m
+GROUP BY 1
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2621,6 +2809,8 @@ MINING_QUERIES = {
     "position_attribution": q_position_attribution,
     "readability_bands": q_readability_bands,
     "distribution_drift": q_distribution_drift,
+    "user_feature_vector": q_user_feature_vector,
+    "session_conformance": q_session_conformance,
 }
 
 MINING_ORACLES = {
@@ -2654,4 +2844,6 @@ MINING_ORACLES = {
     "position_attribution": SQL_POSITION_ATTRIBUTION,
     "readability_bands": SQL_READABILITY_BANDS,
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
+    "user_feature_vector": SQL_USER_FEATURE_VECTOR,
+    "session_conformance": SQL_SESSION_CONFORMANCE,
 }
