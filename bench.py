@@ -187,6 +187,7 @@ LLM = [
     "distribution_drift",
     "user_feature_vector",
     "session_conformance",
+    "degree_assortativity",
 ]
 
 

@@ -510,9 +510,9 @@ WITH daily AS (
 SELECT lag, n,
        CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
          AS sign,
-       CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
-            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
-         AS r2_ppm
+       CAST((((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+             * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy)))
+            // 1000 AS BIGINT) AS r2_ppm
 FROM m
 """
 
@@ -2778,6 +2778,99 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Graph degree assortativity
+# ---------------------------------------------------------------------------
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part↔supplier co-purchase graph — do
+    high-degree nodes attach to high-degree nodes?  The network-science
+    summary beside PageRank/k-core/triangles: Pearson correlation over
+    the degree pairs of every edge endpoint (both orientations, the
+    standard undirected treatment), reported as the signed square in
+    exact ppm from DECIMAL integer moments — the same sqrt-free
+    discipline as the autocorrelation family.  Node ids use the disjoint
+    2k/2k+1 encoding; degrees join back to edges broadcast-free on the
+    node key (one shuffle each side)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    edges = lineitem.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        both.join(deg.withColumnRenamed("src", "a"), F.col("src") == F.col("a"))
+        .withColumnRenamed("deg", "dx")
+        .drop("a")
+        .join(
+            deg.withColumnRenamed("src", "b").withColumnRenamed(
+                "deg", "dy"
+            ),
+            F.col("dst") == F.col("b"),
+        )
+        .drop("b")
+        .select("dx", "dy")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_endpoint_pairs"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+            " AS BIGINT)"
+        ).alias("sign"),
+        F.expr(
+            "CAST((((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+            " * ((n * sxy - sx * sy) * 1000 div (n * syy - sy * sy)))"
+            " div 1000 AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH e AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM lineitem
+), both_dir AS (
+  SELECT src, dst FROM e
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e
+), deg AS (
+  SELECT src, count(*) AS deg FROM both_dir GROUP BY src
+), pairs AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM both_dir b
+  JOIN deg da ON b.src = da.src
+  JOIN deg db ON b.dst = db.src
+), m AS (
+  SELECT count(*) AS n,
+         sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+         sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+         sum(CAST(dy AS HUGEINT) * dy) AS syy,
+         sum(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_endpoint_pairs,
+       CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
+         AS sign,
+       CAST((((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+             * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy)))
+            // 1000 AS BIGINT) AS r2_ppm
+FROM m
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2811,6 +2904,7 @@ MINING_QUERIES = {
     "distribution_drift": q_distribution_drift,
     "user_feature_vector": q_user_feature_vector,
     "session_conformance": q_session_conformance,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 MINING_ORACLES = {
@@ -2846,4 +2940,5 @@ MINING_ORACLES = {
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     "user_feature_vector": SQL_USER_FEATURE_VECTOR,
     "session_conformance": SQL_SESSION_CONFORMANCE,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
 }
