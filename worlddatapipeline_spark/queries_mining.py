@@ -510,9 +510,9 @@ WITH daily AS (
 SELECT lag, n,
        CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
          AS sign,
-       CAST((((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
-             * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy)))
-            // 1000 AS BIGINT) AS r2_ppm
+       CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+         AS r2_ppm
 FROM m
 """
 
@@ -2461,8 +2461,13 @@ def q_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (84600000 * CAST(syl AS BIGINT)) div w"
         ),
     )
+    # true FLOOR banding (div truncates toward zero; flesch can be
+    # negative, and truncation would fold (-10, 0) into band 0)
     return scored.groupBy(
-        F.expr("flesch_u div 10000000").alias("band")
+        F.expr(
+            "CASE WHEN flesch_u >= 0 THEN flesch_u div 10000000"
+            " ELSE -((-flesch_u + 9999999) div 10000000) END"
+        ).alias("band")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("flesch_u").alias("min_u"),
@@ -2485,7 +2490,8 @@ WITH scored AS (
            AS flesch_u
   FROM scored
 )
-SELECT CAST(flesch_u // 10000000 AS BIGINT) AS band,
+SELECT CAST(CASE WHEN flesch_u >= 0 THEN flesch_u // 10000000
+            ELSE -((-flesch_u + 9999999) // 10000000) END AS BIGINT) AS band,
        count(*) AS n_docs,
        CAST(min(flesch_u) AS BIGINT) AS min_u,
        CAST(max(flesch_u) AS BIGINT) AS max_u
@@ -2528,12 +2534,14 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wt = Window.partitionBy("event_type", "half")
+    # shares feeds both halves of the full join — persist the tiny
+    # (type x half x 20-bin) frame so the fact scan runs once
     shares = binned.withColumn("tot", F.sum("n").over(wt)).select(
         "event_type",
         "half",
         "bin",
         F.expr("(n * 1000000) div tot").alias("ppm"),
-    )
+    ).persist()
     a = shares.filter(F.col("half") == 0).select(
         "event_type", "bin", F.col("ppm").alias("a_ppm")
     )
@@ -2546,7 +2554,7 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a_ppm", F.lit(0)).alias("a_ppm"),
         F.coalesce("b_ppm", F.lit(0)).alias("b_ppm"),
     )
-    return joined.groupBy("event_type").agg(
+    out = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum(
             F.expr(
@@ -2555,6 +2563,7 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("drift_score"),
     )
+    return materialize_and_release(out, shares)
 
 
 SQL_DISTRIBUTION_DRIFT = """
@@ -2726,7 +2735,7 @@ def q_session_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "",
         ).alias("path")
-    )
+    ).persist()
     wtop = Window.orderBy(F.col("n").desc(), F.col("path").asc())
     modal = (
         paths.groupBy("path")
@@ -2735,14 +2744,10 @@ def q_session_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select(F.col("path").alias("modal_path"))
     )
-    return (
+    out = (
         paths.crossJoin(F.broadcast(modal))
-        .select(
-            F.expr(
-                "levenshtein(path, modal_path) div 4"
-            ).alias("dist_band"),
-            F.levenshtein("path", F.col("modal_path")).alias("d"),
-        )
+        .select(F.levenshtein("path", F.col("modal_path")).alias("d"))
+        .select(F.expr("d div 4").alias("dist_band"), "d")
         .groupBy("dist_band")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -2750,6 +2755,7 @@ def q_session_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_dist"),
         )
     )
+    return materialize_and_release(out, paths)
 
 
 SQL_SESSION_CONFORMANCE = """
@@ -2797,11 +2803,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
+    # both feeds the degree aggregate AND both sides of the pair join —
+    # persist so the distinct-edge scan runs once, release on return
     both = edges.unionByName(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-    )
+    ).persist()
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pairs = (
         both.join(deg.withColumnRenamed("src", "a"), F.col("src") == F.col("a"))
@@ -2824,18 +2832,19 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).alias("syy"),
         F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).alias("sxy"),
     )
-    return m.select(
+    out = m.select(
         F.col("n").alias("n_endpoint_pairs"),
         F.expr(
             "CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
             " AS BIGINT)"
         ).alias("sign"),
         F.expr(
-            "CAST((((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
-            " * ((n * sxy - sx * sy) * 1000 div (n * syy - sy * sy)))"
-            " div 1000 AS BIGINT)"
+            "CAST(((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+            " * ((n * sxy - sx * sy) * 1000 div (n * syy - sy * sy))"
+            " AS BIGINT)"
         ).alias("r2_ppm"),
     )
+    return materialize_and_release(out, both)
 
 
 SQL_DEGREE_ASSORTATIVITY = """
@@ -2864,9 +2873,9 @@ WITH e AS (
 SELECT CAST(n AS BIGINT) AS n_endpoint_pairs,
        CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
          AS sign,
-       CAST((((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
-             * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy)))
-            // 1000 AS BIGINT) AS r2_ppm
+       CAST(((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+            * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy))
+         AS BIGINT) AS r2_ppm
 FROM m
 """
 
