@@ -1705,13 +1705,18 @@ def q_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_collapse(
         ch, ["o_custkey"], "o_orderstatus", "o_orderdate", seq_cols=["o_orderkey"]
     )
+    # NTZ on the way out: PySpark renders TimestampType through the OS
+    # timezone at collect() (datetime.fromtimestamp), so a raw TIMESTAMP
+    # column shifts on any non-UTC host while the DuckDB oracle stays
+    # naive — caught by the TZ=America/New_York full sweep.  The cast is
+    # wall-clock preserving under the session's pinned UTC.
     return hist.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderstatus").alias("status"),
-        "valid_from",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
         F.col("n_changes").alias("n_orders"),
         "version",
-        "valid_to",
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
         "is_current",
     )
 
