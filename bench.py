@@ -188,6 +188,8 @@ LLM = [
     "user_feature_vector",
     "session_conformance",
     "degree_assortativity",
+    "kfold_assignment",
+    "ips_policy_value",
 ]
 
 

@@ -2880,6 +2880,138 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment over documents:
+    within each stratum (source × language) docs rank by the md5 of
+    their id (the registry's no-rand() replayable shuffle) and fold =
+    (rank − 1) % k, so fold sizes within every stratum differ by at most
+    one — the exact-balance property rand() splits can't give.  Output
+    pins the balance: per (stratum, fold) counts plus the stratum's
+    max−min fold-size spread (must be ≤ 1).  One rank window per
+    stratum; assignment is a map stage."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    folds = documents.select(
+        "source",
+        "lang",
+        F.expr(
+            "(row_number() OVER (PARTITION BY source, lang ORDER BY"
+            " md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) - 1) % 5"
+        ).alias("fold"),
+    )
+    counts = folds.groupBy("source", "lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ws = Window.partitionBy("source", "lang")
+    return counts.select(
+        "source",
+        "lang",
+        "fold",
+        "n_docs",
+        (F.max("n_docs").over(ws) - F.min("n_docs").over(ws)).alias(
+            "stratum_spread"
+        ),
+    )
+
+
+SQL_KFOLD_ASSIGNMENT = """
+WITH folds AS (
+  SELECT source, lang,
+         (row_number() OVER (PARTITION BY source, lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC) - 1) % 5 AS fold
+  FROM documents
+), c AS (
+  SELECT source, lang, fold, count(*) AS n_docs
+  FROM folds GROUP BY 1, 2, 3
+)
+SELECT source, lang, fold, n_docs,
+       CAST(max(n_docs) OVER (PARTITION BY source, lang)
+            - min(n_docs) OVER (PARTITION BY source, lang) AS BIGINT)
+         AS stratum_spread
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# IPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+def q_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-scored off-policy evaluation: the logged events
+    act as a uniform-over-5-types logging policy (propensity 1/5 exact);
+    the TARGET policy deterministically picks one event type per user
+    (md5 parity over 5).  IPS value = Σ reward·𝟙[logged action = target
+    action]/p over logged steps, which with the exact rational p = 1/5
+    is just 5·Σ matched rewards — integer micro-units throughout, no
+    estimator noise.  Reported per target-arm with the matched-step
+    count and the naive on-logged average for contrast — the
+    counterfactual-evaluation primitive of recommendation pipelines."""
+    (events,) = _t(spark, sf_dir, "events")
+    arms = F.array(
+        F.lit("view"), F.lit("click"), F.lit("signup"),
+        F.lit("purchase"), F.lit("error"),
+    )
+    staged = events.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("r_us"),
+        F.element_at(
+            arms,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 5
+                + 1
+            ).cast("int"),
+        ).alias("target_action"),
+    )
+    return staged.groupBy("target_action").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("target_action"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_matched"),
+        F.expr(
+            "5 * sum(CASE WHEN event_type = target_action THEN r_us"
+            " ELSE 0 END) div count(1)"
+        ).alias("ips_value_us"),
+        F.expr("sum(r_us) div count(1)").alias("logged_value_us"),
+    )
+
+
+SQL_IPS_POLICY_VALUE = """
+WITH staged AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS r_us,
+         (['view', 'click', 'signup', 'purchase', 'error'])[
+           CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) % 5 AS INTEGER) + 1] AS target_action
+  FROM events
+)
+SELECT target_action, count(*) AS n_steps,
+       CAST(sum(CASE WHEN event_type = target_action THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_matched,
+       CAST(5 * sum(CASE WHEN event_type = target_action THEN r_us
+                    ELSE 0 END) // count(*) AS BIGINT) AS ips_value_us,
+       CAST(sum(r_us) // count(*) AS BIGINT) AS logged_value_us
+FROM staged GROUP BY target_action
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -2914,6 +3046,8 @@ MINING_QUERIES = {
     "user_feature_vector": q_user_feature_vector,
     "session_conformance": q_session_conformance,
     "degree_assortativity": q_degree_assortativity,
+    "kfold_assignment": q_kfold_assignment,
+    "ips_policy_value": q_ips_policy_value,
 }
 
 MINING_ORACLES = {
@@ -2950,4 +3084,6 @@ MINING_ORACLES = {
     "user_feature_vector": SQL_USER_FEATURE_VECTOR,
     "session_conformance": SQL_SESSION_CONFORMANCE,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "kfold_assignment": SQL_KFOLD_ASSIGNMENT,
+    "ips_policy_value": SQL_IPS_POLICY_VALUE,
 }
