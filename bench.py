@@ -190,6 +190,8 @@ LLM = [
     "degree_assortativity",
     "kfold_assignment",
     "ips_policy_value",
+    "attribution_window_sweep",
+    "zipf_rank_audit",
 ]
 
 

@@ -3012,6 +3012,198 @@ FROM staged GROUP BY target_action
 """
 
 
+# ---------------------------------------------------------------------------
+# Attribution lookback sensitivity (parameter sweep in one scan)
+# ---------------------------------------------------------------------------
+
+def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity in ONE pass: per purchase the gap
+    to its nearest preceding click (the as-of backward step), then the
+    1-day / 3-day / 7-day lookback configurations fall out of the SAME
+    frame as conditional aggregates — the parameter-sweep-without-
+    rescanning pattern that matters at 100 TB (three configs, one fact
+    scan, one user-key shuffle).  Output per lookback: purchases
+    attributed, share ppm, credited value — how sensitive the
+    attribution readout is to the window choice."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_us"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    # the time bound lives IN the join condition: as a post-join filter it
+    # would drop purchases whose clicks are all later (no NULL row
+    # survives), diverging from the oracle's ON-clause semantics
+    nearest = (
+        purchases.join(
+            clicks,
+            (purchases["user_id"] == clicks["user_id"])
+            & (F.col("c_us") <= F.col("p_us")),
+            "left",
+        )
+        .groupBy("purchase_id", "p_us", "value_us")
+        .agg(F.max("c_us").alias("last_c_us"))
+        .withColumn(
+            "gap_us",
+            F.when(
+                F.col("last_c_us").isNotNull(),
+                F.col("p_us") - F.col("last_c_us"),
+            ),
+        )
+    )
+    day = 86400000000
+    sweep = nearest.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        *[
+            F.sum(
+                F.when(F.col("gap_us") <= F.lit(d * day), 1).otherwise(0)
+            ).cast("long").alias(f"n_{d}d")
+            for d in (1, 3, 7)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("gap_us") <= F.lit(d * day), F.col("value_us")
+                ).otherwise(F.lit(0))
+            ).alias(f"v_{d}d")
+            for d in (1, 3, 7)
+        ],
+    )
+    rows = [
+        sweep.select(
+            F.lit(f"{d}d").alias("lookback"),
+            F.col(f"n_{d}d").alias("n_attributed"),
+            F.expr(f"(n_{d}d * 1000000) div n_purchases").alias(
+                "attr_share_ppm"
+            ),
+            F.col(f"v_{d}d").alias("credited_us"),
+        )
+        for d in (1, 3, 7)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_ATTRIBUTION_WINDOW_SWEEP = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS c_us FROM events
+  WHERE event_type = 'click'
+), nearest AS (
+  SELECT p.purchase_id, p.p_us, p.value_us,
+         max(c.c_us) AS last_c_us
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
+  GROUP BY 1, 2, 3
+), g AS (
+  SELECT purchase_id, value_us,
+         CASE WHEN last_c_us IS NOT NULL THEN p_us - last_c_us END AS gap_us
+  FROM nearest
+), sweep AS (
+  SELECT count(*) AS n_purchases,
+         CAST(sum(CASE WHEN gap_us <= 1 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         CAST(sum(CASE WHEN gap_us <= 3 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+         CAST(sum(CASE WHEN gap_us <= 7 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_7,
+         CAST(sum(CASE WHEN gap_us <= 1 * 86400000000 THEN value_us ELSE 0 END) AS BIGINT) AS v_1,
+         CAST(sum(CASE WHEN gap_us <= 3 * 86400000000 THEN value_us ELSE 0 END) AS BIGINT) AS v_3,
+         CAST(sum(CASE WHEN gap_us <= 7 * 86400000000 THEN value_us ELSE 0 END) AS BIGINT) AS v_7
+  FROM g
+)
+SELECT '1d' AS lookback, n_1 AS n_attributed,
+       CAST((n_1 * 1000000) // n_purchases AS BIGINT) AS attr_share_ppm,
+       v_1 AS credited_us FROM sweep
+UNION ALL
+SELECT '3d', n_3, CAST((n_3 * 1000000) // n_purchases AS BIGINT), v_3
+FROM sweep
+UNION ALL
+SELECT '7d', n_7, CAST((n_7 * 1000000) // n_purchases AS BIGINT), v_7
+FROM sweep
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-size audit
+# ---------------------------------------------------------------------------
+
+def q_zipf_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-size audit over brand revenue: size_k/size_1 in exact
+    ppm against the ideal 1/k, with the absolute deviation — the
+    power-law screen for concentration (complements Gini/Pareto with the
+    per-rank view).  Brand rollup is one fact shuffle; the rank window
+    sorts 25 rows."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * 1000000 + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_us")
+        )
+    )
+    w = Window.orderBy(F.col("rev_us").desc(), F.col("p_brand").asc())
+    wall = Window.partitionBy()
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .withColumn("top_us", F.max("rev_us").over(wall))
+        .select(
+            "p_brand",
+            "rk",
+            "rev_us",
+            F.expr(
+                "CAST((CAST(rev_us AS DECIMAL(38,0)) * 1000000)"
+                " div top_us AS BIGINT)"
+            ).alias("size_ratio_ppm"),
+            F.expr("1000000 div rk").alias("zipf_ideal_ppm"),
+            F.abs(
+                F.expr(
+                    "CAST((CAST(rev_us AS DECIMAL(38,0)) * 1000000)"
+                    " div top_us AS BIGINT)"
+                )
+                - F.expr("1000000 div rk")
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+SQL_ZIPF_RANK_AUDIT = """
+WITH rev AS (
+  SELECT p.p_brand,
+         CAST(sum(CAST(floor(l.l_extendedprice * 1000000 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev_us
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), ranked AS (
+  SELECT p_brand, rev_us,
+         row_number() OVER (ORDER BY rev_us DESC, p_brand ASC) AS rk,
+         max(rev_us) OVER () AS top_us
+  FROM rev
+)
+SELECT p_brand, rk, rev_us,
+       CAST((CAST(rev_us AS HUGEINT) * 1000000) // top_us AS BIGINT)
+         AS size_ratio_ppm,
+       CAST(1000000 // rk AS BIGINT) AS zipf_ideal_ppm,
+       abs(CAST((CAST(rev_us AS HUGEINT) * 1000000) // top_us AS BIGINT)
+           - CAST(1000000 // rk AS BIGINT)) AS dev_ppm
+FROM ranked
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -3048,6 +3240,8 @@ MINING_QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "kfold_assignment": q_kfold_assignment,
     "ips_policy_value": q_ips_policy_value,
+    "attribution_window_sweep": q_attribution_window_sweep,
+    "zipf_rank_audit": q_zipf_rank_audit,
 }
 
 MINING_ORACLES = {
@@ -3086,4 +3280,6 @@ MINING_ORACLES = {
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "kfold_assignment": SQL_KFOLD_ASSIGNMENT,
     "ips_policy_value": SQL_IPS_POLICY_VALUE,
+    "attribution_window_sweep": SQL_ATTRIBUTION_WINDOW_SWEEP,
+    "zipf_rank_audit": SQL_ZIPF_RANK_AUDIT,
 }
