@@ -2890,8 +2890,10 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     their id (the registry's no-rand() replayable shuffle) and fold =
     (rank − 1) % k, so fold sizes within every stratum differ by at most
     one — the exact-balance property rand() splits can't give.  Output
-    pins the balance: per (stratum, fold) counts plus the stratum's
-    max−min fold-size spread (must be ≤ 1).  One rank window per
+    reports per (stratum, fold) counts plus the stratum's max−min
+    fold-size spread INCLUDING empty folds (the balance invariant holds
+    by round-robin construction; the output pins engine agreement on
+    every stratum's exact assignment sizes).  One rank window per
     stratum; assignment is a map stage."""
     (documents,) = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source", "lang").orderBy(
@@ -2900,23 +2902,25 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds = documents.select(
         "source",
         "lang",
-        F.expr(
-            "(row_number() OVER (PARTITION BY source, lang ORDER BY"
-            " md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) - 1) % 5"
-        ).alias("fold"),
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
     )
     counts = folds.groupBy("source", "lang", "fold").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    # spread counts EMPTY folds too (a 3-doc stratum has true spread 1,
+    # not 0): when fewer than 5 folds are present the minimum is 0
     ws = Window.partitionBy("source", "lang")
     return counts.select(
         "source",
         "lang",
         "fold",
         "n_docs",
-        (F.max("n_docs").over(ws) - F.min("n_docs").over(ws)).alias(
-            "stratum_spread"
-        ),
+        (
+            F.max("n_docs").over(ws)
+            - F.when(
+                F.count(F.lit(1)).over(ws) == 5, F.min("n_docs").over(ws)
+            ).otherwise(F.lit(0))
+        ).alias("stratum_spread"),
     )
 
 
@@ -2933,8 +2937,9 @@ WITH folds AS (
 )
 SELECT source, lang, fold, n_docs,
        CAST(max(n_docs) OVER (PARTITION BY source, lang)
-            - min(n_docs) OVER (PARTITION BY source, lang) AS BIGINT)
-         AS stratum_spread
+            - CASE WHEN count(*) OVER (PARTITION BY source, lang) = 5
+                   THEN min(n_docs) OVER (PARTITION BY source, lang)
+                   ELSE 0 END AS BIGINT) AS stratum_spread
 FROM c
 """
 
@@ -3058,6 +3063,9 @@ def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     day = 86400000000
+    # the one-row sweep aggregate feeds three union branches — persist so
+    # the scan/join/aggregate subtree runs once (the committed fingerprint
+    # showed the whole tree tripled without it)
     sweep = nearest.agg(
         F.count(F.lit(1)).alias("n_purchases"),
         *[
@@ -3074,7 +3082,7 @@ def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"v_{d}d")
             for d in (1, 3, 7)
         ],
-    )
+    ).persist()
     rows = [
         sweep.select(
             F.lit(f"{d}d").alias("lookback"),
@@ -3089,7 +3097,7 @@ def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    return materialize_and_release(out, sweep)
 
 
 SQL_ATTRIBUTION_WINDOW_SWEEP = """
@@ -3161,21 +3169,22 @@ def q_zipf_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("rk", F.row_number().over(w))
         .withColumn("top_us", F.max("rev_us").over(wall))
+        .withColumn(
+            "size_ratio_ppm",
+            F.expr(
+                "CAST((CAST(rev_us AS DECIMAL(38,0)) * 1000000)"
+                " div top_us AS BIGINT)"
+            ),
+        )
+        .withColumn("zipf_ideal_ppm", F.expr("1000000 div rk"))
         .select(
             "p_brand",
             "rk",
             "rev_us",
-            F.expr(
-                "CAST((CAST(rev_us AS DECIMAL(38,0)) * 1000000)"
-                " div top_us AS BIGINT)"
-            ).alias("size_ratio_ppm"),
-            F.expr("1000000 div rk").alias("zipf_ideal_ppm"),
+            "size_ratio_ppm",
+            "zipf_ideal_ppm",
             F.abs(
-                F.expr(
-                    "CAST((CAST(rev_us AS DECIMAL(38,0)) * 1000000)"
-                    " div top_us AS BIGINT)"
-                )
-                - F.expr("1000000 div rk")
+                F.col("size_ratio_ppm") - F.col("zipf_ideal_ppm")
             ).alias("dev_ppm"),
         )
     )
