@@ -192,6 +192,7 @@ LLM = [
     "ips_policy_value",
     "attribution_window_sweep",
     "zipf_rank_audit",
+    "short_text_editdups",
 ]
 
 

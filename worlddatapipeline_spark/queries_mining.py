@@ -3213,6 +3213,86 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Short-text edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+def q_short_text_editdups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection for SHORT texts — the
+    dedup-family member for titles/instructions where shingle and
+    MinHash methods lose power (too few n-grams to hash).  Candidate
+    blocking = (first token, length div 8 band): only same-block pairs
+    meet, O(n²/#blocks), then normalized edit distance
+    lev·1e6 div greatest(len_a, len_b) ≤ 150000 (15%) confirms — the
+    levenshtein is JVM-codegen'd in both engines and runs only inside
+    blocks.  Texts are truncated to their first 60 chars (the
+    short-text regime by construction; full-length near-dup belongs to
+    the shingle family).  Output: per-block-shape pair counts with the
+    min/max normalized distances of confirmed pairs."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    short = documents.select(
+        "doc_id",
+        F.substring(
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), 1, 60
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.substring_index(F.col("t"), " ", 1).alias("tok1"),
+        F.expr("length(t) div 8").alias("lband"),
+    )
+    pairs = (
+        short.alias("a")
+        .join(
+            short.alias("b"),
+            (F.col("a.tok1") == F.col("b.tok1"))
+            & (F.col("a.lband") == F.col("b.lband"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr(
+                "(levenshtein(a.t, b.t) * 1000000)"
+                " div greatest(length(a.t), length(b.t))"
+            ).alias("ndist_ppm"),
+        )
+        .filter(F.col("ndist_ppm") <= 150000)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_a").cast("long").alias("n_left_docs"),
+        F.min("ndist_ppm").alias("min_ndist_ppm"),
+        F.max("ndist_ppm").alias("max_ndist_ppm"),
+    )
+
+
+SQL_SHORT_TEXT_EDITDUPS = """
+WITH short AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60)
+           AS t
+  FROM documents
+), keyed AS (
+  SELECT doc_id, t,
+         string_split(t, ' ')[1] AS tok1,
+         length(t) // 8 AS lband
+  FROM short
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (levenshtein(a.t, b.t) * 1000000)
+           // greatest(length(a.t), length(b.t)) AS ndist_ppm
+  FROM keyed a JOIN keyed b
+    ON a.tok1 = b.tok1 AND a.lband = b.lband AND a.doc_id < b.doc_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(count(DISTINCT id_a) AS BIGINT) AS n_left_docs,
+       CAST(min(ndist_ppm) AS BIGINT) AS min_ndist_ppm,
+       CAST(max(ndist_ppm) AS BIGINT) AS max_ndist_ppm
+FROM pairs WHERE ndist_ppm <= 150000
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -3251,6 +3331,7 @@ MINING_QUERIES = {
     "ips_policy_value": q_ips_policy_value,
     "attribution_window_sweep": q_attribution_window_sweep,
     "zipf_rank_audit": q_zipf_rank_audit,
+    "short_text_editdups": q_short_text_editdups,
 }
 
 MINING_ORACLES = {
@@ -3291,4 +3372,5 @@ MINING_ORACLES = {
     "ips_policy_value": SQL_IPS_POLICY_VALUE,
     "attribution_window_sweep": SQL_ATTRIBUTION_WINDOW_SWEEP,
     "zipf_rank_audit": SQL_ZIPF_RANK_AUDIT,
+    "short_text_editdups": SQL_SHORT_TEXT_EDITDUPS,
 }
