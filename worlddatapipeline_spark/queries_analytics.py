@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import bloom as bloom_ops
-from .session import load_tables, materialize_and_release
+from .session import drain_memory_sink, load_tables, materialize_and_release
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -3760,7 +3760,7 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 SQL_STREAMING_STATIC_ENRICHMENT = """

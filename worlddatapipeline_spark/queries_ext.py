@@ -38,7 +38,7 @@ from .operators import similarity as sim_ops
 from .operators import simulate as sim_gen
 from .operators import stateful as stateful_ops
 from .operators import windows as win_ops
-from .session import load_tables
+from .session import drain_memory_sink, load_tables
 from .sources import listings as listing_src
 from .streaming import monitor as monitor_ops
 
@@ -3609,7 +3609,7 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 SQL_STREAMING_DEDUP_COUNTS = """
@@ -3681,7 +3681,7 @@ def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4493,7 +4493,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 SQL_STREAMING_SESSION_WINDOWS = """

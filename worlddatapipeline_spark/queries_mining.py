@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import mining as mining_ops
-from .session import load_tables, materialize_and_release
+from .session import drain_memory_sink, load_tables, materialize_and_release
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -435,15 +435,17 @@ FROM ct JOIN e ON ct.digit = e.digit
 def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the daily event-count series at lags 1–7 — the
     weekly-pattern detector feeding dow_seasonality.  Pearson r is kept
-    exact by reporting the SIGNED SQUARE in ppm: r²·sign(cov) =
-    sign·num²/(denx·deny) with num = n·Σxy − Σx·Σy — pure integer moments
-    in DECIMAL(38,0), no sqrt; the sign rides a separate CASE purely for
-    readability — num² keeps the division non-negative (div and // agree
+    exact by reporting the SIGNED SQUARE in ppm via the TWO-STAGE
+    factored division (num·1e3 div denx)·(num·1e3 div deny) with
+    num = n·Σxy − Σx·Σy — the degree_assortativity form.  The naive
+    num²·1e6 single quotient silently NULLs in Spark past n·Σxy ≈ 1e16
+    (DECIMAL(38,0) overflow) while DuckDB HUGEINT keeps going — the
+    factored form's largest intermediate is num·1e3 ≈ 1e19, never near
+    the 38-digit bound, so the engines cannot diverge by overflow.  The
+    sign rides a separate CASE purely for readability (div and // agree
     on negatives anyway, both truncate toward zero; see theil_sen).  The
     daily-count frame is one fact scan + date groupBy; the 7 lag
-    self-joins run on that tiny aggregate (broadcast).  Bound: num² needs
-    n·Σxy < 1e16 — at wider spans pre-aggregate counts to thousands
-    before correlating (r is scale-invariant)."""
+    self-joins run on that tiny aggregate (broadcast)."""
     (events,) = _t(spark, sf_dir, "events")
     # daily feeds both sides of the lag join — persist the calendar-sized
     # aggregate so the fact scan runs once, release on return
@@ -483,8 +485,9 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("sign"),
         F.expr(
-            "CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)"
-            " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+            "CAST(((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+            " * ((n * sxy - sx * sy) * 1000 div (n * syy - sy * sy))"
+            " AS BIGINT)"
         ).alias("r2_ppm"),
     )
     return materialize_and_release(out, daily)
@@ -510,9 +513,9 @@ WITH daily AS (
 SELECT lag, n,
        CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
          AS sign,
-       CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
-            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
-         AS r2_ppm
+       CAST(((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+            * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy))
+         AS BIGINT) AS r2_ppm
 FROM m
 """
 
@@ -798,18 +801,18 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(anchor))
         .select(
-            F.expr("(last_us - first_us) div 3600000000").alias("t_day"),
+            F.expr("(last_us - first_us) div 3600000000").alias("t_hour"),
             (F.col("t_anchor") - F.col("last_us") > 43200000000).alias(
                 "churned"
             ),
         )
         .persist()
     )
-    per_t = per_user.groupBy("t_day").agg(
+    per_t = per_user.groupBy("t_hour").agg(
         F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
         F.count(F.lit(1)).alias("all_t"),
     )
-    w = Window.orderBy("t_day").rowsBetween(
+    w = Window.orderBy("t_hour").rowsBetween(
         Window.unboundedPreceding, -1
     )
     total = per_user.agg(F.count(F.lit(1)).alias("n_users"))
@@ -822,7 +825,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d") > 0)
         .select(
-            "t_day",
+            "t_hour",
             "d",
             "n_at_risk",
             (
@@ -834,16 +837,16 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = risk.agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col("t_day").alias("t"), "ratio"))
+            F.collect_list(F.struct(F.col("t_hour").alias("t"), "ratio"))
         ).alias("deaths")
     )
     out = risk.crossJoin(F.broadcast(arr)).select(
-        F.col("t_day").alias("t_hour"),
+        "t_hour",
         "n_at_risk",
         "d",
         F.aggregate(
             F.filter(
-                F.col("deaths"), lambda x: x["t"] <= F.col("t_day")
+                F.col("deaths"), lambda x: x["t"] <= F.col("t_hour")
             ),
             F.lit(1.0),
             lambda acc, x: acc * x["ratio"],
@@ -856,35 +859,35 @@ SQL_KAPLAN_MEIER_CHURN = """
 WITH anchor AS (
   SELECT max(epoch_us(ts)) AS t_anchor FROM events
 ), per_user AS (
-  SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t_day,
+  SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t_hour,
          (a.t_anchor - max(epoch_us(ts))) > 43200000000 AS churned
   FROM events CROSS JOIN anchor a
   GROUP BY user_id, a.t_anchor
 ), per_t AS (
-  SELECT t_day,
+  SELECT t_hour,
          CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
          count(*) AS all_t
-  FROM per_user GROUP BY t_day
+  FROM per_user GROUP BY t_hour
 ), tot AS (SELECT count(*) AS n_users FROM per_user),
 risk AS (
-  SELECT t_day, d,
+  SELECT t_hour, d,
          CAST(t.n_users - coalesce(sum(all_t) OVER (
-           ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+           ORDER BY t_hour ROWS BETWEEN UNBOUNDED PRECEDING
            AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
   FROM per_t CROSS JOIN tot t
 ), deaths AS (
-  SELECT t_day, d, n_at_risk,
+  SELECT t_hour, d, n_at_risk,
          CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
            AS ratio
   FROM risk WHERE d > 0
 ), arr AS (
-  SELECT list_sort(list(struct_pack(t := t_day, ratio := ratio)))
+  SELECT list_sort(list(struct_pack(t := t_hour, ratio := ratio)))
     AS dl FROM deaths
 )
-SELECT t_day AS t_hour, n_at_risk, d,
+SELECT t_hour, n_at_risk, d,
        list_reduce(
          list_prepend(CAST(1.0 AS DOUBLE),
-           list_transform(list_filter(a.dl, x -> x.t <= deaths.t_day),
+           list_transform(list_filter(a.dl, x -> x.t <= deaths.t_hour),
                           x -> x.ratio)),
          (p, q) -> p * q) AS survival
 FROM deaths CROSS JOIN arr a
@@ -1793,10 +1796,12 @@ FROM ranked GROUP BY event_type
 def q_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-correlation between the daily click and purchase count
     series at lags −7…7 — do clicks lead purchases?  Same signed-square
-    ppm discipline as daily_autocorrelation (DECIMAL integer moments, no
-    sqrt), ranked so rk = 1 is the strongest alignment.  The two daily
-    series come from ONE fact scan (conditional aggregate), persisted
-    against the 15 lag joins."""
+    ppm discipline as daily_autocorrelation: the TWO-STAGE factored
+    division (num·1e3 div denx)·(num·1e3 div deny) — never the num²·1e6
+    single quotient, which silently NULLs in Spark past n·Σxy ≈ 1e16
+    where DuckDB HUGEINT still succeeds — ranked so rk = 1 is the
+    strongest alignment.  The two daily series come from ONE fact scan
+    (conditional aggregate), persisted against the 15 lag joins."""
     (events,) = _t(spark, sf_dir, "events")
     daily = (
         events.filter(F.col("event_type").isin("click", "purchase"))
@@ -1837,8 +1842,9 @@ def q_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("sign"),
         F.expr(
-            "CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)"
-            " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+            "CAST(((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+            " * ((n * sxy - sx * sy) * 1000 div (n * syy - sy * sy))"
+            " AS BIGINT)"
         ).alias("r2_ppm"),
     )
     wr = Window.orderBy(F.col("r2_ppm").desc(), F.col("lag").asc())
@@ -1871,9 +1877,9 @@ WITH daily AS (
   SELECT lag, n,
          CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
            AS sign,
-         CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
-              // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
-           AS r2_ppm
+         CAST(((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+              * ((n * sxy - sx * sy) * 1000 // (n * syy - sy * sy))
+           AS BIGINT) AS r2_ppm
   FROM m
 )
 SELECT lag, n, sign, r2_ppm,
@@ -1981,13 +1987,12 @@ def q_streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    drained = drain_memory_sink(spark, sink)
     wr = Window.partitionBy("win_start").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
     )
-    return (
-        spark.table(sink)
-        .withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= 3)
+    return drained.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 3
     )
 
 
@@ -3217,18 +3222,31 @@ FROM ranked
 # Short-text edit-distance near-dup
 # ---------------------------------------------------------------------------
 
+_EDITDUP_BLOCK_CAP = 64
+
+
 def q_short_text_editdups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate detection for SHORT texts — the
     dedup-family member for titles/instructions where shingle and
     MinHash methods lose power (too few n-grams to hash).  Candidate
     blocking = (first token, length div 8 band): only same-block pairs
-    meet, O(n²/#blocks), then normalized edit distance
+    meet, then normalized edit distance
     lev·1e6 div greatest(len_a, len_b) ≤ 150000 (15%) confirms — the
     levenshtein is JVM-codegen'd in both engines and runs only inside
     blocks.  Texts are truncated to their first 60 chars (the
     short-text regime by construction; full-length near-dup belongs to
-    the shingle family).  Output: per-block-shape pair counts with the
-    min/max normalized distances of confirmed pairs."""
+    the shingle family).
+
+    Blocks larger than ``_EDITDUP_BLOCK_CAP`` docs are EXCLUDED entirely
+    before pair generation (the ``basket_incidence`` / LSH ``max_bucket``
+    contract): templated corpora concentrate docs on few first tokens, so
+    an uncapped block is O(b²) and dominates at scale (measured 0.9 s at
+    sf0.01 → 25.1 s at sf0.1 pre-cap).  The block count rides the SAME
+    (tok1, lband) shuffle key as the pair join, and the exclusion is
+    surfaced — n_capped_blocks / n_capped_docs are part of the checked
+    output, restated identically in the DuckDB oracle — so the cap is an
+    explicit contract, never a silent recall loss.  Output: confirmed-pair
+    counts with min/max normalized distances + the cap-exclusion audit."""
     (documents,) = _t(spark, sf_dir, "documents")
     short = documents.select(
         "doc_id",
@@ -3241,10 +3259,21 @@ def q_short_text_editdups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index(F.col("t"), " ", 1).alias("tok1"),
         F.expr("length(t) div 8").alias("lband"),
     )
+    # short feeds three consumers (block sizing + both join sides);
+    # persist the tiny (doc_id, 60-char) frame once.
+    short = short.persist()
+    blocks = short.groupBy("tok1", "lband").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    kept = short.join(
+        blocks.filter(F.col("block_n") <= _EDITDUP_BLOCK_CAP)
+        .select("tok1", "lband"),
+        ["tok1", "lband"],
+    )
     pairs = (
-        short.alias("a")
+        kept.alias("a")
         .join(
-            short.alias("b"),
+            kept.alias("b"),
             (F.col("a.tok1") == F.col("b.tok1"))
             & (F.col("a.lband") == F.col("b.lband"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -3259,12 +3288,18 @@ def q_short_text_editdups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ndist_ppm") <= 150000)
     )
-    return pairs.agg(
+    pair_stats = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("id_a").cast("long").alias("n_left_docs"),
         F.min("ndist_ppm").alias("min_ndist_ppm"),
         F.max("ndist_ppm").alias("max_ndist_ppm"),
     )
+    cap_stats = blocks.filter(F.col("block_n") > _EDITDUP_BLOCK_CAP).agg(
+        F.count(F.lit(1)).alias("n_capped_blocks"),
+        F.coalesce(F.sum("block_n"), F.lit(0)).alias("n_capped_docs"),
+    )
+    out = pair_stats.crossJoin(F.broadcast(cap_stats))
+    return materialize_and_release(out, short)
 
 
 SQL_SHORT_TEXT_EDITDUPS = """
@@ -3278,18 +3313,30 @@ WITH short AS (
          string_split(t, ' ')[1] AS tok1,
          length(t) // 8 AS lband
   FROM short
+), blocks AS (
+  SELECT tok1, lband, count(*) AS block_n FROM keyed GROUP BY 1, 2
+), kept AS (
+  SELECT k.* FROM keyed k
+  JOIN blocks bl ON k.tok1 = bl.tok1 AND k.lband = bl.lband
+  WHERE bl.block_n <= 64
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          (levenshtein(a.t, b.t) * 1000000)
            // greatest(length(a.t), length(b.t)) AS ndist_ppm
-  FROM keyed a JOIN keyed b
+  FROM kept a JOIN kept b
     ON a.tok1 = b.tok1 AND a.lband = b.lband AND a.doc_id < b.doc_id
+), pair_stats AS (
+  SELECT count(*) AS n_pairs,
+         CAST(count(DISTINCT id_a) AS BIGINT) AS n_left_docs,
+         CAST(min(ndist_ppm) AS BIGINT) AS min_ndist_ppm,
+         CAST(max(ndist_ppm) AS BIGINT) AS max_ndist_ppm
+  FROM pairs WHERE ndist_ppm <= 150000
+), cap_stats AS (
+  SELECT count(*) AS n_capped_blocks,
+         CAST(coalesce(sum(block_n), 0) AS BIGINT) AS n_capped_docs
+  FROM blocks WHERE block_n > 64
 )
-SELECT count(*) AS n_pairs,
-       CAST(count(DISTINCT id_a) AS BIGINT) AS n_left_docs,
-       CAST(min(ndist_ppm) AS BIGINT) AS min_ndist_ppm,
-       CAST(max(ndist_ppm) AS BIGINT) AS max_ndist_ppm
-FROM pairs WHERE ndist_ppm <= 150000
+SELECT p.*, c.* FROM pair_stats p, cap_stats c
 """
 
 

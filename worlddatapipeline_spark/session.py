@@ -89,6 +89,20 @@ def materialize_and_release(result, *cached):
     return out
 
 
+def drain_memory_sink(spark: SparkSession, sink: str):
+    """Materialize a finished memory-sink table and DROP its temp view.
+
+    Streaming parity queries run availableNow into a uniquely-named memory
+    sink; without the drop every invocation leaks a driver-memory table
+    holding the full aggregate (bench loops re-run queries, so the leak
+    compounds — ADVICE r4).  The eager localCheckpoint severs the returned
+    frame from the sink so dropping the view is safe immediately.
+    """
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views and return them.
 
