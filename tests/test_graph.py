@@ -77,12 +77,13 @@ def test_island_centroid_spawn(spark):
 
 
 def test_star_cc_matches_min_label(spark):
-    """large-star/small-star output == min-label propagation on random graphs."""
+    """The default (star) kernel == the min-label cross-check on random
+    graphs — roles reversed since the star kernel became the default."""
     import random
 
     from worlddatapipeline_spark.operators.graph import (
         connected_components,
-        connected_components_star,
+        connected_components_minlabel,
     )
 
     for seed in (3, 17):
@@ -95,7 +96,7 @@ def test_star_cc_matches_min_label(spark):
         a = {r["id"]: r["component"]
              for r in connected_components(edf, vdf).collect()}
         b = {r["id"]: r["component"]
-             for r in connected_components_star(edf, vdf).collect()}
+             for r in connected_components_minlabel(edf, vdf).collect()}
         assert a == b
 
 

@@ -67,7 +67,7 @@ def knn_edges(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
 
 
-def connected_components(
+def connected_components_minlabel(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     src: str = "src",
@@ -75,7 +75,16 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 50,
 ) -> DataFrame:
-    """Connected components via iterative min-label propagation.
+    """Connected components via iterative min-label propagation — kept as
+    the DIFFERENTIAL CROSS-CHECK for the star kernel, not the default.
+
+    SCALE.md's measured crossover shows the large-star/small-star kernel at
+    or below min-label wall time at every point, and min-label needs
+    O(diameter) rounds: on a long-diameter graph a bounded ``max_iter``
+    SILENTLY under-merges (labels stop propagating mid-chain with no error).
+    ``connected_components`` therefore delegates to the star kernel; this
+    form survives for tests that diff the two implementations against each
+    other (tests/test_graph.py::test_star_cc_matches_min_label).
 
     Reference analog: BFS island detection (`navmesh_connectivity.py:158-180`)
     — a driver-side BFS with a visited set; here a data-parallel fixpoint:
@@ -239,6 +248,29 @@ def connected_components_star(
     return verts.join(roots, id_col, "left").select(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components — the engine's default kernel.
+
+    Delegates to the large-star/small-star kernel
+    (``connected_components_star``): SCALE.md's measured crossover has star
+    at-or-below min-label wall time at every point, and star converges in
+    O(log² n) rounds regardless of diameter, so a bounded ``max_iter``
+    cannot silently under-merge the way per-hop min-label propagation does
+    on long-diameter graphs.  ``connected_components_minlabel`` remains as
+    the differential cross-check.
+    """
+    return connected_components_star(
+        edges, vertices, src=src, dst=dst, id_col=id_col, max_iter=max_iter
     )
 
 

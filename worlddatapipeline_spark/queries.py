@@ -934,18 +934,18 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative min-label connected components (operators/graph.py) on the
-    part↔supplier co-occurrence graph from lineitem — the NavMesh island
-    analysis (`navmesh_connectivity.py:158-180`) restated.
+    """Connected components (operators/graph.py) on the part↔supplier
+    co-occurrence graph from lineitem — the NavMesh island analysis
+    (`navmesh_connectivity.py:158-180`) restated.
 
     The edge set is the 1-in-97-orders sample: sparse enough that the graph
     has real island structure (the full graph is one giant component — no
     signal) AND that a DuckDB recursive-CTE closure can oracle the exact
-    component sizes.  Uses the large/small-star kernel
-    (connected_components_star): O(log²n) rounds regardless of graph
-    diameter — per-hop min-label propagation under a fixed iteration cap
-    under-merged at sf0.1, exactly the failure mode the star variant is the
-    100 TB answer to (SCALE.md)."""
+    component sizes.  Uses the engine default `connected_components` — the
+    large/small-star kernel, O(log²n) rounds regardless of graph diameter.
+    Per-hop min-label propagation under a fixed iteration cap under-merged
+    at sf0.1, exactly the failure mode that made star the default
+    (SCALE.md); min-label survives as the differential cross-check."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     # Disjoint parity encoding (2k part / 2k+1 supplier) — an offset
     # encoding collides once partkey reaches the offset (~sf50).
@@ -957,7 +957,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    comps = graph_ops.connected_components_star(edges)
+    comps = graph_ops.connected_components(edges)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 

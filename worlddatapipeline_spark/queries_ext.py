@@ -884,9 +884,11 @@ def q_user_event_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Component labels (min node id per component) are algorithm-independent,
     so the iterative Spark fixpoint is exactly checkable against a DuckDB
-    recursive-CTE min-label closure.  Star topology keeps the oracle's
-    closure linear in edges; the deeper-graph behavior is covered by
-    tests/test_graph.py and the rows-only connected_components entry."""
+    recursive-CTE min-label closure.  Uses the engine default
+    (``connected_components`` = the large-star/small-star kernel — bounded
+    rounds can't silently under-merge regardless of graph diameter); the
+    deeper-graph behavior is covered by tests/test_graph.py and the
+    rows-only connected_components entry."""
     from .operators import graph as graph_ops
 
     (events,) = _t(spark, sf_dir, "events")
@@ -896,7 +898,7 @@ def q_user_event_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") * 2).alias("src"),
         (F.col("event_id") * 2 + 1).alias("dst"),
     ).distinct()
-    comps = graph_ops.connected_components(edges, max_iter=8)
+    comps = graph_ops.connected_components(edges)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 
