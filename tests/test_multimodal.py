@@ -149,21 +149,151 @@ def test_extract_features_golden_on_real_containers(spark):
     """Hand-computed mean/std/histogram_mode over REAL containers: the
     decode path must recover exactly the text bytes (VERDICT r3 #2)."""
     docs = spark.createDataFrame(
-        [(2, "aab"), (3, "abb")], "doc_id long, text string"
+        [(2, "aab"), (3, "abb"), (4, "abc")], "doc_id long, text string"
     )
     media = mm.synthesize_media(docs, "doc_id", "text", container="alternate")
     rows = {r["media_id"]: r for r in media.collect()}
-    assert rows[2]["meta"]["format"] == "bmp" and bytes(rows[2]["data"])[:2] == b"BM"
-    assert rows[3]["meta"]["format"] == "wav" and bytes(rows[3]["data"])[:4] == b"RIFF"
+    # id % 3 cycle: 3 → bmp, 4 → wav, 2 → png
+    assert rows[3]["meta"]["format"] == "bmp" and bytes(rows[3]["data"])[:2] == b"BM"
+    assert rows[4]["meta"]["format"] == "wav" and bytes(rows[4]["data"])[:4] == b"RIFF"
+    assert (
+        rows[2]["meta"]["format"] == "png"
+        and bytes(rows[2]["data"])[:8] == mm.PNG_SIG
+    )
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
-    # "aab" = [97, 97, 98]: mean 97.3333, var 2/9, mode 97 (count 2)
+    # "aab" = [97, 97, 98] (PNG path): mean 97.3333, var 2/9, mode 97
     assert feats[2]["n_bytes"] == 3
     assert feats[2]["mean_intensity"] == pytest.approx(292 / 3, abs=1e-9)
     assert feats[2]["std_intensity"] == pytest.approx((2 / 9) ** 0.5, abs=1e-9)
     assert feats[2]["histogram_mode"] == 97
-    # "abb" = [97, 98, 98]: mode 98
+    # "abb" = [97, 98, 98] (BMP path): mode 98
     assert feats[3]["mean_intensity"] == pytest.approx(293 / 3, abs=1e-9)
     assert feats[3]["histogram_mode"] == 98
+    # "abc" = [97, 98, 99] (WAV path): mean 98, all-distinct mode = min byte
+    assert feats[4]["mean_intensity"] == pytest.approx(98.0, abs=1e-9)
+    assert feats[4]["histogram_mode"] == 97
+
+
+def test_png_roundtrip_multirow():
+    import numpy as np
+
+    px = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    data = mm.encode_png_gray8(px)
+    assert data[:8] == mm.PNG_SIG
+    assert mm._decode_bytes(data).tolist() == [10, 20, 30, 40, 50, 60]
+    # 1-D input becomes a single scanline
+    row = np.arange(256, dtype=np.uint8)
+    assert mm._decode_bytes(mm.encode_png_gray8(row)).tolist() == list(range(256))
+
+
+def test_png_all_filter_types_decode():
+    """Hand-built IDAT exercising every PNG filter type against a numpy
+    reference reconstruction (our encoder only emits filter 0; foreign
+    encoders emit all five)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 6), dtype=np.uint8)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # filter each row y with type y % 5 per the spec's reference encoder
+    lines = []
+    prev = np.zeros(6, dtype=np.int32)
+    for y in range(5):
+        cur = img[y].astype(np.int32)
+        f = y % 5
+        a = np.concatenate(([0], cur[:-1]))
+        b = prev
+        c = np.concatenate(([0], prev[:-1]))
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - a
+        elif f == 2:
+            enc = cur - b
+        elif f == 3:
+            enc = cur - (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+    data = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._decode_png(data).tolist() == img.reshape(-1).tolist()
+
+
+def test_png_rgb_color_type_2():
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x1 RGB image, filter 1 (Sub) on the single scanline: the second
+    # pixel's deltas apply per channel lane (bpp offset = 3)
+    raw = bytes([1, 10, 20, 30, 5, 5, 5])  # -> pixels (10,20,30),(15,25,35)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    data = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._decode_png(data).tolist() == [10, 20, 30, 15, 25, 35]
+
+
+def test_png_rejects_unsupported_shapes():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # interlaced (Adam7) must raise — not silently misdecode
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    data = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        mm._decode_png(data)
+    # ...and _decode_bytes falls back to the byte-view stub instead
+    assert mm._decode_bytes(data).tolist() == list(data)
+    # 16-bit depth rejected
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    data16 = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x07")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        mm._decode_png(data16)
 
 
 def test_decode_falls_back_to_stub_for_other_formats():

@@ -5,11 +5,13 @@ pipeline carries media as `binary` columns with a typed metadata struct, and
 runs decode / feature-extract / resize / frame-sample as Arrow-batched
 Pandas operations over ``mapInPandas``.
 
-The actual codec step is STUBBED — this container has no image/audio
-libraries — behind ``_decode_bytes``: a clearly-marked deterministic fake
-that derives a pixel/sample array from the payload bytes themselves.  A real
-deployment swaps ONLY that function (e.g. for PIL / libav via pip on the
-cluster image); every Spark-side concern here is real and tested:
+The codec step behind ``_decode_bytes`` is REAL for every format parseable
+with stdlib + numpy alone — BMP, RIFF/WAV, and PNG (zlib inflate +
+scanline unfilter) — and STUBBED only for jpeg/mp4 (codec libraries this
+container lacks): there the clearly-marked deterministic fake views the
+payload bytes as samples.  A real deployment swaps ONLY that function
+(e.g. for PIL / libav via pip on the cluster image); every Spark-side
+concern here is real and tested:
 
 - schema: ``MEDIA_SCHEMA`` (binary payload + struct metadata, nullable rules)
 - partitioning: media ops are pure maps — no shuffle; batch size bounded by
@@ -135,6 +137,119 @@ def encode_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_gray8(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a REAL 8-bit grayscale PNG.
+
+    Pure stdlib: zlib deflate for IDAT, struct for chunk framing,
+    zlib.crc32 for chunk CRCs — no codec library.  Scanlines are written
+    with filter type 0 (None); any stock viewer/PIL opens the output and
+    ``_decode_png`` round-trips it exactly.
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:
+        px = px[None, :]
+    h, w = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    raw = b"".join(b"\x00" + row.tobytes() for row in px)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib + numpy alone: walks the chunk
+    list, inflates the concatenated IDAT stream, and un-filters scanlines
+    per the PNG spec.  Supports 8-bit grayscale (color type 0) and 8-bit
+    truecolor RGB (color type 2), non-interlaced — the shapes a training
+    pipeline's thumbnails/masks actually use.  All five filter types
+    decode: None/Sub/Up are vectorized (Sub is a per-channel-lane uint8
+    cumsum — numpy's wraparound IS the mod-256 add), Average/Paeth fall
+    back to a per-byte scan (correctness path for foreign encoders; our
+    own encoder emits filter 0).  Returns a FLAT uint8 array — grayscale
+    values, or per-channel byte samples for RGB (the `_decode_bmp` 24-bit
+    convention).
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if bytes(data[:8]) != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, idat = 8, None, []
+    while pos + 8 <= len(data):
+        clen, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + clen]
+        if tag == b"IHDR":
+            w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bitd != 8 or ct not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit depth={bitd}, color type={ct}, "
+            f"interlace={interlace})"
+        )
+    nch = 1 if ct == 0 else 3
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline length mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(scan[y, 0]), scan[y, 1:]
+        if f == 0:  # None
+            cur = row.copy()
+        elif f == 1:  # Sub: per-lane mod-256 prefix sum
+            cur = np.empty(stride, dtype=np.uint8)
+            for lane in range(nch):
+                cur[lane::nch] = np.cumsum(row[lane::nch], dtype=np.uint8)
+        elif f == 2:  # Up
+            cur = row + prev  # uint8 wraparound = mod-256
+        elif f in (3, 4):  # Average / Paeth: sequential by definition
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(-1)
+
+
 def _decode_bmp(data: bytes) -> np.ndarray:
     """Real BMP decode with numpy alone (uncompressed 8-bit paletted and
     24-bit): parses both headers, honors bottom-up vs top-down row order and
@@ -199,13 +314,14 @@ def _decode_wav(data: bytes) -> np.ndarray:
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
-    REAL decode for the pure-struct formats parseable with numpy alone —
-    BMP (magic ``BM``) and RIFF/WAVE — so the feature/resize/frame paths
-    run on genuinely decoded samples with zero extra dependencies.  Other
-    formats (png/jpeg/mp4 need codec libraries this container lacks) fall
-    back to the documented deterministic stub: payload bytes viewed as
-    uint8 — same numpy/Arrow data path, clearly-marked swap point for a
-    real codec (PIL / soundfile / pyav on the cluster image).
+    REAL decode for the formats parseable with stdlib + numpy alone —
+    BMP (magic ``BM``), RIFF/WAVE, and PNG (zlib inflate + per-row
+    unfilter) — so the feature/resize/frame paths run on genuinely decoded
+    samples with zero extra dependencies.  The remaining formats
+    (jpeg/mp4 need codec libraries this container lacks) fall back to the
+    documented deterministic stub: payload bytes viewed as uint8 — same
+    numpy/Arrow data path, clearly-marked swap point for a real codec
+    (PIL / soundfile / pyav on the cluster image).
     """
     if data is None or len(data) == 0:
         return np.zeros(0, dtype=np.uint8)
@@ -215,6 +331,8 @@ def _decode_bytes(data: bytes) -> np.ndarray:
             return _decode_bmp(bytes(data))
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             return _decode_wav(bytes(data))
+        if b[:8] == PNG_SIG:
+            return _decode_png(bytes(data))
     except Exception:
         # malformed/truncated container: fall through to the byte-view stub
         pass
@@ -236,13 +354,15 @@ def synthesize_media(
 
     - ``"raw"`` (default): the utf-8 bytes themselves (decode falls back to
       the byte-view stub);
-    - ``"alternate"``: REAL containers — even media_id rows become a 1×N
-      8-bit grayscale BMP whose pixel row is the text bytes, odd rows an
-      8-bit PCM WAV whose samples are the text bytes.  ``_decode_bytes``
-      then exercises the genuine BMP/WAV parsers end-to-end, and decoded
-      samples equal the text bytes exactly (identity palette, no padding
-      survivors), so an engine-independent oracle can still restate every
-      downstream feature from the text column.
+    - ``"alternate"``: REAL containers cycling on media_id % 3 — 0 → a 1×N
+      8-bit grayscale BMP whose pixel row is the text bytes, 1 → an 8-bit
+      PCM WAV whose samples are the text bytes, 2 → a 1×N 8-bit grayscale
+      PNG of the same row (zlib-deflated scanline).  ``_decode_bytes``
+      then exercises the genuine BMP/WAV/PNG parsers end-to-end, and
+      decoded samples equal the text bytes exactly (identity palette, no
+      padding survivors, lossless deflate), so an engine-independent
+      oracle can still restate every downstream feature from the text
+      column.
 
     The encode runs in an Arrow-batched ``mapInPandas`` — the identical
     batch shape a real codec writes through (PIL ``Image.save`` /
@@ -273,14 +393,15 @@ def synthesize_media(
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
                 n = int(b.size)
-                if int(mid) % 2 == 0:
+                sel = int(mid) % 3
+                if sel == 0:
                     meta = {
                         "modality": "image", "format": "bmp",
                         "width": n, "height": 1, "channels": 1,
                         "sample_rate": None, "n_frames": 1, "duration_s": None,
                     }
                     payload = encode_bmp_gray8(b[None, :]) if n else None
-                else:
+                elif sel == 1:
                     meta = {
                         "modality": "audio", "format": "wav",
                         "width": None, "height": None, "channels": 1,
@@ -288,6 +409,13 @@ def synthesize_media(
                         "duration_s": n / rate,
                     }
                     payload = encode_wav_pcm(b, rate) if n else None
+                else:
+                    meta = {
+                        "modality": "image", "format": "png",
+                        "width": n, "height": 1, "channels": 1,
+                        "sample_rate": None, "n_frames": 1, "duration_s": None,
+                    }
+                    payload = encode_png_gray8(b[None, :]) if n else None
                 rows.append((int(mid), payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "data", "meta"])
 

@@ -1338,13 +1338,15 @@ GROUP BY p.sequence_id
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column pipeline (operators/multimodal.py): documents →
-    REAL media containers (even doc_id → 8-bit grayscale BMP, odd → 8-bit
-    PCM WAV; numpy struct codecs, no external libs) → Arrow-batched
-    mapInPandas decode + feature extraction.  The BMP/WAV parsers run
-    genuinely (headers, palette, row padding, RIFF chunk walk), and because
-    encode→decode round-trips the text bytes exactly, every feature is
-    restatable per character by the DuckDB oracle — the same contract
-    style as multimodal_features_checked, now over real containers."""
+    REAL media containers cycling on doc_id % 3 (0 → 8-bit grayscale BMP,
+    1 → 8-bit PCM WAV, 2 → 8-bit grayscale PNG; stdlib/numpy codecs, no
+    external libs) → Arrow-batched mapInPandas decode + feature
+    extraction.  The BMP/WAV/PNG parsers run genuinely (headers, palette,
+    row padding, RIFF chunk walk, zlib inflate + scanline unfilter), and
+    because encode→decode round-trips the text bytes exactly, every
+    feature is restatable per character by the DuckDB oracle — the same
+    contract style as multimodal_features_checked, now over real
+    containers."""
     from .operators import multimodal as mm
 
     (documents,) = _t(spark, sf_dir, "documents")
@@ -1387,7 +1389,8 @@ WITH idx AS (
   SELECT doc_id, min(b) AS mode_b FROM mx WHERE c = cmax GROUP BY doc_id
 )
 SELECT s.doc_id AS media_id,
-       CASE WHEN s.doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+       CASE s.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+            ELSE 'png' END AS format,
        s.n_bytes, s.mean_b, s.std_b,
        CAST(m.mode_b AS BIGINT) AS mode_b
 FROM stats s JOIN modes m USING (doc_id)
