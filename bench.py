@@ -97,7 +97,12 @@ LLM = [
     "doc_lang_detect",
     "doc_fingerprint_tokens",
     "embedding_cosine_dups",
-    "simhash_near_dups",
+    # simhash_near_dups moved to a tiny constructive corpus in round 5 (it
+    # became hash-checked); benching it against the baseline's real-corpus
+    # timing would fake an improvement.  simhash_exact_containment runs the
+    # same real-corpus simhash path (a superset: + md5 posting pairs +
+    # anti-join) and replaces it here, reported as a new query.
+    "simhash_exact_containment",
     "minhash_verified_dups",
     "dedup_cluster_keep",
     "token_shard_packing",

@@ -907,12 +907,44 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (operators/dedup.py) —
-    approximate banding; verified exactly by q_ngram_jaccard_pairs."""
+    """MinHash-LSH near-dup candidate pairs (operators/dedup.py), upgraded
+    from rows-only to HASH-CHECKED by the constructive-corpus pattern
+    (the image_ahash_dedup treatment): 200 sampled doc ids are rewritten
+    into 50 duplicate classes whose 12-word token streams are identical
+    within a class and word-disjoint across classes (class vocabularies
+    spaced 37 > 12 words apart).  Identical shingle sets give identical
+    MinHash signatures — every band collides, recall 1 by construction;
+    disjoint shingle sets give independent 64-bit minima, so a cross-class
+    band collision needs a 256-bit coincidence.  The candidate set is
+    therefore derivable by arithmetic: exactly the same-class pairs.  The
+    FULL production path (word shingling, blake2b+mix signature kernel,
+    banding, max_bucket guard, bucket join) executes end-to-end; the
+    real-corpus behavior stays covered by the hash-checked
+    minhash_verified_dups / ngram_jaccard_pairs contract pair."""
     (documents,) = _t(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_candidates(
-        documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+    synth = documents.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[
+                F.format_string(
+                    "w%d", (F.col("doc_id") % 50) * 37 + F.lit(i)
+                )
+                for i in range(12)
+            ],
+        ).alias("text"),
     )
+    return dedup_ops.minhash_lsh_candidates(
+        synth, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+    )
+
+
+SQL_MINHASH_CANDIDATES = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ids a JOIN ids b
+  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+"""
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,7 +1156,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "arc_resample": q_arc_resample,
     "rate_limited_angle": q_rate_limited_angle,
-    # rows-only (non-SQL-expressible):
+    # minhash_candidates / connected_components are hash-checked
+    # (constructive corpus / recursive-CTE closure); embedding_lsh_topk
+    # stays rows-only (probabilistic recall, contract sibling
+    # embedding_lsh_recall).
     "minhash_candidates": q_minhash_candidates,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "connected_components": q_connected_components,
@@ -1135,83 +1170,76 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-4 rotation (NOTES_round4.md plan): the 31 registry entries no
-# driver window has ever reached (all oracle-checked as of r4 — the three
-# former rows-only entries gained real oracles: multimodal_features via
-# real BMP/WAV decode, simulate_trajectories / behavior_resample via the
-# recursive-CTE LCG replay), then every query whose implementation changed
-# this round, backfilled to 50 with round-1 greens.  Union of the
-# r1+r2+r3+r4 windows = the full registry; zero rows-only entries in this
-# window, so the driver artifact should show zero `no_oracle` rows.
+# Round-5 rotation (NOTES_round5.md plan + VERDICT r4 item 1): 48 of the 71
+# registry entries never seen in any driver CORRECTNESS window (union of
+# r1-r4 windows = 186 of 257) — the full fourth-session mining/analytics
+# family first, then the post-freeze streaming parity pipelines and the
+# highest-risk remaining families (Spark 4 Python DataSource, XML, sketch
+# contracts, CDF version diff) — plus 2 re-verify slots for the round-5
+# implementation changes (multimodal_features gained the PNG codec leg;
+# user_event_components switched kernels when the star CC form became the
+# default).  The other round-5-changed queries are IN the 48
+# (short_text_editdups block cap, daily_autocorrelation /
+# lead_lag_correlation factored division, kaplan_meier_churn rename,
+# streaming_trending_topk / streaming_static_enrichment sink drain).  The
+# 23 never-checked entries that don't fit roll to round 6 (list in
+# NOTES_round6.md); every one is green in the committed full-sweep
+# artifacts.  Zero rows-only entries in this window.
 _DRIVER_WINDOW: list[str] = [
-    # every registry entry never seen in a driver CORRECTNESS window as of
-    # the r4 window freeze (r1 U r2 U r3 checked 137; this window holds 49
-    # of the then-unchecked entries + 1 re-verify slot).  Everything
-    # registered AFTER the freeze (the full list lives in NOTES_round5.md
-    # §rotation — from unigram_lm_perplexity through the late analytics /
-    # Spark-4-surface families) sits outside the first-50 and rolls into
-    # the round-5 window; each is check_oracle-verified at
-    # sf0.001/0.01/0.1 (+ sf0.5 and plain) individually and appears in the
-    # committed end-of-round full-sweep artifacts.  The re-verify slot covers the
-    # highest-risk round-4 change (value_band_bucketed's DECIMAL-sum fix);
-    # every other changed query (min_cost_supplier, minhash/simhash/span/
-    # chunk-dedup, multimodal_meta, catalog_upsert, connected_components)
-    # is verified POST-change by the committed full-registry sweeps
-    # (ORACLE_SWEEP_r4_sf0.1 and _sf0.5, both 0 fail).
-    "approx_quantile_contract",
-    "asof_next_click_after_view",
-    "behavior_resample",
-    "bfs_hops_from_hubs",
-    "bloom_decontamination",
-    "bm25_topk_search",
-    "cdc_snapshot_apply",
-    "char_entropy_score",
-    "cohort_retention",
-    "csv_roundtrip_stats",
-    "doc_chunk_windows",
-    "embedding_quantize_audit",
-    "event_rate_zscore",
-    "event_value_rank_bands",
-    "ewma_event_value",
-    "funnel_conversion",
-    "gopher_quality_flags",
-    "incremental_agg_maintenance",
-    "incremental_dedup_audit",
-    "int8_ann_recall",
-    "join_skew_diagnosis",
-    "jsonl_roundtrip_stats",
-    "k_anonymity_audit",
-    "lateral_topk_suppliers",
+    # fourth-session mining/analytics additions (38)
+    "basket_brand_rules",
+    "brand_affinity_topk",
+    "dow_seasonality",
+    "gini_purchase_concentration",
+    "benford_price_audit",
+    "daily_autocorrelation",
+    "distinctive_terms",
+    "pmi_term_pairs",
+    "fuzzy_record_linkage",
+    "kaplan_meier_churn",
+    "event_trigram_patterns",
+    "behavior_diversity_bands",
+    "theil_sen_trend",
+    "holt_trend_forecast",
+    "discount_elasticity",
+    "abc_xyz_classification",
+    "seasonal_decompose",
+    "sax_symbolic_words",
+    "cuped_adjusted_ab",
+    "trimmed_mean_values",
+    "lead_lag_correlation",
+    "audio_dominant_bins",
+    "streaming_trending_topk",
+    "image_ahash_dedup",
+    "did_readout",
+    "negative_sampling_pairs",
+    "product_analytics_pipeline",
+    "position_attribution",
+    "readability_bands",
+    "distribution_drift",
+    "user_feature_vector",
+    "session_conformance",
+    "degree_assortativity",
+    "kfold_assignment",
+    "ips_policy_value",
+    "attribution_window_sweep",
+    "zipf_rank_audit",
+    "short_text_editdups",
+    # post-freeze real streaming parity pipelines (2)
+    "streaming_interval_join",
+    "streaming_static_enrichment",
+    # highest-risk remaining never-checked families (8)
+    "pyds_listing_parse_stats",
+    "xml_roundtrip_stats",
+    "theta_sketch_overlap",
+    "hll_rollup_contract",
+    "unigram_lm_perplexity",
+    "dsir_importance_weights",
+    "version_diff_changes",
+    "dq_constraint_report",
+    # round-5 implementation-change re-verify (2)
     "multimodal_features",
-    "multimodal_features_checked",
-    "orc_roundtrip_stats",
-    "pagerank_scores",
-    "partition_pruned_stats",
-    "persistent_merge_audit",
-    "recursive_discount_chain",
-    "reservoir_sample_groups",
-    "scd2_status_history",
-    "sentence_split_udtf",
-    "session_funnel",
-    "simulate_contract",
-    "simulate_trajectories",
-    "sql_udf_tokens",
-    "streaming_ewma_parity",
-    "table_stats_contract",
-    "triangle_count",
-    "value_histogram",
-    "variant_props_extract",
-    "weighted_sample_wor",
-    "zorder_cell_keys",
-    "curation_pipeline_stats",
-    "streaming_cdc_parity",
-    "pit_customer_status",
-    "last_touch_attribution",
-    # round-4 implementation-change re-verify backfill to 50 (the two
-    # sf0.5-stress-sweep float-boundary fixes first, then the graph
-    # encoding change; other round-4-changed queries are sweep-verified
-    # post-change at sf0.1 and sf0.5)
-    "value_band_bucketed",
+    "user_event_components",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1250,6 +1278,7 @@ ORACLES: dict[str, str] = {
     "arc_resample": SQL_ARC_RESAMPLE,
     "rate_limited_angle": SQL_RATE_LIMITED_ANGLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "minhash_candidates": SQL_MINHASH_CANDIDATES,
     **EXT_ORACLES,
     **TPCH_ORACLES,
     **ANALYTICS_ORACLES,

@@ -3334,13 +3334,45 @@ FROM comp GROUP BY representative
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups)
-    — 64-bit signature, band-bucket candidate join, exact Hamming verify.
-    Approximate → rows-only."""
+    """SimHash banded near-dup pairs (operators/dedup.py::simhash_near_dups),
+    upgraded from rows-only to HASH-CHECKED by the constructive-corpus
+    pattern (the image_ahash_dedup / minhash_candidates treatment): 200
+    sampled doc ids rewritten into 50 duplicate classes with identical
+    12-word token streams within a class and word-disjoint vocabularies
+    across classes.  Identical texts give identical 63-bit signatures —
+    Hamming 0, verified in every band; cross-class docs have independent
+    signatures, so surviving the ≤6-of-63-bit Hamming verify after a
+    16-bit band coincidence is a ~1e-8-per-pair event that the fixed
+    corpus pins deterministically (the sweep would hash-fail on any
+    change).  Output is therefore derivable by arithmetic: same-class
+    pairs at hamming 0.  The FULL production path (shingling, signature
+    Arrow pass, chunk banding, posting-list pair generation, bit_count
+    verify) executes end-to-end; real-corpus behavior stays covered by
+    the hash-checked simhash_exact_containment sibling."""
     (documents,) = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_dups(
-        documents, "text", "doc_id", max_hamming=6, bands=4
+    synth = documents.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[
+                F.format_string(
+                    "w%d", (F.col("doc_id") % 50) * 37 + F.lit(i)
+                )
+                for i in range(12)
+            ],
+        ).alias("text"),
     )
+    return dedup_ops.simhash_near_dups(
+        synth, "text", "doc_id", max_hamming=6, bands=4
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM ids a JOIN ids b
+  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+"""
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3748,6 +3780,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "listing_parse_stats": SQL_LISTING_PARSE_STATS,
     "common_prefix_fold": SQL_COMMON_PREFIX_FOLD,
     "content_hash_brands": SQL_CONTENT_HASH_BRANDS,
