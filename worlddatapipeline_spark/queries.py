@@ -1063,11 +1063,14 @@ def q_arc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("z"),
     )
     out = win_ops.arc_length_resample(path, "user_id", "ord", 10)
+    # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0): at sf1.0 the
+    # endpoint interpolation rounds a ~-1e-14 residue to -0.0 in one engine
+    # and +0.0 in the other — same fix applied in the oracle SQL.
     return out.select(
         "user_id",
         "k",
-        F.round("x", 6).alias("x"),
-        F.round("y", 6).alias("y"),
+        (F.round("x", 6) + F.lit(0.0)).alias("x"),
+        (F.round("y", 6) + F.lit(0.0)).alias("y"),
     )
 
 
@@ -1104,10 +1107,10 @@ WITH path AS (
 SELECT g.user_id, g.k,
        round(s.x0 + (CASE WHEN s.d1 > s.d0
                           THEN (g.target_d - s.d0) / (s.d1 - s.d0)
-                          ELSE 0.0 END) * (s.x1 - s.x0), 6) AS x,
+                          ELSE 0.0 END) * (s.x1 - s.x0), 6) + 0.0 AS x,
        round(s.y0 + (CASE WHEN s.d1 > s.d0
                           THEN (g.target_d - s.d0) / (s.d1 - s.d0)
-                          ELSE 0.0 END) * (s.y1 - s.y0), 6) AS y
+                          ELSE 0.0 END) * (s.y1 - s.y0), 6) + 0.0 AS y
 FROM grid g JOIN seg s
   ON g.user_id = s.user_id
  AND ((g.target_d >= s.d0
@@ -1292,4 +1295,4 @@ ORACLES: dict[str, str] = {
 # EQUALS the brute-force exact pair set, so the exact-Jaccard SQL oracles
 # it.  The local sweep (tools/check_oracle.py) would catch any recall miss
 # as a row-count diff before the driver does.
-ORACLES["minhash_verified_dups"] = SQL_NGRAM_JACCARD_PAIRS
+ORACLES["minhash_verified_dups"] = EXT_ORACLES["minhash_verified_dups"]

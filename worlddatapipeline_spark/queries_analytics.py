@@ -1687,6 +1687,231 @@ SELECT query_id, id AS doc_id, score, rank FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+# (text query, anchor embedding id): the dense leg scores each query as the
+# anchor's embedding vector — anchors < 20 exist at every scale factor
+# (embeddings is the smallest table at sf0.001).
+_HYBRID_ANCHORS = [("q1", 0), ("q2", 5), ("q3", 10), ("q4", 15)]
+
+
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.) — the
+    standard two-leg search stack of an LLM/RAG data pipeline: a LEXICAL
+    leg (Lucene BM25 top-20, operators/search.py::bm25_topk) fused with a
+    DENSE leg (exact cosine top-20 over the embeddings table,
+    operators/similarity.py::cosine_topk_batched) by
+    RRF(d) = Σ_legs 1000000 div (60 + rank_leg(d)) — the integer-ppm form
+    of 1/(60+r), exact in both engines, so fusion scores and the fused
+    ranking are engine-bit-identical.  A doc ranked by only one leg gets
+    that leg's contribution (standard RRF semantics).  Scale shape: each
+    leg is its own verified operator (inverted-index semi-join /
+    broadcast GEMM); the fusion is a union + groupBy on (query, doc) —
+    one small shuffle of 2·k·|queries| rows regardless of corpus size.
+    Output: top-5 fused (query_id, id, n_legs, rrf_ppm, rank)."""
+    from .operators.search import bm25_topk
+    from .operators.similarity import cosine_topk_batched
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    queries_txt = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, query_text string"
+    )
+    anchors = spark.createDataFrame(
+        _HYBRID_ANCHORS, "query_id string, anchor_id long"
+    )
+    lex = bm25_topk(documents, queries_txt, k=20).select(
+        "query_id",
+        F.col("doc_id").alias("id"),
+        F.expr("1000000 div (60 + rank)").alias("contrib"),
+    )
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvecs = corpus.join(
+        F.broadcast(anchors), corpus["vec_id"] == anchors["anchor_id"]
+    ).select(F.col("anchor_id").alias("query_id"), "embedding")
+    den = (
+        cosine_topk_batched(corpus, qvecs, k=20)
+        .withColumnRenamed("query_id", "aid")
+        .join(F.broadcast(anchors), F.col("aid") == F.col("anchor_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("id"),
+            F.expr("1000000 div (60 + rank)").alias("contrib"),
+        )
+    )
+    fused = (
+        lex.unionByName(den)
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+            F.sum("contrib").alias("rrf_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "id", "n_legs", "rrf_ppm", "rank")
+    )
+
+
+SQL_HYBRID_RANK_FUSION = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents
+), tokens AS (
+  SELECT id, len(ts) AS dl, unnest(ts) AS term FROM toks
+), tf AS (
+  SELECT id, dl, term, count(*) AS tf FROM tokens GROUP BY 1, 2, 3
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT id, dl FROM tf)
+), qraw(query_id, query_text) AS (
+  VALUES ('q1', 'spark join table'), ('q2', 'hash index scan'),
+         ('q3', 'stream batch window'), ('q4', 'vector value cache')
+), qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(
+           string_split(lower(regexp_replace(trim(query_text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM qraw
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+), lex_scored AS (
+  SELECT q.query_id, tf.id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS score
+  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term), stats
+  GROUP BY 1, 2
+), lex_ranked AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id ASC) AS r
+  FROM lex_scored
+), anchors(query_id, anchor_id) AS (
+  VALUES ('q1', 0), ('q2', 5), ('q3', 10), ('q4', 15)
+), den_scored AS (
+  SELECT a.query_id, c.vec_id AS id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                   x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cosine_sim
+  FROM anchors a
+  JOIN embeddings q ON q.vec_id = a.anchor_id
+  CROSS JOIN embeddings c
+  WHERE c.vec_id <> a.anchor_id
+), den_ranked AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, id ASC) AS r
+  FROM den_scored
+), legs AS (
+  SELECT query_id, id, 1000000 // (60 + r) AS contrib
+  FROM lex_ranked WHERE r <= 20
+  UNION ALL
+  SELECT query_id, id, 1000000 // (60 + r) AS contrib
+  FROM den_ranked WHERE r <= 20
+), fused AS (
+  SELECT query_id, id,
+         CAST(count(*) AS BIGINT) AS n_legs,
+         CAST(sum(contrib) AS BIGINT) AS rrf_ppm
+  FROM legs GROUP BY 1, 2
+)
+SELECT query_id, id, n_legs, rrf_ppm,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_ppm DESC, id ASC) AS rank
+FROM fused
+QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (tokenizer-training surface)
+# ---------------------------------------------------------------------------
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first byte-pair-encoding training step over the corpus — the
+    tokenizer-training member of the LLM-pipeline family: word frequencies
+    (one fact-sized groupBy on the shared `text.tokenize`), each distinct
+    word exploded to its adjacent character pairs, pair counts weighted by
+    word frequency, top-20 merge candidates ranked with a total
+    (count desc, pair asc) order.  This is exactly what a distributed BPE
+    trainer iterates (Sennrich et al.): the scale win is that pair
+    explosion runs over the DISTINCT-word frame (vocabulary-sized), never
+    the corpus — the corpus is touched once for the frequency count.
+    All-integer output; the DuckDB oracle replays the same tokenize →
+    char-pair decomposition."""
+    from .operators.text import tokenize
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = documents.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    wc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.col("w").substr(i, F.lit(1)).alias("a"),
+                    F.col("w").substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+    agg = pairs.groupBy("a", "b").agg(F.sum("n").alias("pair_count"))
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            "pair_count",
+            "rank",
+        )
+    )
+
+
+SQL_BPE_MERGE_PAIRS = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        ' '), t -> t <> '')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS n FROM toks WHERE len(w) >= 2 GROUP BY w
+), idx AS (
+  SELECT w, n, unnest(generate_series(1, len(w) - 1)) AS i FROM wc
+), agg AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+         CAST(sum(n) AS BIGINT) AS pair_count
+  FROM idx GROUP BY 1, 2
+)
+SELECT a AS left_sym, b AS right_sym, pair_count,
+       row_number() OVER (ORDER BY pair_count DESC, a ASC, b ASC) AS rank
+FROM agg
+QUALIFY rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD Type-2 dimension build (warehouse surface)
 # ---------------------------------------------------------------------------
 
@@ -1775,6 +2000,36 @@ SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
 FROM customer
 GROUP BY 1, 2, 3
 HAVING count(*) < 5
+"""
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit beside `k_anonymity_audit`: distinct-l-diversity.  A
+    k-anonymous release still leaks when an equivalence class is sensitive-
+    homogeneous (Machanavajjhala et al.), so per quasi-identifier class
+    (nation, balance band) count the DISTINCT sensitive values (market
+    segment) and report the classes below l = 3 — the ones a release must
+    further generalize.  One partial-agg shuffle on the 2-column QI key
+    (count + count-distinct share it); dimension-bounded output."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    classes = customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_sensitive"),
+    )
+    return classes.filter(F.col("n_sensitive") < 3)
+
+
+SQL_L_DIVERSITY_AUDIT = """
+SELECT c_nationkey AS nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       count(*) AS class_size,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT c_mktsegment) < 3
 """
 
 
@@ -4335,8 +4590,11 @@ ANALYTICS_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "asof_next_click_after_view": q_asof_next_click_after_view,
     "bm25_topk_search": q_bm25_topk_search,
+    "hybrid_rank_fusion": q_hybrid_rank_fusion,
     "scd2_status_history": q_scd2_status_history,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "l_diversity_audit": q_l_diversity_audit,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "weighted_sample_wor": q_weighted_sample_wor,
     "incremental_agg_maintenance": q_incremental_agg_maintenance,
     "cdc_snapshot_apply": q_cdc_snapshot_apply,
@@ -4412,8 +4670,11 @@ ANALYTICS_ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "asof_next_click_after_view": SQL_ASOF_NEXT_CLICK_AFTER_VIEW,
     "bm25_topk_search": SQL_BM25_TOPK_SEARCH,
+    "hybrid_rank_fusion": SQL_HYBRID_RANK_FUSION,
     "scd2_status_history": SQL_SCD2_STATUS_HISTORY,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+    "l_diversity_audit": SQL_L_DIVERSITY_AUDIT,
+    "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "weighted_sample_wor": SQL_WEIGHTED_SAMPLE_WOR,
     "incremental_agg_maintenance": SQL_INCREMENTAL_AGG_MAINTENANCE,
     "cdc_snapshot_apply": SQL_CDC_SNAPSHOT_APPLY,

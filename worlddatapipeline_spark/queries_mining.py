@@ -770,6 +770,112 @@ FROM agg CROSS JOIN t
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy matching -> transitive closure -> clusters
+# ---------------------------------------------------------------------------
+
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline in ONE lineage — the composed
+    follow-on to `fuzzy_record_linkage`: a roster with TWO independently
+    corrupted variants per base record (single-char deletions at distinct
+    positions) is blocked (last-4 key, untouched by the corruptions),
+    pairwise-matched by levenshtein ≤ 1, and the match graph resolved by
+    TRANSITIVE CLOSURE (`operators/graph.py::connected_components`, the
+    star kernel).  The closure is the point: variant A and variant B of
+    the same entity are lev-2 apart — no direct edge — and unify only
+    through the clean record, which is exactly why production ER needs
+    components, not pairwise matches.  The DuckDB oracle replays the same
+    blocking + edit-distance edges and closes them with a recursive-CTE
+    min-label walk, so accidental cross-entity matches (near-identical
+    names) are resolved identically in both engines rather than assumed
+    away.  Scale shape: candidate pairs are O(n²/#blocks) via the block
+    equi-join; the closure runs on match edges only (≈ 2 per entity), not
+    on records.  Output: cluster-size histogram with canonical-id range
+    per size — small, exact, total-ordered."""
+    from .operators import graph as graph_ops
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    base = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    clean = base.select(
+        (F.col("key") * 3).alias("rid"), F.col("name").alias("txt")
+    )
+    var_a = base.select(
+        (F.col("key") * 3 + 1).alias("rid"),
+        F.concat(
+            F.expr("substr(name, 1, 9 + CAST(key % 2 AS INT))"),
+            F.expr("substr(name, 11 + CAST(key % 2 AS INT))"),
+        ).alias("txt"),
+    )
+    var_b = base.select(
+        (F.col("key") * 3 + 2).alias("rid"),
+        F.concat(
+            F.expr("substr(name, 1, 12)"), F.expr("substr(name, 14)")
+        ).alias("txt"),
+    )
+    recs = clean.unionByName(var_a).unionByName(var_b)
+    blocked = recs.withColumn("blk", F.expr("right(txt, 4)"))
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .filter(F.levenshtein(F.col("a.txt"), F.col("b.txt")) <= 1)
+        .select(F.col("a.rid").alias("src"), F.col("b.rid").alias("dst"))
+    )
+    comps = graph_ops.connected_components(
+        pairs, vertices=recs.select(F.col("rid").alias("id"))
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("component").alias("min_canonical"),
+        F.max("component").alias("max_canonical"),
+    )
+
+
+SQL_ENTITY_RESOLUTION_CLUSTERS = """
+WITH RECURSIVE base AS (
+  SELECT c_custkey AS key, c_name AS name FROM customer
+  WHERE c_custkey % 3 = 0
+), recs AS (
+  SELECT key * 3 AS rid, name AS txt FROM base
+  UNION ALL
+  SELECT key * 3 + 1,
+         substr(name, 1, 9 + CAST(key % 2 AS INTEGER))
+           || substr(name, 11 + CAST(key % 2 AS INTEGER)) FROM base
+  UNION ALL
+  SELECT key * 3 + 2,
+         substr(name, 1, 12) || substr(name, 14) FROM base
+), e AS (
+  SELECT a.rid AS src, b.rid AS dst
+  FROM recs a JOIN recs b
+    ON right(a.txt, 4) = right(b.txt, 4) AND a.rid < b.rid
+  WHERE levenshtein(a.txt, b.txt) <= 1
+), bidir AS (
+  SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
+), walk(node, label) AS (
+  SELECT rid, rid FROM recs
+  UNION
+  SELECT b.d, w.label
+  FROM walk w JOIN bidir b ON b.s = w.node
+  WHERE w.label < b.d
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY node
+), sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       min(component) AS min_canonical, max(component) AS max_canonical
+FROM sizes GROUP BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kaplan-Meier survival (churn)
 # ---------------------------------------------------------------------------
 
@@ -3350,6 +3456,7 @@ MINING_QUERIES = {
     "distinctive_terms": q_distinctive_terms,
     "pmi_term_pairs": q_pmi_term_pairs,
     "fuzzy_record_linkage": q_fuzzy_record_linkage,
+    "entity_resolution_clusters": q_entity_resolution_clusters,
     "kaplan_meier_churn": q_kaplan_meier_churn,
     "event_trigram_patterns": q_event_trigram_patterns,
     "behavior_diversity_bands": q_behavior_diversity_bands,
@@ -3391,6 +3498,7 @@ MINING_ORACLES = {
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "pmi_term_pairs": SQL_PMI_TERM_PAIRS,
     "fuzzy_record_linkage": SQL_FUZZY_RECORD_LINKAGE,
+    "entity_resolution_clusters": SQL_ENTITY_RESOLUTION_CLUSTERS,
     "kaplan_meier_churn": SQL_KAPLAN_MEIER_CHURN,
     "event_trigram_patterns": SQL_EVENT_TRIGRAM_PATTERNS,
     "behavior_diversity_bands": SQL_BEHAVIOR_DIVERSITY_BANDS,
