@@ -198,6 +198,11 @@ LLM = [
     "attribution_window_sweep",
     "zipf_rank_audit",
     "short_text_editdups",
+    # round-5 additions (new_queries vs the committed baseline)
+    "hybrid_rank_fusion",
+    "entity_resolution_clusters",
+    "bpe_merge_pairs",
+    "l_diversity_audit",
 ]
 
 
@@ -256,6 +261,7 @@ def main() -> None:
     # baseline's scale factor (sf0.1).
     vs_baseline: dict[str, float] = {}
     new_queries: list[str] = []
+    regressions: list[dict] = []
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     if os.path.isfile(base_path) and abs(sf - 0.1) < 1e-9:
@@ -272,6 +278,31 @@ def main() -> None:
                 vs_baseline[gname] = round(
                     sum(current[q] for q in shared) / b, 3
                 )
+            # Mechanical noise-vs-regression rule (this box is co-tenant and
+            # never reliably idle, so raw ratios mix host noise with real
+            # regressions): co-tenant slowdowns shift EVERY query by about
+            # the same factor, so a query is flagged as a REGRESSION only if
+            # it exceeds BOTH 2x its own baseline AND 2x this run's median
+            # ratio over the shared set (sub-50 ms baselines are skipped as
+            # scheduler jitter).  An empty `regressions` list plus a
+            # within-2x group ratio = noise by this rule, not regression.
+            ratios = sorted(
+                current[q] / base[q] for q in shared if base[q] > 0.05
+            )
+            if ratios:
+                med = ratios[len(ratios) // 2]
+                for q in shared:
+                    if base[q] > 0.05 and current[q] / base[q] > max(
+                        2.0, 2.0 * med
+                    ):
+                        regressions.append(
+                            {
+                                "group": gname,
+                                "query": q,
+                                "ratio": round(current[q] / base[q], 2),
+                                "run_median": round(med, 2),
+                            }
+                        )
 
     print(
         json.dumps(
@@ -286,6 +317,7 @@ def main() -> None:
                 "llm_total_sec": tot(llm),
                 "llm_queries": llm,
                 "vs_baseline": vs_baseline,
+                "regressions": regressions,
                 "new_queries": new_queries,
                 "n_failed": len(errors),
                 "errors": errors,
