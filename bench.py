@@ -203,6 +203,7 @@ LLM = [
     "entity_resolution_clusters",
     "bpe_merge_pairs",
     "l_diversity_audit",
+    "ohlc_daily_bars",
 ]
 
 

@@ -3446,6 +3446,72 @@ SELECT p.*, c.* FROM pair_stats p, cap_stats c
 """
 
 
+# ---------------------------------------------------------------------------
+# OHLC daily bars (time-series downsampling)
+# ---------------------------------------------------------------------------
+
+def q_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick downsampling of the event-value stream to daily OHLC
+    bars — the classic time-series compaction (open/high/low/close +
+    mean) every monitoring/market pipeline runs before plotting or
+    modeling.  Open/close are argmin/argmax over the (ts, event_id)
+    total order via ONE struct-ordered min/max in the same single
+    aggregate as high/low/count/sum — no window, no second scan, one
+    partial-agg shuffle on the day key.  Values ride as micro-unit
+    BIGINTs; the mean is a DECIMAL-sum floor division, so every output
+    is engine-exact."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("v_us"),
+        "ts",
+        "event_id",
+    )
+    agg = base.groupBy("day").agg(
+        F.min(F.struct("ts", "event_id", "v_us"))["v_us"].alias("open_us"),
+        F.max(F.struct("ts", "event_id", "v_us"))["v_us"].alias("close_us"),
+        F.max("v_us").alias("high_us"),
+        F.min("v_us").alias("low_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("v_us").cast("decimal(38,0)")).alias("__sum_us"),
+    )
+    return agg.select(
+        "day",
+        "open_us",
+        "close_us",
+        "high_us",
+        "low_us",
+        "n_events",
+        F.expr("CAST(__sum_us div n_events AS BIGINT)").alias("avg_us"),
+    )
+
+
+SQL_OHLC_DAILY_BARS = """
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_us, ts, event_id
+  FROM events
+), o AS (
+  SELECT day, v_us,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+), agg AS (
+  SELECT day, max(v_us) AS high_us, min(v_us) AS low_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(v_us AS HUGEINT)) // count(*) AS BIGINT) AS avg_us
+  FROM base GROUP BY day
+)
+SELECT a.day, oo.v_us AS open_us, cc.v_us AS close_us,
+       a.high_us, a.low_us, a.n_events, a.avg_us
+FROM agg a
+JOIN (SELECT day, v_us FROM o WHERE rn_a = 1) oo USING (day)
+JOIN (SELECT day, v_us FROM o WHERE rn_d = 1) cc USING (day)
+"""
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -3457,6 +3523,7 @@ MINING_QUERIES = {
     "pmi_term_pairs": q_pmi_term_pairs,
     "fuzzy_record_linkage": q_fuzzy_record_linkage,
     "entity_resolution_clusters": q_entity_resolution_clusters,
+    "ohlc_daily_bars": q_ohlc_daily_bars,
     "kaplan_meier_churn": q_kaplan_meier_churn,
     "event_trigram_patterns": q_event_trigram_patterns,
     "behavior_diversity_bands": q_behavior_diversity_bands,
@@ -3499,6 +3566,7 @@ MINING_ORACLES = {
     "pmi_term_pairs": SQL_PMI_TERM_PAIRS,
     "fuzzy_record_linkage": SQL_FUZZY_RECORD_LINKAGE,
     "entity_resolution_clusters": SQL_ENTITY_RESOLUTION_CLUSTERS,
+    "ohlc_daily_bars": SQL_OHLC_DAILY_BARS,
     "kaplan_meier_churn": SQL_KAPLAN_MEIER_CHURN,
     "event_trigram_patterns": SQL_EVENT_TRIGRAM_PATTERNS,
     "behavior_diversity_bands": SQL_BEHAVIOR_DIVERSITY_BANDS,
