@@ -291,7 +291,10 @@ def main() -> None:
                 current[q] / base[q] for q in shared if base[q] > 0.05
             )
             if ratios:
-                med = ratios[len(ratios) // 2]
+                # lower-middle on even counts: the conservative (smaller)
+                # median makes the 2x-of-median threshold STRICTER, never
+                # looser (review catch r5)
+                med = ratios[(len(ratios) - 1) // 2]
                 for q in shared:
                     if base[q] > 0.05 and current[q] / base[q] > max(
                         2.0, 2.0 * med

@@ -68,16 +68,15 @@ def test_module_oracles_reference_own_queries():
 def test_rows_only_tail_is_bounded():
     """Every rows-only query (no oracle) must stay a known, justified set —
     new operators need an oracle or a contract sibling."""
+    # Pruned as entries gain oracles (r4: behavior_resample /
+    # multimodal_features / simulate_trajectories; r5: minhash_candidates /
+    # simhash_near_dups via the constructive-corpus pattern) so an
+    # accidentally-dropped oracle regresses LOUDLY, not silently.
     allowed = {
-        "behavior_resample",
         "embedding_ivf_topk",
         "embedding_kmeans",
         "embedding_lsh_topk",
-        "minhash_candidates",
-        "multimodal_features",
         "semantic_dedup_keep",
-        "simhash_near_dups",
-        "simulate_trajectories",
     }
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only <= allowed, rows_only - allowed

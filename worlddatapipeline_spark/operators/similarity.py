@@ -588,17 +588,31 @@ def cosine_topk_batched(
             cn[cn == 0] = 1.0
             sims = (cm / cn[:, None]) @ qm_b.T  # (batch, n_queries)
             sims[cids[:, None] == ids_b[None, :]] = -np.inf  # self-matches
+            # The per-batch cut must use the FINAL total order —
+            # (round(cos, 6) DESC, vec_id ASC) — not raw scores: when a
+            # rounding tie (duplicate vectors, last-ulp matmul noise)
+            # straddles the raw-score cut, argpartition keeps an arbitrary
+            # member while the global window (and the SQL oracle) want the
+            # smallest id, and the dropped row can never be recovered
+            # downstream (review catch r5).  A batch-local top-k under the
+            # same total order the final window uses is always a superset
+            # of that batch's global-top-k members.
+            r = np.round(sims, 6)
             kk = min(k, len(cids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
-            out_q = np.repeat(ids_b, kk)
-            out_c = cids[top.T.ravel()]
-            out_s = np.take_along_axis(sims, top, axis=0).T.ravel()
-            keep = np.isfinite(out_s)
+            q_out, c_out, s_out = [], [], []
+            for j in range(r.shape[1]):
+                col = r[:, j]
+                top = np.lexsort((cids, -col))[:kk]
+                fin = np.isfinite(col[top])
+                top = top[fin]
+                q_out.append(np.full(len(top), ids_b[j], dtype=np.int64))
+                c_out.append(cids[top])
+                s_out.append(col[top])
             yield pd.DataFrame(
                 {
-                    "query_id": out_q[keep],
-                    "vec_id": out_c[keep],
-                    "cosine_sim": np.round(out_s[keep], 6),
+                    "query_id": np.concatenate(q_out),
+                    "vec_id": np.concatenate(c_out),
+                    "cosine_sim": np.concatenate(s_out),
                 }
             )
 

@@ -1288,11 +1288,8 @@ ORACLES: dict[str, str] = {
     **MINING_ORACLES,
 }
 
-# minhash_verified_dups = LSH candidates -> EXACT 3-gram Jaccard >= 0.8.
-# On any corpus where the banded LSH (32 hashes / 8 bands) has full recall
-# at the 0.8 threshold — true of the driver corpus, where near-dup pairs sit
-# at J ~ 1.0 and per-pair recall is 1-(1-J^4)^8 ~ 1 — the verified output
-# EQUALS the brute-force exact pair set, so the exact-Jaccard SQL oracles
-# it.  The local sweep (tools/check_oracle.py) would catch any recall miss
-# as a row-count diff before the driver does.
-ORACLES["minhash_verified_dups"] = EXT_ORACLES["minhash_verified_dups"]
+# minhash_verified_dups is a containment + recall-floor CONTRACT since
+# round 5: the earlier pair-list-equality oracle assumed full LSH recall,
+# which held only below sf1.0 (first genuine borderline-J miss: 187/188).
+# Its oracle lives in EXT_ORACLES beside the query; the exact pair list
+# stays hash-checked as ngram_jaccard_pairs.

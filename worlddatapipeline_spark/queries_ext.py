@@ -3264,32 +3264,27 @@ def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
         max_bucket=None,
     )
-    # verified feeds 2 consumers and exact 3; without a materialization
-    # barrier each consumer re-runs the full shingle/posting pipeline
-    # (measured 54 s → ~9 s at sf0.01 with the persists).
-    verified = (
-        dedup_ops.ngram_jaccard_pairs(
-            documents, "text", "doc_id", n=3, threshold=0.8,
-            candidate_pairs=cands,
-        )
-        .select("id_a", "id_b")
-        .persist()
-    )
+    # max_df=None: the audit leg must be UNCUT — the default posting-list
+    # cap could miss a pure-boilerplate duplicate cluster at some scale,
+    # and the SQL oracle computes the uncapped truth (review catch r5).
+    # The LSH verify step IS "exact ∩ candidates", so one exact pipeline
+    # run + a semi-join replaces the earlier second full shingle/posting
+    # pass; exact feeds 3 consumers, hence the persist.
     exact = (
         dedup_ops.ngram_jaccard_pairs(
-            documents, "text", "doc_id", n=3, threshold=0.8
+            documents, "text", "doc_id", n=3, threshold=0.8, max_df=None
         )
         .select("id_a", "id_b")
         .persist()
     )
+    verified = exact.join(cands, ["id_a", "id_b"], "left_semi").persist()
     false_pos = verified.join(exact, ["id_a", "id_b"], "left_anti")
-    hits = verified.join(exact, ["id_a", "id_b"], "left_semi")
     out = (
         exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
         .crossJoin(
             false_pos.agg(F.count(F.lit(1)).alias("n_false_positives"))
         )
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hits")))
+        .crossJoin(verified.agg(F.count(F.lit(1)).alias("__n_hits")))
         .select(
             "n_exact_pairs",
             "n_false_positives",
