@@ -204,6 +204,7 @@ LLM = [
     "bpe_merge_pairs",
     "l_diversity_audit",
     "ohlc_daily_bars",
+    "streaming_ohlc_parity",
 ]
 
 

@@ -3512,6 +3512,82 @@ JOIN (SELECT day, v_us FROM o WHERE rn_d = 1) cc USING (day)
 """
 
 
+def q_streaming_ohlc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eleventh REAL Structured Streaming parity pipeline: the daily OHLC
+    bars computed by readStream → event-time watermark → tumbling 1-day
+    window → complete-mode sink, hash-checked against the SAME DuckDB
+    oracle as the batch `ohlc_daily_bars`.  The interesting streaming
+    property: open/close are struct-ordered min/max — associative,
+    merge-combinable aggregates, so the incremental executor maintains
+    exact bars across micro-batches with O(1) state per (day) key where a
+    window-function formulation could not run incrementally at all.  Day
+    keys leave as epoch-day integers (tz-proof; the trending query's
+    TIMESTAMPTZ lesson).  Scale: on a live feed the same code runs with a
+    processing trigger and update mode; watermark bounds state to ~2 days
+    of keys."""
+    import uuid  # noqa: PLC0415
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf may be fixed on some builds
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from pyspark.sql.types import LongType, TimestampNTZType  # noqa: PLC0415
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    base = stream.select(
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("v_us"),
+    )
+    agg = (
+        base.withWatermark("ts", "25 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "v_us"))["v_us"].alias(
+                "open_us"
+            ),
+            F.max(F.struct("ts", "event_id", "v_us"))["v_us"].alias(
+                "close_us"
+            ),
+            F.max("v_us").alias("high_us"),
+            F.min("v_us").alias("low_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("v_us").cast("decimal(38,0)")).alias("__sum_us"),
+        )
+        .select(
+            F.expr("unix_micros(w.start) div 86400000000").alias("day"),
+            "open_us",
+            "close_us",
+            "high_us",
+            "low_us",
+            "n_events",
+            F.expr("CAST(__sum_us div n_events AS BIGINT)").alias("avg_us"),
+        )
+    )
+    sink = "stream_ohlc_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return drain_memory_sink(spark, sink)
+
+
 MINING_QUERIES = {
     "basket_brand_rules": q_basket_brand_rules,
     "brand_affinity_topk": q_brand_affinity_topk,
@@ -3524,6 +3600,7 @@ MINING_QUERIES = {
     "fuzzy_record_linkage": q_fuzzy_record_linkage,
     "entity_resolution_clusters": q_entity_resolution_clusters,
     "ohlc_daily_bars": q_ohlc_daily_bars,
+    "streaming_ohlc_parity": q_streaming_ohlc_parity,
     "kaplan_meier_churn": q_kaplan_meier_churn,
     "event_trigram_patterns": q_event_trigram_patterns,
     "behavior_diversity_bands": q_behavior_diversity_bands,
@@ -3567,6 +3644,7 @@ MINING_ORACLES = {
     "fuzzy_record_linkage": SQL_FUZZY_RECORD_LINKAGE,
     "entity_resolution_clusters": SQL_ENTITY_RESOLUTION_CLUSTERS,
     "ohlc_daily_bars": SQL_OHLC_DAILY_BARS,
+    "streaming_ohlc_parity": SQL_OHLC_DAILY_BARS,
     "kaplan_meier_churn": SQL_KAPLAN_MEIER_CHURN,
     "event_trigram_patterns": SQL_EVENT_TRIGRAM_PATTERNS,
     "behavior_diversity_bands": SQL_BEHAVIOR_DIVERSITY_BANDS,
