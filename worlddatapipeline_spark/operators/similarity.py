@@ -596,23 +596,25 @@ def cosine_topk_batched(
             # smallest id, and the dropped row can never be recovered
             # downstream (review catch r5).  A batch-local top-k under the
             # same total order the final window uses is always a superset
-            # of that batch's global-top-k members.
+            # of that batch's global-top-k members.  Vectorized: rows are
+            # pre-ordered by vec_id once, then ONE stable column argsort
+            # makes row position the ascending-id tie-break for every
+            # query at C speed (no per-query Python loop — review catch).
             r = np.round(sims, 6)
             kk = min(k, len(cids))
-            q_out, c_out, s_out = [], [], []
-            for j in range(r.shape[1]):
-                col = r[:, j]
-                top = np.lexsort((cids, -col))[:kk]
-                fin = np.isfinite(col[top])
-                top = top[fin]
-                q_out.append(np.full(len(top), ids_b[j], dtype=np.int64))
-                c_out.append(cids[top])
-                s_out.append(col[top])
+            perm = np.argsort(cids, kind="stable")
+            cids_s = cids[perm]
+            r_s = r[perm]
+            top = np.argsort(-r_s, axis=0, kind="stable")[:kk]  # (kk, n_q)
+            out_s = np.take_along_axis(r_s, top, axis=0).T.ravel()
+            out_c = cids_s[top].T.ravel()
+            out_q = np.repeat(ids_b, kk)
+            keep = np.isfinite(out_s)
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(q_out),
-                    "vec_id": np.concatenate(c_out),
-                    "cosine_sim": np.concatenate(s_out),
+                    "query_id": out_q[keep],
+                    "vec_id": out_c[keep],
+                    "cosine_sim": out_s[keep],
                 }
             )
 

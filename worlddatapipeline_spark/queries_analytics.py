@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import bloom as bloom_ops
-from .session import drain_memory_sink, load_tables, materialize_and_release
+from .session import (
+    drain_memory_sink,
+    load_tables,
+    materialize_and_release,
+    streaming_events,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -3987,14 +3992,9 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("tier"),
         )
     )
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # no event-time operator downstream (complete-mode count grid), so the
-    # ts column needs no normalization — project it away before the join
+    # no event-time operator downstream (complete-mode count grid) so the
+    # normalized ts is simply projected away after the shared source helper
+    stream = streaming_events(spark, sf_dir)
     enriched = (
         stream.select("user_id", "event_type", "value")
         .join(tiers, "user_id", "inner")

@@ -38,7 +38,7 @@ from .operators import similarity as sim_ops
 from .operators import simulate as sim_gen
 from .operators import stateful as stateful_ops
 from .operators import windows as win_ops
-from .session import drain_memory_sink, load_tables
+from .session import drain_memory_sink, load_tables, streaming_events
 from .sources import listings as listing_src
 from .streaming import monitor as monitor_ops
 
@@ -3243,10 +3243,12 @@ FROM walk GROUP BY user_id
 
 def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 100 TB dedup pipeline as a CONTAINMENT + RECALL-FLOOR
-    contract: MinHash-LSH candidate generation → EXACT n-gram Jaccard
-    verification restricted to candidates
-    (operators/dedup.py::ngram_jaccard_pairs(candidate_pairs=…)), audited
-    against the full exact pair set.
+    contract: MinHash-LSH candidate generation audited against the full
+    exact n-gram Jaccard pair set (J ≥ 0.8) — verified = exact ∩
+    candidates via a semi-join, which is mathematically what the
+    production verify step (`ngram_jaccard_pairs(candidate_pairs=…)`,
+    the scale path that never computes the full pair space; exercised by
+    tests/test_dedup.py) produces, at half the pipeline runs here.
 
     Through sf0.5 the banded LSH (32 hashes / 8 bands) had full recall on
     this corpus and the query returned the verified PAIR LIST, oracled by
@@ -3254,22 +3256,20 @@ def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline pair (J just over 0.8; per-pair miss probability
     (1-J⁴)⁸ ≈ 1.5% there) — LSH recall < 1 is the honest semantics at
     scale, so the checked output is now the contract every scale
-    satisfies: verified ⊆ exact (n_false_positives = 0 by the verify
-    step) and recall ≥ 95% (measured: 1.0 up to sf0.5, 187/188 = 99.5%
-    at sf1.0).  The exact pair list itself stays available hash-checked
-    as `ngram_jaccard_pairs`; `max_bucket=None` keeps the recall audit
-    uncut (production keeps the skew guard)."""
+    satisfies: n_false_positives = 0 (BY CONSTRUCTION of the
+    intersection — emitted as a constant to keep the contract schema,
+    not as an audit) and recall ≥ 95% (measured: 1.0 up to sf0.5,
+    187/188 = 99.5% at sf1.0).  The exact pair list itself stays
+    available hash-checked as `ngram_jaccard_pairs`; `max_bucket=None`
+    and `max_df=None` keep the recall audit uncut — the capped forms
+    could each hide a boilerplate duplicate cluster the uncapped SQL
+    oracle would count (review catch r5)."""
     (documents,) = _t(spark, sf_dir, "documents")
     cands = dedup_ops.minhash_lsh_candidates(
         documents, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
         max_bucket=None,
     )
-    # max_df=None: the audit leg must be UNCUT — the default posting-list
-    # cap could miss a pure-boilerplate duplicate cluster at some scale,
-    # and the SQL oracle computes the uncapped truth (review catch r5).
-    # The LSH verify step IS "exact ∩ candidates", so one exact pipeline
-    # run + a semi-join replaces the earlier second full shingle/posting
-    # pass; exact feeds 3 consumers, hence the persist.
+    # exact feeds 2 consumers (count + semi-join), hence the persist.
     exact = (
         dedup_ops.ngram_jaccard_pairs(
             documents, "text", "doc_id", n=3, threshold=0.8, max_df=None
@@ -3277,17 +3277,13 @@ def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    verified = exact.join(cands, ["id_a", "id_b"], "left_semi").persist()
-    false_pos = verified.join(exact, ["id_a", "id_b"], "left_anti")
+    verified = exact.join(cands, ["id_a", "id_b"], "left_semi")
     out = (
         exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-        .crossJoin(
-            false_pos.agg(F.count(F.lit(1)).alias("n_false_positives"))
-        )
         .crossJoin(verified.agg(F.count(F.lit(1)).alias("__n_hits")))
         .select(
             "n_exact_pairs",
-            "n_false_positives",
+            F.lit(0).cast("long").alias("n_false_positives"),
             (
                 F.col("__n_hits") * 1000000
                 >= F.col("n_exact_pairs") * 950000
@@ -3296,7 +3292,7 @@ def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .session import materialize_and_release  # noqa: PLC0415
 
-    return materialize_and_release(out, verified, exact)
+    return materialize_and_release(out, exact)
 
 
 SQL_MINHASH_VERIFIED_DUPS = """
@@ -3677,23 +3673,7 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.monitor import dedup_stream
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = streaming_events(spark, sf_dir)
     deduped = dedup_stream(
         stream.select("event_id", "ts", "event_type"),
         ["event_id"],
@@ -3734,29 +3714,7 @@ def q_streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf may be fixed on some builds
-        pass
-    # Driver sessions don't carry get_spark's UTC tz; the NTZ cast and the
-    # window/watermark bucketing below must agree with DuckDB's epoch_us.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
-        # withWatermark requires TIMESTAMP; session tz is UTC so the cast
-        # is wall-clock preserving (same normalization as load_tables).
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = streaming_events(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
@@ -4551,23 +4509,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     processing trigger and the watermark bounds per-user session state."""
     import uuid
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = streaming_events(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import mining as mining_ops
-from .session import drain_memory_sink, load_tables, materialize_and_release
+from .session import (
+    drain_memory_sink,
+    load_tables,
+    materialize_and_release,
+    streaming_events,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -2047,28 +2052,7 @@ def q_streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tenth real streaming-vs-batch parity in the registry."""
     import uuid  # noqa: PLC0415
 
-    from pyspark.sql.types import (  # noqa: PLC0415
-        LongType,
-        TimestampNTZType,
-    )
-
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = streaming_events(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "6 hours")
         .groupBy(
@@ -3527,25 +3511,7 @@ def q_streaming_ohlc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of keys."""
     import uuid  # noqa: PLC0415
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf may be fixed on some builds
-        pass
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    from pyspark.sql.types import LongType, TimestampNTZType  # noqa: PLC0415
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = streaming_events(spark, sf_dir)
     base = stream.select(
         "ts",
         "event_id",

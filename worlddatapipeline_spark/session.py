@@ -103,6 +103,40 @@ def drain_memory_sink(spark: SparkSession, sink: str):
     return out
 
 
+def streaming_events(spark: SparkSession, sf_dir: str):
+    """Normalized ``readStream`` over the driver's events.parquet — the ONE
+    place the stream-side ts normalization lives (review catch r5: eleven
+    streaming parity queries carried verbatim copies).  Mirrors
+    ``load_tables``' batch normalization: the driver's ts encoding has
+    flipped between TIMESTAMP(NANOS)-read-as-long and TIMESTAMP_NTZ across
+    rounds, and every streaming query must normalize identically or
+    silently diverge from its batch oracle.  Also pins nanosAsLong and the
+    UTC session timezone (driver sessions don't carry get_spark's
+    configs; withWatermark/window bucketing must agree with DuckDB's
+    epoch_us)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf may be fixed on some builds
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.types import LongType, TimestampNTZType  # noqa: PLC0415
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views and return them.
 
