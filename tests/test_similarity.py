@@ -375,3 +375,55 @@ def test_filtered_cosine_topk_string_and_null_labels(spark):
     assert by_q[1] <= {3, 5, 9}             # blue query -> blue (7 is NULL)
     assert 7 not in by_q                    # NULL-label query matches nothing
     assert all(7 not in hits for hits in by_q.values())
+
+
+def test_batched_topk_ties_keep_smallest_ids(spark):
+    """The per-batch cut must select under the FINAL total order
+    (round(cos,6) DESC, vec_id ASC): with more tied duplicate vectors
+    than k, the kept ids are exactly the smallest — a raw-score
+    argpartition kept an arbitrary tie member (review catch r5)."""
+    from worlddatapipeline_spark.operators.similarity import (
+        cosine_topk_batched,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    off = [0.0, 1.0, 0.0, 0.0]
+    # ids 1..6 are EXACT duplicates of the query direction (cos = 1.0,
+    # six-way rounding tie); ids 90/91 are orthogonal decoys.
+    rows = [(i, base) for i in range(1, 7)] + [(90, off), (91, off)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, base)], "query_id long, embedding array<double>"
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in cosine_topk_batched(corpus, queries, k=3).collect()
+    )
+    assert got == [1, 2, 3]  # smallest ids win every tie, deterministically
+
+
+def test_batched_topk_matches_exact_reference(spark):
+    """Batched top-k equals the expression-form cosine_topk on a random
+    corpus (the differential cross-check for the vectorized cut)."""
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batched,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id % 10 = 0").select(
+        corpus.vec_id.alias("query_id"), "embedding"
+    )
+    a = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in cosine_topk_batched(corpus, queries, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in cosine_topk(corpus, queries, k=5).collect()}
+    assert a == b
