@@ -215,3 +215,16 @@ def test_k_core_peeling(spark):
     assert core2 == {1, 2, 3, 4, 5, 6, 7}
     # k above the densest structure -> empty
     assert k_core(df, k=4).count() == 0
+
+
+def test_star_cc_raises_on_max_iter_exhaustion(spark):
+    """An exhausted round budget must raise, not silently read components
+    off a non-star edge set (the under-merge the kernel's docstring rules
+    out; ADVICE r5).  max_iter=0 forces the exhaustion path."""
+    from worlddatapipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_iter=0).collect()

@@ -304,3 +304,26 @@ def test_decode_falls_back_to_stub_for_other_formats():
     # truncated BMP falls through to byte view instead of raising
     broken = b"BM\x00\x01"
     assert mm._decode_bytes(broken).tolist() == list(broken)
+
+
+def test_png_chunk_crc_mismatch_falls_back_to_stub():
+    """A bit-corrupted but structurally valid PNG must be rejected by the
+    decoder (chunk CRC check) and fall through to the byte-view stub —
+    not decode to garbage samples (ADVICE r5)."""
+    import numpy as np
+    import pytest
+
+    good = mm.encode_png_gray8(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    assert mm._decode_png(good).tolist() == list(range(12))
+    # flip one bit inside the IDAT body (after signature + IHDR chunk:
+    # 8 sig + 25 IHDR; IDAT body starts at +8 more)
+    idat_off = good.index(b"IDAT") + 4
+    corrupted = bytearray(good)
+    corrupted[idat_off + 2] ^= 0x40
+    corrupted = bytes(corrupted)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm._decode_png(corrupted)
+    assert mm._decode_bytes(corrupted).tolist() == list(corrupted)
+    # a truncated final chunk is also rejected, not mis-sliced
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        mm._decode_png(good[:-2])

@@ -196,6 +196,14 @@ def _decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         clen, tag = struct.unpack_from(">I4s", data, pos)
         body = data[pos + 8 : pos + 8 + clen]
+        if pos + 12 + clen > len(data):
+            raise ValueError("truncated PNG chunk")
+        # Verify the chunk CRC: a bit-corrupted but structurally valid PNG
+        # must fall through to the byte-view stub like every other
+        # malformed container, not decode to garbage samples.
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(bytes(tag) + bytes(body)) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
             w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body

@@ -605,7 +605,28 @@ def cosine_topk_batched(
             perm = np.argsort(cids, kind="stable")
             cids_s = cids[perm]
             r_s = r[perm]
-            top = np.argsort(-r_s, axis=0, kind="stable")[:kk]  # (kk, n_q)
+            # O(b) argpartition with a tie-slack window instead of a full
+            # O(b log b) column sort (review catch r5): take the kk-th
+            # largest rounded score per column, widen the cut to cover every
+            # row tied at-or-above it (so no tie member the final total
+            # order would keep can be dropped), then stable-sort only that
+            # slice.  Slice rows are re-sorted to ascending row index first,
+            # so the stable score sort still breaks ties by ascending
+            # vec_id, bit-identical to the full-sort path.
+            n_rows = len(cids_s)
+            if kk < n_rows:
+                thresh = -np.partition(-r_s, kk - 1, axis=0)[kk - 1]
+                kk2 = int((r_s >= thresh).sum(axis=0).max())
+            else:
+                kk2 = kk
+            if kk2 < n_rows:
+                part = np.argpartition(-r_s, kk2 - 1, axis=0)[:kk2]
+                part.sort(axis=0)
+                sub = np.take_along_axis(r_s, part, axis=0)
+                ord2 = np.argsort(-sub, axis=0, kind="stable")[:kk]
+                top = np.take_along_axis(part, ord2, axis=0)  # (kk, n_q)
+            else:
+                top = np.argsort(-r_s, axis=0, kind="stable")[:kk]  # (kk, n_q)
             out_s = np.take_along_axis(r_s, top, axis=0).T.ravel()
             out_c = cids_s[top].T.ravel()
             out_q = np.repeat(ids_b, kk)

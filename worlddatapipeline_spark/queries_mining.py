@@ -446,7 +446,15 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     num²·1e6 single quotient silently NULLs in Spark past n·Σxy ≈ 1e16
     (DECIMAL(38,0) overflow) while DuckDB HUGEINT keeps going — the
     factored form's largest intermediate is num·1e3 ≈ 1e19, never near
-    the 38-digit bound, so the engines cannot diverge by overflow.  The
+    the 38-digit bound, so the engines cannot diverge by overflow.
+    PRECISION CONTRACT: each factor is truncated to per-mille before the
+    product, so `r2_ppm` is the ppm-SCALED square of a per-mille-rounded
+    |r| — it carries ~0.1–0.2% relative truncation (and floors to 0 when
+    |num|·1000 < den), NOT 1-ppm accuracy; the ppm suffix names the
+    scale of the column, not its granularity.  Downstream consumers
+    needing finer resolution should recompute from (n, sx, sy, sxx,
+    syy, sxy).  This holds for every user of the two-stage factored
+    form (lead_lag_correlation and degree_assortativity alike).  The
     sign rides a separate CASE purely for readability (div and // agree
     on negatives anyway, both truncate toward zero; see theil_sen).  The
     daily-count frame is one fact scan + date groupBy; the 7 lag
