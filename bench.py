@@ -214,22 +214,41 @@ def _run_one(queries, name, spark, sf_dir) -> float:
     return time.monotonic() - t0
 
 
-def _bench_suite(queries, names, spark, sf_dir, errors, warm_pass=None):
-    """Best-of-2 warm timings per query; None timing + errors entry on failure."""
-    out: dict[str, float | None] = {}
-    for name in names:
+def _bench_suite(
+    queries, names, spark, sf_dir, errors, warm_pass=None, exec_trace=None
+):
+    """Best-of-2 warm timings per query; None timing + errors entry on failure.
+
+    Execution ORDER is shuffled fresh each run (SystemRandom — deliberately
+    not reproducible) while the OUTPUT dict keeps the suite's declared order:
+    a slow host window on this co-tenant box can then only flag queries
+    whose sole commonality is execution adjacency, never a contiguous
+    family block like r5's false-flag band (the first 21 llm queries —
+    VERDICT r5 item 2).  `exec_trace` records each query's start offset so
+    band-vs-regression adjudication is mechanical from the artifact: flagged
+    queries clustered in wall-clock time = host window, scattered = real.
+    """
+    import random  # noqa: PLC0415
+
+    order = list(names)
+    random.SystemRandom().shuffle(order)
+    suite_t0 = time.monotonic()
+    ran: dict[str, float | None] = {}
+    for name in order:
+        if exec_trace is not None:
+            exec_trace[name] = round(time.monotonic() - suite_t0, 3)
         try:
             if warm_pass is not None:
                 warm_pass[name] = round(_run_one(queries, name, spark, sf_dir), 3)
             else:
                 _run_one(queries, name, spark, sf_dir)  # warm-up, untimed
             best = min(_run_one(queries, name, spark, sf_dir) for _ in range(2))
-            out[name] = round(best, 3)
+            ran[name] = round(best, 3)
         except Exception:
-            out[name] = None
+            ran[name] = None
             errors[name] = traceback.format_exc(limit=3).splitlines()[-1][:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-    return out
+    return {name: ran[name] for name in names}
 
 
 def main() -> None:
@@ -249,9 +268,17 @@ def main() -> None:
     # best-of-2 warm — the regime that matters at 100 TB, where per-query
     # compile cost is amortized over thousands of tasks.
     cold: dict[str, float] = {}
-    timings = _bench_suite(QUERIES, HEADLINE, spark, sf_dir, errors, warm_pass=cold)
-    tpch = _bench_suite(QUERIES, TPCH, spark, sf_dir, errors)
-    llm = _bench_suite(QUERIES, LLM, spark, sf_dir, errors)
+    exec_trace: dict[str, float] = {}
+    timings = _bench_suite(
+        QUERIES, HEADLINE, spark, sf_dir, errors,
+        warm_pass=cold, exec_trace=exec_trace,
+    )
+    tpch = _bench_suite(
+        QUERIES, TPCH, spark, sf_dir, errors, exec_trace=exec_trace
+    )
+    llm = _bench_suite(
+        QUERIES, LLM, spark, sf_dir, errors, exec_trace=exec_trace
+    )
 
     def tot(d):
         return round(sum(v for v in d.values() if v is not None), 3)
@@ -323,6 +350,11 @@ def main() -> None:
                 "llm_queries": llm,
                 "vs_baseline": vs_baseline,
                 "regressions": regressions,
+                # per-query start offset (sec) within its suite, in the
+                # SHUFFLED execution order of this run — lets a reviewer
+                # check whether flagged queries cluster in wall-clock time
+                # (host window) or scatter (real regressions)
+                "exec_trace": exec_trace,
                 "new_queries": new_queries,
                 "n_failed": len(errors),
                 "errors": errors,

@@ -393,3 +393,88 @@ def test_streaming_running_totals_two_batch_parity(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_windowed_agg_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """Forced stop/restart MID-STREAM for the watermarked tumbling-window
+    pipeline (VERDICT r5 item 6): run 1's foreachBatch is poisoned to crash
+    on micro-batch 1, so the query dies with one file committed, one file's
+    batch constructed-but-uncommitted, and open windows buffered in the
+    state store.  Restarting from the same checkpoint (clean foreachBatch)
+    must replay the failed batch exactly once, keep accumulating the open
+    windows, and — after a far-future sentinel flushes the watermark —
+    emit exactly the batch-oracle windows: no loss, no duplicates."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i % 3 + 1, base + timedelta(minutes=20 * i), float(i))
+        for i in range(12)
+    ]
+    chunks = [rows[:4], rows[4:8], rows[8:]]
+    sentinel = [(99, base + timedelta(days=2), 0.0)]
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(c):
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start(batch_fn):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "3 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+            )
+            .select(F.col("w.start").alias("win_start"), "user_id", "n", "total")
+        )
+        return (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def clean(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def poisoned(df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected mid-stream crash")
+        clean(df, batch_id)
+
+    # run 1: two files available, dies on batch 1
+    write_chunk(chunks[0])
+    write_chunk(chunks[1])
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        start(poisoned).awaitTermination()
+    # run 2: third chunk arrives; resume replays the failed batch + drains
+    write_chunk(chunks[2])
+    start(clean).awaitTermination()
+    # run 3: the sentinel advances the watermark past every real window
+    write_chunk(sentinel)
+    start(clean).awaitTermination()
+
+    expected = {
+        (r["win_start"], r["user_id"]): (r["n"], r["total"])
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("win_start"), "user_id", "n", "total")
+        .collect()
+    }
+    got_rows = spark.read.parquet(out).collect()
+    got = {
+        (r["win_start"], r["user_id"]): (r["n"], r["total"]) for r in got_rows
+    }
+    assert got == expected
+    assert len(got_rows) == len(got)  # exactly-once: no duplicate windows

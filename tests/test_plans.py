@@ -543,3 +543,104 @@ def test_trimmed_mean_single_sort_shuffle(spark):
     codegen'd comparison, not a second shuffle."""
     plan = _plan(spark, "trimmed_mean_values")
     assert _hash_exchanges(plan) == 1
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide fingerprint invariants (VERDICT r5 item 8): pinned over the
+# committed PLAN_FINGERPRINTS.json, which tools/plan_audit.py regenerates
+# each round — so any plan regression anywhere in the registry (a cartesian
+# sneaking in, a new single-partition funnel, a broadcast falling back to
+# sort-merge) fails pytest instead of hiding in a JSON diff.
+# ---------------------------------------------------------------------------
+
+def _fingerprints():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "PLAN_FINGERPRINTS.json")
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)["fingerprints"]
+
+
+# Queries allowed >1 SinglePartition exchange: every one funnels only
+# BOUNDED frames (1-row scalar aggregates, fixed-size contract/recall
+# readouts, k-row centroid frames) — never a per-row fact frame.  A new
+# entry here needs the same justification before being added.
+_SINGLE_EXCHANGE_OK = {
+    "approx_quantile_contract",
+    "dq_constraint_report",
+    "embedding_ivf_recall",
+    "embedding_lsh_recall",
+    "fuzzy_record_linkage",
+    "hll_rollup_contract",
+    "incremental_agg_maintenance",
+    "minhash_recall_check",
+    "rfm_segments",
+    "segment_set_ops",
+    "simhash_exact_containment",
+    "simulate_contract",
+    "theta_sketch_overlap",
+    "unigram_lm_perplexity",
+}
+
+# Queries allowed to contain SortMergeJoin: all large⋈large by design
+# (fact-to-fact joins where neither side is broadcastable at scale).  A
+# NEW query appearing with an SMJ usually means a broadcast fell back —
+# inspect before allowlisting.
+_SMJ_OK = {
+    # trajectory fact ⋈ resampled fact
+    "behavior_resample",
+    "behavior_resample_checked",
+    # merge/reconcile of two table-sized sides
+    "catalog_upsert",
+    "customer_order_reconcile",
+    "incremental_agg_maintenance",
+    # edge⋈edge iterative graph kernels
+    "connected_components",
+    "dedup_cluster_keep",
+    "entity_resolution_clusters",
+    "triangle_count",
+    # derived-frame equality joins in recall/bit-replay contracts
+    "embedding_ivf_recall",
+    "embedding_lsh_recall",
+    "int8_ann_recall",
+    "minhash_recall_check",
+    "simulate_contract",
+    # TPC-H-shaped fact⋈fact (Q2/Q20 analogs)
+    "excess_stock_suppliers",
+    "min_cost_supplier",
+    # users×brands candidate anti-join against the interaction fact
+    "negative_sampling_pairs",
+}
+
+
+def test_fingerprints_no_cartesian_anywhere():
+    fps = _fingerprints()
+    offenders = [n for n, fp in fps.items() if fp.get("cartesian")]
+    assert offenders == [], f"cartesian products crept in: {offenders}"
+
+
+def test_fingerprints_no_errors():
+    fps = _fingerprints()
+    errs = {n: fp["error"] for n, fp in fps.items() if "error" in fp}
+    assert errs == {}, f"fingerprint sweep recorded errors: {errs}"
+
+
+def test_fingerprints_single_exchange_only_on_bounded_frames():
+    fps = _fingerprints()
+    multi = {n for n, fp in fps.items() if fp.get("exchange_single", 0) > 1}
+    rogue = multi - _SINGLE_EXCHANGE_OK
+    assert rogue == set(), (
+        f"new multi-SinglePartition queries (bounded-frame justification "
+        f"required before allowlisting): {sorted(rogue)}"
+    )
+
+
+def test_fingerprints_smj_only_where_large_large():
+    fps = _fingerprints()
+    smj = {n for n, fp in fps.items() if fp.get("sort_merge_join", 0) > 0}
+    rogue = smj - _SMJ_OK
+    assert rogue == set(), (
+        f"new sort-merge joins (did a broadcast fall back?): {sorted(rogue)}"
+    )

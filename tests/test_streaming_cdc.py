@@ -159,3 +159,57 @@ def test_null_seq_change_filtered(spark):
     batch = spark.createDataFrame([(1, "bad", "U", None)], "k int, v string, op string, seq int")
     merged = cdc.cdc_state_merge(state, batch, KEYS, SEQS)
     assert _published(spark, merged) == {1: "a0"}
+
+
+def test_stream_forced_kill_mid_stream_resumes_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Forced stop/restart MID-STREAM (VERDICT r5 item 6): the merge is
+    poisoned to crash on the third micro-batch, so the query dies with two
+    batches committed and the rest of the source unconsumed — real buffered
+    checkpoint state, not a graceful drain.  Resuming from the same
+    checkpoint must replay the failed batch exactly once (its poisoned
+    attempt wrote nothing) and converge to the one-shot batch merge."""
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "changes")
+    ch = _changes(spark, CHANGELOG).repartition(4)
+    ch.write.mode("overwrite").parquet(src)
+    snapshot = spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (5, "e")], "k int, v string"
+    )
+    state_dir = str(tmp_path / "state")
+
+    real_merge = cdc.cdc_state_merge
+    calls = {"n": 0}
+
+    def poisoned(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected mid-stream crash")
+        return real_merge(*a, **k)
+
+    monkeypatch.setattr(cdc, "cdc_state_merge", poisoned)
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cdc.cdc_stream_into_dir(stream, snapshot, KEYS, SEQS, state_dir)
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        q.awaitTermination()
+    # died mid-stream: exactly two of the four file-batches committed
+    with open(os.path.join(state_dir, "_CURRENT"), encoding="utf-8") as fh:
+        assert fh.read().strip().startswith("v2_")
+
+    monkeypatch.setattr(cdc, "cdc_state_merge", real_merge)
+    stream2 = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = cdc.cdc_stream_into_dir(stream2, snapshot, KEYS, SEQS, state_dir)
+    q2.awaitTermination()
+    assert _published(spark, cdc.current_state(spark, state_dir)) == EXPECTED

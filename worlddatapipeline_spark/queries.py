@@ -1173,76 +1173,73 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-5 rotation (NOTES_round5.md plan + VERDICT r4 item 1): 48 of the 71
-# registry entries never seen in any driver CORRECTNESS window (union of
-# r1-r4 windows = 186 of 257) — the full fourth-session mining/analytics
-# family first, then the post-freeze streaming parity pipelines and the
-# highest-risk remaining families (Spark 4 Python DataSource, XML, sketch
-# contracts, CDF version diff) — plus 2 re-verify slots for the round-5
-# implementation changes (multimodal_features gained the PNG codec leg;
-# user_event_components switched kernels when the star CC form became the
-# default).  The other round-5-changed queries are IN the 48
-# (short_text_editdups block cap, daily_autocorrelation /
-# lead_lag_correlation factored division, kaplan_meier_churn rename,
-# streaming_trending_topk / streaming_static_enrichment sink drain).  The
-# 23 never-checked entries that don't fit roll to round 6 (list in
-# NOTES_round6.md); every one is green in the committed full-sweep
-# artifacts.  Zero rows-only entries in this window.
+# Round-6 rotation (NOTES_round6.md plan + VERDICT r5 item 1 — finish the
+# charter bar: every registry entry driver-green at least once): the 29
+# entries never seen in any r1–r5 CORRECTNESS window (every one judge- and
+# sweep-green already — scheduling, not risk), then the round-5-CHANGED
+# queries whose new semantics haven't had a driver row (minhash containment
+# contract, arc_resample −0.0 fix, the cosine_topk_batched total-order cut
+# family, constructive-corpus simhash/minhash), then the round-6-CHANGED
+# queries (ntile→percentile-boundary conversions ride in the 29;
+# unigram_lm_perplexity converted too; user_event_components re-verifies
+# the star-kernel max_iter guard; multimodal_features re-verifies the PNG
+# CRC gate), and backfill to 50 with the oldest r1 greens.  After this
+# window lands, never-driver-checked count = 0.  Zero rows-only entries.
 _DRIVER_WINDOW: list[str] = [
-    # fourth-session mining/analytics additions (38)
-    "basket_brand_rules",
-    "brand_affinity_topk",
-    "dow_seasonality",
-    "gini_purchase_concentration",
-    "benford_price_audit",
-    "daily_autocorrelation",
-    "distinctive_terms",
-    "pmi_term_pairs",
-    "fuzzy_record_linkage",
-    "kaplan_meier_churn",
-    "event_trigram_patterns",
-    "behavior_diversity_bands",
-    "theil_sen_trend",
-    "holt_trend_forecast",
-    "discount_elasticity",
-    "abc_xyz_classification",
-    "seasonal_decompose",
-    "sax_symbolic_words",
-    "cuped_adjusted_ab",
-    "trimmed_mean_values",
-    "lead_lag_correlation",
-    "audio_dominant_bins",
-    "streaming_trending_topk",
-    "image_ahash_dedup",
-    "did_readout",
-    "negative_sampling_pairs",
-    "product_analytics_pipeline",
-    "position_attribution",
-    "readability_bands",
-    "distribution_drift",
-    "user_feature_vector",
-    "session_conformance",
-    "degree_assortativity",
-    "kfold_assignment",
-    "ips_policy_value",
-    "attribution_window_sweep",
-    "zipf_rank_audit",
-    "short_text_editdups",
-    # post-freeze real streaming parity pipelines (2)
-    "streaming_interval_join",
-    "streaming_static_enrichment",
-    # highest-risk remaining never-checked families (8)
-    "pyds_listing_parse_stats",
-    "xml_roundtrip_stats",
-    "theta_sketch_overlap",
-    "hll_rollup_contract",
+    # never driver-checked (29)
+    "rfm_segments",
+    "weighted_median_value",
+    "curriculum_order_stats",
+    "kcore_contract",
+    "session_path_counts",
+    "mad_outlier_counts",
+    "ab_test_zscore",
+    "observed_metrics_audit",
+    "recursive_amortization",
+    "pipe_sql_priority_mix",
+    "cusum_drift_alarms",
+    "stable_row_index",
+    "linear_attribution",
+    "filtered_vector_search",
+    "asof_tolerance_click",
+    "interval_coverage",
+    "pareto_parts",
+    "event_transition_matrix",
+    "equi_depth_bins",
+    "countmin_contract",
+    "hybrid_rank_fusion",
+    "l_diversity_audit",
+    "bpe_merge_pairs",
+    "bitmap_distinct_counts",
+    "nation_vip_listagg",
+    "param_sql_revenue_bands",
+    "entity_resolution_clusters",
+    "ohlc_daily_bars",
+    "streaming_ohlc_parity",
+    # round-5-changed, new semantics not yet driver-windowed (8)
+    "minhash_verified_dups",
+    "arc_resample",
+    "embedding_topk",
+    "int8_ann_recall",
+    "embedding_lsh_recall",
+    "embedding_ivf_recall",
+    "simhash_near_dups",
+    "minhash_candidates",
+    # round-6-changed re-verify (3)
     "unigram_lm_perplexity",
-    "dsir_importance_weights",
-    "version_diff_changes",
-    "dq_constraint_report",
-    # round-5 implementation-change re-verify (2)
-    "multimodal_features",
     "user_event_components",
+    "multimodal_features",
+    # backfill: oldest r1 greens (10)
+    "pricing_summary",
+    "catalog_stats",
+    "region_rollup",
+    "segment_listing",
+    "lineitem_extremes",
+    "grid_mode",
+    "histogram_mode",
+    "prefix_parts",
+    "top_orders_per_customer",
+    "first_part_per_brand",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
