@@ -327,3 +327,132 @@ def test_png_chunk_crc_mismatch_falls_back_to_stub():
     # a truncated final chunk is also rejected, not mis-sliced
     with pytest.raises(ValueError, match="truncated PNG chunk"):
         mm._decode_png(good[:-2])
+
+
+def test_jpeg_gray_roundtrip_near_lossless():
+    """Baseline JPEG with an all-ones quantization table round-trips
+    grayscale within |delta| <= 1 per pixel (DCT-coefficient rounding is
+    the only loss source), flat blocks exactly, and decode is
+    deterministic (VERDICT r5 item 10 — huffman + IDCT golden like PNG)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    data = mm.encode_jpeg_gray8(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = mm._decode_jpeg(data)
+    assert dec.size == img.size
+    assert np.abs(dec.reshape(16, 24).astype(int) - img.astype(int)).max() <= 1
+    assert (mm._decode_jpeg(data) == dec).all()  # deterministic
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    assert (
+        mm._decode_jpeg(mm.encode_jpeg_gray8(flat)).reshape(8, 8) == flat
+    ).all()
+
+
+def test_jpeg_non_multiple_of_8_crops_to_sof_dims():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 13), dtype=np.uint8)
+    dec = mm._decode_jpeg(mm.encode_jpeg_gray8(img))
+    assert dec.size == 130
+    assert np.abs(dec.reshape(10, 13).astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_real_quant_table_lossy_but_sane():
+    """A standard luminance quantization table is genuinely lossy; the
+    decode must stay within quantization-error range on a smooth image."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    stdq = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ])
+    dec = mm._decode_jpeg(mm.encode_jpeg_gray8(grad, quant=stdq))
+    err = np.abs(dec.reshape(32, 40).astype(int) - grad.astype(int))
+    assert err.mean() < 4 and err.max() < 32
+
+
+def test_jpeg_color_444_roundtrip():
+    """3-component 4:4:4 YCbCr decode: RGB round-trip within the YCbCr
+    int-rounding envelope (smooth <= 2, random <= 5), interleaved RGB
+    output per the _decode_bmp 24-bit convention."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8)
+    dec = mm._decode_jpeg(mm.encode_jpeg_rgb24(rgb))
+    assert dec.size == 11 * 14 * 3
+    assert np.abs(dec.reshape(11, 14, 3).astype(int) - rgb.astype(int)).max() <= 5
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = np.stack(
+        [(yy * 8) % 256, (xx * 8) % 256, ((yy + xx) * 4) % 256], axis=-1
+    ).astype(np.uint8)
+    d2 = mm._decode_jpeg(mm.encode_jpeg_rgb24(smooth))
+    assert np.abs(d2.reshape(16, 16, 3).astype(int) - smooth.astype(int)).max() <= 2
+
+
+def test_jpeg_unsupported_variants_fall_back_to_stub():
+    """The decoder must REFUSE what it cannot decode correctly —
+    progressive scans, subsampled chroma, restart intervals — so
+    _decode_bytes falls through to the byte-view stub (the pinned swap
+    point for a full codec library) instead of emitting garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    good = mm.encode_jpeg_gray8(img)
+
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF type"):
+        mm._decode_jpeg(prog)
+    assert mm._decode_bytes(prog).tolist() == list(prog)
+
+    # subsampled: rewrite the component sampling byte to 2x2
+    i = good.index(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[i + 11] = 0x22  # sampling factors of component 1
+    sub = bytes(sub)
+    with pytest.raises(ValueError, match="subsampled"):
+        mm._decode_jpeg(sub)
+    assert mm._decode_bytes(sub).tolist() == list(sub)
+
+    # restart interval: inject a DRI segment before SOS
+    j = good.index(b"\xff\xda")
+    dri = good[:j] + struct.pack(">HHH", 0xFFDD, 4, 8) + good[j:]
+    with pytest.raises(ValueError, match="restart"):
+        mm._decode_jpeg(dri)
+    assert mm._decode_bytes(dri).tolist() == list(dri)
+
+
+def test_decode_bytes_swap_point_contract():
+    """Pin the _decode_bytes interface so plugging a codec library cannot
+    change downstream features for already-decodable rows: flat uint8 out,
+    real containers decode to samples (not container bytes), and anything
+    undecodable returns the exact byte view."""
+    import numpy as np
+
+    row = np.arange(32, dtype=np.uint8)
+    for enc in (
+        mm.encode_bmp_gray8,
+        mm.encode_png_gray8,
+        lambda r: mm.encode_wav_pcm(r, 8000),
+    ):
+        payload = enc(row)
+        out = mm._decode_bytes(payload)
+        assert out.dtype == np.uint8 and out.ndim == 1
+        assert out.tolist() == row.tolist()  # samples, not container bytes
+    jp = mm.encode_jpeg_gray8(row[None, :])
+    out = mm._decode_bytes(jp)
+    assert out.dtype == np.uint8 and out.ndim == 1 and out.size == 32
+    assert np.abs(out.astype(int) - row.astype(int)).max() <= 1
+    undecodable = b"\x00\x01\x02 not a container"
+    assert mm._decode_bytes(undecodable).tolist() == list(undecodable)
