@@ -215,7 +215,8 @@ def _run_one(queries, name, spark, sf_dir) -> float:
 
 
 def _bench_suite(
-    queries, names, spark, sf_dir, errors, warm_pass=None, exec_trace=None
+    queries, names, spark, sf_dir, errors,
+    warm_pass=None, exec_trace=None, trace_t0=None,
 ):
     """Best-of-2 warm timings per query; None timing + errors entry on failure.
 
@@ -232,11 +233,14 @@ def _bench_suite(
 
     order = list(names)
     random.SystemRandom().shuffle(order)
-    suite_t0 = time.monotonic()
+    # one RUN-GLOBAL reference time across all suites, so a host window
+    # spanning a suite boundary still shows as one wall-clock cluster
+    # (review catch r6)
+    t0 = trace_t0 if trace_t0 is not None else time.monotonic()
     ran: dict[str, float | None] = {}
     for name in order:
         if exec_trace is not None:
-            exec_trace[name] = round(time.monotonic() - suite_t0, 3)
+            exec_trace[name] = round(time.monotonic() - t0, 3)
         try:
             if warm_pass is not None:
                 warm_pass[name] = round(_run_one(queries, name, spark, sf_dir), 3)
@@ -269,15 +273,18 @@ def main() -> None:
     # compile cost is amortized over thousands of tasks.
     cold: dict[str, float] = {}
     exec_trace: dict[str, float] = {}
+    run_t0 = time.monotonic()
     timings = _bench_suite(
         QUERIES, HEADLINE, spark, sf_dir, errors,
-        warm_pass=cold, exec_trace=exec_trace,
+        warm_pass=cold, exec_trace=exec_trace, trace_t0=run_t0,
     )
     tpch = _bench_suite(
-        QUERIES, TPCH, spark, sf_dir, errors, exec_trace=exec_trace
+        QUERIES, TPCH, spark, sf_dir, errors,
+        exec_trace=exec_trace, trace_t0=run_t0,
     )
     llm = _bench_suite(
-        QUERIES, LLM, spark, sf_dir, errors, exec_trace=exec_trace
+        QUERIES, LLM, spark, sf_dir, errors,
+        exec_trace=exec_trace, trace_t0=run_t0,
     )
 
     def tot(d):
@@ -350,10 +357,11 @@ def main() -> None:
                 "llm_queries": llm,
                 "vs_baseline": vs_baseline,
                 "regressions": regressions,
-                # per-query start offset (sec) within its suite, in the
-                # SHUFFLED execution order of this run — lets a reviewer
-                # check whether flagged queries cluster in wall-clock time
-                # (host window) or scatter (real regressions)
+                # per-query start offset (sec) from ONE run-global
+                # reference, in the SHUFFLED execution order of this run —
+                # lets a reviewer check whether flagged queries cluster in
+                # wall-clock time (host window) or scatter (real
+                # regressions), including windows spanning suite boundaries
                 "exec_trace": exec_trace,
                 "new_queries": new_queries,
                 "n_failed": len(errors),

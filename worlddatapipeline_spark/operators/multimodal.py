@@ -420,132 +420,24 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg_gray8(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """Encode a (h, w) uint8 array as a REAL baseline sequential JFIF JPEG
-    (SOF0, one grayscale component, standard Annex K huffman tables).  The
-    default quantization table is ALL ONES — near-lossless (error only from
-    DCT-coefficient rounding, |Δ| ≤ 1 per pixel in practice), which is what
-    makes a golden round-trip test meaningful for a lossy codec.  Any stock
-    viewer/PIL opens the output; ``_decode_jpeg`` round-trips it.
-    """
-    import struct  # noqa: PLC0415
-
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if px.ndim == 1:
-        px = px[None, :]
-    h, w = px.shape
-    q = (
-        np.ones(64, dtype=np.int32)
-        if quant is None
-        else np.asarray(quant, dtype=np.int32).reshape(64)
-    )
-    # pad to 8×8 blocks by edge replication (standard encoder practice)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
-    a = _dct_basis()
-    qmat = q[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)  # zigzag → row-major
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    bw = _BitWriter()
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = a @ block @ a.T
-            qc = np.round(coef / qmat).astype(np.int64)
-            zz = qc.reshape(-1)[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size, amp = _jpeg_magnitude(diff)
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                bw.write(amp, size)
-            run = 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                size, amp = _jpeg_magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(amp, size)
-                run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
-    entropy = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))
-    sof = seg(
-        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-    )
-    dht = seg(
-        0xFFC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS),
-    )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
-    )
-
-
-def encode_jpeg_rgb24(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """Encode a (h, w, 3) uint8 RGB array as a baseline JFIF JPEG with
-    4:4:4 sampling (no chroma subsampling) — the color sibling of
-    ``encode_jpeg_gray8``, sharing the Annex-K luminance huffman tables
-    across all three components (legal baseline; simplest golden-testable
-    shape).  Default all-ones quantization keeps the loss down to YCbCr
-    round-trip + DCT rounding, so the decoder's color path is testable
-    with a tight error bound."""
-    import struct  # noqa: PLC0415
-
-    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_jpeg_rgb24 expects (h, w, 3)")
-    h, w = px.shape[:2]
-    r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,                    # Y
-        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,        # Cb
-        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,        # Cr
-    ]
-    q = (
-        np.ones(64, dtype=np.int32)
-        if quant is None
-        else np.asarray(quant, dtype=np.int32).reshape(64)
-    )
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+def _jpeg_entropy_encode(planes: list[np.ndarray], q: np.ndarray) -> bytes:
+    """Shared baseline entropy encoder over already-padded uint8-valued
+    float planes (all the same block-aligned shape): per MCU, one 8×8
+    block per plane in order, one DC predictor per plane, Annex-K tables
+    for every component."""
     a = _dct_basis()
     qmat = q[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    padded = [
-        np.pad(
-            np.clip(np.round(p), 0, 255),
-            ((0, ph - h), (0, pw - w)),
-            mode="edge",
-        )
-        for p in planes
-    ]
+    ph, pw = planes[0].shape
     bw = _BitWriter()
-    preds = [0, 0, 0]
+    preds = [0] * len(planes)
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            for ci in range(3):
-                block = padded[ci][by : by + 8, bx : bx + 8] - 128.0
-                zz = np.round((a @ block @ a.T) / qmat).astype(np.int64)
-                zz = zz.reshape(-1)[_JPEG_ZIGZAG]
+            for ci, plane in enumerate(planes):
+                block = plane[by : by + 8, bx : bx + 8] - 128.0
+                qc = np.round((a @ block @ a.T) / qmat).astype(np.int64)
+                zz = qc.reshape(-1)[_JPEG_ZIGZAG]
                 diff = int(zz[0]) - preds[ci]
                 preds[ci] = int(zz[0])
                 size, amp = _jpeg_magnitude(diff)
@@ -560,7 +452,7 @@ def encode_jpeg_rgb24(pixels: np.ndarray, quant: np.ndarray | None = None) -> by
                         run += 1
                         continue
                     while run > 15:
-                        zc, zl = ac_codes[0xF0]
+                        zc, zl = ac_codes[0xF0]  # ZRL
                         bw.write(zc, zl)
                         run -= 16
                     size, amp = _jpeg_magnitude(v)
@@ -569,27 +461,102 @@ def encode_jpeg_rgb24(pixels: np.ndarray, quant: np.ndarray | None = None) -> by
                     bw.write(amp, size)
                     run = 0
                 if run:
-                    code, length = ac_codes[0x00]
+                    code, length = ac_codes[0x00]  # EOB
                     bw.write(code, length)
-    entropy = bw.flush()
+    return bw.flush()
+
+
+def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
+                    entropy: bytes) -> bytes:
+    """Assemble the JFIF byte stream around an entropy-coded scan: APP0,
+    8-bit DQT (table 0), SOF0 with ``n_comp`` unsubsampled components,
+    the Annex-K DC/AC table pair, SOS binding every component to them."""
+    import struct  # noqa: PLC0415
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))
     sof = seg(
         0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        struct.pack(">BHHB", 8, h, w, n_comp)
+        + b"".join(bytes([cid, 0x11, 0]) for cid in range(1, n_comp + 1)),
     )
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS),
     )
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sos = seg(
+        0xFFDA,
+        bytes([n_comp])
+        + b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
+        + bytes([0, 63, 0]),
+    )
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def _jpeg_quant(quant: np.ndarray | None) -> np.ndarray:
+    return (
+        np.ones(64, dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, dtype=np.int32).reshape(64)
+    )
+
+
+def encode_jpeg_gray8(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Encode a (h, w) uint8 array as a REAL baseline sequential JFIF JPEG
+    (SOF0, one grayscale component, standard Annex K huffman tables).  The
+    default quantization table is ALL ONES — near-lossless (error only from
+    DCT-coefficient rounding, |Δ| ≤ 1 per pixel in practice), which is what
+    makes a golden round-trip test meaningful for a lossy codec.  Any stock
+    viewer/PIL opens the output; ``_decode_jpeg`` round-trips it.
+    """
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:
+        px = px[None, :]
+    h, w = px.shape
+    q = _jpeg_quant(quant)
+    # pad to 8×8 blocks by edge replication (standard encoder practice)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+        np.float64
+    )
+    entropy = _jpeg_entropy_encode([padded], q)
+    return _jpeg_container(h, w, q, 1, entropy)
+
+
+def encode_jpeg_rgb24(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a baseline JFIF JPEG with
+    4:4:4 sampling (no chroma subsampling) — the color sibling of
+    ``encode_jpeg_gray8``, sharing the Annex-K luminance huffman tables
+    across all three components (legal baseline; simplest golden-testable
+    shape).  Default all-ones quantization keeps the loss down to YCbCr
+    round-trip + DCT rounding, so the decoder's color path is testable
+    with a tight error bound."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb24 expects (h, w, 3)")
+    h, w = px.shape[:2]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,                    # Y
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,        # Cb
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,        # Cr
+    ]
+    q = _jpeg_quant(quant)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [
+        np.pad(
+            np.clip(np.round(p), 0, 255),
+            ((0, ph - h), (0, pw - w)),
+            mode="edge",
+        )
+        for p in planes
+    ]
+    entropy = _jpeg_entropy_encode(padded, q)
+    return _jpeg_container(h, w, q, 3, entropy)
 
 
 class _BitReader:
@@ -611,8 +578,11 @@ class _BitReader:
                 self.pos += 1
             else:
                 raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        # only ever called with the accumulator drained (nbits == 0) —
+        # REPLACE it rather than shift-or, or acc grows into an unbounded
+        # bigint and decode goes quadratic in scan length (review catch r6)
+        self.acc = b
+        self.nbits = 8
 
     def bit(self) -> int:
         if self.nbits == 0:

@@ -4318,7 +4318,6 @@ def q_kcore_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical results."""
     from .operators import graph as graph_ops
 
-    (lineitem,) = _t(spark, sf_dir, "lineitem")
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
