@@ -205,6 +205,8 @@ LLM = [
     "l_diversity_audit",
     "ohlc_daily_bars",
     "streaming_ohlc_parity",
+    # round-6 additions
+    "jpeg_roundtrip_contract",
 ]
 
 

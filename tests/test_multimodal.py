@@ -456,3 +456,31 @@ def test_decode_bytes_swap_point_contract():
     assert np.abs(out.astype(int) - row.astype(int)).max() <= 1
     undecodable = b"\x00\x01\x02 not a container"
     assert mm._decode_bytes(undecodable).tolist() == list(undecodable)
+
+
+def test_jpeg_property_roundtrip_within_certified_envelope():
+    """Property test: ANY uint8 image round-trips the Q=1 baseline codec
+    within the certified |delta| <= 3 envelope (coefficient rounding 0.5
+    x IDCT gain 3.49 + final rounding 0.5 < 4), at arbitrary dims
+    including non-multiples of 8."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w), dtype=np.uint8
+        )
+        dec = mm._decode_jpeg(mm.encode_jpeg_gray8(img))
+        assert dec.size == h * w
+        assert (
+            np.abs(dec.reshape(h, w).astype(int) - img.astype(int)).max() <= 3
+        )
+
+    prop()

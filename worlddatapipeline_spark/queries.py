@@ -1225,11 +1225,12 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_ivf_recall",
     "simhash_near_dups",
     "minhash_candidates",
-    # round-6-changed re-verify (3)
+    # round-6-changed re-verify (3) + round-6 NEW query (1)
     "unigram_lm_perplexity",
     "user_event_components",
     "multimodal_features",
-    # backfill: oldest r1 greens (10)
+    "jpeg_roundtrip_contract",
+    # backfill: oldest r1 greens (9)
     "pricing_summary",
     "catalog_stats",
     "region_rollup",
@@ -1239,7 +1240,6 @@ _DRIVER_WINDOW: list[str] = [
     "histogram_mode",
     "prefix_parts",
     "top_orders_per_customer",
-    "first_part_per_brand",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
