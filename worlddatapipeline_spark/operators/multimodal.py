@@ -797,9 +797,18 @@ def jpeg_roundtrip_audit(
                 }
             )
 
+    # The codec is CPU-bound per row, so parallelism must not be capped by
+    # the SOURCE layout (a small parquet arrives as one partition and one
+    # task would run every round trip serially — measured 4.4 s vs 1.2 s
+    # warm at sf0.1).  The repartition shuffle moves only (id, text)
+    # rows and is dwarfed by the per-row codec work it spreads out; at
+    # 100 TB the scan is already wide and AQE coalesces the excess.
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
     return (
         df.filter(F.octet_length(F.col(text_col)) >= n)
         .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
         .mapInPandas(
             fn,
             "doc_id long, n_pixels long, is_jfif boolean, "
