@@ -207,6 +207,8 @@ LLM = [
     "streaming_ohlc_parity",
     # round-6 additions
     "jpeg_roundtrip_contract",
+    # round-7 additions
+    "jpeg420_roundtrip_contract",
 ]
 
 
@@ -345,6 +347,12 @@ def main() -> None:
                             }
                         )
 
+    # Full-detail line FIRST.  Large per-query fields (queries/exec_trace,
+    # ~8 KB each at 264 registry entries) come before the graded summary
+    # scalars, so even a reader who only keeps the END of this line sees
+    # vs_baseline/regressions (VERDICT r6 item 1: the driver stores a
+    # 2000-char stdout tail, and BENCH_r06 lost the graded ratios to an
+    # exec_trace emitted mid-object).
     print(
         json.dumps(
             {
@@ -357,8 +365,6 @@ def main() -> None:
                 "tpch_queries": tpch,
                 "llm_total_sec": tot(llm),
                 "llm_queries": llm,
-                "vs_baseline": vs_baseline,
-                "regressions": regressions,
                 # per-query start offset (sec) from ONE run-global
                 # reference, in the SHUFFLED execution order of this run —
                 # lets a reviewer check whether flagged queries cluster in
@@ -366,8 +372,33 @@ def main() -> None:
                 # regressions), including windows spanning suite boundaries
                 "exec_trace": exec_trace,
                 "new_queries": new_queries,
+                "vs_baseline": vs_baseline,
+                "regressions": regressions,
                 "n_failed": len(errors),
                 "errors": errors,
+                "sf": sf,
+            }
+        )
+    )
+    # Compact summary-only line LAST, size-bounded so the driver's
+    # 2000-char stdout tail always contains it whole (and a last-line JSON
+    # parse succeeds).  Regressions capped at 10 entries and error strings
+    # at 60 chars; the uncapped detail is in the full line above.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": tot(timings),
+                "unit": "sec",
+                "cold_total_sec": tot(cold),
+                "tpch_total_sec": tot(tpch),
+                "llm_total_sec": tot(llm),
+                "vs_baseline": vs_baseline,
+                "n_regressions": len(regressions),
+                "regressions": regressions[:10],
+                "n_new_queries": len(new_queries),
+                "n_failed": len(errors),
+                "errors": {k: v[:60] for k, v in list(errors.items())[:8]},
                 "sf": sf,
             }
         )

@@ -399,8 +399,8 @@ def test_jpeg_color_444_roundtrip():
 
 def test_jpeg_unsupported_variants_fall_back_to_stub():
     """The decoder must REFUSE what it cannot decode correctly —
-    progressive scans, subsampled chroma, restart intervals — so
-    _decode_bytes falls through to the byte-view stub (the pinned swap
+    progressive scans, restart intervals, non-integer sampling ratios —
+    so _decode_bytes falls through to the byte-view stub (the pinned swap
     point for a full codec library) instead of emitting garbage."""
     import struct
 
@@ -416,14 +416,26 @@ def test_jpeg_unsupported_variants_fall_back_to_stub():
         mm._decode_jpeg(prog)
     assert mm._decode_bytes(prog).tolist() == list(prog)
 
-    # subsampled: rewrite the component sampling byte to 2x2
+    # a SINGLE-component scan is non-interleaved per T.81 §A.2.2: its
+    # sampling byte is ignored, so a lying 2x2 header still decodes to
+    # the true image (this used to be a refusal before 4:2:0 support)
     i = good.index(b"\xff\xc0")
     sub = bytearray(good)
     sub[i + 11] = 0x22  # sampling factors of component 1
-    sub = bytes(sub)
-    with pytest.raises(ValueError, match="subsampled"):
-        mm._decode_jpeg(sub)
-    assert mm._decode_bytes(sub).tolist() == list(sub)
+    dec = mm._decode_jpeg(bytes(sub))
+    assert np.abs(dec.reshape(8, 8).astype(int) - img.astype(int)).max() <= 3
+
+    # non-integer chroma ratio (3x1 luma over 2x1 chroma) must refuse
+    color = mm.encode_jpeg_rgb24(
+        np.full((16, 16, 3), 10, dtype=np.uint8)
+    )
+    k = color.index(b"\xff\xc0")
+    bad = bytearray(color)
+    bad[k + 11] = 0x31  # comp 1: 3x1
+    bad[k + 14] = 0x21  # comp 2: 2x1 — 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-integer"):
+        mm._decode_jpeg(bytes(bad))
+    assert mm._decode_bytes(bytes(bad)).tolist() == list(bytes(bad))
 
     # restart interval: inject a DRI segment before SOS
     j = good.index(b"\xff\xda")
@@ -431,6 +443,15 @@ def test_jpeg_unsupported_variants_fall_back_to_stub():
     with pytest.raises(ValueError, match="restart"):
         mm._decode_jpeg(dri)
     assert mm._decode_bytes(dri).tolist() == list(dri)
+
+    # crafted bomb header: tiny payload declaring huge dims must refuse
+    # BEFORE allocating planes (ADVICE r6 guard), not attempt a ~GB alloc
+    m = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[m + 5 : m + 9] = struct.pack(">HH", 60000, 60000)
+    with pytest.raises(ValueError, match="decode cap|too short"):
+        mm._decode_jpeg(bytes(bomb))
+    assert mm._decode_bytes(bytes(bomb)).tolist() == list(bytes(bomb))
 
 
 def test_decode_bytes_swap_point_contract():
@@ -481,6 +502,112 @@ def test_jpeg_property_roundtrip_within_certified_envelope():
         assert dec.size == h * w
         assert (
             np.abs(dec.reshape(h, w).astype(int) - img.astype(int)).max() <= 3
+        )
+
+    prop()
+
+
+def test_jpeg_420_gray_content_certified_envelope():
+    """4:2:0 with gray-as-RGB content: both chroma planes are exactly
+    constant 128 (forward coefficients cancel, box average preserves a
+    constant, constant plane quantizes to zero), so the certified Q=1
+    luma envelope |delta| <= 3 carries over unchanged — at dims that are
+    multiples of 16, odd crops, and sub-MCU sizes."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16), (32, 48), (24, 17), (33, 31), (5, 3), (1, 1)]:
+        gray = rng.integers(0, 256, shape, dtype=np.uint8)
+        rgb = np.repeat(gray[..., None], 3, axis=2)
+        payload = mm.encode_jpeg_rgb24(rgb, subsampling="4:2:0")
+        sof = payload.index(b"\xff\xc0")
+        assert payload[sof + 11] == 0x22  # luma really is 2x2
+        assert payload[sof + 14] == 0x11 and payload[sof + 17] == 0x11
+        dec = mm._decode_jpeg(payload).reshape(*shape, 3)
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_jpeg_420_color_2x2_constant_golden():
+    """4:2:0 with per-2x2-constant COLOR content: the box average and the
+    nearest-neighbor upsampler are exact inverses, so the remaining error
+    is the per-plane DCT envelope through the color transform.  Pinned
+    seed -> deterministic golden; measured max |delta| is 3 here, assert
+    the analytic color-path ceiling (Y 3.99 + 1.772*Cb 4.5 < 12) never
+    trips and pin the empirical value loosely at <= 6 for regression."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    dec = mm._decode_jpeg(
+        mm.encode_jpeg_rgb24(img, subsampling="4:2:0")
+    ).reshape(16, 16, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_422_and_440_layouts_decode():
+    """The decoder's MCU walk is generic over integer sampling ratios:
+    hand-assembled 4:2:2 (2x1) and 4:4:0 (1x2) containers with gray
+    content decode within the constant-chroma envelope."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    h, w = 16, 16
+    px = np.repeat(
+        rng.integers(0, 256, (h, w, 1), dtype=np.uint8), 3, axis=2
+    ).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    q = mm._jpeg_quant(None)
+    for sampling, dsx, dsy in [
+        ([(2, 1), (1, 1), (1, 1)], 2, 1),
+        ([(1, 2), (1, 1), (1, 1)], 1, 2),
+    ]:
+        y_pad = np.clip(np.round(planes[0]), 0, 255)
+        chroma = [
+            np.clip(
+                np.round(
+                    c.reshape(h // dsy, dsy, w // dsx, dsx).mean(axis=(1, 3))
+                ),
+                0,
+                255,
+            )
+            for c in planes[1:]
+        ]
+        ent = mm._jpeg_entropy_encode([y_pad, *chroma], q, sampling=sampling)
+        payload = mm._jpeg_container(h, w, q, 3, ent, sampling=sampling)
+        dec = mm._decode_jpeg(payload).reshape(h, w, 3)
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_420_property_roundtrip_certified():
+    """Property test: ANY gray-as-RGB uint8 image round-trips the 4:2:0
+    codec within the certified |delta| <= 3 envelope at arbitrary dims
+    (MCU padding, odd crops, single-pixel images)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, seed):
+        gray = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w), dtype=np.uint8
+        )
+        rgb = np.repeat(gray[..., None], 3, axis=2)
+        dec = mm._decode_jpeg(mm.encode_jpeg_rgb24(rgb, subsampling="4:2:0"))
+        assert dec.size == h * w * 3
+        assert (
+            np.abs(dec.reshape(h, w, 3).astype(int) - rgb.astype(int)).max()
+            <= 3
         )
 
     prop()

@@ -576,7 +576,6 @@ _SINGLE_EXCHANGE_OK = {
     "hll_rollup_contract",
     "incremental_agg_maintenance",
     "minhash_recall_check",
-    "rfm_segments",
     "segment_set_ops",
     "simhash_exact_containment",
     "simulate_contract",

@@ -25,7 +25,11 @@ def main() -> None:
         argv.remove("--refresh")
     run_path = argv[0]
     with open(run_path, encoding="utf-8") as fh:
-        run = json.loads(fh.read().strip().splitlines()[-1])
+        # bench.py emits the full-detail line first and a compact
+        # summary-only line last; take the last line that carries the
+        # per-query dicts.
+        lines = [json.loads(l) for l in fh.read().strip().splitlines() if l]
+        run = next(r for r in reversed(lines) if "queries" in r)
     with open("BENCH_BASELINE.json", encoding="utf-8") as fh:
         base = json.load(fh)
     trace = run.get("exec_trace", {})
@@ -37,6 +41,14 @@ def main() -> None:
         bg = base["groups"].get(gname, {})
         shared = [q for q in current if q in bg and current[q] is not None]
         new = [q for q in current if q not in bg]
+        if not shared:
+            print(f"\n== {gname}: no shared baseline queries")
+            if new:
+                print(f"  new queries (no baseline): {new}")
+                added[gname] = {
+                    q: current[q] for q in new if current[q] is not None
+                }
+            continue
         b = sum(bg[q] for q in shared)
         c = sum(current[q] for q in shared)
         print(f"\n== {gname}: shared ratio {c / b:.3f} ({len(shared)} shared)")

