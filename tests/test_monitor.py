@@ -478,3 +478,202 @@ def test_windowed_agg_forced_kill_mid_stream_resumes(spark, tmp_path):
     }
     assert got == expected
     assert len(got_rows) == len(got)  # exactly-once: no duplicate windows
+
+
+def _forced_kill_harness(spark, tmp_path, build_agg, chunks, sentinel=None,
+                         output_mode="append"):
+    """Shared forced stop/restart scaffold (VERDICT r6 item 7): run 1's
+    foreachBatch crashes on micro-batch 1 (one batch committed, one
+    constructed-but-uncommitted, open state buffered), run 2 resumes from
+    the same checkpoint with the clean writer and the next chunk, run 3
+    (optional) drops a far-future sentinel to flush the watermark.
+    Returns the output parquet path."""
+    schema = "user_id long, event_id long, ts timestamp, value double, event_type string"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(c):
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start(batch_fn):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            build_agg(stream)
+            .writeStream.outputMode(output_mode)
+            .foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def clean(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def poisoned(df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected mid-stream crash")
+        clean(df, batch_id)
+
+    write_chunk(chunks[0])
+    write_chunk(chunks[1])
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        start(poisoned).awaitTermination()
+    for c in chunks[2:]:
+        write_chunk(c)
+    start(clean).awaitTermination()
+    if sentinel is not None:
+        write_chunk(sentinel)
+        start(clean).awaitTermination()
+    return out
+
+
+def test_session_window_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """Session-window state must survive a forced mid-stream kill: open
+    sessions buffered in the state store at crash time keep merging after
+    the restart, and the flushed output matches the batch session_window
+    oracle exactly — no lost, split, or duplicated session."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    # user 1: one long session crossing the crash boundary (events in
+    # chunks 0,1,2 all within the 30-min gap) + a separate later session;
+    # user 2: two clean sessions
+    rows = [
+        (1, 10, base + timedelta(minutes=0), 1.0, "a"),
+        (2, 11, base + timedelta(minutes=5), 2.0, "a"),
+        (1, 12, base + timedelta(minutes=20), 3.0, "a"),
+        (2, 13, base + timedelta(minutes=90), 4.0, "a"),
+        (1, 14, base + timedelta(minutes=40), 5.0, "a"),
+        (1, 15, base + timedelta(minutes=180), 6.0, "a"),
+        (2, 16, base + timedelta(minutes=100), 7.0, "a"),
+        (1, 17, base + timedelta(minutes=195), 8.0, "a"),
+    ]
+    chunks = [rows[:3], rows[3:5], rows[5:]]
+    sentinel = [(99, 0, base + timedelta(days=2), 0.0, "z")]
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "3 hours")
+            .groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(
+                F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"),
+                "user_id",
+                "n",
+                "total",
+            )
+        )
+
+    out = _forced_kill_harness(spark, tmp_path, build, chunks, sentinel)
+    schema = "user_id long, event_id long, ts timestamp, value double, event_type string"
+    expected = {
+        (r["s_start"], r["s_end"], r["user_id"]): (r["n"], r["total"])
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n",
+            "total",
+        )
+        .collect()
+    }
+    got_rows = spark.read.parquet(out).collect()
+    got = {
+        (r["s_start"], r["s_end"], r["user_id"]): (r["n"], r["total"])
+        for r in got_rows
+    }
+    assert got == expected
+    assert len(got_rows) == len(got)  # exactly-once
+
+
+def test_dedup_stream_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must survive a forced kill: a
+    key first seen before the crash and replayed/re-sent after the restart
+    must still be emitted exactly once (the checkpointed dedup state, not
+    batch-local memory, is what suppresses it)."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    r = lambda u, e, m, v: (u, e, base + timedelta(minutes=m), v, "a")
+    chunks = [
+        # batch 0: three distinct keys
+        [r(1, 100, 0, 1.0), r(1, 101, 1, 2.0), r(2, 100, 2, 3.0)],
+        # batch 1 (crashes once, replayed): one dup of batch 0 + one new
+        [r(1, 100, 3, 1.0), r(2, 101, 4, 4.0)],
+        # batch 2 (post-restart): dups of batch 0 AND batch 1 + one new
+        [r(1, 101, 5, 2.0), r(2, 101, 6, 4.0), r(3, 100, 7, 5.0)],
+    ]
+
+    def build(stream):
+        return monitor.dedup_stream(
+            stream, ["user_id", "event_id"], event_time_col="ts",
+            watermark="1 hour",
+        )
+
+    out = _forced_kill_harness(spark, tmp_path, build, chunks)
+    got_rows = spark.read.parquet(out).collect()
+    keys = [(x["user_id"], x["event_id"]) for x in got_rows]
+    assert sorted(keys) == sorted(set(keys))  # exactly-once per key
+    assert set(keys) == {(1, 100), (1, 101), (2, 100), (2, 101), (3, 100)}
+
+
+def test_trending_topk_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """The trending-dashboard shape (watermarked tumbling-window counts per
+    event type, top-k ranked over the flushed sink) must survive a forced
+    kill: windows open across the crash keep accumulating, and the ranked
+    output matches the batch restatement."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    types = ["view", "click", "purchase", "view", "view", "click"]
+    rows = [
+        (i % 3 + 1, i, base + timedelta(minutes=17 * i), float(i),
+         types[i % len(types)])
+        for i in range(14)
+    ]
+    chunks = [rows[:5], rows[5:9], rows[9:]]
+    sentinel = [(99, 999, base + timedelta(days=2), 0.0, "z")]
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "3 hours")
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+        )
+
+    out = _forced_kill_harness(spark, tmp_path, build, chunks, sentinel)
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    schema = "user_id long, event_id long, ts timestamp, value double, event_type string"
+    expected = {
+        tuple(r)
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == expected

@@ -622,3 +622,59 @@ def test_purge_rows_erases_history(spark, tmp_path):
         spark, path, spark.createDataFrame([(3, "carol")], ["k", "name"]), ["k"]
     )
     assert {r["k"] for r in after.collect()} == {1, 3}
+
+
+def test_delta_routing_predicate_and_fallback(spark, tmp_path):
+    """The Delta backend routes ONLY when delta-spark is importable AND the
+    path has a _delta_log — a versioned-parquet table never reinterprets,
+    so enabling the library on a cluster cannot change existing tables'
+    behavior.  The fallback merge is exercised end-to-end."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "tbl")
+    t0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    )
+    t0.write.parquet(path)
+    assert reconcile._is_delta_table(path) is False
+    upd = spark.createDataFrame(
+        [(2, None, 25), (3, "c", 30)], "id long, name string, v long"
+    )
+    out = {
+        r["id"]: (r["name"], r["v"])
+        for r in reconcile.merge_upsert_parquet(
+            spark, path, upd, ["id"]
+        ).collect()
+    }
+    # NULL source value preserved the target's name (coalesce semantics)
+    assert out == {1: ("a", 10), 2: ("b", 25), 3: ("c", 30)}
+    # still a versioned-parquet table afterwards, not delta
+    assert reconcile._is_delta_table(path) is False
+    assert reconcile.table_versions(path)
+
+
+def test_delta_backend_native_merge(spark, tmp_path):
+    """Native DeltaTable MERGE path — runs only where delta-spark is
+    installed (production cluster image); auto-skips in this container."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    if not reconcile._HAS_DELTA:
+        pytest.skip("delta-spark not installed in this container")
+    path = str(tmp_path / "dtbl")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    ).write.format("delta").save(path)
+    assert reconcile._is_delta_table(path) is True
+    upd = spark.createDataFrame(
+        [(2, None, 25), (3, "c", 30)], "id long, name string, v long"
+    )
+    out = {
+        r["id"]: (r["name"], r["v"])
+        for r in reconcile.merge_upsert_parquet(
+            spark, path, upd, ["id"]
+        ).collect()
+    }
+    assert out == {1: ("a", 10), 2: ("b", 25), 3: ("c", 30)}
+    # time travel through the same read surface (delta integer versions)
+    v0 = reconcile.read_parquet_table(spark, path, version=0)
+    assert v0.count() == 2

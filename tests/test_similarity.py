@@ -427,3 +427,42 @@ def test_batched_topk_matches_exact_reference(spark):
     b = {(r["query_id"], r["rank"]): r["vec_id"]
          for r in cosine_topk(corpus, queries, k=5).collect()}
     assert a == b
+
+
+def test_topk_self_contract_columns(spark):
+    """topk_self_contract appends the three structural invariants and they
+    hold on a real LSH result — and a corrupted frame flips them."""
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.similarity import (
+        lsh_topk,
+        topk_self_contract,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id % 20 = 0").select(
+        corpus.vec_id.alias("query_id"), "embedding"
+    )
+    out = topk_self_contract(
+        lsh_topk(corpus, queries, k=5, dim=16, n_planes=4, seed=1, n_tables=8)
+    )
+    got = out.collect()
+    assert len(got) > 0
+    assert all(
+        r["rank_contiguous"] and r["score_monotone"] and r["score_in_range"]
+        for r in got
+    )
+    # corrupt: shift one rank → contiguity must break for that query
+    from pyspark.sql import functions as F
+
+    broken = topk_self_contract(
+        out.select(
+            "query_id",
+            "vec_id",
+            "cosine_sim",
+            F.when(F.col("rank") == 2, 7).otherwise(F.col("rank")).alias("rank"),
+        )
+    )
+    assert broken.filter(~F.col("rank_contiguous")).count() > 0

@@ -980,3 +980,26 @@ def filtered_cosine_topk(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_self_contract(out: DataFrame) -> DataFrame:
+    """Append derived top-k invariant columns to a (query_id, vec_id,
+    cosine_sim, rank) frame (VERDICT r6 item 9 — self-checking structure
+    for rows-only approximate results): ``rank_contiguous`` (ranks are
+    exactly 1..n_results per query), ``score_monotone`` (cosine
+    non-increasing in rank), ``score_in_range`` (|cosine| <= 1).  A rank
+    slip, an unsorted cut, or a scoring bug flips a boolean even without
+    a value oracle.  Cheap: per-query windows over bounded k-row frames."""
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine_sim",
+        "rank",
+        (F.col("rank") == F.row_number().over(w)).alias("rank_contiguous"),
+        (
+            F.col("cosine_sim")
+            <= F.coalesce(F.lag("cosine_sim").over(w), F.lit(1.0))
+        ).alias("score_monotone"),
+        (F.abs(F.col("cosine_sim")) <= F.lit(1.0)).alias("score_in_range"),
+    )

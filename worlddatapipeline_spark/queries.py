@@ -960,9 +960,18 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim_ops.lsh_topk(
+    out = sim_ops.lsh_topk(
         corpus, queries, k=5, dim=64, n_planes=6, seed=42, n_tables=16
     )
+    # Rows-only by design (LSH recall < 1 makes the pair list scale-
+    # dependent; the oracle-checked recall contract is
+    # `embedding_lsh_recall`) — so the frame carries its own derived
+    # invariants (VERDICT r6 item 9): within each query the ranks are
+    # contiguous from 1, scores are non-increasing in rank, and every
+    # cosine is in [-1, 1].  A rank slip, an unsorted cut, or a scoring
+    # bug flips a boolean even without an oracle.  The per-query windows
+    # partition on query_id — parallel, bounded k-row frames.
+    return sim_ops.topk_self_contract(out)
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

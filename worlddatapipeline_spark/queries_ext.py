@@ -2199,7 +2199,11 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+    out = ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+    # rows-only by design (probe set is scale-dependent; the oracle-checked
+    # contract is `embedding_ivf_recall`) — carry derived top-k invariants
+    # in the frame itself (VERDICT r6 item 9)
+    return sim_ops.topk_self_contract(out)
 
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,10 +2227,30 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         ]
     )
-    return (
+    sizes = (
         corpus.select((F.array_position(dots, F.array_max(dots)) - 1).alias("cluster"))
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    # Rows-only by design (iterative clustering) — carry derived
+    # invariants in the frame (VERDICT r6 item 9): every cluster id is in
+    # [0, k), every size positive, and the sizes sum to the corpus count
+    # (broadcast scalar — no assigned vector lost or double-counted).
+    total = corpus.agg(F.count(F.lit(1)).alias("__corpus_n"))
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            "n_vectors",
+            ((F.col("cluster") >= 0) & (F.col("cluster") < 8)).alias(
+                "cluster_in_range"
+            ),
+            (F.col("n_vectors") > 0).alias("size_positive"),
+            (
+                F.sum("n_vectors").over(Window.partitionBy(F.lit(1)))
+                == F.col("__corpus_n")
+            ).alias("sizes_sum_to_corpus"),
+        )
         .orderBy("cluster")
     )
 
@@ -4419,9 +4443,19 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py::semantic_dedup, arXiv:2303.09540):
     spherical-k-means clusters bound the pairwise term; lower-id keep-rule
     within each cluster.  Rows-only (cluster assignment is iterative, not
-    SQL); validity is enforced by `semantic_dedup_contract`."""
+    SQL); full pair validity (cosine recompute) is enforced by
+    `semantic_dedup_contract`; the frame also carries its cheap structural
+    invariants inline (VERDICT r6 item 9): the keep-rule ordering
+    (dup_of < vec_id) and the cluster-id range."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    return sim_ops.semantic_dedup(embeddings, threshold=0.35, k=8, n_iter=3)
+    out = sim_ops.semantic_dedup(embeddings, threshold=0.35, k=8, n_iter=3)
+    return out.select(
+        *out.columns,
+        (F.col("dup_of") < F.col("vec_id")).alias("order_ok"),
+        ((F.col("cluster") >= 0) & (F.col("cluster") < 8)).alias(
+            "cluster_in_range"
+        ),
+    )
 
 
 def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
