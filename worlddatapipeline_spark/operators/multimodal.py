@@ -8,8 +8,9 @@ Pandas operations over ``mapInPandas``.
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
 with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
 unfilter), and baseline-sequential JPEG (canonical huffman + IDCT;
-grayscale and 4:4:4 color) — and STUBBED only for what genuinely needs a
-codec library this container lacks (progressive/subsampled JPEG, mp4):
+grayscale and color at any integer sampling layout incl. 4:2:0, restart
+intervals, 16-bit DQT) — and STUBBED only for what genuinely needs a
+codec library this container lacks (progressive JPEG, mp4):
 there the clearly-marked deterministic fake views the payload bytes as
 samples.  A real deployment swaps ONLY that function (e.g. for PIL /
 libav via pip on the cluster image); every Spark-side concern here is
@@ -411,6 +412,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align with 1-bit padding (through ``write`` so a 0xFF pad
+        byte still gets its stuffed 0x00), then emit RSTm.  The marker
+        itself is raw stream structure, never stuffed (T.81 §B.2.1)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
     """(size, amplitude bits): negatives as one's-complement per F.1.2.1."""
@@ -465,6 +475,7 @@ def _jpeg_entropy_encode(
     planes: list[np.ndarray],
     q: np.ndarray,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Shared baseline entropy encoder over already-padded uint8-valued
     float planes: interleaved MCU order — per MCU, ``vs×hs`` 8×8 blocks
@@ -472,7 +483,12 @@ def _jpeg_entropy_encode(
     tables for every component.  ``sampling`` gives each plane's (hs, vs)
     factor; the default all-(1,1) degenerates to one block per plane per
     MCU — bit-identical to the pre-subsampling encoder.  Each plane must
-    arrive padded to its own MCU-aligned shape (8·hs·mcus_x wide)."""
+    arrive padded to its own MCU-aligned shape (8·hs·mcus_x wide).
+    ``restart_interval`` > 0 emits an RSTm marker (m cycling 0–7) after
+    every that-many MCUs — byte-aligned, DC predictors reset — matching a
+    DRI segment the container must then declare (T.81 §B.2.4.4): the
+    resynchronization layout real encoders emit so one corrupt bit can't
+    poison a whole scan, and the unit a parallel decoder splits on."""
     sampling = sampling or [(1, 1)] * len(planes)
     a = _dct_basis()
     qmat = q[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
@@ -483,8 +499,13 @@ def _jpeg_entropy_encode(
     mcus_y, mcus_x = h0 // (8 * vs0), w0 // (8 * hs0)
     bw = _BitWriter()
     preds = [0] * len(planes)
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.restart((mcu_idx // restart_interval - 1) & 7)
+                preds = [0] * len(planes)
+            mcu_idx += 1
             for ci, plane in enumerate(planes):
                 hs, vs = sampling[ci]
                 for byy in range(vs):
@@ -499,11 +520,12 @@ def _jpeg_entropy_encode(
 
 def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
                     entropy: bytes,
-                    sampling: list[tuple[int, int]] | None = None) -> bytes:
+                    sampling: list[tuple[int, int]] | None = None,
+                    restart_interval: int = 0) -> bytes:
     """Assemble the JFIF byte stream around an entropy-coded scan: APP0,
     8-bit DQT (table 0), SOF0 with per-component sampling factors
-    (default 1×1 everywhere), the Annex-K DC/AC table pair, SOS binding
-    every component to them."""
+    (default 1×1 everywhere), the Annex-K DC/AC table pair, a DRI segment
+    when ``restart_interval`` > 0, SOS binding every component to them."""
     import struct  # noqa: PLC0415
 
     sampling = sampling or [(1, 1)] * n_comp
@@ -512,7 +534,22 @@ def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))
+    # pq=0 (8-bit) table when every value fits; pq=1 (16-bit big-endian)
+    # otherwise — the extended-DQT form coarse-quantizing encoders emit,
+    # and the decoder's 16-bit parse path round-trips.
+    if int(q.max()) > 255:
+        dqt = seg(
+            0xFFDB,
+            bytes([0x10])
+            + b"".join(struct.pack(">H", int(v)) for v in q),
+        )
+    else:
+        dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, n_comp)
@@ -532,7 +569,10 @@ def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
         + b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
         + bytes([0, 63, 0]),
     )
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + entropy
+        + b"\xff\xd9"
+    )
 
 
 def _jpeg_quant(quant: np.ndarray | None) -> np.ndarray:
@@ -543,13 +583,19 @@ def _jpeg_quant(quant: np.ndarray | None) -> np.ndarray:
     )
 
 
-def encode_jpeg_gray8(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray8(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode a (h, w) uint8 array as a REAL baseline sequential JFIF JPEG
     (SOF0, one grayscale component, standard Annex K huffman tables).  The
     default quantization table is ALL ONES — near-lossless (error only from
     DCT-coefficient rounding, |Δ| ≤ 1 per pixel in practice), which is what
     makes a golden round-trip test meaningful for a lossy codec.  Any stock
     viewer/PIL opens the output; ``_decode_jpeg`` round-trips it.
+    ``restart_interval`` > 0 declares a DRI segment and emits RSTm markers
+    every that-many MCUs (the resync layout most camera/ffmpeg JPEGs use).
     """
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 1:
@@ -561,14 +607,19 @@ def encode_jpeg_gray8(pixels: np.ndarray, quant: np.ndarray | None = None) -> by
     padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
         np.float64
     )
-    entropy = _jpeg_entropy_encode([padded], q)
-    return _jpeg_container(h, w, q, 1, entropy)
+    entropy = _jpeg_entropy_encode(
+        [padded], q, restart_interval=restart_interval
+    )
+    return _jpeg_container(
+        h, w, q, 1, entropy, restart_interval=restart_interval
+    )
 
 
 def encode_jpeg_rgb24(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a (h, w, 3) uint8 RGB array as a baseline JFIF JPEG — the
     color sibling of ``encode_jpeg_gray8``, sharing the Annex-K luminance
@@ -603,8 +654,12 @@ def encode_jpeg_rgb24(
             )
             for p in planes
         ]
-        entropy = _jpeg_entropy_encode(padded, q)
-        return _jpeg_container(h, w, q, 3, entropy)
+        entropy = _jpeg_entropy_encode(
+            padded, q, restart_interval=restart_interval
+        )
+        return _jpeg_container(
+            h, w, q, 3, entropy, restart_interval=restart_interval
+        )
     if subsampling != "4:2:0":
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     # 4:2:0: MCU is 16×16 luma pixels — pad everything to 16-multiples
@@ -624,13 +679,21 @@ def encode_jpeg_rgb24(
         for c in full[1:]
     ]
     sampling = [(2, 2), (1, 1), (1, 1)]
-    entropy = _jpeg_entropy_encode([y_pad, *chroma], q, sampling=sampling)
-    return _jpeg_container(h, w, q, 3, entropy, sampling=sampling)
+    entropy = _jpeg_entropy_encode(
+        [y_pad, *chroma], q, sampling=sampling,
+        restart_interval=restart_interval,
+    )
+    return _jpeg_container(
+        h, w, q, 3, entropy, sampling=sampling,
+        restart_interval=restart_interval,
+    )
 
 
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; raises on any
-    embedded marker (restart intervals are unsupported here)."""
+    embedded marker mid-symbol.  Restart markers are consumed only at the
+    explicit ``restart_sync`` call sites the MCU loop schedules from the
+    DRI interval — an RSTn reached any other way is stream corruption."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -665,6 +728,24 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart_sync(self) -> int:
+        """Discard the pad bits of the current byte and consume one RSTm
+        marker; returns m (0–7) for the caller's cycle check.  After the
+        discard, ``pos`` is always AT the marker: a partially-read pad
+        byte lives in the accumulator (``_fill`` already consumed its
+        stuffed 0x00 if it was 0xFF), and an exactly-byte-aligned MCU
+        leaves no pad byte at all (T.81 §B.2.1 fill-bit rule)."""
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("missing JPEG restart marker")
+        m = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return m
+
 
 def _jpeg_extend(amp: int, size: int) -> int:
     if size == 0:
@@ -676,13 +757,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     """Real baseline-JPEG decode with stdlib struct + numpy alone: marker
     walk, canonical huffman entropy decode, dequantize, inverse zigzag,
     orthonormal IDCT, level shift.  Supports baseline sequential (SOF0),
-    8-bit quantization tables, 1-component grayscale and 3-component
-    YCbCr at ANY integer-ratio sampling-factor layout — 4:4:4, 4:2:0
-    (interleaved 16×16 MCUs, the layout virtually all real JPEGs use),
-    4:2:2, 4:4:0 — with nearest-neighbor chroma upsampling.  Progressive
-    scans, 16-bit DQT, restart intervals, and arithmetic coding raise
-    ValueError so ``_decode_bytes`` falls back to the byte-view stub (the
-    documented swap point for a full codec library at deployment).
+    8-bit AND 16-bit (pq=1) quantization tables, restart intervals
+    (DRI/RSTm with marker-cycle verification and DC-predictor reset),
+    1-component grayscale and 3-component YCbCr at ANY integer-ratio
+    sampling-factor layout — 4:4:4, 4:2:0 (interleaved 16×16 MCUs, the
+    layout virtually all real JPEGs use), 4:2:2, 4:4:0 — with
+    nearest-neighbor chroma upsampling.  Progressive scans and arithmetic
+    coding raise ValueError so ``_decode_bytes`` falls back to the
+    byte-view stub (the documented swap point for a full codec library
+    at deployment).
     Returns a FLAT uint8 array —
     grayscale values, or interleaved per-channel RGB byte samples (the
     ``_decode_bmp`` 24-bit convention), cropped to the true SOF dims.
@@ -698,6 +781,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_table, ac_table)
     scan_pos = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -709,14 +793,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type FF{marker:02X}")
-        if marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        if marker == 0xDB:  # DQT — pq=0: 8-bit entries; pq=1: 16-bit BE
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit DQT unsupported")
+                if pq == 1:
+                    qtables[tq] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 129
+                    continue
                 qtables[tq] = np.frombuffer(
                     body[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.int32)
@@ -818,8 +906,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     br = _BitReader(data, scan_pos)
     preds = [0] * len(comps)
     tabs = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # RSTm between every `restart_interval` MCUs: byte-align,
+                # check the 0–7 marker cycle, reset every DC predictor
+                # (T.81 §E.2.4 — the property that makes restart spans
+                # independently decodable, i.e. parallelizable).
+                m = br.restart_sync()
+                if m != (mcu_idx // restart_interval - 1) & 0x07:
+                    raise ValueError("JPEG restart marker out of sequence")
+                preds = [0] * len(comps)
+            mcu_idx += 1
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 dc_t, ac_t = tabs[cid]
                 for byy in range(vs):
@@ -1008,17 +1107,100 @@ def jpeg420_roundtrip_audit(
     )
 
 
+def jpeg_restart_roundtrip_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    side: int = 16,
+    restart_interval: int = 2,
+) -> DataFrame:
+    """Restart-interval JPEG round-trip audit — the third codec-contract
+    sibling, exercising the DRI/RSTm path (the resynchronization layout
+    most camera and ffmpeg baseline JPEGs carry, and the unit a parallel
+    decoder splits a scan on).
+
+    Each qualifying row's first ``side²`` utf-8 bytes become a gray
+    (side, side) image and ride a real
+    ``encode_jpeg_gray8(restart_interval=…)`` → ``_decode_jpeg`` round
+    trip (all-ones quantization).  Output states the certified
+    properties: JFIF magic; the stream GENUINELY restarts
+    (``has_restarts`` requires both a DRI segment before SOS and at least
+    one RSTm marker inside the scan — a silent no-restart fallback fails
+    here); and max |Δ| ≤ 3, the same analytic Q=1 grayscale envelope as
+    :func:`jpeg_roundtrip_audit` — restart markers only byte-align and
+    reset DC predictors, they add no quantization term, so the bound
+    carries over unchanged.  A predictor that fails to reset, a marker
+    cycle slip, or a byte-alignment bug lands far outside (the DC error
+    alone shifts whole blocks).
+
+    Scale: pure Arrow-batched ``mapInPandas`` behind an explicit
+    repartition — same shape as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, jfif, rst, ok = [], [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                payload = encode_jpeg_gray8(
+                    raw, restart_interval=restart_interval
+                )
+                dec = _decode_jpeg(payload).reshape(side, side)
+                err = int(
+                    np.abs(dec.astype(np.int64) - raw.astype(np.int64)).max()
+                )
+                sos = payload.find(b"\xff\xda")
+                scan = payload[sos:]
+                ids.append(int(i))
+                jfif.append(
+                    payload[:2] == b"\xff\xd8" and payload[6:10] == b"JFIF"
+                )
+                rst.append(
+                    b"\xff\xdd" in payload[:sos]
+                    and any(
+                        bytes([0xFF, 0xD0 + m]) in scan for m in range(8)
+                    )
+                )
+                ok.append(err <= 3)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "is_jfif": jfif,
+                    "has_restarts": rst,
+                    "max_err_le_3": ok,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, is_jfif boolean, "
+            "has_restarts boolean, max_err_le_3 boolean",
+        )
+    )
+
+
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
     BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter),
     and baseline-sequential JPEG (canonical huffman + orthonormal IDCT,
-    grayscale or YCbCr at any integer sampling layout incl. 4:2:0) — so
-    the feature/resize/frame paths run on genuinely decoded samples with
-    zero extra dependencies.  Whatever remains (progressive JPEG, restart
-    intervals, arithmetic coding, mp4 — codec libraries
-    this container lacks) falls back to the documented deterministic
+    grayscale or YCbCr at any integer sampling layout incl. 4:2:0, with
+    restart intervals and 16-bit DQT) — so the feature/resize/frame
+    paths run on genuinely decoded samples with zero extra dependencies.
+    Whatever remains (progressive JPEG, arithmetic coding, mp4 — codec
+    libraries this container lacks) falls back to the documented deterministic
     stub: payload bytes viewed as uint8 — same numpy/Arrow data path,
     clearly-marked swap point for a real codec (PIL / soundfile / pyav on
     the cluster image).

@@ -1182,73 +1182,78 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-6 rotation (NOTES_round6.md plan + VERDICT r5 item 1 — finish the
-# charter bar: every registry entry driver-green at least once): the 29
-# entries never seen in any r1–r5 CORRECTNESS window (every one judge- and
-# sweep-green already — scheduling, not risk), then the round-5-CHANGED
-# queries whose new semantics haven't had a driver row (minhash containment
-# contract, arc_resample −0.0 fix, the cosine_topk_batched total-order cut
-# family, constructive-corpus simhash/minhash), then the round-6-CHANGED
-# queries (ntile→percentile-boundary conversions ride in the 29;
-# unigram_lm_perplexity converted too; user_event_components re-verifies
-# the star-kernel max_iter guard; multimodal_features re-verifies the PNG
-# CRC gate), and backfill to 50 with the oldest r1 greens.  After this
-# window lands, never-driver-checked count = 0.  Zero rows-only entries.
+# Round-7 rotation (NOTES_round7.md policy + VERDICT r6 item 3): nothing is
+# red in CORRECTNESS_r06 (50/50), so the window is (a) the round-7 NEW
+# queries (jpeg420_roundtrip_contract — the 4:2:0 codec contract — and
+# jpeg_restart_contract — DRI/RSTm restart intervals), (b) every query
+# whose implementation changed in round 7 — the ntile→global_index
+# conversions (rfm_segments, streaming_static_enrichment user tier), the
+# checkpoint-once scorer pair (unigram_lm_perplexity, curriculum_order_stats),
+# the child-session-scoped kcore_contract, the generalized-MCU JPEG path
+# (jpeg_roundtrip_contract, multimodal_features), the Delta-routed MERGE pair
+# (persistent_merge_audit, catalog_upsert), and the four rows-only ANN frames
+# that gained self-check contract columns (embedding_lsh_topk /
+# embedding_ivf_topk / embedding_kmeans / semantic_dedup_keep — rows-only by
+# design; their oracle-checked *_recall contract siblings are r6-green), then
+# (c) backfill by re-verification AGE: all 25 entries whose only hash-green
+# row is r1, plus the 10 oldest r2 greens.  Every non-rows-only entry below
+# is check_oracle PASS this session at sf0.01 (changed set also at
+# sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
-    # never driver-checked (29)
+    # round-7 NEW (2)
+    "jpeg420_roundtrip_contract",
+    "jpeg_restart_contract",
+    # round-7 changed (13)
     "rfm_segments",
-    "weighted_median_value",
+    "unigram_lm_perplexity",
     "curriculum_order_stats",
     "kcore_contract",
-    "session_path_counts",
-    "mad_outlier_counts",
-    "ab_test_zscore",
-    "observed_metrics_audit",
-    "recursive_amortization",
-    "pipe_sql_priority_mix",
-    "cusum_drift_alarms",
-    "stable_row_index",
-    "linear_attribution",
-    "filtered_vector_search",
-    "asof_tolerance_click",
-    "interval_coverage",
-    "pareto_parts",
-    "event_transition_matrix",
-    "equi_depth_bins",
-    "countmin_contract",
-    "hybrid_rank_fusion",
-    "l_diversity_audit",
-    "bpe_merge_pairs",
-    "bitmap_distinct_counts",
-    "nation_vip_listagg",
-    "param_sql_revenue_bands",
-    "entity_resolution_clusters",
-    "ohlc_daily_bars",
-    "streaming_ohlc_parity",
-    # round-5-changed, new semantics not yet driver-windowed (8)
-    "minhash_verified_dups",
-    "arc_resample",
-    "embedding_topk",
-    "int8_ann_recall",
-    "embedding_lsh_recall",
-    "embedding_ivf_recall",
-    "simhash_near_dups",
-    "minhash_candidates",
-    # round-6-changed re-verify (3) + round-6 NEW query (1)
-    "unigram_lm_perplexity",
-    "user_event_components",
-    "multimodal_features",
+    "streaming_static_enrichment",
     "jpeg_roundtrip_contract",
-    # backfill: oldest r1 greens (9)
-    "pricing_summary",
-    "catalog_stats",
-    "region_rollup",
-    "segment_listing",
-    "lineitem_extremes",
-    "grid_mode",
-    "histogram_mode",
-    "prefix_parts",
-    "top_orders_per_customer",
+    "multimodal_features",
+    "persistent_merge_audit",
+    "catalog_upsert",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_kmeans",
+    "semantic_dedup_keep",
+    # staleness backfill: every r1-only green (25)
+    "asof_click_before_purchase",
+    "brand_argmax",
+    "common_prefix_fold",
+    "content_hash_brands",
+    "customers_without_orders",
+    "dedup_docs_exact",
+    "doc_fingerprint_tokens",
+    "doc_lang_detect",
+    "doc_quality",
+    "doc_text_stats",
+    "doc_tfidf_topterms",
+    "first_part_per_brand",
+    "frame_grid_expand",
+    "json_props_extract",
+    "knn_user_centroids",
+    "listing_parse_stats",
+    "max_index_scan",
+    "nation_rollup_sets",
+    "orders_by_month",
+    "prefix_join_parts",
+    "region_nation_nested",
+    "terrain_classify",
+    "trajectory_angles",
+    "unwrap_angle_series",
+    "value_band_range_join",
+    # staleness backfill: oldest r2 greens (10)
+    "rate_limited_angle",
+    "sessionize",
+    "stalled_users",
+    "extrinsic_export",
+    "connected_components",
+    "latest_status",
+    "customer_order_reconcile",
+    "glob_exclusion_stats",
+    "low_activity_skip",
+    "order_exists_probe",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1465,6 +1465,39 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_jpeg_restart_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval JPEG codec contract (round 7 — the DRI/RSTm
+    resync layout most camera/ffmpeg baseline JPEGs carry): every
+    document with >= 256 utf-8 bytes becomes a 16×16 gray image and rides
+    a REAL ``encode_jpeg_gray8(restart_interval=2)`` → ``_decode_jpeg``
+    round trip — 4 MCUs, an RST0 marker mid-scan, DC predictors reset and
+    the marker cycle verified on decode.  Reports JFIF magic, genuine
+    restart presence (DRI segment + an RSTm in the scan), and the same
+    certified |Δ| ≤ 3 Q=1 grayscale envelope as jpeg_roundtrip_contract
+    (restarts only byte-align and reset predictors — no new quantization
+    term; see operators/multimodal.py::jpeg_restart_roundtrip_audit).
+    The oracle supplies the expected booleans per qualifying doc, so a
+    predictor that fails to reset or a marker-cycle slip hash-fails the
+    round."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.jpeg_restart_roundtrip_audit(
+        documents, "doc_id", "text", side=16, restart_interval=2
+    )
+
+
+SQL_JPEG_RESTART_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS is_jfif,
+       TRUE AS has_restarts,
+       TRUE AS max_err_le_3
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -4868,3 +4901,5 @@ EXT_QUERIES["jpeg_roundtrip_contract"] = q_jpeg_roundtrip_contract
 EXT_ORACLES["jpeg_roundtrip_contract"] = SQL_JPEG_ROUNDTRIP_CONTRACT
 EXT_QUERIES["jpeg420_roundtrip_contract"] = q_jpeg420_roundtrip_contract
 EXT_ORACLES["jpeg420_roundtrip_contract"] = SQL_JPEG420_ROUNDTRIP_CONTRACT
+EXT_QUERIES["jpeg_restart_contract"] = q_jpeg_restart_contract
+EXT_ORACLES["jpeg_restart_contract"] = SQL_JPEG_RESTART_CONTRACT
