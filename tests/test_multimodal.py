@@ -686,6 +686,9 @@ def test_jpeg_16bit_dqt_roundtrip():
     payload = mm.encode_jpeg_gray8(img, quant=q)
     i = payload.index(b"\xff\xdb")
     assert payload[i + 4] == 0x10  # pq=1, table 0
+    # Pq=1 under SOF0 is illegal baseline (T.81): the frame marker must
+    # switch to SOF1 (extended sequential) so stock decoders accept it
+    assert b"\xff\xc1" in payload and b"\xff\xc0" not in payload
     dec = mm._decode_jpeg(payload).reshape(16, 16)
 
     # numpy-replicated expected decode: FDCT -> round(c/q)*q -> IDCT

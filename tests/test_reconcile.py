@@ -678,3 +678,31 @@ def test_delta_backend_native_merge(spark, tmp_path):
     # time travel through the same read surface (delta integer versions)
     v0 = reconcile.read_parquet_table(spark, path, version=0)
     assert v0.count() == 2
+
+
+def test_delta_layout_guard_on_destructive_maintenance(spark, tmp_path):
+    """A directory carrying a _delta_log must never receive the
+    versioned-parquet pointer-file surgery: purge_rows' history sweep
+    would rmtree the Delta log (silent table destruction).  When
+    delta-spark is NOT importable the routing predicate is false, so the
+    guard must fire on the layout itself."""
+    import os
+
+    import pytest
+
+    from worlddatapipeline_spark.operators import reconcile
+
+    path = str(tmp_path / "dtbl")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path
+    )
+    os.makedirs(os.path.join(path, "_delta_log"))
+    keys = spark.createDataFrame([(1,)], "id long")
+    if reconcile._HAS_DELTA:
+        pytest.skip("delta importable: destructive ops route natively")
+    with pytest.raises(ValueError, match="delta-spark is not importable"):
+        reconcile.purge_rows(spark, path, ["id"], keys)
+    with pytest.raises(ValueError, match="delta-spark is not importable"):
+        reconcile.vacuum_table(path)
+    # the log directory is untouched
+    assert os.path.isdir(os.path.join(path, "_delta_log"))

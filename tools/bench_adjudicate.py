@@ -29,7 +29,12 @@ def main() -> None:
         # summary-only line last; take the last line that carries the
         # per-query dicts.
         lines = [json.loads(l) for l in fh.read().strip().splitlines() if l]
-        run = next(r for r in reversed(lines) if "queries" in r)
+        run = next((r for r in reversed(lines) if "queries" in r), None)
+    if run is None:
+        sys.exit(
+            f"{run_path}: no full-detail bench line found (a summary-only "
+            "tail has no per-query dicts — point at the complete stdout)"
+        )
     with open("BENCH_BASELINE.json", encoding="utf-8") as fh:
         base = json.load(fh)
     trace = run.get("exec_trace", {})

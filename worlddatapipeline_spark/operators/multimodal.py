@@ -535,9 +535,12 @@ def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
 
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     # pq=0 (8-bit) table when every value fits; pq=1 (16-bit big-endian)
-    # otherwise — the extended-DQT form coarse-quantizing encoders emit,
-    # and the decoder's 16-bit parse path round-trips.
-    if int(q.max()) > 255:
+    # otherwise — and since T.81 forbids Pq=1 under SOF0 (baseline), the
+    # frame marker is then SOF1 (extended sequential, huffman, same scan
+    # layout at 8-bit precision) so the stream stays spec-conforming for
+    # stock decoders (review catch r7).
+    pq16 = int(q.max()) > 255
+    if pq16:
         dqt = seg(
             0xFFDB,
             bytes([0x10])
@@ -551,7 +554,7 @@ def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
         else b""
     )
     sof = seg(
-        0xFFC0,
+        0xFFC1 if pq16 else 0xFFC0,
         struct.pack(">BHHB", 8, h, w, n_comp)
         + b"".join(
             bytes([cid, (hs << 4) | vs, 0])
@@ -790,7 +793,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        # SOF1 (extended sequential, huffman) shares SOF0's scan layout at
+        # 8-bit precision — only the Pq=1 DQT allowance differs — so it
+        # decodes on the same path; everything else (progressive,
+        # lossless, arithmetic) refuses to the stub.
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type FF{marker:02X}")
         if marker == 0xDD:  # DRI
@@ -805,11 +812,17 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     ).astype(np.int32)
                     i += 129
                     continue
+                if pq != 0:
+                    # any other precision nibble is stream corruption —
+                    # refuse (→ byte-view stub) rather than misparse the
+                    # byte span and dequantize with garbage (review catch
+                    # r7)
+                    raise ValueError(f"bad DQT precision {pq}")
                 qtables[tq] = np.frombuffer(
                     body[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.int32)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("non-8-bit JPEG unsupported")

@@ -48,6 +48,20 @@ def _is_delta_table(path: str) -> bool:
     return _HAS_DELTA and os.path.isdir(os.path.join(path, "_delta_log"))
 
 
+def _guard_delta_layout(path: str, op: str) -> None:
+    """Refuse destructive versioned-parquet maintenance on a directory
+    that carries a ``_delta_log`` when delta-spark is NOT importable:
+    without the library the routing predicate is false, and the pointer-
+    file sweep would rmtree the Delta log — silent table destruction
+    (review catch r7).  With the library present the caller routes to the
+    native Delta path instead."""
+    if not _HAS_DELTA and os.path.isdir(os.path.join(path, "_delta_log")):
+        raise ValueError(
+            f"{op}: {path} is a Delta table but delta-spark is not "
+            "importable — refusing destructive maintenance on its layout"
+        )
+
+
 class ConcurrentMergeError(RuntimeError):
     """Another writer holds the table's merge lease."""
 
@@ -268,7 +282,12 @@ def merge_upsert_parquet(
     """
     if _is_delta_table(path):
         tgt = DeltaTable.forPath(spark, path)
-        cond = " AND ".join(f"t.`{k}` <=> u.`{k}`" for k in keys)
+        # Plain equality, NOT null-safe <=>: the versioned-parquet
+        # fallback joins on the keys with full_outer semantics where
+        # NULL never matches NULL — a NULL-key source row INSERTS there,
+        # so it must insert here too or the two backends diverge on the
+        # same call (review catch r7).
+        cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in keys)
         cols = update_cols or [c for c in source.columns if c not in keys]
         target_cols = set(read_parquet_table(spark, path).columns)
         m = tgt.alias("t").merge(source.alias("u"), cond)
@@ -284,8 +303,24 @@ def merge_upsert_parquet(
                 )
                 for c in cols
             }
-        )
-        m.whenNotMatchedInsertAll().execute()
+        ).whenNotMatchedInsertAll()
+        # Schema evolution parity with the fallback (which appends
+        # source-only columns automatically): Delta >= 3.1 exposes it on
+        # the merge builder; older releases need the session flag — set
+        # and restore around the single execute (review catch r7).
+        if hasattr(m, "withSchemaEvolution"):
+            m.withSchemaEvolution().execute()
+        else:
+            flag = "spark.databricks.delta.schema.autoMerge.enabled"
+            prev = spark.conf.get(flag, None)
+            spark.conf.set(flag, "true")
+            try:
+                m.execute()
+            finally:
+                if prev is None:
+                    spark.conf.unset(flag)
+                else:
+                    spark.conf.set(flag, prev)
         return read_parquet_table(spark, path)
     lease = _acquire_lease(path, ttl_s=lease_ttl_s)
     try:
@@ -354,7 +389,29 @@ def purge_rows(
     (crash at any step leaves the table readable; retry completes), with
     the delete expressed as a broadcast-friendly left_anti join.  Returns
     the re-read table.
+
+    Delta routing (review catch r7 — the pointer-file surgery below would
+    rmtree ``_delta_log`` on a Delta table): on a real Delta table the
+    delete runs as a native ``MERGE … WHEN MATCHED DELETE``, then the
+    history purge is Delta's own ``VACUUM(0)`` — executed on a CHILD
+    session so the retention-check override never leaks into shared conf
+    (the kcore_contract scoping pattern).
     """
+    _guard_delta_layout(path, "purge_rows")
+    if _is_delta_table(path):
+        tgt = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in keys)
+        tgt.alias("t").merge(
+            key_rows.select(*keys).distinct().alias("u"), cond
+        ).whenMatchedDelete().execute()
+        # history purge: vacuum(0) needs the retention check off; scope
+        # it to a child session so concurrent work is unaffected
+        child = spark.newSession()
+        child.conf.set(
+            "spark.databricks.delta.retentionDurationCheck.enabled", "false"
+        )
+        DeltaTable.forPath(child, path).vacuum(0)
+        return read_parquet_table(spark, path)
     lease = _acquire_lease(path, ttl_s=lease_ttl_s)
     try:
         target = read_parquet_table(spark, path)
@@ -408,6 +465,15 @@ def vacuum_table(path: str, keep_last: int = 1) -> list[str]:
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the live version)")
+    _guard_delta_layout(path, "vacuum_table")
+    if _is_delta_table(path):
+        # version-COUNT trimming has no Delta analog (Delta vacuums by
+        # retention TIME) and the _v*/_CURRENT sweep below would destroy
+        # a Delta layout — refuse loudly (review catch r7)
+        raise ValueError(
+            "vacuum_table manages versioned-parquet history; for a Delta "
+            "table use DeltaTable.vacuum(retention_hours)"
+        )
     lease = _acquire_lease(path)
     try:
         versions = table_versions(path)

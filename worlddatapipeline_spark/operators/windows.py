@@ -584,7 +584,8 @@ def global_index(
     order_cols: list[str],
     num_partitions: int | None = None,
     start: int = 0,
-) -> DataFrame:
+    with_total: bool = False,
+):
     """Dense global row index (0,1,2,…) in the total order given by
     ``order_cols`` — the scalable ``zipWithIndex`` analog, without ever
     funnelling the data through a single-task global sort window.
@@ -607,6 +608,10 @@ def global_index(
     frame to durable storage instead of holding it on executors.
     ``order_cols`` should be a total order (include a unique tie-breaker)
     so the index is reproducible across runs.
+
+    ``with_total=True`` returns ``(indexed_df, total_rows)``: the row
+    count is already known from the per-partition size rollup, so callers
+    that need it (ntile arithmetic) avoid a redundant count() job.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -643,7 +648,10 @@ def global_index(
             nxt += k
             yield pdf
 
-    return materialize_and_release(d.mapInPandas(gen, schema), d)
+    out = materialize_and_release(d.mapInPandas(gen, schema), d)
+    if with_total:
+        return out, sum(sizes.values())
+    return out
 
 
 def ntile_global(
@@ -674,8 +682,12 @@ def ntile_global(
     """
     if n < 1:
         raise ValueError("ntile_global: n must be >= 1")
-    idx = global_index(df, order_cols, num_partitions=num_partitions)
-    m = idx.count()  # cheap: idx is an eager localCheckpoint
+    # with_total reuses the per-partition size rollup global_index already
+    # collected — no extra count() job (review catch r7: three chained
+    # tilings in rfm_segments were paying three redundant actions)
+    idx, m = global_index(
+        df, order_cols, num_partitions=num_partitions, with_total=True
+    )
     q, r = divmod(m, n)
     big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
     i = F.col("row_idx")
