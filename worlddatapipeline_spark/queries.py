@@ -1203,7 +1203,11 @@ _DRIVER_WINDOW: list[str] = [
     # round-7 NEW (2)
     "jpeg420_roundtrip_contract",
     "jpeg_restart_contract",
-    # round-7 changed (13)
+    # round-7 changed (15) — top_unshipped_orders / supplier_volume were
+    # the r7 sf1.0-ladder catch: order-dependent double-sum ulp at 10x
+    # rows, converted to the DECIMAL(28,8) accumulator on both sides
+    "top_unshipped_orders",
+    "supplier_volume",
     "rfm_segments",
     "unigram_lm_perplexity",
     "curriculum_order_stats",
@@ -1243,7 +1247,7 @@ _DRIVER_WINDOW: list[str] = [
     "trajectory_angles",
     "unwrap_angle_series",
     "value_band_range_join",
-    # staleness backfill: oldest r2 greens (10)
+    # staleness backfill: oldest r2 greens (8)
     "rate_limited_angle",
     "sessionize",
     "stalled_users",
@@ -1252,8 +1256,6 @@ _DRIVER_WINDOW: list[str] = [
     "latest_status",
     "customer_order_reconcile",
     "glob_exclusion_stats",
-    "low_activity_skip",
-    "order_exists_probe",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1086,9 +1086,17 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        # DECIMAL accumulator (verify-skill float rule): a double sum's
+        # last-ulp depends on accumulation order, and at sf1.0 the
+        # penny-rounded revenues diverged between engines (r7 ladder catch)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,8)")
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -1098,7 +1106,7 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOP_UNSHIPPED_ORDERS = """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1132,17 +1140,24 @@ def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # DECIMAL accumulator on both sides — same r7 sf1.0-ladder catch as
+    # top_unshipped_orders (order-dependent double-sum ulp at 10x rows)
     return j.groupBy("r_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 SQL_SUPPLIER_VOLUME = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
