@@ -210,6 +210,7 @@ LLM = [
     # round-7 additions
     "jpeg420_roundtrip_contract",
     "jpeg_restart_contract",
+    "jpeg_progressive_contract",
 ]
 
 

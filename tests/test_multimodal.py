@@ -411,11 +411,18 @@ def test_jpeg_unsupported_variants_fall_back_to_stub():
     img = np.full((8, 8), 10, dtype=np.uint8)
     good = mm.encode_jpeg_gray8(img)
 
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # SOF2 now delegates to the progressive decoder (round 7), which must
+    # itself refuse this stream: a sequential scan header (Ss=0, Se=63)
+    # is not a legal progressive scan
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="SOF type"):
+    with pytest.raises(ValueError, match="DC scan"):
         mm._decode_jpeg(prog)
     assert mm._decode_bytes(prog).tolist() == list(prog)
+
+    # lossless JPEG (SOF3) stays refused at the marker walk
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="SOF type"):
+        mm._decode_jpeg(lossless)
 
     # a SINGLE-component scan is non-interleaved per T.81 §A.2.2: its
     # sampling byte is ignored, so a lying 2x2 header still decodes to
@@ -718,3 +725,110 @@ def test_jpeg_restart_audit_operator(spark):
     out = mm.jpeg_restart_roundtrip_audit(df, "doc_id", "text").collect()
     assert len(out) == 4
     assert all(r.is_jfif and r.has_restarts and r.max_err_le_3 for r in out)
+
+
+def test_jpeg_progressive_matches_sequential_bit_identical():
+    """The progressive==sequential bit-identity contract: successive
+    approximation transmits every quantized coefficient exactly
+    ((v>>1)<<1 | v&1 == v for DC; AC first at Al=1 + one refinement
+    restores |v|), so for the SAME quant table the two decodes must be
+    byte-equal — any scan-order, EOB-run, or refinement-bit bug breaks
+    equality outright.  Covers gray, 4:4:4 and 4:2:0 at MCU-aligned and
+    odd-cropped dims."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    cases = [
+        ((24, 40), {}),
+        ((8, 8), {}),
+        ((13, 21), {}),
+        ((16, 24, 3), {}),
+        ((32, 48, 3), {"subsampling": "4:2:0"}),
+        ((29, 35, 3), {"subsampling": "4:2:0"}),
+    ]
+    for shape, kwargs in cases:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = mm.encode_jpeg_progressive(img, **kwargs)
+        # genuinely SOF2 (frame header sits between APP0/DQT and SOS)
+        assert 0 <= prog.find(b"\xff\xc2") < prog.find(b"\xff\xda")
+        seq = (
+            mm.encode_jpeg_gray8(img)
+            if img.ndim == 2
+            else mm.encode_jpeg_rgb24(img, **kwargs)
+        )
+        assert np.array_equal(mm._decode_jpeg(prog), mm._decode_jpeg(seq))
+
+
+def test_jpeg_progressive_16bit_dqt_and_real_quant():
+    """Progressive + 16-bit DQT compose; a real (non-trivial) quant table
+    still reconstructs identically to the sequential path."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    q300 = np.full(64, 300, dtype=np.int32)
+    assert np.array_equal(
+        mm._decode_jpeg(mm.encode_jpeg_progressive(img, quant=q300)),
+        mm._decode_jpeg(mm.encode_jpeg_gray8(img, quant=q300)),
+    )
+    qreal = (1 + (np.arange(64) % 16) * 3).astype(np.int32)
+    assert np.array_equal(
+        mm._decode_jpeg(mm.encode_jpeg_progressive(img, quant=qreal)),
+        mm._decode_jpeg(mm.encode_jpeg_gray8(img, quant=qreal)),
+    )
+
+
+def test_jpeg_progressive_restart_refuses_to_stub():
+    """Progressive + DRI is the one combination no in-repo encoder emits,
+    so the decoder refuses it (stub fallback) rather than running an
+    untested resync path."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    img = np.random.default_rng(3).integers(0, 256, (16, 16), dtype=np.uint8)
+    p = mm.encode_jpeg_progressive(img)
+    j = p.index(b"\xff\xda")
+    dri = p[:j] + struct.pack(">HHH", 0xFFDD, 4, 2) + p[j:]
+    with pytest.raises(ValueError, match="restart"):
+        mm._decode_jpeg(dri)
+    assert mm._decode_bytes(dri).tolist() == list(dri)
+
+
+def test_jpeg_progressive_property_roundtrip():
+    """Property: ANY gray uint8 image round-trips the progressive codec
+    bit-identically to the sequential codec at arbitrary dims."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w), dtype=np.uint8
+        )
+        assert np.array_equal(
+            mm._decode_jpeg(mm.encode_jpeg_progressive(img)),
+            mm._decode_jpeg(mm.encode_jpeg_gray8(img)),
+        )
+
+    prop()
+
+
+def test_jpeg_progressive_audit_operator(spark):
+    """jpeg_progressive_roundtrip_audit over a small frame: every
+    qualifying row is SOF2, matches the sequential decode bit-for-bit,
+    and stays in the envelope."""
+    rows = [(i, "y" * 300) for i in range(3)] + [(9, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = mm.jpeg_progressive_roundtrip_audit(df, "doc_id", "text").collect()
+    assert len(out) == 3
+    assert all(
+        r.is_sof2 and r.matches_sequential and r.max_err_le_3 for r in out
+    )

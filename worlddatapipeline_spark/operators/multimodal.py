@@ -795,9 +795,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         body = data[pos + 4 : pos + 2 + seglen]
         # SOF1 (extended sequential, huffman) shares SOF0's scan layout at
         # 8-bit precision — only the Pq=1 DQT allowance differs — so it
-        # decodes on the same path; everything else (progressive,
-        # lossless, arithmetic) refuses to the stub.
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        # decodes on the same path; SOF2 (progressive, huffman) delegates
+        # to the multi-scan decoder; everything else (lossless,
+        # arithmetic, hierarchical) refuses to the stub.
+        if marker == 0xC2:
+            return _decode_jpeg_progressive(data)
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type FF{marker:02X}")
         if marker == 0xDD:  # DRI
@@ -944,11 +947,16 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         by = (my * vs + byy) * 8
                         bx = (mx * hs + bxx) * 8
                         planes[ci][by : by + 8, bx : bx + 8] = a.T @ coef @ a
-    # Upsample subsampled components to the full canvas by pixel
-    # replication (nearest-neighbor — the spec-legal baseline upsampler;
-    # the exact inverse of the encoder's box average on per-2×2-constant
-    # chroma, which is what the analytic round-trip envelope relies on),
-    # then crop to the true SOF dims and level-shift.
+    return _planes_to_pixels(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_pixels(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Shared decode tail (sequential + progressive): upsample subsampled
+    components to the full canvas by pixel replication (nearest-neighbor
+    — the spec-legal baseline upsampler; the exact inverse of the
+    encoder's box average on per-2×2-constant chroma, which is what the
+    analytic round-trip envelope relies on), crop to the true SOF dims,
+    level-shift, and for color invert the YCbCr transform."""
     out = []
     for plane, (_, hs, vs, _) in zip(planes, comps):
         if hs != hmax:
@@ -966,6 +974,556 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         [np.clip(np.round(c), 0, 255) for c in (r, g, b)], axis=-1
     )
     return rgb.astype(np.uint8).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2, huffman): spectral selection + successive
+# approximation, both directions — closes the last common real-media decode
+# gap; the stub boundary is now mp4 + arithmetic/lossless/hierarchical JPEG
+# ---------------------------------------------------------------------------
+
+def _true_block_grid(h, w, hs, vs, hmax, vmax) -> tuple[int, int]:
+    """Per-component data-unit grid for NON-interleaved scans (T.81
+    §A.2.2): component dims are ceil(dim·sampling/max), blocks are
+    ceil(that/8) — smaller than the padded interleaved MCU grid."""
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _quantized_block_coefs(
+    planes: list[np.ndarray], q: np.ndarray,
+) -> list[np.ndarray]:
+    """FDCT + quantize every 8×8 block of each (MCU-padded) plane;
+    returns per-plane (bh, bw, 64) int64 arrays in ZIGZAG order — the
+    shared coefficient form both progressive scan encoders read.
+
+    Deliberately the EXACT per-block expression ``_encode_block`` uses
+    (2-D matmuls, same operation order): a vectorized einsum differs in
+    the last ulp, which flips np.round at .5 boundaries and breaks the
+    progressive==sequential bit-identity contract (caught by the golden
+    round-trip test)."""
+    a = _dct_basis()
+    qmat = q[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    out = []
+    for plane in planes:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = (
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                )
+                qc = np.round((a @ block @ a.T) / qmat).astype(np.int64)
+                arr[by, bx] = qc.reshape(-1)[_JPEG_ZIGZAG]
+        out.append(arr)
+    return out
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """Encode gray (h, w) or RGB (h, w, 3) uint8 pixels as a PROGRESSIVE
+    JFIF JPEG (SOF2) using the canonical four-phase successive-
+    approximation layout real encoders emit: interleaved DC-first at
+    point transform Al=1, DC refinement (one raw bit per block), then per
+    component an AC-first scan of the whole 1–63 band at Al=1 and an AC
+    refinement scan (Ah=1→Al=0).  Every scan kind the huffman-progressive
+    decoder must handle is therefore exercised by a round trip, and the
+    accumulated coefficients are bit-identical to the sequential
+    encoder's — so ``_decode_jpeg(progressive) == _decode_jpeg(baseline)``
+    EXACTLY, which is the golden contract the tests pin.  EOB runs are
+    emitted per-block (run length 1) so the stock Annex-K AC table
+    suffices; restart intervals are not emitted (and the decoder refuses
+    them in progressive streams — see ``_decode_jpeg_progressive``)."""
+    import struct  # noqa: PLC0415
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    q = _jpeg_quant(quant)
+    if px.ndim == 2:
+        h, w = px.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(
+                px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+            )
+        ]
+        sampling = [(1, 1)]
+    else:
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("encode_jpeg_progressive expects (h,w) or (h,w,3)")
+        h, w = px.shape[:2]
+        fpx = px.astype(np.float64)
+        r, g, b = fpx[..., 0], fpx[..., 1], fpx[..., 2]
+        ycc = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        if subsampling == "4:4:4":
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            planes = [
+                np.pad(
+                    np.clip(np.round(p), 0, 255),
+                    ((0, ph - h), (0, pw - w)),
+                    mode="edge",
+                )
+                for p in ycc
+            ]
+            sampling = [(1, 1)] * 3
+        elif subsampling == "4:2:0":
+            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+            full = [
+                np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                for p in ycc
+            ]
+            planes = [np.clip(np.round(full[0]), 0, 255)] + [
+                np.clip(
+                    np.round(
+                        c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                    ),
+                    0,
+                    255,
+                )
+                for c in full[1:]
+            ]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    n_comp = len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    hs0, vs0 = sampling[0]
+    mcus_y = planes[0].shape[0] // (8 * vs0)
+    mcus_x = planes[0].shape[1] // (8 * hs0)
+    coefs = _quantized_block_coefs(planes, q)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def mcu_blocks():
+        """Interleaved DC-scan block order: per MCU, vs×hs blocks per
+        component (single component degenerates to its raster)."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hs, vs) in enumerate(sampling):
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            yield ci, my * vs + byy, mx * hs + bxx
+
+    scans: list[tuple[bytes, bytes]] = []
+
+    def sos_body(comp_ids, ss, se, ah, al):
+        return (
+            bytes([len(comp_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    # scan 1: DC first, Al=1 (signed arithmetic shift per G.1.2.1)
+    bw1 = _BitWriter()
+    preds = [0] * n_comp
+    for ci, by, bx in mcu_blocks():
+        dc = int(coefs[ci][by, bx, 0]) >> 1
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size, amp = _jpeg_magnitude(diff)
+        code, length = dc_codes[size]
+        bw1.write(code, length)
+        if size:
+            bw1.write(amp, size)
+    scans.append((sos_body(range(1, n_comp + 1), 0, 0, 0, 1), bw1.flush()))
+
+    # scan 2: DC refinement — the deferred low bit, raw, one per block
+    bw2 = _BitWriter()
+    for ci, by, bx in mcu_blocks():
+        bw2.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    scans.append((sos_body(range(1, n_comp + 1), 0, 0, 1, 0), bw2.flush()))
+
+    for ci in range(n_comp):
+        hs, vs = sampling[ci]
+        bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
+        # scan 3+ci: AC first, whole band, Al=1 (magnitude shift)
+        bwa = _BitWriter()
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                zz = coefs[ci][by, bx]
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = (abs(v) >> 1) * (1 if v > 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]
+                        bwa.write(zc, zl)
+                        run -= 16
+                    size, amp = _jpeg_magnitude(t)
+                    code, length = ac_codes[(run << 4) | size]
+                    bwa.write(code, length)
+                    bwa.write(amp, size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]  # EOB, run of 1
+                    bwa.write(code, length)
+        scans.append((sos_body([ci + 1], 1, 63, 0, 1), bwa.flush()))
+
+    for ci in range(n_comp):
+        hs, vs = sampling[ci]
+        bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
+        # final scans: AC refinement Ah=1→Al=0 (G.1.2.3 / the IJG
+        # buffered-correction-bit algorithm; flush after every symbol)
+        bwr = _BitWriter()
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                zz = coefs[ci][by, bx]
+                run = 0
+                pending: list[int] = []
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    av = abs(v)
+                    if av == 0:
+                        run += 1
+                        continue
+                    if av > 1:  # already significant at Ah=1: correction
+                        pending.append(av & 1)
+                        continue
+                    # newly significant (|v| == 1)
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]
+                        bwr.write(zc, zl)
+                        for bit in pending:
+                            bwr.write(bit, 1)
+                        pending = []
+                        run -= 16
+                    code, length = ac_codes[(run << 4) | 1]
+                    bwr.write(code, length)
+                    bwr.write(1 if v > 0 else 0, 1)
+                    for bit in pending:
+                        bwr.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run or pending:
+                    code, length = ac_codes[0x00]
+                    bwr.write(code, length)
+                    for bit in pending:
+                        bwr.write(bit, 1)
+        scans.append((sos_body([ci + 1], 1, 63, 1, 0), bwr.flush()))
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    pq16 = int(q.max()) > 255
+    if pq16:
+        dqt = seg(
+            0xFFDB,
+            bytes([0x10]) + b"".join(struct.pack(">H", int(v)) for v in q),
+        )
+    else:
+        dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in q))
+    out = [
+        b"\xff\xd8",
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        dqt,
+        seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, h, w, n_comp)
+            + b"".join(
+                bytes([cid, (hs << 4) | vs, 0])
+                for cid, (hs, vs) in zip(range(1, n_comp + 1), sampling)
+            ),
+        ),
+        seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS),
+        ),
+    ]
+    for body, entropy in scans:
+        out.append(seg(0xFFDA, body))
+        out.append(entropy)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Huffman-progressive JPEG decode (SOF2): coefficients accumulate
+    across scans — DC first/refinement (interleaved or single-component)
+    and AC first/refinement per component with spectral selection (Ss–Se)
+    and successive approximation (Ah/Al), EOB runs included — then one
+    dequantize + IDCT pass at EOI.  Restart intervals inside progressive
+    scans refuse to the byte-view stub (no in-repo encoder emits them, so
+    the path would be untested — the refusal keeps the 'everything
+    decodable decodes correctly' contract).  Arithmetic-coded progressive
+    (SOF10) never reaches here (refused at the marker walk)."""
+    import struct  # noqa: PLC0415
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    h = w = None
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    coefs: list[np.ndarray] = []
+    preds_dc: list[int] = []
+    got_scan = False
+
+    def read_sym(br, tab):
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bit()
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def next_marker(p):
+        while p + 1 < len(data):
+            if (
+                data[p] == 0xFF
+                and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)
+            ):
+                return p
+            p += 1
+        return len(data)
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError(
+                    "restart intervals in progressive scans unsupported"
+                )
+        elif marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq == 1:
+                    qtables[tq] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 129
+                    continue
+                if pq != 0:
+                    raise ValueError(f"bad DQT precision {pq}")
+                qtables[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("non-8-bit JPEG unsupported")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hs, vs = samp >> 4, samp & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            if len(comps) not in (1, 3):
+                raise ValueError(f"{len(comps)}-component JPEG unsupported")
+            if len(comps) == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise ValueError("non-integer chroma upsampling unsupported")
+            mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            n_blocks = mcus_x * mcus_y * sum(
+                hs * vs for _, hs, vs, _ in comps
+            )
+            # same untrusted-header guards as the sequential path, with
+            # the payload floor relaxed to 1 bit/block (the DC-first scan
+            # alone costs that much)
+            if n_blocks * 64 > 268_435_456:
+                raise ValueError("JPEG dimensions exceed decode cap")
+            if n_blocks > max(0, len(data) - pos) * 8 + 64:
+                raise ValueError("JPEG scan too short for declared dims")
+            coefs = [
+                np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                for _, hs, vs, _ in comps
+            ]
+            preds_dc = [0] * len(comps)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = [0] + list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htables[(tc, th)] = _huff_lookup(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG scan before SOF")
+            ns = body[0]
+            scom = []
+            for si in range(ns):
+                cid, tabs_b = body[1 + 2 * si], body[2 + 2 * si]
+                ci = next(
+                    i for i, c in enumerate(comps) if c[0] == cid
+                )
+                scom.append((ci, tabs_b >> 4, tabs_b & 0x0F))
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
+            if ss > se or se > 63 or al > 13:
+                raise ValueError("bad progressive scan parameters")
+            br = _BitReader(data, pos + 2 + seglen)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan with nonzero Se")
+                if ns == len(comps) and ns > 1:
+                    order = [
+                        (ci, my * comps[ci][2] + byy, mx * comps[ci][1] + bxx)
+                        for my in range(mcus_y)
+                        for mx in range(mcus_x)
+                        for ci, _, _ in scom
+                        for byy in range(comps[ci][2])
+                        for bxx in range(comps[ci][1])
+                    ]
+                else:
+                    if ns != 1:
+                        raise ValueError("partial multi-component DC scan")
+                    ci0 = scom[0][0]
+                    bh_t, bw_t = _true_block_grid(
+                        h, w, comps[ci0][1], comps[ci0][2], hmax, vmax
+                    )
+                    order = [
+                        (ci0, by, bx)
+                        for by in range(bh_t)
+                        for bx in range(bw_t)
+                    ]
+                dctabs = {ci: htables.get((0, dc)) for ci, dc, _ in scom}
+                if ah == 0:
+                    for ci, by, bx in order:
+                        tab = dctabs[ci]
+                        if tab is None:
+                            raise ValueError("missing DC huffman table")
+                        size = read_sym(br, tab)
+                        preds_dc[ci] += _jpeg_extend(br.bits(size), size)
+                        coefs[ci][by, bx, 0] = preds_dc[ci] << al
+                else:
+                    p1 = 1 << al
+                    for ci, by, bx in order:
+                        if br.bit():
+                            coefs[ci][by, bx, 0] |= p1
+            else:
+                if ns != 1:
+                    raise ValueError("interleaved AC scan is illegal")
+                ci0, _, ac_t = scom[0]
+                tab = htables.get((1, ac_t))
+                if tab is None:
+                    raise ValueError("missing AC huffman table")
+                bh_t, bw_t = _true_block_grid(
+                    h, w, comps[ci0][1], comps[ci0][2], hmax, vmax
+                )
+                eobrun = 0
+                p1, m1 = 1 << al, -1 << al
+                for by in range(bh_t):
+                    for bx in range(bw_t):
+                        zz = coefs[ci0][by, bx]
+                        if ah == 0:
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = read_sym(br, tab)
+                                r, s = sym >> 4, sym & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC run past band end")
+                                zz[k] = _jpeg_extend(br.bits(s), s) << al
+                                k += 1
+                        else:
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    sym = read_sym(br, tab)
+                                    r, s = sym >> 4, sym & 0x0F
+                                    if s:
+                                        if s != 1:
+                                            raise ValueError(
+                                                "bad refinement symbol"
+                                            )
+                                        val = p1 if br.bit() else m1
+                                    else:
+                                        if r != 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += br.bits(r)
+                                            break
+                                        val = 0
+                                    while k <= se:
+                                        c = int(zz[k])
+                                        if c != 0:
+                                            if br.bit() and not (c & p1):
+                                                zz[k] = c + (
+                                                    p1 if c >= 0 else m1
+                                                )
+                                        else:
+                                            r -= 1
+                                            if r < 0:
+                                                break
+                                        k += 1
+                                    if val and k <= se:
+                                        zz[k] = val
+                                    k += 1
+                            if eobrun > 0:
+                                while k <= se:
+                                    c = int(zz[k])
+                                    if c != 0:
+                                        if br.bit() and not (c & p1):
+                                            zz[k] = c + (p1 if c >= 0 else m1)
+                                    k += 1
+                                eobrun -= 1
+            got_scan = True
+            pos = next_marker(br.pos)
+            continue
+        pos += 2 + seglen
+    if h is None or not got_scan or not coefs:
+        raise ValueError("JPEG missing SOF/SOS")
+    a = _dct_basis()
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    planes = []
+    # Per-block 2-D matmuls, the EXACT expression the sequential decoder
+    # uses — a batched einsum differs in the last ulp and flips the final
+    # pixel rounding, breaking progressive==sequential bit-identity.
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("missing quantization table")
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = (coefs[ci][by, bx] * qtables[tq])[inv_zz].reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a.T @ coef @ a
+                )
+        planes.append(plane)
+    return _planes_to_pixels(planes, comps, hmax, vmax, h, w)
 
 
 def jpeg_roundtrip_audit(
@@ -1199,6 +1757,73 @@ def jpeg_restart_roundtrip_audit(
             fn,
             "doc_id long, n_pixels long, is_jfif boolean, "
             "has_restarts boolean, max_err_le_3 boolean",
+        )
+    )
+
+
+def jpeg_progressive_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """Progressive-JPEG codec contract — the fourth codec-audit sibling,
+    exercising the SOF2 multi-scan path (DC first/refine + per-component
+    AC first/refine with successive approximation, the scan layout real
+    progressive encoders emit).
+
+    Each qualifying row's first ``side²`` utf-8 bytes become a gray
+    (side, side) image encoded BOTH ways: ``encode_jpeg_progressive``
+    and ``encode_jpeg_gray8`` (same all-ones quantization).  The output
+    states the strongest property a progressive decoder can promise:
+    ``matches_sequential`` — the progressive decode is BIT-IDENTICAL to
+    the sequential decode, because successive approximation transmits
+    every quantized coefficient exactly ((v>>1)<<1 | v&1 == v), so any
+    scan-ordering, EOB-run, or refinement bug breaks equality outright —
+    plus the SOF2 marker check and the |Δ| ≤ 3 envelope inherited from
+    the sequential contract.  Scale: pure Arrow-batched ``mapInPandas``
+    behind an explicit repartition, same as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sof2, match, ok = [], [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                prog = encode_jpeg_progressive(raw)
+                dec_p = _decode_jpeg(prog)
+                dec_s = _decode_jpeg(encode_jpeg_gray8(raw))
+                err = int(
+                    np.abs(
+                        dec_p.astype(np.int64).reshape(side, side)
+                        - raw.astype(np.int64)
+                    ).max()
+                )
+                ids.append(int(i))
+                sof2.append(0 <= prog.find(b"\xff\xc2") < prog.find(b"\xff\xda"))
+                match.append(bool(np.array_equal(dec_p, dec_s)))
+                ok.append(err <= 3)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "is_sof2": sof2,
+                    "matches_sequential": match,
+                    "max_err_le_3": ok,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, is_sof2 boolean, "
+            "matches_sequential boolean, max_err_le_3 boolean",
         )
     )
 

@@ -1184,8 +1184,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
 # Round-7 rotation (NOTES_round7.md policy + VERDICT r6 item 3): nothing is
 # red in CORRECTNESS_r06 (50/50), so the window is (a) the round-7 NEW
-# queries (jpeg420_roundtrip_contract — the 4:2:0 codec contract — and
-# jpeg_restart_contract — DRI/RSTm restart intervals), (b) every query
+# queries (jpeg420_roundtrip_contract — 4:2:0; jpeg_restart_contract —
+# DRI/RSTm restart intervals; jpeg_progressive_contract — SOF2
+# multi-scan with a progressive==sequential bit-identity check), (b)
+# every query
 # whose implementation changed in round 7 — the ntile→global_index
 # conversions (rfm_segments, streaming_static_enrichment user tier), the
 # checkpoint-once scorer pair (unigram_lm_perplexity, curriculum_order_stats),
@@ -1200,9 +1202,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # is check_oracle PASS this session at sf0.01 (changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
-    # round-7 NEW (2)
+    # round-7 NEW (3)
     "jpeg420_roundtrip_contract",
     "jpeg_restart_contract",
+    "jpeg_progressive_contract",
     # round-7 changed (15) — top_unshipped_orders / supplier_volume were
     # the r7 sf1.0-ladder catch: order-dependent double-sum ulp at 10x
     # rows, converted to the DECIMAL(28,8) accumulator on both sides
@@ -1247,7 +1250,7 @@ _DRIVER_WINDOW: list[str] = [
     "trajectory_angles",
     "unwrap_angle_series",
     "value_band_range_join",
-    # staleness backfill: oldest r2 greens (8)
+    # staleness backfill: oldest r2 greens (7)
     "rate_limited_angle",
     "sessionize",
     "stalled_users",
@@ -1255,7 +1258,6 @@ _DRIVER_WINDOW: list[str] = [
     "connected_components",
     "latest_status",
     "customer_order_reconcile",
-    "glob_exclusion_stats",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1513,6 +1513,36 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_jpeg_progressive_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG codec contract (round 7 — SOF2 multi-scan decode,
+    the last common real-media JPEG shape): every document with >= 256
+    utf-8 bytes becomes a 16×16 gray image encoded through the REAL
+    four-phase successive-approximation progressive encoder (DC first
+    Al=1, DC refine, per-component AC first Al=1, AC refine) and through
+    the baseline encoder; the contract pins that the progressive decode
+    is BIT-IDENTICAL to the sequential decode (successive approximation
+    reconstructs every quantized coefficient exactly), plus the SOF2
+    marker and the inherited |Δ| ≤ 3 envelope.  See
+    operators/multimodal.py::jpeg_progressive_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.jpeg_progressive_roundtrip_audit(
+        documents, "doc_id", "text", side=16
+    )
+
+
+SQL_JPEG_PROGRESSIVE_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS is_sof2,
+       TRUE AS matches_sequential,
+       TRUE AS max_err_le_3
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -4918,3 +4948,5 @@ EXT_QUERIES["jpeg420_roundtrip_contract"] = q_jpeg420_roundtrip_contract
 EXT_ORACLES["jpeg420_roundtrip_contract"] = SQL_JPEG420_ROUNDTRIP_CONTRACT
 EXT_QUERIES["jpeg_restart_contract"] = q_jpeg_restart_contract
 EXT_ORACLES["jpeg_restart_contract"] = SQL_JPEG_RESTART_CONTRACT
+EXT_QUERIES["jpeg_progressive_contract"] = q_jpeg_progressive_contract
+EXT_ORACLES["jpeg_progressive_contract"] = SQL_JPEG_PROGRESSIVE_CONTRACT
