@@ -677,3 +677,70 @@ def test_trending_topk_forced_kill_mid_stream_resumes(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_ohlc_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """OHLC bars must survive a forced kill: open/close are STRUCT-ordered
+    min/max aggregates — a state shape none of the other parity tests
+    carry (count/sum state merges commutatively; an ordered-struct merge
+    that mishandles replay would silently pick the wrong open/close event
+    while keeping n/high/low right).  Windows open across the crash keep
+    accumulating; after the watermark flush the bars equal the batch
+    restatement exactly."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    # values deliberately non-monotonic so open != low and close != high
+    vals = [5.0, 9.0, 1.0, 7.0, 3.0, 8.0, 2.0, 6.0, 4.0, 9.5, 0.5, 7.5]
+    rows = [
+        (i % 3 + 1, i, base + timedelta(minutes=11 * i), vals[i], "t")
+        for i in range(12)
+    ]
+    chunks = [rows[:4], rows[4:8], rows[8:]]
+    sentinel = [(99, 999, base + timedelta(days=2), 0.0, "z")]
+
+    def build(stream):
+        b = stream.select(
+            "ts", "event_id",
+            F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("v_us"),
+        )
+        return (
+            b.withWatermark("ts", "3 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.min(F.struct("ts", "event_id", "v_us"))["v_us"].alias("open_us"),
+                F.max(F.struct("ts", "event_id", "v_us"))["v_us"].alias("close_us"),
+                F.max("v_us").alias("high_us"),
+                F.min("v_us").alias("low_us"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(F.col("w.start").alias("win_start"), "open_us",
+                    "close_us", "high_us", "low_us", "n_events")
+        )
+
+    out = _forced_kill_harness(spark, tmp_path, build, chunks, sentinel)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    schema = (
+        "user_id long, event_id long, ts timestamp, value double, "
+        "event_type string"
+    )
+    batch = spark.createDataFrame(rows, schema).select(
+        "ts", "event_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("v_us"),
+    )
+    expected = {
+        tuple(r)
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "v_us"))["v_us"].alias("open_us"),
+            F.max(F.struct("ts", "event_id", "v_us"))["v_us"].alias("close_us"),
+            F.max("v_us").alias("high_us"),
+            F.min("v_us").alias("low_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("win_start"), "open_us", "close_us",
+                "high_us", "low_us", "n_events")
+        .collect()
+    }
+    assert got == expected
+    # the crash replay really did exercise multi-batch windows: at least
+    # one bar must aggregate events from more than one micro-batch chunk
+    assert any(r[5] > 4 for r in got)
