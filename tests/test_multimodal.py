@@ -832,3 +832,45 @@ def test_jpeg_progressive_audit_operator(spark):
     assert all(
         r.is_sof2 and r.matches_sequential and r.max_err_le_3 for r in out
     )
+
+
+def test_jpeg_progressive_refinement_zrl_span_regression():
+    """Regression (round-7 review, executed repro): a block whose
+    quantized zigzag AC is [>=16 zeros, |v|=2, ..., |v|=1] forces the
+    refinement encoder to drain its ZRL run at the already-significant
+    coefficient — the old code buffered that coefficient's correction
+    bit and flushed it after a LATER ZRL whose 16-zero span didn't cover
+    the position, desynchronizing the stream (the repo's own decoder
+    raised 'bad refinement symbol').  Build the image by inverse-DCT of
+    the exact target coefficients so the quantized values are known."""
+    import numpy as np
+
+    a = mm._dct_basis()
+    q = np.full(64, 16, dtype=np.int32)
+    inv_zz = np.argsort(mm._JPEG_ZIGZAG)
+    # zigzag spectrum: DC=0, 16 zero ACs, then 2, zeros, then 1 at the end
+    zz = np.zeros(64, dtype=np.float64)
+    zz[17] = 2.0
+    zz[63] = 1.0
+    coef = (zz * 16.0)[inv_zz].reshape(8, 8)   # dequantized coefficients
+    block = a.T @ coef @ a + 128.0             # pixel-domain block
+    img = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    # confirm the crafted spectrum survives uint8 round-trip + quantize
+    qzz = np.round((a @ (img.astype(np.float64) - 128.0) @ a.T) / 16.0)
+    qzz = qzz.reshape(-1)[mm._JPEG_ZIGZAG]
+    assert abs(qzz[17]) >= 2 and abs(qzz[63]) == 1, qzz.nonzero()
+    prog = mm.encode_jpeg_progressive(img, quant=q)
+    seq = mm.encode_jpeg_gray8(img, quant=q)
+    assert np.array_equal(mm._decode_jpeg(prog), mm._decode_jpeg(seq))
+
+
+def test_jpeg_progressive_1d_promotes_like_gray8():
+    """The progressive encoder accepts the same 1-D input its sequential
+    sibling promotes to (1, w)."""
+    import numpy as np
+
+    flat = np.arange(24, dtype=np.uint8)
+    assert np.array_equal(
+        mm._decode_jpeg(mm.encode_jpeg_progressive(flat)),
+        mm._decode_jpeg(mm.encode_jpeg_gray8(flat)),
+    )

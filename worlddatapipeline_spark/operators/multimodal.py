@@ -1042,6 +1042,8 @@ def encode_jpeg_progressive(
 
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     q = _jpeg_quant(quant)
+    if px.ndim == 1:  # same 1-D promotion as encode_jpeg_gray8
+        px = px[None, :]
     if px.ndim == 2:
         h, w = px.shape
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -1187,10 +1189,13 @@ def encode_jpeg_progressive(
                     if av == 0:
                         run += 1
                         continue
-                    if av > 1:  # already significant at Ah=1: correction
-                        pending.append(av & 1)
-                        continue
-                    # newly significant (|v| == 1)
+                    # Drain run > 15 at EVERY nonzero coefficient (IJG
+                    # ordering), BEFORE the already-significant branch: a
+                    # decoder's ZRL span covers exactly 16 zero-history
+                    # positions, so a correction bit buffered for a
+                    # coefficient beyond that span and flushed after the
+                    # ZRL would desynchronize the stream (review catch
+                    # r7, executed repro: [16 zeros, |v|=2, …, |v|=1]).
                     while run > 15:
                         zc, zl = ac_codes[0xF0]
                         bwr.write(zc, zl)
@@ -1198,6 +1203,10 @@ def encode_jpeg_progressive(
                             bwr.write(bit, 1)
                         pending = []
                         run -= 16
+                    if av > 1:  # already significant at Ah=1: correction
+                        pending.append(av & 1)
+                        continue
+                    # newly significant (|v| == 1)
                     code, length = ac_codes[(run << 4) | 1]
                     bwr.write(code, length)
                     bwr.write(1 if v > 0 else 0, 1)
@@ -1833,11 +1842,13 @@ def _decode_bytes(data: bytes) -> np.ndarray:
 
     REAL decode for the formats parseable with stdlib + numpy alone —
     BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter),
-    and baseline-sequential JPEG (canonical huffman + orthonormal IDCT,
-    grayscale or YCbCr at any integer sampling layout incl. 4:2:0, with
-    restart intervals and 16-bit DQT) — so the feature/resize/frame
-    paths run on genuinely decoded samples with zero extra dependencies.
-    Whatever remains (progressive JPEG, arithmetic coding, mp4 — codec
+    and huffman JPEG both sequential AND progressive (canonical huffman +
+    orthonormal IDCT, grayscale or YCbCr at any integer sampling layout
+    incl. 4:2:0, restart intervals in sequential scans, 16-bit DQT, SOF2
+    multi-scan with successive approximation) — so the
+    feature/resize/frame paths run on genuinely decoded samples with
+    zero extra dependencies.  Whatever remains (arithmetic/lossless/
+    hierarchical JPEG, mp4 — codec
     libraries this container lacks) falls back to the documented deterministic
     stub: payload bytes viewed as uint8 — same numpy/Arrow data path,
     clearly-marked swap point for a real codec (PIL / soundfile / pyav on
