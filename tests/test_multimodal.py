@@ -778,22 +778,61 @@ def test_jpeg_progressive_16bit_dqt_and_real_quant():
     )
 
 
-def test_jpeg_progressive_restart_refuses_to_stub():
-    """Progressive + DRI is the one combination no in-repo encoder emits,
-    so the decoder refuses it (stub fallback) rather than running an
-    untested resync path."""
+def test_jpeg_progressive_restart_roundtrip_bit_identical():
+    """Progressive + DRI (round-8): RSTm markers in every scan kind —
+    interleaved DC, DC refinement, non-interleaved AC first/refinement —
+    resync correctly and the decode stays BIT-IDENTICAL to both the
+    plain-progressive and the sequential decode, gray and color, 4:4:4
+    and 4:2:0, at intervals that land mid-scan and mid-refinement."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    seq = mm._decode_jpeg(mm.encode_jpeg_gray8(gray))
+    plain = mm._decode_jpeg(mm.encode_jpeg_progressive(gray))
+    assert np.array_equal(seq, plain)
+    for ri in (1, 2, 5):
+        got = mm._decode_jpeg(
+            mm.encode_jpeg_progressive(gray, restart_interval=ri)
+        )
+        assert np.array_equal(seq, got), f"gray ri={ri}"
+    for sub in ("4:4:4", "4:2:0"):
+        rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+        seq = mm._decode_jpeg(mm.encode_jpeg_rgb24(rgb, subsampling=sub))
+        for ri in (1, 3):
+            got = mm._decode_jpeg(
+                mm.encode_jpeg_progressive(
+                    rgb, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(seq, got), f"{sub} ri={ri}"
+
+
+def test_jpeg_progressive_restart_marker_errors_refuse_to_stub():
+    """A progressive stream whose DRI declaration lies — markers absent
+    or out of cycle — refuses (ValueError → byte-view stub) instead of
+    desynchronizing silently."""
     import struct
 
     import numpy as np
     import pytest
 
     img = np.random.default_rng(3).integers(0, 256, (16, 16), dtype=np.uint8)
+    # DRI declared but no RSTm was ever emitted
     p = mm.encode_jpeg_progressive(img)
     j = p.index(b"\xff\xda")
-    dri = p[:j] + struct.pack(">HHH", 0xFFDD, 4, 2) + p[j:]
+    lying = p[:j] + struct.pack(">HHH", 0xFFDD, 4, 2) + p[j:]
     with pytest.raises(ValueError, match="restart"):
-        mm._decode_jpeg(dri)
-    assert mm._decode_bytes(dri).tolist() == list(dri)
+        mm._decode_jpeg(lying)
+    assert mm._decode_bytes(lying).tolist() == list(lying)
+    # markers present but cycle broken
+    enc = bytearray(mm.encode_jpeg_progressive(img, restart_interval=1))
+    idx = enc.find(b"\xff\xd0")
+    assert idx > 0
+    enc[idx + 1] = 0xD6
+    with pytest.raises(ValueError, match="out of sequence"):
+        mm._decode_jpeg(bytes(enc))
+    assert mm._decode_bytes(bytes(enc)).tolist() == list(enc)
 
 
 def test_jpeg_progressive_property_roundtrip():

@@ -7,10 +7,12 @@ Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
 with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
-unfilter), and baseline-sequential JPEG (canonical huffman + IDCT;
-grayscale and color at any integer sampling layout incl. 4:2:0, restart
-intervals, 16-bit DQT) — and STUBBED only for what genuinely needs a
-codec library this container lacks (progressive JPEG, mp4):
+unfilter), and huffman JPEG both sequential AND progressive (canonical
+huffman + IDCT; grayscale and color at any integer sampling layout incl.
+4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1, and SOF2 spectral
+selection + successive approximation) — and STUBBED only for what
+genuinely needs a codec library this container lacks (mp4) or an encoder
+this repo cannot yet emit (arithmetic/lossless/hierarchical JPEG):
 there the clearly-marked deterministic fake views the payload bytes as
 samples.  A real deployment swaps ONLY that function (e.g. for PIL /
 libav via pip on the cluster image); every Spark-side concern here is
@@ -586,6 +588,160 @@ def _jpeg_quant(quant: np.ndarray | None) -> np.ndarray:
     )
 
 
+def _jpeg_prepare_planes(
+    pixels: np.ndarray, subsampling: str
+) -> tuple[int, int, list[np.ndarray], list[tuple[int, int]]]:
+    """Shared encoder prep (sequential + progressive): 1-D promotion,
+    RGB→YCbCr (BT.601 full-range), edge padding to the MCU grid, and 2×2
+    box-average chroma subsampling for 4:2:0.  Returns
+    ``(h, w, planes, sampling)`` with float64 planes already padded to
+    their MCU-aligned shapes.
+
+    The float expressions here are deliberately shared VERBATIM by both
+    encoders: the progressive==sequential decode bit-identity contract
+    requires identical plane values, and a rephrased expression can
+    differ in the last ulp, flipping ``np.round`` at .5 boundaries
+    (round-7 lesson; see ``_quantized_block_coefs``)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:
+        px = px[None, :]
+    if px.ndim == 2:
+        h, w = px.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        plane = np.pad(
+            px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+        )
+        return h, w, [plane], [(1, 1)]
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("JPEG encoder expects (h, w) or (h, w, 3) pixels")
+    h, w = px.shape[:2]
+    fpx = px.astype(np.float64)
+    r, g, b = fpx[..., 0], fpx[..., 1], fpx[..., 2]
+    ycc = [
+        0.299 * r + 0.587 * g + 0.114 * b,                    # Y
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,        # Cb
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,        # Cr
+    ]
+    if subsampling == "4:4:4":
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(
+                np.clip(np.round(p), 0, 255),
+                ((0, ph - h), (0, pw - w)),
+                mode="edge",
+            )
+            for p in ycc
+        ]
+        return h, w, planes, [(1, 1)] * 3
+    if subsampling != "4:2:0":
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    # 4:2:0: MCU is 16×16 luma pixels — pad everything to 16-multiples
+    # (edge replication), box-average the UNROUNDED chroma planes 2×2
+    # (one rounding step instead of two), round/clip each stored plane.
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    full = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in ycc
+    ]
+    planes = [np.clip(np.round(full[0]), 0, 255)] + [
+        np.clip(
+            np.round(c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))),
+            0,
+            255,
+        )
+        for c in full[1:]
+    ]
+    return h, w, planes, [(2, 2), (1, 1), (1, 1)]
+
+
+def _parse_dqt(body: bytes, qtables: dict[int, np.ndarray]) -> None:
+    """DQT segment parse shared by both decoders — pq=0: 8-bit entries;
+    pq=1: 16-bit big-endian; any other precision nibble is stream
+    corruption — refuse (→ byte-view stub) rather than misparse the byte
+    span and dequantize with garbage (review catch r7)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq == 1:
+            qtables[tq] = np.frombuffer(
+                body[i + 1 : i + 129], dtype=">u2"
+            ).astype(np.int32)
+            i += 129
+            continue
+        if pq != 0:
+            raise ValueError(f"bad DQT precision {pq}")
+        qtables[tq] = np.frombuffer(
+            body[i + 1 : i + 65], dtype=np.uint8
+        ).astype(np.int32)
+        i += 65
+
+
+def _parse_dht(
+    body: bytes, htables: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """DHT segment parse shared by both decoders: one or more canonical
+    tables per segment, keyed (tc, th)."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = [0] + list(body[i + 1 : i + 17])
+        nv = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nv])
+        htables[(tc, th)] = _huff_lookup(bits, vals)
+        i += 17 + nv
+
+
+def _parse_sof(body: bytes) -> tuple[int, int, list[tuple[int, int, int, int]]]:
+    """SOF frame-header parse + validation shared by both decoders:
+    returns ``(h, w, comps)`` with comps as (id, hs, vs, tq).  A single-
+    component frame is normalized to 1×1 sampling — its scans are
+    non-interleaved by definition (T.81 §A.2.2), so declared factors
+    don't shape the data."""
+    import struct  # noqa: PLC0415
+
+    prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+    if prec != 8:
+        raise ValueError("non-8-bit JPEG unsupported")
+    comps: list[tuple[int, int, int, int]] = []
+    for ci in range(nc):
+        cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+        hs, vs = samp >> 4, samp & 0x0F
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError(f"bad JPEG sampling factors {hs}x{vs}")
+        comps.append((cid, hs, vs, tq))
+    if len(comps) not in (1, 3):
+        raise ValueError(f"{len(comps)}-component JPEG unsupported")
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    return h, w, comps
+
+
+def _jpeg_geometry(
+    comps: list[tuple[int, int, int, int]], h: int, w: int
+) -> tuple[int, int, int, int, int]:
+    """Interleaved-MCU geometry (T.81 §A.2.3) shared by both decoders:
+    returns ``(hmax, vmax, mcus_x, mcus_y, n_blocks)``."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise ValueError("non-integer chroma upsampling ratio unsupported")
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_blocks = mcus_x * mcus_y * sum(hs * vs for _, hs, vs, _ in comps)
+    return hmax, vmax, mcus_x, mcus_y, n_blocks
+
+
+def _read_huff_sym(br: "_BitReader", tab: dict[tuple[int, int], int]) -> int:
+    """Read one canonical-huffman symbol (≤16 bits) — the entropy-decode
+    primitive shared by the sequential and progressive scan loops."""
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = tab.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
 def encode_jpeg_gray8(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
@@ -601,17 +757,12 @@ def encode_jpeg_gray8(
     every that-many MCUs (the resync layout most camera/ffmpeg JPEGs use).
     """
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if px.ndim == 1:
-        px = px[None, :]
-    h, w = px.shape
+    if px.ndim == 3:
+        raise ValueError("encode_jpeg_gray8 expects (h, w); use rgb24")
+    h, w, planes, _ = _jpeg_prepare_planes(px, "4:4:4")
     q = _jpeg_quant(quant)
-    # pad to 8×8 blocks by edge replication (standard encoder practice)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
-        np.float64
-    )
     entropy = _jpeg_entropy_encode(
-        [padded], q, restart_interval=restart_interval
+        planes, q, restart_interval=restart_interval
     )
     return _jpeg_container(
         h, w, q, 1, entropy, restart_interval=restart_interval
@@ -636,55 +787,13 @@ def encode_jpeg_rgb24(
     keeps the loss down to YCbCr round-trip + DCT rounding (+ the chroma
     down/upsample term for 4:2:0), so the decoder's color and MCU-
     interleaving paths are testable with a tight error bound."""
-    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg_rgb24 expects (h, w, 3)")
-    h, w = px.shape[:2]
-    r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,                    # Y
-        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,        # Cb
-        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,        # Cr
-    ]
+    h, w, planes, sampling = _jpeg_prepare_planes(px, subsampling)
     q = _jpeg_quant(quant)
-    if subsampling == "4:4:4":
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        padded = [
-            np.pad(
-                np.clip(np.round(p), 0, 255),
-                ((0, ph - h), (0, pw - w)),
-                mode="edge",
-            )
-            for p in planes
-        ]
-        entropy = _jpeg_entropy_encode(
-            padded, q, restart_interval=restart_interval
-        )
-        return _jpeg_container(
-            h, w, q, 3, entropy, restart_interval=restart_interval
-        )
-    if subsampling != "4:2:0":
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
-    # 4:2:0: MCU is 16×16 luma pixels — pad everything to 16-multiples
-    # (edge replication), box-average the UNROUNDED chroma planes 2×2
-    # (one rounding step instead of two), round/clip each stored plane.
-    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
-    full = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
-    y_pad = np.clip(np.round(full[0]), 0, 255)
-    chroma = [
-        np.clip(
-            np.round(c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))),
-            0,
-            255,
-        )
-        for c in full[1:]
-    ]
-    sampling = [(2, 2), (1, 1), (1, 1)]
     entropy = _jpeg_entropy_encode(
-        [y_pad, *chroma], q, sampling=sampling,
-        restart_interval=restart_interval,
+        planes, q, sampling=sampling, restart_interval=restart_interval
     )
     return _jpeg_container(
         h, w, q, 3, entropy, sampling=sampling,
@@ -765,10 +874,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     1-component grayscale and 3-component YCbCr at ANY integer-ratio
     sampling-factor layout — 4:4:4, 4:2:0 (interleaved 16×16 MCUs, the
     layout virtually all real JPEGs use), 4:2:2, 4:4:0 — with
-    nearest-neighbor chroma upsampling.  Progressive scans and arithmetic
-    coding raise ValueError so ``_decode_bytes`` falls back to the
-    byte-view stub (the documented swap point for a full codec library
-    at deployment).
+    nearest-neighbor chroma upsampling.  SOF2 (huffman progressive)
+    delegates to ``_decode_jpeg_progressive``; arithmetic/lossless/
+    hierarchical coding raises ValueError so ``_decode_bytes`` falls back
+    to the byte-view stub (the documented swap point for a full codec
+    library at deployment).
     Returns a FLAT uint8 array —
     grayscale values, or interleaved per-channel RGB byte samples (the
     ``_decode_bmp`` 24-bit convention), cropped to the true SOF dims.
@@ -805,47 +915,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError(f"unsupported JPEG SOF type FF{marker:02X}")
         if marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        if marker == 0xDB:  # DQT — pq=0: 8-bit entries; pq=1: 16-bit BE
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq == 1:
-                    qtables[tq] = np.frombuffer(
-                        body[i + 1 : i + 129], dtype=">u2"
-                    ).astype(np.int32)
-                    i += 129
-                    continue
-                if pq != 0:
-                    # any other precision nibble is stream corruption —
-                    # refuse (→ byte-view stub) rather than misparse the
-                    # byte span and dequantize with garbage (review catch
-                    # r7)
-                    raise ValueError(f"bad DQT precision {pq}")
-                qtables[tq] = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.int32)
-                i += 65
+        if marker == 0xDB:  # DQT
+            _parse_dqt(body, qtables)
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("non-8-bit JPEG unsupported")
-            for ci in range(nc):
-                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                hs, vs = samp >> 4, samp & 0x0F
-                if not (1 <= hs <= 4 and 1 <= vs <= 4):
-                    raise ValueError(f"bad JPEG sampling factors {hs}x{vs}")
-                comps.append((cid, hs, vs, tq))
-            if len(comps) not in (1, 3):
-                raise ValueError(f"{len(comps)}-component JPEG unsupported")
+            h, w, comps = _parse_sof(body)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = [0] + list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                htables[(tc, th)] = _huff_lookup(bits, vals)
-                i += 17 + nv
+            _parse_dht(body, htables)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for si in range(ns):
@@ -858,23 +933,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
 
     def read_block(br, dc_tab, ac_tab, pred):
-        def read_sym(tab):
-            code, length = 0, 0
-            while length < 16:
-                code = (code << 1) | br.bit()
-                length += 1
-                sym = tab.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("bad huffman code")
-
         zz = np.zeros(64, dtype=np.int64)
-        size = read_sym(dc_tab)
+        size = _read_huff_sym(br, dc_tab)
         pred += _jpeg_extend(br.bits(size), size)
         zz[0] = pred
         k = 1
         while k < 64:
-            rs = read_sym(ac_tab)
+            rs = _read_huff_sym(br, ac_tab)
             run, size = rs >> 4, rs & 0x0F
             if size == 0:
                 if run == 15:  # ZRL
@@ -890,18 +955,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 
     a = _dct_basis()
     inv_zz = np.argsort(_JPEG_ZIGZAG)
-    # Interleaved-MCU geometry (T.81 §A.2.3).  A SINGLE-component scan is
-    # non-interleaved by definition (§A.2.2) — its MCU is one data unit
-    # regardless of declared sampling factors.
-    if len(comps) == 1:
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
     if len(scan_comps) != len(comps):
         raise ValueError("partial (non-interleaved multi-component) scan")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if any(hmax % c[1] or vmax % c[2] for c in comps):
-        raise ValueError("non-integer chroma upsampling ratio unsupported")
-    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    hmax, vmax, mcus_x, mcus_y, n_blocks = _jpeg_geometry(comps, h, w)
     # Untrusted-input guard (ADVICE r6): SOF dimensions are attacker/corpus
     # controlled, so bound the plane allocation BEFORE it happens.  A valid
     # baseline scan needs at least ~2 bits (DC size sym + EOB) per 8x8
@@ -909,7 +965,6 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     # also cap absolute pixels so a crafted 65535x65535x3 header can never
     # drive a ~100 GB allocation — oversized headers fall to the byte-view
     # stub via the caller's ValueError path.
-    n_blocks = mcus_x * mcus_y * sum(hs * vs for _, hs, vs, _ in comps)
     scan_bytes = max(0, len(data) - scan_pos)
     if n_blocks * 64 > 268_435_456:  # 256M samples ≈ 2 GB float64
         raise ValueError("JPEG dimensions exceed decode cap")
@@ -1024,6 +1079,7 @@ def encode_jpeg_progressive(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode gray (h, w) or RGB (h, w, 3) uint8 pixels as a PROGRESSIVE
     JFIF JPEG (SOF2) using the canonical four-phase successive-
@@ -1036,64 +1092,16 @@ def encode_jpeg_progressive(
     encoder's — so ``_decode_jpeg(progressive) == _decode_jpeg(baseline)``
     EXACTLY, which is the golden contract the tests pin.  EOB runs are
     emitted per-block (run length 1) so the stock Annex-K AC table
-    suffices; restart intervals are not emitted (and the decoder refuses
-    them in progressive streams — see ``_decode_jpeg_progressive``)."""
+    suffices.  ``restart_interval`` > 0 declares one DRI segment and
+    emits RSTm markers in EVERY scan, every that-many scan-MCUs
+    (interleaved MCUs in the DC scans, single data units in the
+    non-interleaved AC scans, T.81 §A.2.2) — markers byte-align, cycle
+    0–7 per scan, and reset the DC predictors; no EOB run ever spans one
+    (this encoder ends EOB runs per block)."""
     import struct  # noqa: PLC0415
 
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
     q = _jpeg_quant(quant)
-    if px.ndim == 1:  # same 1-D promotion as encode_jpeg_gray8
-        px = px[None, :]
-    if px.ndim == 2:
-        h, w = px.shape
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        planes = [
-            np.pad(
-                px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
-            )
-        ]
-        sampling = [(1, 1)]
-    else:
-        if px.ndim != 3 or px.shape[2] != 3:
-            raise ValueError("encode_jpeg_progressive expects (h,w) or (h,w,3)")
-        h, w = px.shape[:2]
-        fpx = px.astype(np.float64)
-        r, g, b = fpx[..., 0], fpx[..., 1], fpx[..., 2]
-        ycc = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
-        ]
-        if subsampling == "4:4:4":
-            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-            planes = [
-                np.pad(
-                    np.clip(np.round(p), 0, 255),
-                    ((0, ph - h), (0, pw - w)),
-                    mode="edge",
-                )
-                for p in ycc
-            ]
-            sampling = [(1, 1)] * 3
-        elif subsampling == "4:2:0":
-            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
-            full = [
-                np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-                for p in ycc
-            ]
-            planes = [np.clip(np.round(full[0]), 0, 255)] + [
-                np.clip(
-                    np.round(
-                        c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-                    ),
-                    0,
-                    255,
-                )
-                for c in full[1:]
-            ]
-            sampling = [(2, 2), (1, 1), (1, 1)]
-        else:
-            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w, planes, sampling = _jpeg_prepare_planes(pixels, subsampling)
     n_comp = len(planes)
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
@@ -1104,15 +1112,26 @@ def encode_jpeg_progressive(
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    def mcu_blocks():
-        """Interleaved DC-scan block order: per MCU, vs×hs blocks per
-        component (single component degenerates to its raster)."""
+    def mcu_units():
+        """Interleaved DC-scan order grouped by MCU (the unit restart
+        intervals count): per MCU, vs×hs blocks per component (single
+        component degenerates to its raster)."""
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for ci, (hs, vs) in enumerate(sampling):
-                    for byy in range(vs):
-                        for bxx in range(hs):
-                            yield ci, my * vs + byy, mx * hs + bxx
+                yield [
+                    (ci, my * vs + byy, mx * hs + bxx)
+                    for ci, (hs, vs) in enumerate(sampling)
+                    for byy in range(vs)
+                    for bxx in range(hs)
+                ]
+
+    def maybe_restart(bw, unit_i, on_restart=None):
+        """Emit the RSTm due before scan-MCU ``unit_i`` (m cycling 0–7)
+        and run the per-scan state reset."""
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            bw.restart((unit_i // restart_interval - 1) & 7)
+            if on_restart is not None:
+                on_restart()
 
     scans: list[tuple[bytes, bytes]] = []
 
@@ -1126,30 +1145,40 @@ def encode_jpeg_progressive(
     # scan 1: DC first, Al=1 (signed arithmetic shift per G.1.2.1)
     bw1 = _BitWriter()
     preds = [0] * n_comp
-    for ci, by, bx in mcu_blocks():
-        dc = int(coefs[ci][by, bx, 0]) >> 1
-        diff = dc - preds[ci]
-        preds[ci] = dc
-        size, amp = _jpeg_magnitude(diff)
-        code, length = dc_codes[size]
-        bw1.write(code, length)
-        if size:
-            bw1.write(amp, size)
+    for unit_i, unit in enumerate(mcu_units()):
+        maybe_restart(bw1, unit_i, lambda: preds.__setitem__(
+            slice(None), [0] * n_comp
+        ))
+        for ci, by, bx in unit:
+            dc = int(coefs[ci][by, bx, 0]) >> 1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size, amp = _jpeg_magnitude(diff)
+            code, length = dc_codes[size]
+            bw1.write(code, length)
+            if size:
+                bw1.write(amp, size)
     scans.append((sos_body(range(1, n_comp + 1), 0, 0, 0, 1), bw1.flush()))
 
     # scan 2: DC refinement — the deferred low bit, raw, one per block
     bw2 = _BitWriter()
-    for ci, by, bx in mcu_blocks():
-        bw2.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    for unit_i, unit in enumerate(mcu_units()):
+        maybe_restart(bw2, unit_i)
+        for ci, by, bx in unit:
+            bw2.write(int(coefs[ci][by, bx, 0]) & 1, 1)
     scans.append((sos_body(range(1, n_comp + 1), 0, 0, 1, 0), bw2.flush()))
 
     for ci in range(n_comp):
         hs, vs = sampling[ci]
         bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
-        # scan 3+ci: AC first, whole band, Al=1 (magnitude shift)
+        # scan 3+ci: AC first, whole band, Al=1 (magnitude shift);
+        # non-interleaved scan ⇒ restart interval counts single blocks
         bwa = _BitWriter()
+        blk_i = 0
         for by in range(bh_t):
             for bx in range(bw_t):
+                maybe_restart(bwa, blk_i)
+                blk_i += 1
                 zz = coefs[ci][by, bx]
                 run = 0
                 for k in range(1, 64):
@@ -1176,10 +1205,14 @@ def encode_jpeg_progressive(
         hs, vs = sampling[ci]
         bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
         # final scans: AC refinement Ah=1→Al=0 (G.1.2.3 / the IJG
-        # buffered-correction-bit algorithm; flush after every symbol)
+        # buffered-correction-bit algorithm; flush after every symbol);
+        # pending bits never span blocks, so restarts are state-clean
         bwr = _BitWriter()
+        blk_i = 0
         for by in range(bh_t):
             for bx in range(bw_t):
+                maybe_restart(bwr, blk_i)
+                blk_i += 1
                 zz = coefs[ci][by, bx]
                 run = 0
                 pending: list[int] = []
@@ -1250,6 +1283,8 @@ def encode_jpeg_progressive(
             + bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS),
         ),
     ]
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
     for body, entropy in scans:
         out.append(seg(0xFFDA, body))
         out.append(entropy)
@@ -1262,11 +1297,13 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
     across scans — DC first/refinement (interleaved or single-component)
     and AC first/refinement per component with spectral selection (Ss–Se)
     and successive approximation (Ah/Al), EOB runs included — then one
-    dequantize + IDCT pass at EOI.  Restart intervals inside progressive
-    scans refuse to the byte-view stub (no in-repo encoder emits them, so
-    the path would be untested — the refusal keeps the 'everything
-    decodable decodes correctly' contract).  Arithmetic-coded progressive
-    (SOF10) never reaches here (refused at the marker walk)."""
+    dequantize + IDCT pass at EOI.  Restart intervals (DRI/RSTm) are
+    supported in every scan kind: the interval counts the scan's own MCUs
+    (interleaved MCUs in a multi-component DC scan, single data units in
+    non-interleaved scans, T.81 §A.2.2/§E.2.4), each marker byte-aligns,
+    is cycle-checked 0–7, and resets the DC predictors and EOB run.
+    Arithmetic-coded progressive (SOF10) never reaches here (refused at
+    the marker walk)."""
     import struct  # noqa: PLC0415
 
     if data[:2] != b"\xff\xd8":
@@ -1280,17 +1317,8 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
     mcus_x = mcus_y = 0
     coefs: list[np.ndarray] = []
     preds_dc: list[int] = []
+    restart_interval = 0
     got_scan = False
-
-    def read_sym(br, tab):
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.bit()
-            length += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad huffman code")
 
     def next_marker(p):
         while p + 1 < len(data):
@@ -1312,48 +1340,13 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDD:
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise ValueError(
-                    "restart intervals in progressive scans unsupported"
-                )
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq == 1:
-                    qtables[tq] = np.frombuffer(
-                        body[i + 1 : i + 129], dtype=">u2"
-                    ).astype(np.int32)
-                    i += 129
-                    continue
-                if pq != 0:
-                    raise ValueError(f"bad DQT precision {pq}")
-                qtables[tq] = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.int32)
-                i += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC2:
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("non-8-bit JPEG unsupported")
-            for ci in range(nc):
-                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                hs, vs = samp >> 4, samp & 0x0F
-                if not (1 <= hs <= 4 and 1 <= vs <= 4):
-                    raise ValueError(f"bad JPEG sampling factors {hs}x{vs}")
-                comps.append((cid, hs, vs, tq))
-            if len(comps) not in (1, 3):
-                raise ValueError(f"{len(comps)}-component JPEG unsupported")
-            if len(comps) == 1:
-                comps = [(comps[0][0], 1, 1, comps[0][3])]
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            if any(hmax % c[1] or vmax % c[2] for c in comps):
-                raise ValueError("non-integer chroma upsampling unsupported")
-            mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-            n_blocks = mcus_x * mcus_y * sum(
-                hs * vs for _, hs, vs, _ in comps
+            h, w, comps = _parse_sof(body)
+            hmax, vmax, mcus_x, mcus_y, n_blocks = _jpeg_geometry(
+                comps, h, w
             )
             # same untrusted-header guards as the sequential path, with
             # the payload floor relaxed to 1 bit/block (the DC-first scan
@@ -1368,14 +1361,7 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
             ]
             preds_dc = [0] * len(comps)
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = [0] + list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                htables[(tc, th)] = _huff_lookup(bits, vals)
-                i += 17 + nv
+            _parse_dht(body, htables)
         elif marker == 0xDA:
             if not comps:
                 raise ValueError("JPEG scan before SOF")
@@ -1392,17 +1378,35 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
             if ss > se or se > 63 or al > 13:
                 raise ValueError("bad progressive scan parameters")
             br = _BitReader(data, pos + 2 + seglen)
+
+            def sync_restart(unit_i):
+                """Byte-align + consume the RSTm due before scan-MCU
+                ``unit_i``, verify the 0–7 cycle (T.81 §E.2.4)."""
+                m = br.restart_sync()
+                if m != (unit_i // restart_interval - 1) & 0x07:
+                    raise ValueError("JPEG restart marker out of sequence")
+
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan with nonzero Se")
+                # One entry per SCAN MCU: a multi-component DC scan is
+                # interleaved (vs×hs blocks per component per MCU); a
+                # single-component scan's MCU is one data unit (§A.2.2).
+                # Restart intervals count these units.
                 if ns == len(comps) and ns > 1:
-                    order = [
-                        (ci, my * comps[ci][2] + byy, mx * comps[ci][1] + bxx)
+                    units = [
+                        [
+                            (
+                                ci,
+                                my * comps[ci][2] + byy,
+                                mx * comps[ci][1] + bxx,
+                            )
+                            for ci, _, _ in scom
+                            for byy in range(comps[ci][2])
+                            for bxx in range(comps[ci][1])
+                        ]
                         for my in range(mcus_y)
                         for mx in range(mcus_x)
-                        for ci, _, _ in scom
-                        for byy in range(comps[ci][2])
-                        for bxx in range(comps[ci][1])
                     ]
                 else:
                     if ns != 1:
@@ -1411,24 +1415,32 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                     bh_t, bw_t = _true_block_grid(
                         h, w, comps[ci0][1], comps[ci0][2], hmax, vmax
                     )
-                    order = [
-                        (ci0, by, bx)
+                    units = [
+                        [(ci0, by, bx)]
                         for by in range(bh_t)
                         for bx in range(bw_t)
                     ]
                 dctabs = {ci: htables.get((0, dc)) for ci, dc, _ in scom}
-                if ah == 0:
-                    for ci, by, bx in order:
-                        tab = dctabs[ci]
-                        if tab is None:
-                            raise ValueError("missing DC huffman table")
-                        size = read_sym(br, tab)
-                        preds_dc[ci] += _jpeg_extend(br.bits(size), size)
-                        coefs[ci][by, bx, 0] = preds_dc[ci] << al
-                else:
-                    p1 = 1 << al
-                    for ci, by, bx in order:
-                        if br.bit():
+                p1 = 1 << al
+                unit_i = 0
+                for unit in units:
+                    if (
+                        restart_interval
+                        and unit_i
+                        and unit_i % restart_interval == 0
+                    ):
+                        sync_restart(unit_i)
+                        preds_dc = [0] * len(comps)
+                    unit_i += 1
+                    for ci, by, bx in unit:
+                        if ah == 0:
+                            tab = dctabs[ci]
+                            if tab is None:
+                                raise ValueError("missing DC huffman table")
+                            size = _read_huff_sym(br, tab)
+                            preds_dc[ci] += _jpeg_extend(br.bits(size), size)
+                            coefs[ci][by, bx, 0] = preds_dc[ci] << al
+                        elif br.bit():
                             coefs[ci][by, bx, 0] |= p1
             else:
                 if ns != 1:
@@ -1442,8 +1454,20 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                 )
                 eobrun = 0
                 p1, m1 = 1 << al, -1 << al
+                blk_i = 0
                 for by in range(bh_t):
                     for bx in range(bw_t):
+                        if (
+                            restart_interval
+                            and blk_i
+                            and blk_i % restart_interval == 0
+                        ):
+                            # non-interleaved scan: MCU = one data unit;
+                            # restart resets the EOB run (a conformant
+                            # encoder never lets one span the marker)
+                            sync_restart(blk_i)
+                            eobrun = 0
+                        blk_i += 1
                         zz = coefs[ci0][by, bx]
                         if ah == 0:
                             if eobrun > 0:
@@ -1451,7 +1475,7 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                                 continue
                             k = ss
                             while k <= se:
-                                sym = read_sym(br, tab)
+                                sym = _read_huff_sym(br, tab)
                                 r, s = sym >> 4, sym & 0x0F
                                 if s == 0:
                                     if r == 15:
@@ -1470,7 +1494,7 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                             k = ss
                             if eobrun == 0:
                                 while k <= se:
-                                    sym = read_sym(br, tab)
+                                    sym = _read_huff_sym(br, tab)
                                     r, s = sym >> 4, sym & 0x0F
                                     if s:
                                         if s != 1:
@@ -1844,8 +1868,8 @@ def _decode_bytes(data: bytes) -> np.ndarray:
     BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter),
     and huffman JPEG both sequential AND progressive (canonical huffman +
     orthonormal IDCT, grayscale or YCbCr at any integer sampling layout
-    incl. 4:2:0, restart intervals in sequential scans, 16-bit DQT, SOF2
-    multi-scan with successive approximation) — so the
+    incl. 4:2:0, restart intervals in sequential AND progressive scans,
+    16-bit DQT, SOF2 multi-scan with successive approximation) — so the
     feature/resize/frame paths run on genuinely decoded samples with
     zero extra dependencies.  Whatever remains (arithmetic/lossless/
     hierarchical JPEG, mp4 — codec

@@ -290,37 +290,58 @@ def merge_upsert_parquet(
         cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in keys)
         cols = update_cols or [c for c in source.columns if c not in keys]
         target_cols = set(read_parquet_table(spark, path).columns)
-        m = tgt.alias("t").merge(source.alias("u"), cond)
         # Mirror merge_upsert's NULL-preserving update exactly: a NULL in
         # the source keeps the target value (coalesce), columns new to the
-        # target take the source value outright.
-        m = m.whenMatchedUpdate(
-            set={
-                c: (
-                    F.coalesce(F.col(f"u.`{c}`"), F.col(f"t.`{c}`"))
-                    if c in target_cols
-                    else F.col(f"u.`{c}`")
-                )
-                for c in cols
-            }
-        ).whenNotMatchedInsertAll()
+        # target take the source value outright.  The `set` expressions
+        # are unbound Column refs, so one dict serves both sessions below.
+        update_set = {
+            c: (
+                F.coalesce(F.col(f"u.`{c}`"), F.col(f"t.`{c}`"))
+                if c in target_cols
+                else F.col(f"u.`{c}`")
+            )
+            for c in cols
+        }
+
+        def _build_merge(tbl, src):
+            return (
+                tbl.alias("t")
+                .merge(src.alias("u"), cond)
+                .whenMatchedUpdate(set=update_set)
+                .whenNotMatchedInsertAll()
+            )
+
+        m = _build_merge(tgt, source)
         # Schema evolution parity with the fallback (which appends
         # source-only columns automatically): Delta >= 3.1 exposes it on
-        # the merge builder; older releases need the session flag — set
-        # and restore around the single execute (review catch r7).
+        # the merge builder; older releases need the session-conf flag.
+        # Scope that flag to a CHILD session (isolated SQLConf, shared
+        # SparkContext) instead of toggling the caller's — a concurrent
+        # Delta operation on the shared session would otherwise silently
+        # execute with autoMerge enabled, and a concurrent restore could
+        # clobber the flag (ADVICE r7; same pattern as purge_rows'
+        # retention-check override).  The source DataFrame crosses
+        # sessions via a global temp view (session-scoped views don't).
         if hasattr(m, "withSchemaEvolution"):
             m.withSchemaEvolution().execute()
-        else:
-            flag = "spark.databricks.delta.schema.autoMerge.enabled"
-            prev = spark.conf.get(flag, None)
-            spark.conf.set(flag, "true")
+        else:  # pragma: no cover - only reachable on Delta < 3.1 images
+            child = spark.newSession()
+            child.conf.set(
+                "spark.sql.session.timeZone",
+                spark.conf.get("spark.sql.session.timeZone"),
+            )
+            child.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", "true"
+            )
+            gview = f"wdp_merge_src_{os.getpid()}_{id(source):x}"
+            source.createOrReplaceGlobalTempView(gview)
             try:
-                m.execute()
+                _build_merge(
+                    DeltaTable.forPath(child, path),
+                    child.table(f"global_temp.{gview}"),
+                ).execute()
             finally:
-                if prev is None:
-                    spark.conf.unset(flag)
-                else:
-                    spark.conf.set(flag, prev)
+                spark.catalog.dropGlobalTempView(gview)
         return read_parquet_table(spark, path)
     lease = _acquire_lease(path, ttl_s=lease_ttl_s)
     try:
