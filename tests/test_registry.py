@@ -70,12 +70,11 @@ def test_rows_only_tail_is_bounded():
     new operators need an oracle or a contract sibling."""
     # Pruned as entries gain oracles (r4: behavior_resample /
     # multimodal_features / simulate_trajectories; r5: minhash_candidates /
-    # simhash_near_dups via the constructive-corpus pattern) so an
+    # simhash_near_dups via the constructive-corpus pattern; r8:
+    # embedding_lsh_topk / embedding_ivf_topk via planted-neighbor corpora
+    # and embedding_kmeans via orthogonal xxhash-rank clusters) so an
     # accidentally-dropped oracle regresses LOUDLY, not silently.
     allowed = {
-        "embedding_ivf_topk",
-        "embedding_kmeans",
-        "embedding_lsh_topk",
         "semantic_dedup_keep",
     }
     rows_only = set(QUERIES) - set(ORACLES)

@@ -950,28 +950,58 @@ FROM ids a JOIN ids b
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k
     (operators/similarity.py::lsh_topk) — the 100 TB scale path of
-    q_embedding_topk.  16 OR-amplified tables of 6 planes: ~0.6 recall@5 at
-    a 2^6 per-table candidate prune on the test corpus (the recall floor is
-    driver-checked by `embedding_lsh_recall`)."""
+    q_embedding_topk, 16 OR-amplified tables of 6 planes.
+
+    FULL hash oracle via a planted-neighbor corpus (r8, VERDICT r7 item 5;
+    the r5 minhash_candidates pattern): 64 ids from the embeddings table
+    carry constructed vectors — direction g = vec_id // 8 (one-hot basis
+    axis), magnitude (vec_id % 8) + 1.  Same-group vectors are POSITIVE
+    MULTIPLES of one direction, so every hyperplane sign pattern is
+    identical within a group in EVERY table — bucket collision is
+    guaranteed by construction, not probabilistic — while cross-group
+    cosine is exactly 0 and in-group cosine exactly 1.0 (x/x division,
+    exact in IEEE).  The exact top-5 is therefore closed-form: the 5
+    lowest same-group vec_ids (the operator's documented cosine-desc,
+    vec_id-asc tie-break).  The whole production path still executes —
+    per-table GEMM bucketing, OR-amplified candidate dedup, scoring, rank
+    cut.  Approximate real-corpus recall stays covered by the
+    oracle-checked `embedding_lsh_recall` contract; the self-check
+    invariant columns stay (topk_self_contract)."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    corpus = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    g = F.floor(F.col("vec_id") / 8).cast("int")
+    m = (F.col("vec_id") % 8 + 1).cast("double")
+    corpus = embeddings.filter(F.col("vec_id") < 64).select(
+        "vec_id",
+        F.array(
+            *[F.when(g == i, m).otherwise(F.lit(0.0)) for i in range(64)]
+        ).alias("embedding"),
     )
-    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+    queries = corpus.filter(F.col("vec_id") % 8 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim_ops.lsh_topk(
         corpus, queries, k=5, dim=64, n_planes=6, seed=42, n_tables=16
     )
-    # Rows-only by design (LSH recall < 1 makes the pair list scale-
-    # dependent; the oracle-checked recall contract is
-    # `embedding_lsh_recall`) — so the frame carries its own derived
-    # invariants (VERDICT r6 item 9): within each query the ranks are
-    # contiguous from 1, scores are non-increasing in rank, and every
-    # cosine is in [-1, 1].  A rank slip, an unsorted cut, or a scoring
-    # bug flips a boolean even without an oracle.  The per-query windows
-    # partition on query_id — parallel, bounded k-row frames.
     return sim_ops.topk_self_contract(out)
+
+
+SQL_EMBEDDING_LSH_TOPK = """
+WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 64),
+q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id % 8 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(1.0 AS DOUBLE) AS cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id ORDER BY c.vec_id
+         ) AS INT) AS rank
+  FROM q JOIN ids c
+    ON c.vec_id // 8 = q.query_id // 8 AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank,
+       true AS rank_contiguous, true AS score_monotone,
+       true AS score_in_range
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,10 +1198,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "arc_resample": q_arc_resample,
     "rate_limited_angle": q_rate_limited_angle,
-    # minhash_candidates / connected_components are hash-checked
-    # (constructive corpus / recursive-CTE closure); embedding_lsh_topk
-    # stays rows-only (probabilistic recall, contract sibling
-    # embedding_lsh_recall).
+    # minhash_candidates / connected_components / embedding_lsh_topk are
+    # hash-checked (constructive corpus / recursive-CTE closure /
+    # planted-neighbor corpus since r8).
     "minhash_candidates": q_minhash_candidates,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "connected_components": q_connected_components,
@@ -1297,6 +1326,7 @@ ORACLES: dict[str, str] = {
     "rate_limited_angle": SQL_RATE_LIMITED_ANGLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "minhash_candidates": SQL_MINHASH_CANDIDATES,
+    "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     **EXT_ORACLES,
     **TPCH_ORACLES,
     **ANALYTICS_ORACLES,

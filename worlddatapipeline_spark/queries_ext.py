@@ -2266,36 +2266,106 @@ GROUP BY 1
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (operators/similarity.py::ivf_topk):
-    deterministic coarse quantizer → inverted lists → n_probe search.  The
-    second ANN scale path next to LSH.  Approximate → rows-only."""
+    coarse quantizer → inverted lists → n_probe search.  The second ANN
+    scale path next to LSH.
+
+    FULL hash oracle via the same planted-neighbor corpus as
+    q_embedding_lsh_topk (r8): one-hot group directions at positive
+    magnitudes make the result derivable for ANY centroid sample — every
+    same-group vector has an IDENTICAL cosine profile to every centroid
+    (1 in-group, 0 cross-group), so the whole group lands in one inverted
+    list under the operator's deterministic tie-break, and the query's
+    n_probe=4 descending-(sim, cid) probe always contains that list:
+    with a group centroid sampled it is the top probe; with none, all
+    sims tie at 0 and both corpus top-1 and query probes start at the
+    largest-cid centroid.  In-group cosine is exactly 1.0, so top-5 =
+    the 5 lowest same-group vec_ids — closed form, independent of the
+    xxhash64 sample.  Real-corpus recall stays covered by the
+    oracle-checked `embedding_ivf_recall` contract; self-check columns
+    stay."""
     from .operators.similarity import ivf_topk
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    corpus = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    g = F.floor(F.col("vec_id") / 8).cast("int")
+    m = (F.col("vec_id") % 8 + 1).cast("double")
+    corpus = embeddings.filter(F.col("vec_id") < 64).select(
+        "vec_id",
+        F.array(
+            *[F.when(g == i, m).otherwise(F.lit(0.0)) for i in range(64)]
+        ).alias("embedding"),
     )
-    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+    queries = corpus.filter(F.col("vec_id") % 8 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
-    # rows-only by design (probe set is scale-dependent; the oracle-checked
-    # contract is `embedding_ivf_recall`) — carry derived top-k invariants
-    # in the frame itself (VERDICT r6 item 9)
     return sim_ops.topk_self_contract(out)
 
 
+SQL_EMBEDDING_IVF_TOPK = """
+WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 64),
+q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id % 8 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(1.0 AS DOUBLE) AS cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id ORDER BY c.vec_id
+         ) AS INT) AS rank
+  FROM q JOIN ids c
+    ON c.vec_id // 8 = q.query_id // 8 AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank,
+       true AS rank_contiguous, true AS score_monotone,
+       true AS score_in_range
+FROM ranked WHERE rank <= 5
+"""
+
+
+# xxhash64-rank group mapping for the q_embedding_kmeans planted corpus:
+# GROUPS[i] = rank(xxhash64(i)) % 8 over ids 0..63 (Spark's stable xxhash64,
+# seed 42 — the SAME ordering kmeans_centroids' min-hash-of-id init uses).
+# By construction the 8 smallest-hash ids land in groups 0..7 IN ORDER, so
+# Lloyd's init is exactly one centroid per planted group with cid == group,
+# making the converged assignment provable.  The literal is shared with the
+# DuckDB oracle below (single source of truth).
+_KMEANS_GROUPS = [
+    3, 6, 2, 4, 1, 3, 5, 4, 0, 3, 7, 0, 4, 0, 5, 2,
+    1, 2, 3, 4, 1, 6, 4, 2, 3, 7, 2, 7, 0, 2, 6, 7,
+    6, 5, 4, 1, 6, 1, 1, 3, 4, 7, 0, 5, 2, 6, 3, 2,
+    0, 3, 5, 7, 6, 6, 4, 5, 0, 7, 1, 5, 7, 1, 5, 0,
+]
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means clustering of the embedding corpus
-    (operators/similarity.py::kmeans_centroids) — the trained coarse
-    quantizer for IVF and the clustering step of semantic dedup.  Iterative
-    driver-loop algorithm (like connected components) → rows-only.  Returns
-    per-cluster sizes from a final assignment pass."""
+    """Spherical k-means clustering (operators/similarity.py::
+    kmeans_centroids) — the trained coarse quantizer for IVF and the
+    clustering step of semantic dedup.  Returns per-cluster sizes from a
+    final assignment pass.
+
+    FULL hash oracle via orthogonal planted clusters (r8, VERDICT r7
+    item 5): 64 ids carry one-hot vectors on 8 basis directions at
+    positive magnitudes, with the group mapping chosen as the id's
+    xxhash64 RANK mod 8 (``_KMEANS_GROUPS``) so the operator's
+    min-hash-of-id init picks exactly one vector per group, cid == group.
+    Orthogonal groups make every Lloyd's step exact in IEEE float
+    (dot = magnitude or 0; per-cluster mean normalizes back to the basis
+    vector), so the converged assignment provably equals the planted
+    partition: every cluster has exactly its 8 group members.  The
+    full iterative path still executes — init, 3 assignment/update
+    rounds, final assignment.  Self-check columns stay."""
     from .operators.similarity import dot as vdot
     from .operators.similarity import kmeans_centroids
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    corpus = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    g = F.element_at(
+        F.array(*[F.lit(x) for x in _KMEANS_GROUPS]),
+        (F.col("vec_id") + 1).cast("int"),
+    )
+    m = (F.col("vec_id") % 8 + 1).cast("double")
+    corpus = embeddings.filter(F.col("vec_id") < 64).select(
+        "vec_id",
+        F.array(
+            *[F.when(g == j, m).otherwise(F.lit(0.0)) for j in range(8)]
+        ).alias("embedding"),
     )
     cents = kmeans_centroids(corpus, k=8, n_iter=3)
     rows = cents.collect()
@@ -2310,10 +2380,10 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
-    # Rows-only by design (iterative clustering) — carry derived
-    # invariants in the frame (VERDICT r6 item 9): every cluster id is in
-    # [0, k), every size positive, and the sizes sum to the corpus count
-    # (broadcast scalar — no assigned vector lost or double-counted).
+    # Derived invariant columns (VERDICT r6 item 9, kept after the r8
+    # oracle upgrade): every cluster id is in [0, k), every size positive,
+    # and the sizes sum to the corpus count (broadcast scalar — no
+    # assigned vector lost or double-counted).
     total = corpus.agg(F.count(F.lit(1)).alias("__corpus_n"))
     return (
         sizes.crossJoin(F.broadcast(total))
@@ -2331,6 +2401,23 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+SQL_EMBEDDING_KMEANS = f"""
+WITH m(vec_id, grp) AS (VALUES {", ".join(
+    f"({i},{g})" for i, g in enumerate(_KMEANS_GROUPS)
+)}),
+planted AS (
+  SELECT grp FROM (SELECT vec_id FROM embeddings WHERE vec_id < 64) e
+  JOIN m USING (vec_id)
+)
+SELECT CAST(grp AS BIGINT) AS cluster,
+       count(*) AS n_vectors,
+       true AS cluster_in_range,
+       true AS size_positive,
+       true AS sizes_sum_to_corpus
+FROM planted GROUP BY grp ORDER BY cluster
+"""
 
 
 def q_behavior_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3962,6 +4049,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked since r4 (real BMP/WAV decode round-trips text bytes)
     "multimodal_features": q_multimodal_features,
     "behavior_resample": q_behavior_resample,
+    # oracle-checked since r8 (planted-neighbor / orthogonal-cluster corpora)
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_kmeans": q_embedding_kmeans,
     "pii_redaction": q_pii_redaction,
@@ -3974,6 +4062,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "minhash_verified_dups": SQL_MINHASH_VERIFIED_DUPS,
+    "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "listing_parse_stats": SQL_LISTING_PARSE_STATS,
     "common_prefix_fold": SQL_COMMON_PREFIX_FOLD,
     "content_hash_brands": SQL_CONTENT_HASH_BRANDS,
