@@ -680,6 +680,62 @@ def test_delta_backend_native_merge(spark, tmp_path):
     assert v0.count() == 2
 
 
+def test_delta_backend_native_purge(spark, tmp_path):
+    """Native purge path — MERGE-delete + scoped VACUUM(0) — runs only
+    where delta-spark is installed (cluster image; runbook in
+    NOTES_round8_session.md).  Expected operationMetrics:
+    numTargetRowsDeleted == 2, numTargetRowsUpdated/Inserted == 0."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    if not reconcile._HAS_DELTA:
+        pytest.skip("delta-spark not installed in this container")
+    from delta.tables import DeltaTable
+
+    path = str(tmp_path / "dtbl")
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 5)], "id long, name string"
+    ).write.format("delta").save(path)
+    keys = spark.createDataFrame([(2,), (3,)], "id long")
+    out = reconcile.purge_rows(spark, path, ["id"], keys)
+    assert {r["id"] for r in out.collect()} == {1, 4}
+    hist = DeltaTable.forPath(spark, path).history().collect()
+    merges = [h for h in hist if h["operation"] == "MERGE"]
+    assert merges, [h["operation"] for h in hist]
+    m = merges[0]["operationMetrics"]
+    assert int(m["numTargetRowsDeleted"]) == 2
+    assert int(m.get("numTargetRowsUpdated", 0)) == 0
+    assert int(m.get("numTargetRowsInserted", 0)) == 0
+    # VACUUM(0) erased the pre-delete snapshot: time travel to v0 must
+    # fail (that is the point of a GDPR purge — history really gone)
+    with pytest.raises(Exception):
+        spark.read.format("delta").option("versionAsOf", 0).load(
+            path
+        ).collect()
+
+
+def test_delta_backend_native_schema_evolution(spark, tmp_path):
+    """Native MERGE schema evolution — source-only columns append to the
+    target (parity with the versioned-parquet fallback).  On Delta >= 3.1
+    this is the withSchemaEvolution builder; older images take the
+    child-session autoMerge fallback — either way the merged read shows
+    the new column.  Runs only where delta-spark is installed."""
+    from worlddatapipeline_spark.operators import reconcile
+
+    if not reconcile._HAS_DELTA:
+        pytest.skip("delta-spark not installed in this container")
+    path = str(tmp_path / "dtbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.format("delta").save(path)
+    upd = spark.createDataFrame(
+        [(2, "b2", 25), (3, "c", 30)], "id long, name string, extra long"
+    )
+    out = reconcile.merge_upsert_parquet(spark, path, upd, ["id"])
+    assert "extra" in out.columns
+    got = {r["id"]: (r["name"], r["extra"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b2", 25), 3: ("c", 30)}
+
+
 def test_delta_layout_guard_on_destructive_maintenance(spark, tmp_path):
     """A directory carrying a _delta_log must never receive the
     versioned-parquet pointer-file surgery: purge_rows' history sweep

@@ -1627,38 +1627,78 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching — near-identical part names within a
     brand (levenshtein ≤ 4) — the string-similarity sibling of the shingle
     dedup family (catalog-entity resolution).  Scale: the quadratic
-    candidate space is BOUNDED by the brand group before the distance
-    computation (same bucket-then-verify shape as the LSH pipelines; an
-    ungrouped pair join would be O(n²) on names)."""
+    candidate space is BOUNDED twice before the distance computation
+    (same capped-block shape as short_text_editdups): by the brand group,
+    AND by a deterministic per-brand block cap of 500 lowest part keys
+    (r8, VERDICT r7 item 6 — the uncapped brand block made the oracle's
+    restated quadratic the single 1,100 s entry of the sf1.0 ladder;
+    capped, both sides stay O(brands · cap²) at ANY scale factor).  The
+    cap is surfaced per brand as ``n_block`` so a capped run is visibly
+    capped, never silently truncated.  At the driver's sf0.01 gate the
+    cap exceeds every brand block — pair results there are identical to
+    the uncapped form."""
     (part,) = _t(spark, sf_dir, "part")
-    a = part.select(
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    blocked = (
+        part.select("p_brand", "p_partkey", "p_name")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 500)
+    )
+    a = blocked.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
     )
-    b = part.select(
+    b = blocked.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
-    pairs = a.join(b, "brand").filter(F.col("key_a") < F.col("key_b"))
+    pairs = a.join(b, "brand").filter(
+        (F.col("key_a") < F.col("key_b"))
+        # cheap NECESSARY condition for lev <= 4 (an edit changes length
+        # by at most 1) — prunes before the O(len²) distance kernel runs;
+        # result-identical, mirrored in the oracle
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 4)
+    )
     scored = pairs.withColumn(
         "dist", F.levenshtein("name_a", "name_b")
     ).filter(F.col("dist") <= 4)
+    sizes = blocked.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_block")
+    )
     return scored.groupBy("brand").agg(
         F.count(F.lit(1)).alias("n_close_pairs"),
         F.min("dist").alias("min_dist"),
-    )
+    ).join(F.broadcast(sizes), "brand")
 
 
 SQL_PART_NAME_FUZZY_PAIRS = """
-SELECT a.p_brand AS brand,
-       count(*) AS n_close_pairs,
-       min(levenshtein(a.p_name, b.p_name)) AS min_dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 4
-GROUP BY a.p_brand
+WITH blocked AS (
+  SELECT p_brand, p_partkey, p_name
+  FROM (
+    SELECT p_brand, p_partkey, p_name,
+           row_number() OVER (
+             PARTITION BY p_brand ORDER BY p_partkey
+           ) AS rk
+    FROM part
+  ) WHERE rk <= 500
+),
+sizes AS (
+  SELECT p_brand AS brand, count(*) AS n_block FROM blocked GROUP BY 1
+),
+close_pairs AS (
+  SELECT a.p_brand AS brand,
+         count(*) AS n_close_pairs,
+         min(levenshtein(a.p_name, b.p_name)) AS min_dist
+  FROM blocked a JOIN blocked b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+    AND levenshtein(a.p_name, b.p_name) <= 4
+  GROUP BY a.p_brand
+)
+SELECT brand, n_close_pairs, min_dist, n_block
+FROM close_pairs JOIN sizes USING (brand)
 """
 
 
