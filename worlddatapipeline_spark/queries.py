@@ -1211,82 +1211,74 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-7 rotation (NOTES_round7.md policy + VERDICT r6 item 3): nothing is
-# red in CORRECTNESS_r06 (50/50), so the window is (a) the round-7 NEW
-# queries (jpeg420_roundtrip_contract — 4:2:0; jpeg_restart_contract —
-# DRI/RSTm restart intervals; jpeg_progressive_contract — SOF2
-# multi-scan with a progressive==sequential bit-identity check), (b)
-# every query
-# whose implementation changed in round 7 — the ntile→global_index
-# conversions (rfm_segments, streaming_static_enrichment user tier), the
-# checkpoint-once scorer pair (unigram_lm_perplexity, curriculum_order_stats),
-# the child-session-scoped kcore_contract, the generalized-MCU JPEG path
-# (jpeg_roundtrip_contract, multimodal_features), the Delta-routed MERGE pair
-# (persistent_merge_audit, catalog_upsert), and the four rows-only ANN frames
-# that gained self-check contract columns (embedding_lsh_topk /
-# embedding_ivf_topk / embedding_kmeans / semantic_dedup_keep — rows-only by
-# design; their oracle-checked *_recall contract siblings are r6-green), then
-# (c) backfill by re-verification AGE: all 25 entries whose only hash-green
-# row is r1, plus the 10 oldest r2 greens.  Every non-rows-only entry below
-# is check_oracle PASS this session at sf0.01 (changed set also at
+# Round-8 rotation (NOTES_round8.md policy + VERDICT r7 item 1): nothing is
+# red in CORRECTNESS_r07 (46 green + 4 rows-only-by-design), so the window
+# is (a) every query whose implementation or oracle changed in round 8 —
+# the three ANN frames upgraded from rows-only to FULL hash oracles via
+# planted corpora (embedding_lsh_topk / embedding_ivf_topk /
+# embedding_kmeans — VERDICT r7 item 5), the block-capped
+# part_name_fuzzy_pairs (item 6), and the five queries riding the
+# refactored JPEG codec internals (shared header-walk/prepare-planes +
+# progressive restart intervals — items 3/4), then (b) backfill by
+# re-verification AGE: the ENTIRE 38-entry r2-stale cohort (union
+# histogram in VERDICT r7) plus the 3 alphabetically-first r3 greens.
+# Staleness floor after this window: r3.  Every entry below is
+# check_oracle PASS this session at sf0.01 (changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
-    # round-7 NEW (3)
-    "jpeg420_roundtrip_contract",
-    "jpeg_restart_contract",
-    "jpeg_progressive_contract",
-    # round-7 changed (15) — top_unshipped_orders / supplier_volume were
-    # the r7 sf1.0-ladder catch: order-dependent double-sum ulp at 10x
-    # rows, converted to the DECIMAL(28,8) accumulator on both sides
-    "top_unshipped_orders",
-    "supplier_volume",
-    "rfm_segments",
-    "unigram_lm_perplexity",
-    "curriculum_order_stats",
-    "kcore_contract",
-    "streaming_static_enrichment",
-    "jpeg_roundtrip_contract",
-    "multimodal_features",
-    "persistent_merge_audit",
-    "catalog_upsert",
+    # round-8 changed (9)
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_kmeans",
-    "semantic_dedup_keep",
-    # staleness backfill: every r1-only green (25)
-    "asof_click_before_purchase",
-    "brand_argmax",
-    "common_prefix_fold",
-    "content_hash_brands",
-    "customers_without_orders",
-    "dedup_docs_exact",
-    "doc_fingerprint_tokens",
-    "doc_lang_detect",
-    "doc_quality",
-    "doc_text_stats",
-    "doc_tfidf_topterms",
-    "first_part_per_brand",
-    "frame_grid_expand",
-    "json_props_extract",
-    "knn_user_centroids",
-    "listing_parse_stats",
-    "max_index_scan",
-    "nation_rollup_sets",
-    "orders_by_month",
-    "prefix_join_parts",
-    "region_nation_nested",
-    "terrain_classify",
-    "trajectory_angles",
-    "unwrap_angle_series",
-    "value_band_range_join",
-    # staleness backfill: oldest r2 greens (7)
-    "rate_limited_angle",
-    "sessionize",
-    "stalled_users",
-    "extrinsic_export",
-    "connected_components",
-    "latest_status",
-    "customer_order_reconcile",
+    "part_name_fuzzy_pairs",
+    "jpeg_roundtrip_contract",
+    "jpeg420_roundtrip_contract",
+    "jpeg_restart_contract",
+    "jpeg_progressive_contract",
+    "multimodal_features",
+    # staleness backfill: the whole r2-stale cohort (38)
+    "below_avg_qty_revenue",
+    "brand_band_revenue",
+    "child_refresh",
+    "dataset_split_stats",
+    "discount_revenue",
+    "doc_repetition_filter",
+    "embedding_cosine_dups",
+    "event_value_percentiles",
+    "excess_stock_suppliers",
+    "glob_exclusion_stats",
+    "hourly_event_windows",
+    "idle_high_balance_customers",
+    "large_order_customers",
+    "late_order_priority_counts",
+    "late_shipment_priority_mix",
+    "local_supplier_volume",
+    "low_activity_skip",
+    "min_cost_supplier",
+    "nation_market_share",
+    "nation_pair_volume",
+    "order_count_distribution",
+    "order_exists_probe",
+    "paragraph_dup_ratio",
+    "part_profit_by_nation",
+    "part_value_share",
+    "pii_redaction",
+    "promo_revenue_ratio",
+    "returned_top_customers",
+    "salted_event_value_sum",
+    "sole_late_suppliers",
+    "source_quota_sample",
+    "stratified_sample_stats",
+    "streaming_hourly_windows",
+    "supplier_distinct_counts",
+    "top_supplier_revenue",
+    "train_test_decontamination",
+    "ue_path_derive",
+    "user_event_gaps",
+    # staleness backfill: oldest r3 greens (3)
+    "approach_target_yaw",
+    "approx_distinct_contract",
+    "behavior_resample_checked",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
