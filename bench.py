@@ -211,6 +211,8 @@ LLM = [
     "jpeg420_roundtrip_contract",
     "jpeg_restart_contract",
     "jpeg_progressive_contract",
+    # round-8 additions
+    "jpeg_lossless_contract",
 ]
 
 

@@ -419,10 +419,18 @@ def test_jpeg_unsupported_variants_fall_back_to_stub():
         mm._decode_jpeg(prog)
     assert mm._decode_bytes(prog).tolist() == list(prog)
 
-    # lossless JPEG (SOF3) stays refused at the marker walk
+    # SOF3 now delegates to the lossless decoder (round 8), which must
+    # itself refuse this stream: a sequential scan header (Ss=0) is not
+    # a legal lossless predictor selector
     lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with pytest.raises(ValueError, match="SOF type"):
+    with pytest.raises(ValueError, match="predictor"):
         mm._decode_jpeg(lossless)
+    assert mm._decode_bytes(lossless).tolist() == list(lossless)
+
+    # arithmetic coding (SOF9) stays refused at the marker walk
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="SOF type"):
+        mm._decode_jpeg(arith)
 
     # a SINGLE-component scan is non-interleaved per T.81 §A.2.2: its
     # sampling byte is ignored, so a lying 2x2 header still decodes to
@@ -912,4 +920,93 @@ def test_jpeg_progressive_1d_promotes_like_gray8():
     assert np.array_equal(
         mm._decode_jpeg(mm.encode_jpeg_progressive(flat)),
         mm._decode_jpeg(mm.encode_jpeg_gray8(flat)),
+    )
+
+
+def test_jpeg_lossless_exact_roundtrip_all_predictors():
+    """SOF3 lossless: decode(encode(img)) == img EXACTLY — the property
+    only the Annex-H predictive process can promise — for all 7
+    predictors, gray and RGB, at degenerate and non-multiple-of-8 dims."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in ((1, 1), (1, 7), (9, 1), (16, 16), (17, 19)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for p in range(1, 8):
+            dec = mm._decode_jpeg(mm.encode_jpeg_lossless(img, predictor=p))
+            assert np.array_equal(dec, img.reshape(-1)), (shape, p)
+    rgb = rng.integers(0, 256, (13, 10, 3), dtype=np.uint8)
+    for p in range(1, 8):
+        dec = mm._decode_jpeg(mm.encode_jpeg_lossless(rgb, predictor=p))
+        assert np.array_equal(dec, rgb.reshape(-1)), p
+    # residual-range edges: a checkerboard maximizes |d| for every
+    # predictor (255 jumps in both axes and the diagonal)
+    chk = np.zeros((8, 8), dtype=np.uint8)
+    chk[::2, ::2] = 255
+    chk[1::2, 1::2] = 255
+    for p in range(1, 8):
+        dec = mm._decode_jpeg(mm.encode_jpeg_lossless(chk, predictor=p))
+        assert np.array_equal(dec, chk.reshape(-1)), p
+
+
+def test_jpeg_lossless_property_roundtrip():
+    """Property: ANY gray uint8 image at arbitrary dims and predictor
+    round-trips the lossless codec exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=32),
+        w=st.integers(min_value=1, max_value=32),
+        p=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, p, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w), dtype=np.uint8
+        )
+        assert np.array_equal(
+            mm._decode_jpeg(mm.encode_jpeg_lossless(img, predictor=p)),
+            img.reshape(-1),
+        )
+
+    prop()
+
+
+def test_jpeg_lossless_refusals_to_stub():
+    """The lossless decoder refuses what no in-repo encoder can emit —
+    declared restart intervals and nonzero point transforms — falling to
+    the byte-view stub instead of running untested resync paths."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    img = np.random.default_rng(5).integers(0, 256, (8, 8), dtype=np.uint8)
+    good = mm.encode_jpeg_lossless(img)
+    j = good.index(b"\xff\xda")
+    dri = good[:j] + struct.pack(">HHH", 0xFFDD, 4, 2) + good[j:]
+    with pytest.raises(ValueError, match="restart"):
+        mm._decode_jpeg(dri)
+    assert mm._decode_bytes(dri).tolist() == list(dri)
+    pt = bytearray(good)
+    pt[j + 2 + 2 + 1 + 2 + 2] = 1  # AhAl byte -> Pt=1
+    with pytest.raises(ValueError, match="point transform"):
+        mm._decode_jpeg(bytes(pt))
+    assert mm._decode_bytes(bytes(pt)).tolist() == list(bytes(pt))
+
+
+def test_jpeg_lossless_audit_operator(spark):
+    """jpeg_lossless_roundtrip_audit over a small frame: every qualifying
+    row is SOF3 and round-trips exactly, gray (all 7 predictors) and
+    RGB."""
+    rows = [(i, "x" * 300) for i in range(3)] + [(9, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = mm.jpeg_lossless_roundtrip_audit(df, "doc_id", "text").collect()
+    assert len(out) == 3
+    assert all(
+        r.is_sof3 and r.gray_exact_all_predictors and r.rgb_exact
+        for r in out
     )

@@ -12,7 +12,7 @@ huffman + IDCT; grayscale and color at any integer sampling layout incl.
 4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1, and SOF2 spectral
 selection + successive approximation) — and STUBBED only for what
 genuinely needs a codec library this container lacks (mp4) or an encoder
-this repo cannot yet emit (arithmetic/lossless/hierarchical JPEG):
+this repo cannot yet emit (arithmetic/hierarchical/differential JPEG):
 there the clearly-marked deterministic fake views the payload bytes as
 samples.  A real deployment swaps ONLY that function (e.g. for PIL /
 libav via pip on the cluster image); every Spark-side concern here is
@@ -875,10 +875,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     sampling-factor layout — 4:4:4, 4:2:0 (interleaved 16×16 MCUs, the
     layout virtually all real JPEGs use), 4:2:2, 4:4:0 — with
     nearest-neighbor chroma upsampling.  SOF2 (huffman progressive)
-    delegates to ``_decode_jpeg_progressive``; arithmetic/lossless/
-    hierarchical coding raises ValueError so ``_decode_bytes`` falls back
-    to the byte-view stub (the documented swap point for a full codec
-    library at deployment).
+    delegates to ``_decode_jpeg_progressive``, SOF3 (huffman lossless) to
+    ``_decode_jpeg_lossless``; arithmetic/hierarchical/differential
+    coding raises ValueError so ``_decode_bytes`` falls back to the
+    byte-view stub (the documented swap point for a full codec library
+    at deployment).
     Returns a FLAT uint8 array —
     grayscale values, or interleaved per-channel RGB byte samples (the
     ``_decode_bmp`` 24-bit convention), cropped to the true SOF dims.
@@ -906,11 +907,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         # SOF1 (extended sequential, huffman) shares SOF0's scan layout at
         # 8-bit precision — only the Pq=1 DQT allowance differs — so it
         # decodes on the same path; SOF2 (progressive, huffman) delegates
-        # to the multi-scan decoder; everything else (lossless,
-        # arithmetic, hierarchical) refuses to the stub.
+        # to the multi-scan decoder; SOF3 (lossless, huffman) to the
+        # predictive decoder; everything else (arithmetic, hierarchical,
+        # differential) refuses to the stub.
         if marker == 0xC2:
             return _decode_jpeg_progressive(data)
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker == 0xC3:
+            return _decode_jpeg_lossless(data)
+        if marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type FF{marker:02X}")
         if marker == 0xDD:  # DRI
@@ -1861,18 +1865,313 @@ def jpeg_progressive_roundtrip_audit(
     )
 
 
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, huffman): T.81 Annex H predictive coding — the only
+# JPEG process with EXACT pixel round-trips; common in DICOM/archival
+# corpora.  Closes the 'lossless' third of the r7 refusal set; the stub
+# boundary is now mp4 + arithmetic/hierarchical/differential JPEG.
+# ---------------------------------------------------------------------------
+
+def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
+    """Encode gray (h, w) or RGB (h, w, 3) uint8 pixels as a LOSSLESS
+    JPEG (SOF3, huffman, T.81 Annex H): each sample's prediction residual
+    (one of the 7 spec predictors, default 4 = a+b-c) is huffman-coded as
+    an SSSS category + amplitude bits — the DC-difference convention, so
+    the stock Annex-K DC table suffices (8-bit residuals span categories
+    0–9).  No DCT, no quantization: ``_decode_jpeg`` reconstructs the
+    EXACT input bytes, pinned by the golden tests and the
+    ``jpeg_lossless_contract`` registry query.  First row predicts from
+    the left neighbor, later row-starts from above, the first sample
+    from 2^(P-1) = 128 (H.1.1); color encodes R,G,B as three interleaved
+    1×1 components (no YCbCr — losslessness is the point).  Restart
+    intervals and point transforms are not emitted (and the decoder
+    refuses them — untested paths refuse to the stub)."""
+    import struct  # noqa: PLC0415
+
+    if not 1 <= int(predictor) <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:
+        px = px[None, :]
+    if px.ndim == 2:
+        planes = [px.astype(np.int32)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        planes = [px[..., ch].astype(np.int32) for ch in range(3)]
+    else:
+        raise ValueError("encode_jpeg_lossless expects (h,w) or (h,w,3)")
+    h, w = planes[0].shape
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # Vectorized residuals: lossless prediction reads the ORIGINAL
+    # neighbor samples (reconstruction is exact, so encoder and decoder
+    # see identical neighborhoods).
+    diffs = []
+    for p in planes:
+        pred = np.empty((h, w), dtype=np.int32)
+        pred[0, 0] = 128  # 2^(P - Pt - 1), P=8, Pt=0
+        if w > 1:
+            pred[0, 1:] = p[0, :-1]          # first line: predictor 1 (a)
+        if h > 1:
+            pred[1:, 0] = p[:-1, 0]          # line starts: predictor 2 (b)
+        if h > 1 and w > 1:
+            a = p[1:, :-1]
+            b = p[:-1, 1:]
+            c = p[:-1, :-1]
+            pred[1:, 1:] = {
+                1: a,
+                2: b,
+                3: c,
+                4: a + b - c,
+                5: a + ((b - c) >> 1),
+                6: b + ((a - c) >> 1),
+                7: (a + b) >> 1,
+            }[int(predictor)]
+        diffs.append(p - pred)
+    bw = _BitWriter()
+    n_comp = len(planes)
+    # interleaved MCU order at 1×1 sampling: one sample per component
+    for y in range(h):
+        for x in range(w):
+            for ci in range(n_comp):
+                d = int(diffs[ci][y, x])
+                size, amp = _jpeg_magnitude(d)
+                code, length = dc_codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(amp, size)
+    entropy = bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    return b"".join(
+        [
+            b"\xff\xd8",
+            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            seg(
+                0xFFC3,
+                struct.pack(">BHHB", 8, h, w, n_comp)
+                + b"".join(
+                    bytes([cid, 0x11, 0]) for cid in range(1, n_comp + 1)
+                ),
+            ),
+            seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(_JPEG_DC_BITS[1:])
+                + bytes(_JPEG_DC_VALS),
+            ),
+            seg(
+                0xFFDA,
+                bytes([n_comp])
+                + b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
+                + bytes([int(predictor), 0, 0]),  # Ss=predictor, Se=0, Pt=0
+            ),
+            entropy,
+            b"\xff\xd9",
+        ]
+    )
+
+
+def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Lossless-JPEG decode (SOF3, huffman, T.81 Annex H): sequential
+    predictive reconstruction — each sample = predictor(a, b, c) +
+    huffman-decoded residual, exact by construction.  Supports all 7
+    predictors, 1- or 3-component interleaved scans at 1×1 sampling.
+    Restart intervals, nonzero point transforms, and subsampled lossless
+    scans refuse to the byte-view stub (no in-repo encoder emits them —
+    untested paths refuse).  Returns the same flat uint8 convention as
+    ``_decode_jpeg``."""
+    import struct  # noqa: PLC0415
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    h = w = None
+    predictor = 0
+    scan_pos = None
+    scan_tabs: list[int] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError(
+                    "restart intervals in lossless scans unsupported"
+                )
+        elif marker == 0xC3:
+            h, w, comps = _parse_sof(body)
+        elif marker == 0xC4:
+            _parse_dht(body, htables)
+        elif marker == 0xDA:
+            ns = body[0]
+            cid_order = [c[0] for c in comps]
+            for si in range(ns):
+                cid, tabs_b = body[1 + 2 * si], body[2 + 2 * si]
+                if cid not in cid_order:
+                    raise ValueError("scan component not in frame")
+                scan_tabs.append(tabs_b >> 4)
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            if not 1 <= ss <= 7:
+                raise ValueError(f"bad lossless predictor {ss}")
+            if se != 0 or (aa >> 4) != 0:
+                raise ValueError("bad lossless scan parameters")
+            if (aa & 0x0F) != 0:
+                raise ValueError("lossless point transform unsupported")
+            predictor = ss
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if h is None or scan_pos is None or not comps:
+        raise ValueError("JPEG missing SOF/SOS")
+    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+        raise ValueError("subsampled lossless scan unsupported")
+    if len(scan_tabs) != len(comps):
+        raise ValueError("partial lossless scan")
+    n_comp = len(comps)
+    n_samples = h * w * n_comp
+    # untrusted-header guards (same policy as the DCT paths): a lossless
+    # sample costs >= 2 bits (category-0 symbol), cap absolute size
+    if n_samples > 268_435_456:
+        raise ValueError("JPEG dimensions exceed decode cap")
+    if n_samples > max(0, len(data) - scan_pos) * 4 + 64:
+        raise ValueError("JPEG scan too short for declared dims")
+    tabs = []
+    for dc in scan_tabs:
+        tab = htables.get((0, dc))
+        if tab is None:
+            raise ValueError("missing DC huffman table")
+        tabs.append(tab)
+    br = _BitReader(data, scan_pos)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(n_comp):
+                size = _read_huff_sym(br, tabs[ci])
+                if size == 16:  # 16-bit-precision special case (H.1.2.2)
+                    d = 32768
+                else:
+                    d = _jpeg_extend(br.bits(size), size)
+                p = planes[ci]
+                if y == 0 and x == 0:
+                    pred = 128
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    pred = (
+                        a,
+                        b,
+                        c,
+                        a + b - c,
+                        a + ((b - c) >> 1),
+                        b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                p[y, x] = (pred + d) & 0xFFFF
+    out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
+    if n_comp == 1:
+        return out[0].reshape(-1)
+    return np.stack(out, axis=-1).reshape(-1)
+
+
+def jpeg_lossless_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """Lossless-JPEG codec contract — the fifth codec-audit sibling,
+    exercising the SOF3 predictive path.  Each qualifying row's first
+    ``side²`` utf-8 bytes become a gray (side, side) image encoded with
+    EVERY one of the 7 Annex-H predictors, and an RGB derivative
+    (channel 0 = the bytes, 1 = a rolled copy, 2 = the complement —
+    deterministic from the text alone) encoded with the default
+    predictor; the contract pins EXACT byte equality on every decode —
+    the property only the lossless process can promise, so any
+    prediction, residual, or interleave bug breaks equality outright.
+    Scale: pure Arrow-batched ``mapInPandas`` behind an explicit
+    repartition, same as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sof3, gray_ok, rgb_ok = [], [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                enc0 = encode_jpeg_lossless(raw, predictor=4)
+                g_ok = all(
+                    np.array_equal(
+                        _decode_jpeg(encode_jpeg_lossless(raw, predictor=p)),
+                        raw.reshape(-1),
+                    )
+                    for p in range(1, 8)
+                )
+                rgb = np.stack(
+                    [
+                        raw,
+                        np.roll(raw.reshape(-1), 7).reshape(side, side),
+                        255 - raw,
+                    ],
+                    axis=-1,
+                )
+                r_ok = np.array_equal(
+                    _decode_jpeg(encode_jpeg_lossless(rgb)), rgb.reshape(-1)
+                )
+                ids.append(int(i))
+                sof3.append(
+                    0 <= enc0.find(b"\xff\xc3") < enc0.find(b"\xff\xda")
+                )
+                gray_ok.append(bool(g_ok))
+                rgb_ok.append(bool(r_ok))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "is_sof3": sof3,
+                    "gray_exact_all_predictors": gray_ok,
+                    "rgb_exact": rgb_ok,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, is_sof3 boolean, "
+            "gray_exact_all_predictors boolean, rgb_exact boolean",
+        )
+    )
+
+
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
     BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter),
-    and huffman JPEG both sequential AND progressive (canonical huffman +
-    orthonormal IDCT, grayscale or YCbCr at any integer sampling layout
-    incl. 4:2:0, restart intervals in sequential AND progressive scans,
-    16-bit DQT, SOF2 multi-scan with successive approximation) — so the
-    feature/resize/frame paths run on genuinely decoded samples with
-    zero extra dependencies.  Whatever remains (arithmetic/lossless/
-    hierarchical JPEG, mp4 — codec
+    and huffman JPEG sequential, progressive AND lossless (canonical
+    huffman + orthonormal IDCT, grayscale or YCbCr at any integer
+    sampling layout incl. 4:2:0, restart intervals in sequential AND
+    progressive scans, 16-bit DQT, SOF2 multi-scan with successive
+    approximation, SOF3 Annex-H predictive with exact round-trips) — so
+    the feature/resize/frame paths run on genuinely decoded samples with
+    zero extra dependencies.  Whatever remains (arithmetic/hierarchical/
+    differential JPEG, mp4 — codec
     libraries this container lacks) falls back to the documented deterministic
     stub: payload bytes viewed as uint8 — same numpy/Arrow data path,
     clearly-marked swap point for a real codec (PIL / soundfile / pyav on

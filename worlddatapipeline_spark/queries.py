@@ -1213,19 +1213,23 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
 # Round-8 rotation (NOTES_round8.md policy + VERDICT r7 item 1): nothing is
 # red in CORRECTNESS_r07 (46 green + 4 rows-only-by-design), so the window
-# is (a) every query whose implementation or oracle changed in round 8 —
-# the three ANN frames upgraded from rows-only to FULL hash oracles via
-# planted corpora (embedding_lsh_topk / embedding_ivf_topk /
-# embedding_kmeans — VERDICT r7 item 5), the block-capped
-# part_name_fuzzy_pairs (item 6), and the five queries riding the
-# refactored JPEG codec internals (shared header-walk/prepare-planes +
-# progressive restart intervals — items 3/4), then (b) backfill by
-# re-verification AGE: the ENTIRE 38-entry r2-stale cohort (union
-# histogram in VERDICT r7) plus the 3 alphabetically-first r3 greens.
+# is (a) the round-8 NEW query (jpeg_lossless_contract — SOF3 Annex-H
+# predictive with exact round-trips), (b) every query whose
+# implementation or oracle changed in round 8 — the three ANN frames
+# upgraded from rows-only to FULL hash oracles via planted corpora
+# (embedding_lsh_topk / embedding_ivf_topk / embedding_kmeans — VERDICT
+# r7 item 5), the block-capped part_name_fuzzy_pairs (item 6), and the
+# five queries riding the refactored JPEG codec internals (shared
+# header-walk/prepare-planes + progressive restart intervals — items
+# 3/4), then (c) backfill by re-verification AGE: the ENTIRE 38-entry
+# r2-stale cohort (union histogram in VERDICT r7) plus the 2
+# alphabetically-first r3 greens.
 # Staleness floor after this window: r3.  Every entry below is
 # check_oracle PASS this session at sf0.01 (changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
+    # round-8 NEW (1)
+    "jpeg_lossless_contract",
     # round-8 changed (9)
     "embedding_lsh_topk",
     "embedding_ivf_topk",
@@ -1275,10 +1279,9 @@ _DRIVER_WINDOW: list[str] = [
     "train_test_decontamination",
     "ue_path_derive",
     "user_event_gaps",
-    # staleness backfill: oldest r3 greens (3)
+    # staleness backfill: oldest r3 greens (2)
     "approach_target_yaw",
     "approx_distinct_contract",
-    "behavior_resample_checked",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1543,6 +1543,31 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_jpeg_lossless_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-JPEG codec contract (round 8 — SOF3 Annex-H predictive,
+    the only JPEG process with EXACT round-trips; the DICOM/archival
+    shape): every document with >= 256 utf-8 bytes becomes a 16×16 gray
+    image encoded with ALL 7 predictors plus a text-derived RGB image,
+    and the contract pins exact byte equality on every decode — any
+    prediction, residual, or component-interleave bug breaks it
+    outright.  See operators/multimodal.py::jpeg_lossless_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.jpeg_lossless_roundtrip_audit(documents, "doc_id", "text", side=16)
+
+
+SQL_JPEG_LOSSLESS_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS is_sof3,
+       TRUE AS gray_exact_all_predictors,
+       TRUE AS rgb_exact
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -5080,3 +5105,5 @@ EXT_QUERIES["jpeg_restart_contract"] = q_jpeg_restart_contract
 EXT_ORACLES["jpeg_restart_contract"] = SQL_JPEG_RESTART_CONTRACT
 EXT_QUERIES["jpeg_progressive_contract"] = q_jpeg_progressive_contract
 EXT_ORACLES["jpeg_progressive_contract"] = SQL_JPEG_PROGRESSIVE_CONTRACT
+EXT_QUERIES["jpeg_lossless_contract"] = q_jpeg_lossless_contract
+EXT_ORACLES["jpeg_lossless_contract"] = SQL_JPEG_LOSSLESS_CONTRACT
