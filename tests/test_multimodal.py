@@ -996,6 +996,15 @@ def test_jpeg_lossless_refusals_to_stub():
     with pytest.raises(ValueError, match="point transform"):
         mm._decode_jpeg(bytes(pt))
     assert mm._decode_bytes(bytes(pt)).tolist() == list(bytes(pt))
+    # a scan whose component sequence differs from the frame's would
+    # silently decode swapped channels — must refuse (review catch r8)
+    rgb = np.random.default_rng(6).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    enc = bytearray(mm.encode_jpeg_lossless(rgb))
+    k = enc.index(b"\xff\xda")
+    enc[k + 5], enc[k + 9] = enc[k + 9], enc[k + 5]  # swap cids 1 and 3
+    with pytest.raises(ValueError, match="component order"):
+        mm._decode_jpeg(bytes(enc))
+    assert mm._decode_bytes(bytes(enc)).tolist() == list(enc)
 
 
 def test_jpeg_lossless_audit_operator(spark):

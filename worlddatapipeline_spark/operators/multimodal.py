@@ -1149,10 +1149,12 @@ def encode_jpeg_progressive(
     # scan 1: DC first, Al=1 (signed arithmetic shift per G.1.2.1)
     bw1 = _BitWriter()
     preds = [0] * n_comp
+
+    def reset_preds():
+        preds[:] = [0] * n_comp
+
     for unit_i, unit in enumerate(mcu_units()):
-        maybe_restart(bw1, unit_i, lambda: preds.__setitem__(
-            slice(None), [0] * n_comp
-        ))
+        maybe_restart(bw1, unit_i, reset_preds)
         for ci, by, bx in unit:
             dc = int(coefs[ci][by, bx, 0]) >> 1
             diff = dc - preds[ci]
@@ -1872,6 +1874,20 @@ def jpeg_progressive_roundtrip_audit(
 # boundary is now mp4 + arithmetic/hierarchical/differential JPEG.
 # ---------------------------------------------------------------------------
 
+# T.81 H.1.2.1 predictor formulas, indexed by the 1-7 selector.  Written
+# over plain ints AND numpy arrays alike (>> is arithmetic/floor in both),
+# shared by the vectorized encoder prep and the sequential decode loop.
+_LOSSLESS_PREDICTORS = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
 def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
     """Encode gray (h, w) or RGB (h, w, 3) uint8 pixels as a LOSSLESS
     JPEG (SOF3, huffman, T.81 Annex H): each sample's prediction residual
@@ -1916,15 +1932,9 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
             a = p[1:, :-1]
             b = p[:-1, 1:]
             c = p[:-1, :-1]
-            pred[1:, 1:] = {
-                1: a,
-                2: b,
-                3: c,
-                4: a + b - c,
-                5: a + ((b - c) >> 1),
-                6: b + ((a - c) >> 1),
-                7: (a + b) >> 1,
-            }[int(predictor)]
+            # evaluate ONLY the selected predictor (a dict literal would
+            # materialize all 7 full-plane arrays — review catch r8)
+            pred[1:, 1:] = _LOSSLESS_PREDICTORS[int(predictor)](a, b, c)
         diffs.append(p - pred)
     bw = _BitWriter()
     n_comp = len(planes)
@@ -2011,12 +2021,16 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
             _parse_dht(body, htables)
         elif marker == 0xDA:
             ns = body[0]
-            cid_order = [c[0] for c in comps]
+            # the scan's component sequence must equal the frame's —
+            # order defines the interleave, so a reordered or duplicated
+            # list would silently decode wrong pixels; refuse instead
+            # (review catch r8, same 'refuse rather than misparse'
+            # contract as the DQT precision guard)
+            scan_cids = [body[1 + 2 * si] for si in range(ns)]
+            if scan_cids != [c[0] for c in comps]:
+                raise ValueError("lossless scan component order mismatch")
             for si in range(ns):
-                cid, tabs_b = body[1 + 2 * si], body[2 + 2 * si]
-                if cid not in cid_order:
-                    raise ValueError("scan component not in frame")
-                scan_tabs.append(tabs_b >> 4)
+                scan_tabs.append(body[2 + 2 * si] >> 4)
             ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
             if not 1 <= ss <= 7:
                 raise ValueError(f"bad lossless predictor {ss}")
@@ -2036,9 +2050,13 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
         raise ValueError("partial lossless scan")
     n_comp = len(comps)
     n_samples = h * w * n_comp
-    # untrusted-header guards (same policy as the DCT paths): a lossless
-    # sample costs >= 2 bits (category-0 symbol), cap absolute size
-    if n_samples > 268_435_456:
+    # untrusted-header guards: a lossless sample costs >= 2 bits
+    # (category-0 symbol).  The absolute cap is 64x TIGHTER than the DCT
+    # paths' (4M samples vs 256M) because this entropy loop is per-SAMPLE
+    # pure Python — at the DCT cap a crafted header could pin an executor
+    # for an hour before refusing (review catch r8); 4M ≈ 2048x2048 gray,
+    # far above any contract/audit input, decodes in seconds.
+    if n_samples > 4_194_304:
         raise ValueError("JPEG dimensions exceed decode cap")
     if n_samples > max(0, len(data) - scan_pos) * 4 + 64:
         raise ValueError("JPEG scan too short for declared dims")
@@ -2050,6 +2068,9 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
         tabs.append(tab)
     br = _BitReader(data, scan_pos)
     planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    # selected once, not a 7-way tuple per sample (review catch r8 —
+    # this loop is the per-sample hot path)
+    predict = _LOSSLESS_PREDICTORS[predictor]
     for y in range(h):
         for x in range(w):
             for ci in range(n_comp):
@@ -2066,18 +2087,11 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 elif x == 0:
                     pred = int(p[y - 1, 0])
                 else:
-                    a = int(p[y, x - 1])
-                    b = int(p[y - 1, x])
-                    c = int(p[y - 1, x - 1])
-                    pred = (
-                        a,
-                        b,
-                        c,
-                        a + b - c,
-                        a + ((b - c) >> 1),
-                        b + ((a - c) >> 1),
-                        (a + b) >> 1,
-                    )[predictor - 1]
+                    pred = predict(
+                        int(p[y, x - 1]),
+                        int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
                 p[y, x] = (pred + d) & 0xFFFF
     out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
     if n_comp == 1:

@@ -985,23 +985,10 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.topk_self_contract(out)
 
 
-SQL_EMBEDDING_LSH_TOPK = """
-WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 64),
-q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id % 8 = 0),
-ranked AS (
-  SELECT q.query_id, c.vec_id,
-         CAST(1.0 AS DOUBLE) AS cosine_sim,
-         CAST(row_number() OVER (
-           PARTITION BY q.query_id ORDER BY c.vec_id
-         ) AS INT) AS rank
-  FROM q JOIN ids c
-    ON c.vec_id // 8 = q.query_id // 8 AND c.vec_id <> q.query_id
-)
-SELECT query_id, vec_id, cosine_sim, rank,
-       true AS rank_contiguous, true AS score_monotone,
-       true AS score_in_range
-FROM ranked WHERE rank <= 5
-"""
+# the closed-form planted-corpus restatement is defined ONCE
+# (queries_ext.SQL_PLANTED_TOPK) and shared with the IVF oracle — both
+# operators produce the identical exact answer on this corpus; see the
+# registration below (ORACLES["embedding_lsh_topk"]).
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,7 +1151,11 @@ FROM grid g JOIN seg s
 # ---------------------------------------------------------------------------
 
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
-from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from .queries_ext import (  # noqa: E402
+    EXT_ORACLES,
+    EXT_QUERIES,
+    SQL_PLANTED_TOPK,
+)
 from .queries_mining import MINING_ORACLES, MINING_QUERIES  # noqa: E402
 from .queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1321,7 +1312,7 @@ ORACLES: dict[str, str] = {
     "rate_limited_angle": SQL_RATE_LIMITED_ANGLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "minhash_candidates": SQL_MINHASH_CANDIDATES,
-    "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+    "embedding_lsh_topk": SQL_PLANTED_TOPK,
     **EXT_ORACLES,
     **TPCH_ORACLES,
     **ANALYTICS_ORACLES,

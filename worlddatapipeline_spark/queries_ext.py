@@ -2366,7 +2366,11 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.topk_self_contract(out)
 
 
-SQL_EMBEDDING_IVF_TOPK = """
+# Closed-form restatement of the planted-neighbor corpus, shared by the
+# LSH and IVF top-k oracles (both operators produce the identical exact
+# answer on this corpus — one definition so the scheme can't desynchronize
+# across files; review catch r8).
+SQL_PLANTED_TOPK = """
 WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 64),
 q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id % 8 = 0),
 ranked AS (
@@ -2383,6 +2387,8 @@ SELECT query_id, vec_id, cosine_sim, rank,
        true AS score_in_range
 FROM ranked WHERE rank <= 5
 """
+
+SQL_EMBEDDING_IVF_TOPK = SQL_PLANTED_TOPK
 
 
 # xxhash64-rank group mapping for the q_embedding_kmeans planted corpus:
@@ -2432,6 +2438,17 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.when(g == j, m).otherwise(F.lit(0.0)) for j in range(8)]
         ).alias("embedding"),
     )
+    # The one-seed-per-group init proof requires ALL 64 planted ids to
+    # exist — a gap among the 8 smallest-hash ids would seed two
+    # centroids in one group and the oracle would red-flag the OPERATOR.
+    # Fail loudly on the fixture instead (review catch r8); every
+    # driver scale factor carries vec_ids 0..499+.
+    n_planted = corpus.count()
+    if n_planted != 64:
+        raise ValueError(
+            f"embedding_kmeans planted corpus needs vec_ids 0..63 "
+            f"(got {n_planted} rows)"
+        )
     cents = kmeans_centroids(corpus, k=8, n_iter=3)
     rows = cents.collect()
     dots = F.array(
