@@ -1019,3 +1019,44 @@ def test_jpeg_lossless_audit_operator(spark):
         r.is_sof3 and r.gray_exact_all_predictors and r.rgb_exact
         for r in out
     )
+
+
+def test_jpeg_progressive_band_split_bit_identical():
+    """Multi-band spectral selection (the IJG-style scan script): AC
+    bands split across several first+refinement scans must accumulate to
+    the same coefficients as the single 1-63 band — decode stays
+    BIT-IDENTICAL to sequential for any contiguous partition, with and
+    without restart intervals; the default single-band output stays
+    byte-identical to the pre-split encoder."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(23)
+    gray = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    assert mm.encode_jpeg_progressive(gray) == mm.encode_jpeg_progressive(
+        gray, ac_bands=[(1, 63)]
+    )
+    seq = mm._decode_jpeg(mm.encode_jpeg_gray8(gray))
+    for bands in ([(1, 5), (6, 63)], [(1, 1), (2, 9), (10, 63)]):
+        got = mm._decode_jpeg(
+            mm.encode_jpeg_progressive(gray, ac_bands=bands)
+        )
+        assert np.array_equal(seq, got), bands
+        got = mm._decode_jpeg(
+            mm.encode_jpeg_progressive(
+                gray, ac_bands=bands, restart_interval=3
+            )
+        )
+        assert np.array_equal(seq, got), ("DRI", bands)
+    rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    seq = mm._decode_jpeg(mm.encode_jpeg_rgb24(rgb, subsampling="4:2:0"))
+    got = mm._decode_jpeg(
+        mm.encode_jpeg_progressive(
+            rgb, subsampling="4:2:0", ac_bands=[(1, 5), (6, 63)]
+        )
+    )
+    assert np.array_equal(seq, got)
+    # non-partitions refuse before any scan is emitted
+    for bad in ([(2, 63)], [(1, 5), (7, 63)], [(1, 5)]):
+        with pytest.raises(ValueError, match="ac_bands"):
+            mm.encode_jpeg_progressive(gray, ac_bands=bad)

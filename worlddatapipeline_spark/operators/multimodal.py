@@ -1084,6 +1084,7 @@ def encode_jpeg_progressive(
     quant: np.ndarray | None = None,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    ac_bands: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Encode gray (h, w) or RGB (h, w, 3) uint8 pixels as a PROGRESSIVE
     JFIF JPEG (SOF2) using the canonical four-phase successive-
@@ -1101,9 +1102,30 @@ def encode_jpeg_progressive(
     (interleaved MCUs in the DC scans, single data units in the
     non-interleaved AC scans, T.81 §A.2.2) — markers byte-align, cycle
     0–7 per scan, and reset the DC predictors; no EOB run ever spans one
-    (this encoder ends EOB runs per block)."""
+    (this encoder ends EOB runs per block).
+
+    ``ac_bands`` splits the AC spectrum into multiple spectral-selection
+    scans (default one 1–63 band — byte-identical to the pre-r8 output):
+    each (Ss, Se) band gets its own AC-first and AC-refinement scan per
+    component, the multi-band layout real encoders emit (e.g. IJG's
+    default scan script uses 1–5 / 6–63).  Bands must partition 1..63
+    contiguously so successive approximation still transmits every
+    coefficient exactly and the progressive==sequential bit-identity
+    contract holds for ANY band split."""
     import struct  # noqa: PLC0415
 
+    ac_bands = list(ac_bands) if ac_bands is not None else [(1, 63)]
+    want = 1
+    for ss, se in ac_bands:
+        if ss != want or se < ss or se > 63:
+            raise ValueError(
+                f"ac_bands must partition 1..63 contiguously, got {ac_bands}"
+            )
+        want = se + 1
+    if want != 64:
+        raise ValueError(
+            f"ac_bands must cover the whole 1..63 spectrum, got {ac_bands}"
+        )
     q = _jpeg_quant(quant)
     h, w, planes, sampling = _jpeg_prepare_planes(pixels, subsampling)
     n_comp = len(planes)
@@ -1174,91 +1196,95 @@ def encode_jpeg_progressive(
             bw2.write(int(coefs[ci][by, bx, 0]) & 1, 1)
     scans.append((sos_body(range(1, n_comp + 1), 0, 0, 1, 0), bw2.flush()))
 
-    for ci in range(n_comp):
-        hs, vs = sampling[ci]
-        bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
-        # scan 3+ci: AC first, whole band, Al=1 (magnitude shift);
-        # non-interleaved scan ⇒ restart interval counts single blocks
-        bwa = _BitWriter()
-        blk_i = 0
-        for by in range(bh_t):
-            for bx in range(bw_t):
-                maybe_restart(bwa, blk_i)
-                blk_i += 1
-                zz = coefs[ci][by, bx]
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    t = (abs(v) >> 1) * (1 if v > 0 else -1)
-                    if t == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zc, zl = ac_codes[0xF0]
-                        bwa.write(zc, zl)
-                        run -= 16
-                    size, amp = _jpeg_magnitude(t)
-                    code, length = ac_codes[(run << 4) | size]
-                    bwa.write(code, length)
-                    bwa.write(amp, size)
+    for ss, se in ac_bands:
+        for ci in range(n_comp):
+            hs, vs = sampling[ci]
+            bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
+            # AC first over [ss, se], Al=1 (magnitude shift);
+            # non-interleaved scan ⇒ restart interval counts single blocks
+            bwa = _BitWriter()
+            blk_i = 0
+            for by in range(bh_t):
+                for bx in range(bw_t):
+                    maybe_restart(bwa, blk_i)
+                    blk_i += 1
+                    zz = coefs[ci][by, bx]
                     run = 0
-                if run:
-                    code, length = ac_codes[0x00]  # EOB, run of 1
-                    bwa.write(code, length)
-        scans.append((sos_body([ci + 1], 1, 63, 0, 1), bwa.flush()))
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        t = (abs(v) >> 1) * (1 if v > 0 else -1)
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            zc, zl = ac_codes[0xF0]
+                            bwa.write(zc, zl)
+                            run -= 16
+                        size, amp = _jpeg_magnitude(t)
+                        code, length = ac_codes[(run << 4) | size]
+                        bwa.write(code, length)
+                        bwa.write(amp, size)
+                        run = 0
+                    if run:
+                        code, length = ac_codes[0x00]  # EOB, run of 1
+                        bwa.write(code, length)
+            scans.append((sos_body([ci + 1], ss, se, 0, 1), bwa.flush()))
 
-    for ci in range(n_comp):
-        hs, vs = sampling[ci]
-        bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
-        # final scans: AC refinement Ah=1→Al=0 (G.1.2.3 / the IJG
-        # buffered-correction-bit algorithm; flush after every symbol);
-        # pending bits never span blocks, so restarts are state-clean
-        bwr = _BitWriter()
-        blk_i = 0
-        for by in range(bh_t):
-            for bx in range(bw_t):
-                maybe_restart(bwr, blk_i)
-                blk_i += 1
-                zz = coefs[ci][by, bx]
-                run = 0
-                pending: list[int] = []
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    av = abs(v)
-                    if av == 0:
-                        run += 1
-                        continue
-                    # Drain run > 15 at EVERY nonzero coefficient (IJG
-                    # ordering), BEFORE the already-significant branch: a
-                    # decoder's ZRL span covers exactly 16 zero-history
-                    # positions, so a correction bit buffered for a
-                    # coefficient beyond that span and flushed after the
-                    # ZRL would desynchronize the stream (review catch
-                    # r7, executed repro: [16 zeros, |v|=2, …, |v|=1]).
-                    while run > 15:
-                        zc, zl = ac_codes[0xF0]
-                        bwr.write(zc, zl)
+    for ss, se in ac_bands:
+        for ci in range(n_comp):
+            hs, vs = sampling[ci]
+            bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
+            # AC refinement over [ss, se], Ah=1→Al=0 (G.1.2.3 / the IJG
+            # buffered-correction-bit algorithm; flush after every
+            # symbol); pending bits never span blocks, so restarts are
+            # state-clean
+            bwr = _BitWriter()
+            blk_i = 0
+            for by in range(bh_t):
+                for bx in range(bw_t):
+                    maybe_restart(bwr, blk_i)
+                    blk_i += 1
+                    zz = coefs[ci][by, bx]
+                    run = 0
+                    pending: list[int] = []
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        av = abs(v)
+                        if av == 0:
+                            run += 1
+                            continue
+                        # Drain run > 15 at EVERY nonzero coefficient
+                        # (IJG ordering), BEFORE the already-significant
+                        # branch: a decoder's ZRL span covers exactly 16
+                        # zero-history positions, so a correction bit
+                        # buffered for a coefficient beyond that span and
+                        # flushed after the ZRL would desynchronize the
+                        # stream (review catch r7, executed repro:
+                        # [16 zeros, |v|=2, …, |v|=1]).
+                        while run > 15:
+                            zc, zl = ac_codes[0xF0]
+                            bwr.write(zc, zl)
+                            for bit in pending:
+                                bwr.write(bit, 1)
+                            pending = []
+                            run -= 16
+                        if av > 1:  # already significant: correction
+                            pending.append(av & 1)
+                            continue
+                        # newly significant (|v| == 1)
+                        code, length = ac_codes[(run << 4) | 1]
+                        bwr.write(code, length)
+                        bwr.write(1 if v > 0 else 0, 1)
                         for bit in pending:
                             bwr.write(bit, 1)
                         pending = []
-                        run -= 16
-                    if av > 1:  # already significant at Ah=1: correction
-                        pending.append(av & 1)
-                        continue
-                    # newly significant (|v| == 1)
-                    code, length = ac_codes[(run << 4) | 1]
-                    bwr.write(code, length)
-                    bwr.write(1 if v > 0 else 0, 1)
-                    for bit in pending:
-                        bwr.write(bit, 1)
-                    pending = []
-                    run = 0
-                if run or pending:
-                    code, length = ac_codes[0x00]
-                    bwr.write(code, length)
-                    for bit in pending:
-                        bwr.write(bit, 1)
-        scans.append((sos_body([ci + 1], 1, 63, 1, 0), bwr.flush()))
+                        run = 0
+                    if run or pending:
+                        code, length = ac_codes[0x00]
+                        bwr.write(code, length)
+                        for bit in pending:
+                            bwr.write(bit, 1)
+            scans.append((sos_body([ci + 1], ss, se, 1, 0), bwr.flush()))
 
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
