@@ -71,11 +71,11 @@ def test_rows_only_tail_is_bounded():
     # Pruned as entries gain oracles (r4: behavior_resample /
     # multimodal_features / simulate_trajectories; r5: minhash_candidates /
     # simhash_near_dups via the constructive-corpus pattern; r8:
-    # embedding_lsh_topk / embedding_ivf_topk via planted-neighbor corpora
-    # and embedding_kmeans via orthogonal xxhash-rank clusters) so an
-    # accidentally-dropped oracle regresses LOUDLY, not silently.
-    allowed = {
-        "semantic_dedup_keep",
-    }
+    # embedding_lsh_topk / embedding_ivf_topk via planted-neighbor corpora,
+    # embedding_kmeans AND semantic_dedup_keep via orthogonal xxhash-rank
+    # clusters).  The rows-only tail is now EMPTY — every registry entry
+    # has a full DuckDB value oracle; a new rows-only entry needs to be
+    # added here with a written justification.
+    allowed: set[str] = set()
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only <= allowed, rows_only - allowed

@@ -1208,13 +1208,14 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # predictive with exact round-trips), (b) every query whose
 # implementation or oracle changed in round 8 — the three ANN frames
 # upgraded from rows-only to FULL hash oracles via planted corpora
-# (embedding_lsh_topk / embedding_ivf_topk / embedding_kmeans — VERDICT
-# r7 item 5), the block-capped part_name_fuzzy_pairs (item 6), and the
+# (embedding_lsh_topk / embedding_ivf_topk / embedding_kmeans /
+# semantic_dedup_keep — VERDICT r7 item 5; the rows-only tail is now
+# EMPTY), the block-capped part_name_fuzzy_pairs (item 6), and the
 # five queries riding the refactored JPEG codec internals (shared
 # header-walk/prepare-planes + progressive restart intervals — items
 # 3/4), then (c) backfill by re-verification AGE: the ENTIRE 38-entry
-# r2-stale cohort (union histogram in VERDICT r7) plus the 2
-# alphabetically-first r3 greens.
+# r2-stale cohort (union histogram in VERDICT r7) plus the oldest r3
+# green.
 # Staleness floor after this window: r3.  Every entry below is
 # check_oracle PASS this session at sf0.01 (changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
@@ -1231,6 +1232,7 @@ _DRIVER_WINDOW: list[str] = [
     "jpeg_restart_contract",
     "jpeg_progressive_contract",
     "multimodal_features",
+    "semantic_dedup_keep",
     # staleness backfill: the whole r2-stale cohort (38)
     "below_avg_qty_revenue",
     "brand_band_revenue",
@@ -1270,9 +1272,8 @@ _DRIVER_WINDOW: list[str] = [
     "train_test_decontamination",
     "ue_path_derive",
     "user_event_gaps",
-    # staleness backfill: oldest r3 greens (2)
+    # staleness backfill: oldest r3 green (1)
     "approach_target_yaw",
-    "approx_distinct_contract",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

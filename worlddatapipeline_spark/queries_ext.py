@@ -2405,6 +2405,39 @@ _KMEANS_GROUPS = [
     0, 3, 5, 7, 6, 6, 4, 5, 0, 7, 1, 5, 7, 1, 5, 0,
 ]
 
+# DuckDB restatement of the mapping — one literal source (_KMEANS_GROUPS)
+# feeds the Spark fixture AND every oracle that reasons about it.
+_SQL_GROUPS_CTE = "m(vec_id, grp) AS (VALUES {})".format(
+    ", ".join(f"({i},{g})" for i, g in enumerate(_KMEANS_GROUPS))
+)
+
+
+def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame:
+    """The orthogonal planted-cluster fixture shared by q_embedding_kmeans
+    and q_semantic_dedup_keep: 64 ids, one-hot on 8 basis directions at
+    positive magnitudes, group = the id's xxhash64 RANK mod 8 (see the
+    _KMEANS_GROUPS comment — the rank mapping is what pins the k-means
+    init to one seed per group with cid == group).  Fails loudly if the
+    64-id precondition breaks (review catch r8)."""
+    g = F.element_at(
+        F.array(*[F.lit(x) for x in _KMEANS_GROUPS]),
+        (F.col("vec_id") + 1).cast("int"),
+    )
+    m = (F.col("vec_id") % 8 + 1).cast("double")
+    corpus = embeddings.filter(F.col("vec_id") < 64).select(
+        "vec_id",
+        F.array(
+            *[F.when(g == j, m).otherwise(F.lit(0.0)) for j in range(8)]
+        ).alias("embedding"),
+    )
+    n_planted = corpus.count()
+    if n_planted != 64:
+        raise ValueError(
+            f"planted kmeans corpus needs vec_ids 0..63 "
+            f"(got {n_planted} rows)"
+        )
+    return corpus
+
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means clustering (operators/similarity.py::
@@ -2427,28 +2460,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_centroids
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    g = F.element_at(
-        F.array(*[F.lit(x) for x in _KMEANS_GROUPS]),
-        (F.col("vec_id") + 1).cast("int"),
-    )
-    m = (F.col("vec_id") % 8 + 1).cast("double")
-    corpus = embeddings.filter(F.col("vec_id") < 64).select(
-        "vec_id",
-        F.array(
-            *[F.when(g == j, m).otherwise(F.lit(0.0)) for j in range(8)]
-        ).alias("embedding"),
-    )
-    # The one-seed-per-group init proof requires ALL 64 planted ids to
-    # exist — a gap among the 8 smallest-hash ids would seed two
-    # centroids in one group and the oracle would red-flag the OPERATOR.
-    # Fail loudly on the fixture instead (review catch r8); every
-    # driver scale factor carries vec_ids 0..499+.
-    n_planted = corpus.count()
-    if n_planted != 64:
-        raise ValueError(
-            f"embedding_kmeans planted corpus needs vec_ids 0..63 "
-            f"(got {n_planted} rows)"
-        )
+    corpus = _planted_kmeans_corpus(embeddings)
     cents = kmeans_centroids(corpus, k=8, n_iter=3)
     rows = cents.collect()
     dots = F.array(
@@ -2486,9 +2498,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_KMEANS = f"""
-WITH m(vec_id, grp) AS (VALUES {", ".join(
-    f"({i},{g})" for i, g in enumerate(_KMEANS_GROUPS)
-)}),
+WITH {_SQL_GROUPS_CTE},
 planted AS (
   SELECT grp FROM (SELECT vec_id FROM embeddings WHERE vec_id < 64) e
   JOIN m USING (vec_id)
@@ -4692,13 +4702,23 @@ GROUP BY id, label
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py::semantic_dedup, arXiv:2303.09540):
     spherical-k-means clusters bound the pairwise term; lower-id keep-rule
-    within each cluster.  Rows-only (cluster assignment is iterative, not
-    SQL); full pair validity (cosine recompute) is enforced by
-    `semantic_dedup_contract`; the frame also carries its cheap structural
-    invariants inline (VERDICT r6 item 9): the keep-rule ordering
-    (dup_of < vec_id) and the cluster-id range."""
+    within each cluster.
+
+    FULL hash oracle via the orthogonal planted-cluster fixture shared
+    with q_embedding_kmeans (r8 — this was the last rows-only registry
+    entry): clustering provably recovers the `_KMEANS_GROUPS` partition
+    (one xxhash-rank seed per group, cid == group), in-group cosine is
+    exactly 1.0 >= 0.35 and cross-group 0.0 < 0.35, so the removal set is
+    closed-form — every group member except the minimum vec_id, with
+    ``dup_of`` = that minimum (the operator's documented smallest-partner
+    rule).  The full SemDeDup path still executes: Lloyd's training,
+    argmax assignment, per-cluster GEMM keep-rule.  Real-corpus validity
+    stays enforced by `semantic_dedup_contract` (every emitted pair
+    recomputed at the threshold on the raw table); the structural
+    invariant columns stay."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.semantic_dedup(embeddings, threshold=0.35, k=8, n_iter=3)
+    corpus = _planted_kmeans_corpus(embeddings)
+    out = sim_ops.semantic_dedup(corpus, threshold=0.35, k=8, n_iter=3)
     return out.select(
         *out.columns,
         (F.col("dup_of") < F.col("vec_id")).alias("order_ok"),
@@ -4706,6 +4726,24 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_in_range"
         ),
     )
+
+
+SQL_SEMANTIC_DEDUP_KEEP = f"""
+WITH {_SQL_GROUPS_CTE},
+planted AS (
+  SELECT e.vec_id, m.grp
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 64) e
+  JOIN m USING (vec_id)
+),
+keep AS (SELECT grp, min(vec_id) AS keeper FROM planted GROUP BY grp)
+SELECT p.vec_id,
+       CAST(p.grp AS BIGINT) AS cluster,
+       k.keeper AS dup_of,
+       true AS order_ok,
+       true AS cluster_in_range
+FROM planted p JOIN keep k USING (grp)
+WHERE p.vec_id <> k.keeper
+"""
 
 
 def q_semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4756,6 +4794,7 @@ EXT_ORACLES["chunk_dedup_rewrite"] = SQL_CHUNK_DEDUP_REWRITE
 EXT_QUERIES["bucketed_cosine_dedup"] = q_bucketed_cosine_dedup
 EXT_ORACLES["bucketed_cosine_dedup"] = SQL_BUCKETED_COSINE_DEDUP
 EXT_QUERIES["semantic_dedup_keep"] = q_semantic_dedup_keep
+EXT_ORACLES["semantic_dedup_keep"] = SQL_SEMANTIC_DEDUP_KEEP
 EXT_QUERIES["semantic_dedup_contract"] = q_semantic_dedup_contract
 EXT_ORACLES["semantic_dedup_contract"] = SQL_SEMANTIC_DEDUP_CONTRACT
 
