@@ -1060,3 +1060,54 @@ def test_jpeg_progressive_band_split_bit_identical():
     for bad in ([(2, 63)], [(1, 5), (7, 63)], [(1, 5)]):
         with pytest.raises(ValueError, match="ac_bands"):
             mm.encode_jpeg_progressive(gray, ac_bands=bad)
+
+
+def test_codec_docstrings_list_same_format_sets():
+    """The module docstring and _decode_bytes' docstring drifted apart two
+    rounds running (r7: progressive missing; r8: lossless/SOF3 missing from
+    the module list).  Pin both to the same REAL and STUB format sets so the
+    next codec addition must update the pair together."""
+    module_doc = mm.__doc__
+    fn_doc = mm._decode_bytes.__doc__
+    real = [
+        "BMP",
+        "WAV",
+        "PNG",
+        "sequential",
+        "progressive",
+        "lossless",
+        "restart intervals",
+        "16-bit DQT",
+        "SOF2",
+        "SOF3",
+    ]
+    stub = ["mp4", "arithmetic", "hierarchical", "differential"]
+    for token in real + stub:
+        assert token in module_doc, f"module docstring missing {token!r}"
+        assert token in fn_doc, f"_decode_bytes docstring missing {token!r}"
+
+
+def test_jpeg_lossless_container_declares_color_space():
+    """SOF3 color carries raw R,G,B; JFIF mandates YCbCr, so the color
+    container must declare RGB via Adobe APP14 transform=0 instead of a
+    JFIF APP0 (external decoders would color-convert and misrender).
+    Grayscale keeps JFIF APP0, where it is accurate."""
+    import numpy as np
+    import struct
+
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    g_enc = mm.encode_jpeg_lossless(gray)
+    c_enc = mm.encode_jpeg_lossless(rgb)
+    assert g_enc[2:4] == b"\xff\xe0" and g_enc[6:10] == b"JFIF"
+    assert b"Adobe" not in g_enc
+    # color: APP14 first marker, 12-byte Adobe body, transform byte 0
+    assert c_enc[2:4] == b"\xff\xee"
+    (seglen,) = struct.unpack_from(">H", c_enc, 4)
+    body = c_enc[6 : 4 + seglen]
+    assert body[:5] == b"Adobe" and body[-1] == 0
+    assert b"JFIF" not in c_enc
+    # and both still decode exactly
+    assert np.array_equal(mm._decode_jpeg(g_enc), gray.reshape(-1))
+    assert np.array_equal(mm._decode_jpeg(c_enc), rgb.reshape(-1))

@@ -39,3 +39,47 @@ def test_synth_listing_roundtrip(spark):
     assert obj["size"] == 1 * 100 + 7
     assert obj["storage_class"] == "STANDARD"
     assert ("prefix", "scenes/Brand#17/") in rows
+
+
+def test_planted_corpus_degrades_to_empty_below_64_ids(spark, tmp_path):
+    """Below the 64-id planted-corpus floor, embedding_kmeans and
+    semantic_dedup_keep must emit EMPTY frames (matching schemas) and
+    their DuckDB oracles must go empty too — not hard-fail the harness
+    (ADVICE r8: the LSH/IVF planted corpora already degrade gracefully)."""
+    import duckdb
+
+    from worlddatapipeline_spark import queries_ext as qx
+
+    sf_dir = tmp_path / "tiny"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        [(i, [float(i)] * 8, 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(sf_dir / "embeddings.parquet"))
+
+    km = qx.q_embedding_kmeans(spark, str(sf_dir))
+    sd = qx.q_semantic_dedup_keep(spark, str(sf_dir))
+    assert km.count() == 0 and sd.count() == 0
+    assert km.columns == [
+        "cluster",
+        "n_vectors",
+        "cluster_in_range",
+        "size_positive",
+        "sizes_sum_to_corpus",
+    ]
+    assert sd.columns == [
+        "vec_id",
+        "cluster",
+        "dup_of",
+        "order_ok",
+        "cluster_in_range",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * "
+        "FROM read_parquet('{}/*.parquet')".format(
+            str(sf_dir / "embeddings.parquet")
+        )
+    )
+    assert con.execute(qx.SQL_EMBEDDING_KMEANS).fetchall() == []
+    assert con.execute(qx.SQL_SEMANTIC_DEDUP_KEEP).fetchall() == []

@@ -762,3 +762,25 @@ def test_delta_layout_guard_on_destructive_maintenance(spark, tmp_path):
         reconcile.vacuum_table(path)
     # the log directory is untouched
     assert os.path.isdir(os.path.join(path, "_delta_log"))
+
+
+def test_child_session_with_semantics_mirrors_caller_confs(spark):
+    """The Delta<3.1 autoMerge fallback runs its MERGE in a child session;
+    the child must mirror EVERY semantics-affecting runtime conf of the
+    caller (ADVICE r8: previously only timeZone was copied, so ANSI mode /
+    case sensitivity silently didn't apply to the fallback MERGE)."""
+    # mutate a throwaway session, not the shared fixture
+    parent = spark.newSession()
+    parent.conf.set("spark.sql.session.timeZone", "America/New_York")
+    parent.conf.set("spark.sql.ansi.enabled", "true")
+    parent.conf.set("spark.sql.caseSensitive", "true")
+    parent.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    child = reconcile._child_session_with_semantics(parent)
+    assert child is not parent
+    assert child.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    assert child.conf.get("spark.sql.ansi.enabled") == "true"
+    assert child.conf.get("spark.sql.caseSensitive") == "true"
+    assert child.conf.get("spark.sql.legacy.timeParserPolicy") == "CORRECTED"
+    # the child's conf is ISOLATED — setting on it must not leak back
+    child.conf.set("spark.sql.caseSensitive", "false")
+    assert parent.conf.get("spark.sql.caseSensitive") == "true"

@@ -73,21 +73,38 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from worlddatapipeline_spark import get_spark
+    from worlddatapipeline_spark import session as sess
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
         try:
+            # Capture the PRE-checkpoint plan of every frame the query
+            # materializes internally (materialize_and_release truncates
+            # lineage, so those plans never reach the returned frame —
+            # the r8 `{}`-fingerprint blind spot).  The fingerprint is
+            # the FEATURE-COUNT SUM over internal plans + the final
+            # static plan: one number per feature, still diffable.
+            sess._PLAN_CAPTURE = []
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+            plans = list(sess._PLAN_CAPTURE)
+            plans.append(
+                df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
                 )
             )
-            out[name] = fingerprint(plan)
+            fp: dict[str, int] = {}
+            for plan in plans:
+                for k, v in fingerprint(plan).items():
+                    fp[k] = fp.get(k, 0) + v
+            out[name] = fp
         except Exception as exc:  # keep sweeping; record the failure
             out[name] = {"error": str(exc)[:200]}
+        finally:
+            sess._PLAN_CAPTURE = None
         print(f"{name}: {out[name]}")
 
     if json_out:

@@ -7,10 +7,11 @@ Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
 with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
-unfilter), and huffman JPEG both sequential AND progressive (canonical
+unfilter), and huffman JPEG sequential, progressive AND lossless (canonical
 huffman + IDCT; grayscale and color at any integer sampling layout incl.
-4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1, and SOF2 spectral
-selection + successive approximation) — and STUBBED only for what
+4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1, SOF2 spectral
+selection + successive approximation, and SOF3 Annex-H predictive with
+exact round-trips) — and STUBBED only for what
 genuinely needs a codec library this container lacks (mp4) or an encoder
 this repo cannot yet emit (arithmetic/hierarchical/differential JPEG):
 there the clearly-marked deterministic fake views the payload bytes as
@@ -1038,7 +1039,8 @@ def _planes_to_pixels(planes, comps, hmax, vmax, h, w) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # progressive JPEG (SOF2, huffman): spectral selection + successive
 # approximation, both directions — closes the last common real-media decode
-# gap; the stub boundary is now mp4 + arithmetic/lossless/hierarchical JPEG
+# gap; the stub boundary is now mp4 + arithmetic/hierarchical/differential
+# JPEG (lossless SOF3 went real in round 8)
 # ---------------------------------------------------------------------------
 
 def _true_block_grid(h, w, hs, vs, hmax, vmax) -> tuple[int, int]:
@@ -1925,9 +1927,11 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
     ``jpeg_lossless_contract`` registry query.  First row predicts from
     the left neighbor, later row-starts from above, the first sample
     from 2^(P-1) = 128 (H.1.1); color encodes R,G,B as three interleaved
-    1×1 components (no YCbCr — losslessness is the point).  Restart
-    intervals and point transforms are not emitted (and the decoder
-    refuses them — untested paths refuse to the stub)."""
+    1×1 components (no YCbCr — losslessness is the point), declared via an
+    Adobe APP14 transform=0 segment so external decoders don't apply the
+    JFIF-mandated YCbCr conversion (grayscale keeps JFIF APP0, where it is
+    accurate).  Restart intervals and point transforms are not emitted
+    (and the decoder refuses them — untested paths refuse to the stub)."""
     import struct  # noqa: PLC0415
 
     if not 1 <= int(predictor) <= 7:
@@ -1979,10 +1983,21 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    # Container declaration: JFIF mandates YCbCr for 3-component streams,
+    # but SOF3 color here is raw R,G,B (losslessness is the point) — a JFIF
+    # APP0 would make external decoders color-convert and misrender.  Emit
+    # Adobe APP14 with transform=0 (= RGB, no transform) for color, and
+    # keep JFIF APP0 only for grayscale, where it is accurate.
+    if n_comp == 3:
+        app = seg(
+            0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0)
+        )
+    else:
+        app = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     return b"".join(
         [
             b"\xff\xd8",
-            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            app,
             seg(
                 0xFFC3,
                 struct.pack(">BHHB", 8, h, w, n_comp)

@@ -39,6 +39,43 @@ except Exception:  # pragma: no cover - container has no delta-spark
     _HAS_DELTA = False
 
 
+# Session confs that change QUERY SEMANTICS (not tuning): the Delta<3.1
+# autoMerge fallback runs its MERGE in a child session, which starts from
+# cluster defaults — every conf here is copied from the caller's session so
+# the fallback resolves casts/identifiers/timestamps under the same rules.
+_SEMANTIC_SESSION_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.storeAssignmentPolicy",
+    "spark.sql.legacy.timeParserPolicy",
+    "spark.sql.datetime.java8API.enabled",
+    "spark.sql.parquet.datetimeRebaseModeInRead",
+    "spark.sql.parquet.datetimeRebaseModeInWrite",
+    "spark.sql.parquet.int96RebaseModeInRead",
+    "spark.sql.parquet.int96RebaseModeInWrite",
+)
+
+
+def _child_session_with_semantics(spark):
+    """A child session (isolated SQLConf, shared SparkContext) whose
+    semantics-affecting runtime confs mirror the caller's.  newSession()
+    starts from cluster defaults, not the caller's runtime confs — without
+    the copy, a Delta<3.1 fallback MERGE would silently resolve casts,
+    identifiers, and timestamps under different ANSI/case-sensitivity/
+    timezone rules than the caller's session (ADVICE r8; previously only
+    timeZone was copied)."""
+    child = spark.newSession()
+    for key in _SEMANTIC_SESSION_CONFS:
+        try:
+            val = spark.conf.get(key, None)
+        except Exception:  # unknown key on this Spark build
+            val = None
+        if val is not None:
+            child.conf.set(key, val)
+    return child
+
+
 def _is_delta_table(path: str) -> bool:
     """True when delta-spark is importable AND ``path`` is a real Delta
     table (has a ``_delta_log``).  Routing key for the merge/read surface:
@@ -325,11 +362,7 @@ def merge_upsert_parquet(
         if hasattr(m, "withSchemaEvolution"):
             m.withSchemaEvolution().execute()
         else:  # pragma: no cover - only reachable on Delta < 3.1 images
-            child = spark.newSession()
-            child.conf.set(
-                "spark.sql.session.timeZone",
-                spark.conf.get("spark.sql.session.timeZone"),
-            )
+            child = _child_session_with_semantics(spark)
             child.conf.set(
                 "spark.databricks.delta.schema.autoMerge.enabled", "true"
             )

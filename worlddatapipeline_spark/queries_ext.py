@@ -2417,8 +2417,12 @@ def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame:
     and q_semantic_dedup_keep: 64 ids, one-hot on 8 basis directions at
     positive magnitudes, group = the id's xxhash64 RANK mod 8 (see the
     _KMEANS_GROUPS comment — the rank mapping is what pins the k-means
-    init to one seed per group with cid == group).  Fails loudly if the
-    64-id precondition breaks (review catch r8)."""
+    init to one seed per group with cid == group).  The proof needs ALL
+    64 ids (a missing id can orphan a group's init seed), so below that
+    floor this returns None and both consumers emit an EMPTY result —
+    mirrored by a completeness guard in their DuckDB oracles — instead of
+    hard-failing the harness at tiny scale factors (ADVICE r8; the LSH/
+    IVF planted corpora degrade the same way)."""
     g = F.element_at(
         F.array(*[F.lit(x) for x in _KMEANS_GROUPS]),
         (F.col("vec_id") + 1).cast("int"),
@@ -2430,12 +2434,8 @@ def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame:
             *[F.when(g == j, m).otherwise(F.lit(0.0)) for j in range(8)]
         ).alias("embedding"),
     )
-    n_planted = corpus.count()
-    if n_planted != 64:
-        raise ValueError(
-            f"planted kmeans corpus needs vec_ids 0..63 "
-            f"(got {n_planted} rows)"
-        )
+    if corpus.count() != 64:
+        return None
     return corpus
 
 
@@ -2461,6 +2461,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     corpus = _planted_kmeans_corpus(embeddings)
+    if corpus is None:  # sub-64-row table: empty on both sides, not a fail
+        return spark.createDataFrame(
+            [],
+            "cluster long, n_vectors long, cluster_in_range boolean, "
+            "size_positive boolean, sizes_sum_to_corpus boolean",
+        )
     cents = kmeans_centroids(corpus, k=8, n_iter=3)
     rows = cents.collect()
     dots = F.array(
@@ -2502,6 +2508,10 @@ WITH {_SQL_GROUPS_CTE},
 planted AS (
   SELECT grp FROM (SELECT vec_id FROM embeddings WHERE vec_id < 64) e
   JOIN m USING (vec_id)
+  -- completeness guard: below the 64-id floor the Spark side emits an
+  -- empty frame (the planted-init proof needs every group seed), so the
+  -- oracle must go empty too rather than aggregate a partial corpus
+  WHERE (SELECT count(*) FROM embeddings WHERE vec_id < 64) = 64
 )
 SELECT CAST(grp AS BIGINT) AS cluster,
        count(*) AS n_vectors,
@@ -4718,6 +4728,12 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant columns stay."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     corpus = _planted_kmeans_corpus(embeddings)
+    if corpus is None:  # sub-64-row table: empty on both sides, not a fail
+        return spark.createDataFrame(
+            [],
+            "vec_id long, cluster long, dup_of long, "
+            "order_ok boolean, cluster_in_range boolean",
+        )
     out = sim_ops.semantic_dedup(corpus, threshold=0.35, k=8, n_iter=3)
     return out.select(
         *out.columns,
@@ -4734,6 +4750,8 @@ planted AS (
   SELECT e.vec_id, m.grp
   FROM (SELECT vec_id FROM embeddings WHERE vec_id < 64) e
   JOIN m USING (vec_id)
+  -- completeness guard: mirrors the Spark side's empty-below-64 degrade
+  WHERE (SELECT count(*) FROM embeddings WHERE vec_id < 64) = 64
 ),
 keep AS (SELECT grp, min(vec_id) AS keeper FROM planted GROUP BY grp)
 SELECT p.vec_id,
