@@ -1202,78 +1202,74 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-8 rotation (NOTES_round8.md policy + VERDICT r7 item 1): nothing is
-# red in CORRECTNESS_r07 (46 green + 4 rows-only-by-design), so the window
-# is (a) the round-8 NEW query (jpeg_lossless_contract — SOF3 Annex-H
-# predictive with exact round-trips), (b) every query whose
-# implementation or oracle changed in round 8 — the three ANN frames
-# upgraded from rows-only to FULL hash oracles via planted corpora
-# (embedding_lsh_topk / embedding_ivf_topk / embedding_kmeans /
-# semantic_dedup_keep — VERDICT r7 item 5; the rows-only tail is now
-# EMPTY), the block-capped part_name_fuzzy_pairs (item 6), and the
-# five queries riding the refactored JPEG codec internals (shared
-# header-walk/prepare-planes + progressive restart intervals — items
-# 3/4), then (c) backfill by re-verification AGE: the ENTIRE 38-entry
-# r2-stale cohort (union histogram in VERDICT r7) plus the oldest r3
-# green.
-# Staleness floor after this window: r3.  Every entry below is
+# Round-9 rotation (VERDICT r8 item 1): nothing is red in CORRECTNESS_r08
+# (50/50 green), no new queries this round, so the window is (a) every
+# query whose implementation or oracle changed in round 9 —
+# gini_purchase_concentration (distributed global_index rank replaced the
+# three single-partition windows, VERDICT r8 item 3), jpeg_lossless_contract
+# (RGB SOF3 container now declares Adobe APP14 transform=0 instead of JFIF
+# APP0 — ADVICE r8), and embedding_kmeans / semantic_dedup_keep (planted
+# corpus + oracles gained the empty-below-64-ids completeness degrade —
+# ADVICE r8), then (b) backfill by re-verification AGE: the ENTIRE
+# 40-entry r3-stale cohort (union histogram in VERDICT r8; this retires
+# the r3 tier) plus the 6 alphabetically-first r4 greens.
+# Staleness floor after this window: r4.  Every entry below is
 # check_oracle PASS this session at sf0.01 (changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
-    # round-8 NEW (1)
+    # round-9 changed (4)
+    "gini_purchase_concentration",
     "jpeg_lossless_contract",
-    # round-8 changed (9)
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
     "embedding_kmeans",
-    "part_name_fuzzy_pairs",
-    "jpeg_roundtrip_contract",
-    "jpeg420_roundtrip_contract",
-    "jpeg_restart_contract",
-    "jpeg_progressive_contract",
-    "multimodal_features",
     "semantic_dedup_keep",
-    # staleness backfill: the whole r2-stale cohort (38)
-    "below_avg_qty_revenue",
-    "brand_band_revenue",
-    "child_refresh",
-    "dataset_split_stats",
-    "discount_revenue",
-    "doc_repetition_filter",
-    "embedding_cosine_dups",
-    "event_value_percentiles",
-    "excess_stock_suppliers",
-    "glob_exclusion_stats",
-    "hourly_event_windows",
-    "idle_high_balance_customers",
-    "large_order_customers",
-    "late_order_priority_counts",
-    "late_shipment_priority_mix",
-    "local_supplier_volume",
-    "low_activity_skip",
-    "min_cost_supplier",
-    "nation_market_share",
-    "nation_pair_volume",
-    "order_count_distribution",
-    "order_exists_probe",
-    "paragraph_dup_ratio",
-    "part_profit_by_nation",
-    "part_value_share",
-    "pii_redaction",
-    "promo_revenue_ratio",
-    "returned_top_customers",
-    "salted_event_value_sum",
-    "sole_late_suppliers",
-    "source_quota_sample",
-    "stratified_sample_stats",
-    "streaming_hourly_windows",
-    "supplier_distinct_counts",
-    "top_supplier_revenue",
-    "train_test_decontamination",
-    "ue_path_derive",
-    "user_event_gaps",
-    # staleness backfill: oldest r3 green (1)
-    "approach_target_yaw",
+    # staleness backfill: the whole r3-stale cohort (40)
+    "approx_distinct_contract",
+    "behavior_resample_checked",
+    "bucketed_cosine_dedup",
+    "chunk_dedup_rewrite",
+    "cumulative_user_value",
+    "customer_value_deciles",
+    "dedup_cluster_keep",
+    "duplicate_span_stats",
+    "embedding_decontamination",
+    "embedding_norm_stats",
+    "event_id_islands",
+    "event_type_pivot",
+    "exists_subquery_customers",
+    "fixed_speed_truncate",
+    "heavy_hitters_contract",
+    "kmeans_objective_check",
+    "length_band_filter",
+    "measure_unpivot",
+    "minhash_recall_check",
+    "mixture_weights",
+    "multimodal_meta_stats",
+    "ngram_jaccard_pairs",
+    "reachability_probe",
+    "rolling_hour_event_rate",
+    "salted_skew_join",
+    "scene_search",
+    "segment_clip_after_truncate",
+    "segment_cube_stats",
+    "segment_set_ops",
+    "semantic_dedup_contract",
+    "simhash_exact_containment",
+    "sliding_event_windows",
+    "sql_api_revenue",
+    "streaming_dedup_counts",
+    "streaming_session_windows",
+    "streaming_stall_audit",
+    "time_grid_ffill",
+    "token_shard_packing",
+    "value_dispersion_stats",
+    "weighted_behavior_choice",
+    # staleness backfill: alphabetically-first r4 greens (6)
+    "approx_quantile_contract",
+    "asof_next_click_after_view",
+    "behavior_resample",
+    "bfs_hops_from_hubs",
+    "bloom_decontamination",
+    "bm25_topk_search",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
