@@ -848,3 +848,160 @@ def test_interval_join_forced_kill_mid_stream_resumes(spark, tmp_path):
     assert got == expected
     assert len(got_rows) == len(got)  # exactly-once: no replay duplicates
     assert {r["user_id"] for r in got_rows} == {1, 3, 4}
+
+
+def test_ewma_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """EWMA applyInPandasWithState numeric state must survive a forced
+    kill (VERDICT r8 item 7 — EWMA was one of two oracle-checked
+    pipelines without a restart-parity test): batch 0 commits (state =
+    smoothed y + composite (t, id) high-water mark), batch 1 crashes
+    constructed-but-uncommitted, and the resume from the same checkpoint
+    must replay batch 1 exactly once and keep smoothing batch 2 FROM THE
+    PRE-CRASH STATE.  Final per-event ewma equals the batch sorted scan
+    bit-for-bit (shared ewma_series kernel)."""
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.stateful import ewma_series
+
+    schema = "user_id long, event_id long, event_us long, value double"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    chunks = [
+        [(1, 1, 100, 10.0), (1, 2, 200, 20.0), (2, 1, 100, 5.0)],
+        [(1, 3, 300, 30.0), (2, 2, 200, 15.0)],   # crashed micro-batch
+        [(1, 4, 300, 40.0), (2, 3, 350, 25.0)],   # id 4 ties t=300 cross-crash
+    ]
+
+    def write(c):
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start(batch_fn):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            monitor.streaming_ewma(stream, alpha=0.25)
+            .writeStream.outputMode("append")
+            .foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def clean(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def poisoned(df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected mid-stream crash")
+        clean(df, batch_id)
+
+    write(chunks[0])
+    write(chunks[1])
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        start(poisoned).awaitTermination()
+    write(chunks[2])
+    start(clean).awaitTermination()
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.read.parquet(out).collect()
+    }
+    per_key = {
+        1: [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+        2: [(1, 5.0), (2, 15.0), (3, 25.0)],
+    }
+    expected = {}
+    for uid, series in per_key.items():
+        vals, _ = ewma_series(
+            np.array([v for _, v in series], dtype="float64"), 0.25
+        )
+        for (eid, _), y in zip(series, vals):
+            expected[(uid, eid)] = y
+    assert got == expected  # exact, no lost state, no replay duplicates
+
+
+def test_static_enrichment_forced_kill_mid_stream_resumes(spark, tmp_path):
+    """Stream-static join + complete-mode count grid must survive a forced
+    kill (VERDICT r8 item 7 — the second pipeline without a restart-parity
+    test): the aggregation state store holds batch-0 counts at crash time;
+    the resume must replay the crashed micro-batch exactly once (no
+    double-counted events) and keep enriching against the static dim.
+    The final complete-mode grid equals the batch join+groupBy over all
+    chunks."""
+    schema = "user_id long, event_id long, ts timestamp, value double, event_type string"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    t = T0
+    chunks = [
+        [(1, 1, t, 10.0, "view"), (2, 2, t, 20.0, "purchase")],
+        [(1, 3, t, 30.0, "purchase"), (3, 4, t, 40.0, "view")],  # crashes
+        [(2, 5, t, 50.0, "view"), (3, 6, t, 60.0, "purchase")],
+    ]
+    tiers = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "user_id long, tier int"
+    )
+
+    def write(c):
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def build(stream):
+        return (
+            stream.select("user_id", "event_type", "value")
+            .join(tiers, "user_id", "inner")
+            .groupBy("tier", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("value_us"),
+            )
+        )
+
+    def start(batch_fn):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            build(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def clean(df, batch_id):
+        # complete mode: each batch emits the WHOLE grid — keep the latest
+        df.write.mode("overwrite").parquet(out)
+
+    def poisoned(df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected mid-stream crash")
+        clean(df, batch_id)
+
+    write(chunks[0])
+    write(chunks[1])
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        start(poisoned).awaitTermination()
+    write(chunks[2])
+    start(clean).awaitTermination()
+
+    got = {
+        (r["tier"], r["event_type"]): (r["n_events"], r["value_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    allrows = spark.createDataFrame(sum(chunks, []), schema)
+    expected = {
+        (r["tier"], r["event_type"]): (r["n_events"], r["value_us"])
+        for r in build(allrows).collect()
+    }
+    assert got == expected  # exactly-once across the crash, dim intact
