@@ -591,6 +591,20 @@ _SINGLE_EXCHANGE_OK = {
     "simulate_contract",
     "theta_sketch_overlap",
     "unigram_lm_perplexity",
+    # r9: the audit now fingerprints INTERNALLY MATERIALIZED plans too
+    # (VERDICT r8 item 4), so queries whose bounded scalar readouts were
+    # hidden behind materialize_and_release surfaced.  Each inspected:
+    # 1-row experiment/contract readouts (cuped/did/KM, pair-cap audits)
+    "cuped_adjusted_ab",
+    "did_readout",
+    "kaplan_meier_churn",
+    "minhash_verified_dups",
+    "short_text_editdups",
+    # global_index per-partition size rollup: <= shuffle-partition rows
+    "curriculum_order_stats",
+    "rfm_segments",
+    # two 1-row aggs + the 10-row decile-prefix window (VERDICT r8 item 3)
+    "gini_purchase_concentration",
 }
 
 # Queries allowed to contain SortMergeJoin: all large⋈large by design
@@ -621,6 +635,20 @@ _SMJ_OK = {
     "min_cost_supplier",
     # users×brands candidate anti-join against the interaction fact
     "negative_sampling_pairs",
+    # r9: internal-plan capture surfaced these (VERDICT r8 item 4).
+    # Iterative edge⋈frontier / edge⋈rank kernels — fact⋈fact per round
+    "bfs_hops_from_hubs",
+    "pagerank_scores",
+    # lineitem⋈orders fact⋈fact + the basket self-join
+    "brand_affinity_topk",
+    # shingle posting-list self-join
+    "ngram_jaccard_pairs",
+    # candidate-pairs ∩ exact-pairs semi-join, both fact-derived (same
+    # class as minhash_recall_check above)
+    "minhash_verified_dups",
+    # full-outer join of the two halves' BOUNDED bin frames — full_outer
+    # can never broadcast, so SMJ on a tiny frame is the only plan
+    "distribution_drift",
 }
 
 

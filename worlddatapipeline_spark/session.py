@@ -62,31 +62,6 @@ def get_spark(
     return b.getOrCreate()
 
 
-# Plan-audit capture hook (tools/plan_audit.py): an eager localCheckpoint
-# truncates lineage, so the RETURNED frame of a materializing query plans as
-# a bare `Scan ExistingRDD` and its real work is invisible to the static
-# fingerprint sweep (VERDICT r8 item 4: gini / short_text_editdups
-# fingerprinted as {}).  When the sweep enables capture (a list), every
-# frame about to be materialized records its formatted PRE-checkpoint plan
-# here; normal runs leave it None and pay one `is None` check.
-_PLAN_CAPTURE: list[str] | None = None
-
-
-def _record_materialized_plan(df) -> None:
-    if _PLAN_CAPTURE is None:
-        return
-    try:
-        _PLAN_CAPTURE.append(
-            df._jdf.queryExecution().explainString(
-                df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-            )
-        )
-    except Exception:  # capture is diagnostic only — never fail the query
-        pass
-
-
 def materialize_and_release(result, *cached):
     """Materialize ``result`` with an eager ``localCheckpoint``, then
     unpersist the ``cached`` frames it derived from.
@@ -108,7 +83,6 @@ def materialize_and_release(result, *cached):
     per call, but a driver LOOPING over such calls should `.unpersist()`
     each returned frame when done with it rather than relying on GC pace.
     """
-    _record_materialized_plan(result)
     out = result.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
