@@ -213,6 +213,8 @@ LLM = [
     "jpeg_progressive_contract",
     # round-8 additions
     "jpeg_lossless_contract",
+    # round-9 additions
+    "jpeg_hierarchical_contract",
 ]
 
 

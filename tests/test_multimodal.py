@@ -1076,12 +1076,14 @@ def test_codec_docstrings_list_same_format_sets():
         "sequential",
         "progressive",
         "lossless",
+        "hierarchical",
         "restart intervals",
         "16-bit DQT",
         "SOF2",
         "SOF3",
+        "SOF7",
     ]
-    stub = ["mp4", "arithmetic", "hierarchical", "differential"]
+    stub = ["mp4", "arithmetic", "SOF5", "SOF6"]
     for token in real + stub:
         assert token in module_doc, f"module docstring missing {token!r}"
         assert token in fn_doc, f"_decode_bytes docstring missing {token!r}"
@@ -1111,3 +1113,138 @@ def test_jpeg_lossless_container_declares_color_space():
     # and both still decode exactly
     assert np.array_equal(mm._decode_jpeg(g_enc), gray.reshape(-1))
     assert np.array_equal(mm._decode_jpeg(c_enc), rgb.reshape(-1))
+
+
+def test_jpeg_hierarchical_exact_roundtrip():
+    """Annex-J hierarchical pyramids must reconstruct the EXACT input at
+    every level count — the final differential frame corrects the
+    reference to the original, so equality is the contract, not an
+    envelope.  Covers odd dims, degenerate 1-pixel/1-row shapes, gray
+    and RGB, and all 7 initial-frame predictors."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    for shape in [(16, 16), (17, 13), (1, 1), (3, 5), (1, 37)]:
+        raw = rng.integers(0, 256, shape, dtype=np.uint8)
+        for lv in (1, 2, 3, 4):
+            enc = mm.encode_jpeg_hierarchical(raw, levels=lv)
+            assert np.array_equal(
+                mm._decode_jpeg(enc), raw.reshape(-1)
+            ), (shape, lv)
+    rgb = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    enc = mm.encode_jpeg_hierarchical(rgb, levels=3)
+    assert b"Adobe" in enc  # same raw-RGB container rule as SOF3 color
+    assert np.array_equal(mm._decode_jpeg(enc), rgb.reshape(-1))
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    for p in range(1, 8):
+        enc = mm.encode_jpeg_hierarchical(gray, levels=3, predictor=p)
+        assert np.array_equal(mm._decode_jpeg(enc), gray.reshape(-1)), p
+    # marker structure: DHP before the initial SOF3, one EXP + SOF7 pair
+    # per upsampling step
+    enc = mm.encode_jpeg_hierarchical(gray, levels=3)
+    assert enc.count(b"\xff\xde") == 1
+    assert 0 <= enc.find(b"\xff\xde") < enc.find(b"\xff\xc3")
+    assert enc.count(b"\xff\xdf") == 2 and enc.count(b"\xff\xc7") == 2
+
+
+def test_jpeg_hierarchical_expand_is_spec_bilinear():
+    """The reference upsampler is NORMATIVE (T.81 J.1.1.2): even outputs
+    copy the reference, odd outputs are (Ra+Rb+1)>>1 with edge
+    replication, horizontal pass before vertical.  Pin a hand-computed
+    golden so an off-by-one in rounding or pass order can't hide behind
+    the self-correcting differential frame."""
+    import numpy as np
+
+    ref = np.array([[0, 10], [20, 40]], dtype=np.int32)
+    got = mm._hier_expand(ref, 4, 4)
+    # horizontal: rows [0,5,10,10] and [20,30,40,40]
+    # vertical odd rows: avg of those two with +1 rounding
+    expected = np.array(
+        [
+            [0, 5, 10, 10],
+            [10, 18, 25, 25],
+            [20, 30, 40, 40],
+            [20, 30, 40, 40],
+        ],
+        dtype=np.int32,
+    )
+    assert np.array_equal(got, expected)
+    # odd-dim trim: one extra row/column dropped
+    assert mm._hier_expand(ref, 3, 3).shape == (3, 3)
+    assert np.array_equal(mm._hier_expand(ref, 3, 3), expected[:3, :3])
+
+
+def test_jpeg_hierarchical_refusals_to_stub():
+    """Untested hierarchical paths must refuse, never misdecode: DCT and
+    differential-DCT frames inside a DHP sequence, non-2x2 EXP modes,
+    differential frames without a preceding EXP, truncated sequences,
+    frames that never reach the DHP dims, and oversized pyramids."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(32)
+    raw = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    good = mm.encode_jpeg_hierarchical(raw, levels=2)
+
+    def expect_stub(payload, match):
+        with pytest.raises(ValueError, match=match):
+            mm._decode_jpeg(bytes(payload))
+        assert mm._decode_bytes(bytes(payload)).tolist() == list(
+            bytes(payload)
+        )
+
+    # differential-DCT frame (SOF5) in place of the SOF7 frame
+    expect_stub(good.replace(b"\xff\xc7", b"\xff\xc5", 1),
+                "unsupported hierarchical")
+    # progressive frame (SOF2) in place of the initial SOF3
+    expect_stub(good.replace(b"\xff\xc3", b"\xff\xc2", 1),
+                "unsupported hierarchical")
+    # EXP mode other than expand-both (0x11)
+    i = good.index(b"\xff\xdf")
+    one_way = bytearray(good)
+    one_way[i + 4] = 0x10
+    expect_stub(one_way, "EXP mode")
+    # differential frame without its EXP: excise the 5-byte EXP segment
+    no_exp = good[:i] + good[i + 5:]
+    expect_stub(no_exp, "without preceding EXP")
+    # truncate after the initial frame: DHP dims never reached
+    j = good.index(b"\xff\xdf")
+    truncated = good[:j] + b"\xff\xd9"
+    expect_stub(truncated, "never reached DHP dims")
+    # bomb header: huge DHP dims must refuse before any allocation
+    k = good.index(b"\xff\xde")
+    bomb = bytearray(good)
+    bomb[k + 5 : k + 9] = struct.pack(">HH", 60000, 60000)
+    expect_stub(bomb, "decode cap|component mismatch|exceeds DHP")
+    # a bare differential SOF7 with no DHP stays refused at the
+    # sequential walk (no reference exists)
+    seq = mm.encode_jpeg_gray8(raw)
+    expect_stub(seq.replace(b"\xff\xc0", b"\xff\xc7", 1), "SOF type")
+
+
+def test_jpeg_hierarchical_intermediate_levels_are_real_images():
+    """The pyramid is a genuine progressive-resolution transmission: the
+    coarsest frame alone (truncated stream re-terminated at its own
+    dims) decodes to the encoder's downsample of the input — i.e. the
+    levels are meaningful previews, not arbitrary residue."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    raw = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    # what the encoder's pyramid builder produces at level 1
+    want = mm._hier_downsample(raw.astype(np.int32))
+    # decode only the initial frame: reuse the SOF3 standalone decoder on
+    # a re-assembled non-hierarchical stream with the same scan bytes
+    enc = mm.encode_jpeg_hierarchical(raw, levels=2)
+    s3 = enc.index(b"\xff\xc3")
+    exp = enc.index(b"\xff\xdf")
+    dht = enc.index(b"\xff\xc4")
+    standalone = (
+        enc[:dht].replace(b"\xff\xde", b"\xff\xfe", 1)  # DHP -> COM
+        + enc[dht:exp]
+        + b"\xff\xd9"
+    )
+    got = mm._decode_jpeg(standalone).reshape(16, 16)
+    assert np.array_equal(got, want.astype(np.uint8))

@@ -7,13 +7,15 @@ Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
 with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
-unfilter), and huffman JPEG sequential, progressive AND lossless (canonical
-huffman + IDCT; grayscale and color at any integer sampling layout incl.
-4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1, SOF2 spectral
-selection + successive approximation, and SOF3 Annex-H predictive with
-exact round-trips) — and STUBBED only for what
+unfilter), and huffman JPEG sequential, progressive, lossless AND
+hierarchical (canonical huffman + IDCT; grayscale and color at any integer
+sampling layout incl. 4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1,
+SOF2 spectral selection + successive approximation, SOF3 Annex-H
+predictive with exact round-trips, and Annex-J DHP/EXP/SOF7 differential
+pyramids with exact round-trips) — and STUBBED only for what
 genuinely needs a codec library this container lacks (mp4) or an encoder
-this repo cannot yet emit (arithmetic/hierarchical/differential JPEG):
+this repo cannot yet emit (arithmetic JPEG and the differential-DCT
+hierarchical frames SOF5/SOF6):
 there the clearly-marked deterministic fake views the payload bytes as
 samples.  A real deployment swaps ONLY that function (e.g. for PIL /
 libav via pip on the cluster image); every Spark-side concern here is
@@ -877,10 +879,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     layout virtually all real JPEGs use), 4:2:2, 4:4:0 — with
     nearest-neighbor chroma upsampling.  SOF2 (huffman progressive)
     delegates to ``_decode_jpeg_progressive``, SOF3 (huffman lossless) to
-    ``_decode_jpeg_lossless``; arithmetic/hierarchical/differential
-    coding raises ValueError so ``_decode_bytes`` falls back to the
-    byte-view stub (the documented swap point for a full codec library
-    at deployment).
+    ``_decode_jpeg_lossless``, DHP (hierarchical sequences, Annex J) to
+    ``_decode_jpeg_hierarchical``; arithmetic coding, bare differential
+    frames, and differential-DCT hierarchical frames raise ValueError so
+    ``_decode_bytes`` falls back to the byte-view stub (the documented
+    swap point for a full codec library at deployment).
     Returns a FLAT uint8 array —
     grayscale values, or interleaved per-channel RGB byte samples (the
     ``_decode_bmp`` 24-bit convention), cropped to the true SOF dims.
@@ -915,6 +918,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_jpeg_progressive(data)
         if marker == 0xC3:
             return _decode_jpeg_lossless(data)
+        if marker == 0xDE:  # DHP: hierarchical sequence (Annex J)
+            return _decode_jpeg_hierarchical(data)
+        # bare differential frames (SOF5-7 without a DHP reference) are
+        # illegal; arithmetic stays refused (see NOTES_round9.md)
         if marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type FF{marker:02X}")
@@ -1039,8 +1046,9 @@ def _planes_to_pixels(planes, comps, hmax, vmax, h, w) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # progressive JPEG (SOF2, huffman): spectral selection + successive
 # approximation, both directions — closes the last common real-media decode
-# gap; the stub boundary is now mp4 + arithmetic/hierarchical/differential
-# JPEG (lossless SOF3 went real in round 8)
+# gap; the stub boundary is now mp4 + arithmetic JPEG + differential-DCT
+# hierarchical frames (lossless SOF3 went real in round 8, hierarchical
+# lossless pyramids in round 9)
 # ---------------------------------------------------------------------------
 
 def _true_block_grid(h, w, hs, vs, hmax, vmax) -> tuple[int, int]:
@@ -1898,8 +1906,10 @@ def jpeg_progressive_roundtrip_audit(
 # ---------------------------------------------------------------------------
 # lossless JPEG (SOF3, huffman): T.81 Annex H predictive coding — the only
 # JPEG process with EXACT pixel round-trips; common in DICOM/archival
-# corpora.  Closes the 'lossless' third of the r7 refusal set; the stub
-# boundary is now mp4 + arithmetic/hierarchical/differential JPEG.
+# corpora.  Closes the 'lossless' third of the r7 refusal set; round 9's
+# Annex-J pyramids then retired 'hierarchical/differential lossless', so
+# the stub boundary is now mp4 + arithmetic JPEG + differential-DCT
+# hierarchical frames (SOF5/SOF6).
 # ---------------------------------------------------------------------------
 
 # T.81 H.1.2.1 predictor formulas, indexed by the 1-7 selector.  Written
@@ -1914,6 +1924,36 @@ _LOSSLESS_PREDICTORS = {
     6: lambda a, b, c: b + ((a - c) >> 1),
     7: lambda a, b, c: (a + b) >> 1,
 }
+
+
+def _lossless_residuals(
+    planes: list[np.ndarray], predictor: int
+) -> list[np.ndarray]:
+    """Vectorized Annex-H prediction residuals for int32 sample planes:
+    lossless prediction reads the ORIGINAL neighbor samples
+    (reconstruction is exact, so encoder and decoder see identical
+    neighborhoods).  First line predicts from the left neighbor, later
+    line-starts from above, the first sample from 2^(P-Pt-1) = 128
+    (H.1.1).  Shared by the standalone SOF3 encoder and the hierarchical
+    pyramid's initial frame."""
+    h, w = planes[0].shape
+    diffs = []
+    for p in planes:
+        pred = np.empty((h, w), dtype=np.int32)
+        pred[0, 0] = 128  # 2^(P - Pt - 1), P=8, Pt=0
+        if w > 1:
+            pred[0, 1:] = p[0, :-1]          # first line: predictor 1 (a)
+        if h > 1:
+            pred[1:, 0] = p[:-1, 0]          # line starts: predictor 2 (b)
+        if h > 1 and w > 1:
+            a = p[1:, :-1]
+            b = p[:-1, 1:]
+            c = p[:-1, :-1]
+            # evaluate ONLY the selected predictor (a dict literal would
+            # materialize all 7 full-plane arrays — review catch r8)
+            pred[1:, 1:] = _LOSSLESS_PREDICTORS[predictor](a, b, c)
+        diffs.append(p - pred)
+    return diffs
 
 
 def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
@@ -1947,25 +1987,7 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
         raise ValueError("encode_jpeg_lossless expects (h,w) or (h,w,3)")
     h, w = planes[0].shape
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    # Vectorized residuals: lossless prediction reads the ORIGINAL
-    # neighbor samples (reconstruction is exact, so encoder and decoder
-    # see identical neighborhoods).
-    diffs = []
-    for p in planes:
-        pred = np.empty((h, w), dtype=np.int32)
-        pred[0, 0] = 128  # 2^(P - Pt - 1), P=8, Pt=0
-        if w > 1:
-            pred[0, 1:] = p[0, :-1]          # first line: predictor 1 (a)
-        if h > 1:
-            pred[1:, 0] = p[:-1, 0]          # line starts: predictor 2 (b)
-        if h > 1 and w > 1:
-            a = p[1:, :-1]
-            b = p[:-1, 1:]
-            c = p[:-1, :-1]
-            # evaluate ONLY the selected predictor (a dict literal would
-            # materialize all 7 full-plane arrays — review catch r8)
-            pred[1:, 1:] = _LOSSLESS_PREDICTORS[int(predictor)](a, b, c)
-        diffs.append(p - pred)
+    diffs = _lossless_residuals(planes, int(predictor))
     bw = _BitWriter()
     n_comp = len(planes)
     # interleaved MCU order at 1×1 sampling: one sample per component
@@ -2108,10 +2130,33 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
             raise ValueError("missing DC huffman table")
         tabs.append(tab)
     br = _BitReader(data, scan_pos)
-    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    planes = _lossless_entropy_scan(br, h, w, tabs, predictor)
+    out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
+    if n_comp == 1:
+        return out[0].reshape(-1)
+    return np.stack(out, axis=-1).reshape(-1)
+
+
+def _lossless_entropy_scan(
+    br: "_BitReader",
+    h: int,
+    w: int,
+    tabs: list[dict],
+    predictor: int,
+    refs: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """Decode ONE interleaved 1×1-sampling lossless entropy scan into
+    int32 planes — shared by the standalone SOF3 decoder and both frame
+    kinds of the hierarchical decoder.  ``predictor`` in 1–7 runs the
+    Annex-H neighbor prediction (first line / line-start rules per
+    H.1.1); ``predictor == 0`` is the DIFFERENTIAL form (T.81 Annex J):
+    no spatial prediction — each decoded difference adds to the
+    ``refs`` reference component, modulo 2^16 (J.1.1.4)."""
+    n_comp = len(tabs)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(n_comp)]
     # selected once, not a 7-way tuple per sample (review catch r8 —
     # this loop is the per-sample hot path)
-    predict = _LOSSLESS_PREDICTORS[predictor]
+    predict = _LOSSLESS_PREDICTORS[predictor] if predictor else None
     for y in range(h):
         for x in range(w):
             for ci in range(n_comp):
@@ -2121,7 +2166,9 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 else:
                     d = _jpeg_extend(br.bits(size), size)
                 p = planes[ci]
-                if y == 0 and x == 0:
+                if predict is None:
+                    pred = int(refs[ci][y, x])
+                elif y == 0 and x == 0:
                     pred = 128
                 elif y == 0:
                     pred = int(p[0, x - 1])
@@ -2134,8 +2181,297 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
                         int(p[y - 1, x - 1]),
                     )
                 p[y, x] = (pred + d) & 0xFFFF
-    out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
-    if n_comp == 1:
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# hierarchical JPEG (T.81 Annex J, huffman lossless pyramid): DHP + a
+# non-differential SOF3 frame at the coarsest resolution + EXP-expanded
+# SOF7 differential frames back up to full size.  The final differential
+# frame corrects the reference to the EXACT input, so round-trips are
+# byte-exact by construction — the property that makes the whole path
+# offline-verifiable (same falsifiability standard that keeps arithmetic
+# coding refused).  Shrinks the refusal set to mp4 + arithmetic +
+# differential-DCT hierarchical frames (SOF5/SOF6, which this repo has no
+# encoder for — untested paths refuse to the stub).
+# ---------------------------------------------------------------------------
+
+def _hier_downsample(p: np.ndarray) -> np.ndarray:
+    """2×2 mean (round half up) to ceil-half dims, edge-replicated on odd
+    boundaries.  T.81 Annex J deliberately does NOT standardize the
+    downsampling filter (only the upsampler, J.1.1.2, is normative) — any
+    deterministic choice interoperates because differential frames code
+    against the SPEC-defined expansion of whatever the coarse frame
+    decoded to."""
+    h, w = p.shape
+    hh, ww = -(-h // 2), -(-w // 2)
+    pe = np.pad(p, ((0, hh * 2 - h), (0, ww * 2 - w)), mode="edge")
+    s = pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]
+    return (s + 2) >> 2
+
+
+def _hier_expand(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Reference-component expansion by 2 in both dimensions per T.81
+    J.1.1.2 — the NORMATIVE bilinear interpolator both codecs must share:
+    even outputs copy the reference, odd outputs are (Ra + Rb + 1) >> 1
+    of the bracketing samples (edge-replicated at the last row/column),
+    horizontal pass first, vertical pass over the expanded rows.  The
+    doubled grid is trimmed to the target frame dims (one extra
+    row/column when the target dimension is odd)."""
+    out = np.empty((p.shape[0], 2 * p.shape[1]), dtype=np.int32)
+    out[:, 0::2] = p
+    right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out[:, 1::2] = (p + right + 1) >> 1
+    full = np.empty((2 * p.shape[0], out.shape[1]), dtype=np.int32)
+    full[0::2, :] = out
+    down = np.concatenate([out[1:, :], out[-1:, :]], axis=0)
+    full[1::2, :] = (out + down + 1) >> 1
+    if th > full.shape[0] or tw > full.shape[1]:
+        raise ValueError("EXP target dims exceed doubled reference")
+    return full[:th, :tw]
+
+
+def encode_jpeg_hierarchical(
+    pixels: np.ndarray, levels: int = 2, predictor: int = 4
+) -> bytes:
+    """Encode gray (h, w) or RGB (h, w, 3) uint8 pixels as a HIERARCHICAL
+    JPEG (T.81 Annex J, huffman lossless): a DHP segment declares the
+    full dims, the coarsest pyramid level (ceil-halved ``levels - 1``
+    times) is coded as a normal non-differential SOF3 frame, then each
+    finer level is an EXP marker (expand reference 2× both ways,
+    J.1.1.2) followed by an SOF7 differential frame whose scan codes
+    sample − expanded-reference with the DC-difference huffman
+    convention (Ss=0: no spatial prediction in differential frames).
+    Because the last differential frame corrects every sample, decode
+    reconstructs the EXACT input bytes at any ``levels``; intermediate
+    levels give a real progressive-resolution transmission.  Container
+    rule matches ``encode_jpeg_lossless``: Adobe APP14 transform=0 for
+    raw-RGB color, JFIF APP0 for grayscale.  Restart intervals and point
+    transforms are not emitted (decoder refuses them)."""
+    import struct  # noqa: PLC0415
+
+    if not 1 <= int(levels) <= 8:
+        raise ValueError(f"bad hierarchical level count {levels}")
+    if not 1 <= int(predictor) <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:
+        px = px[None, :]
+    if px.ndim == 2:
+        planes = [px.astype(np.int32)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        planes = [px[..., ch].astype(np.int32) for ch in range(3)]
+    else:
+        raise ValueError("encode_jpeg_hierarchical expects (h,w) or (h,w,3)")
+    h, w = planes[0].shape
+    n_comp = len(planes)
+    pyr = [planes]
+    for _ in range(int(levels) - 1):
+        pyr.append([_hier_downsample(p) for p in pyr[-1]])
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sof_body(fh, fw):
+        return struct.pack(">BHHB", 8, fh, fw, n_comp) + b"".join(
+            bytes([cid, 0x11, 0]) for cid in range(1, n_comp + 1)
+        )
+
+    def scan_seg(diffs, ss):
+        bw = _BitWriter()
+        fh, fw = diffs[0].shape
+        for y in range(fh):
+            for x in range(fw):
+                for ci in range(n_comp):
+                    size, amp = _jpeg_magnitude(int(diffs[ci][y, x]))
+                    code, length = dc_codes[size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(amp, size)
+        sos = seg(
+            0xFFDA,
+            bytes([n_comp])
+            + b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
+            + bytes([ss, 0, 0]),
+        )
+        return sos + bw.flush()
+
+    if n_comp == 3:  # raw R,G,B — declare via Adobe APP14 transform=0
+        app = seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
+    else:
+        app = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    parts = [
+        b"\xff\xd8",
+        app,
+        seg(0xFFDE, sof_body(h, w)),  # DHP: full-resolution frame header
+        seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS),
+        ),
+    ]
+    coarse = pyr[-1]
+    parts.append(seg(0xFFC3, sof_body(*coarse[0].shape)))
+    parts.append(
+        scan_seg(_lossless_residuals(coarse, int(predictor)), int(predictor))
+    )
+    ref = coarse
+    for level in range(int(levels) - 2, -1, -1):
+        tgt = pyr[level]
+        th, tw = tgt[0].shape
+        parts.append(seg(0xFFDF, bytes([0x11])))  # EXP: 2× both dimensions
+        up = [_hier_expand(r, th, tw) for r in ref]
+        parts.append(seg(0xFFC7, sof_body(th, tw)))
+        parts.append(scan_seg([t - u for t, u in zip(tgt, up)], 0))
+        ref = tgt
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def _decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
+    """Hierarchical-JPEG decode (T.81 Annex J, huffman lossless frames):
+    DHP gives the full dims; the decoder then folds frames left to right,
+    keeping per-component int32 reference planes — a non-differential
+    SOF3 frame (must be first) establishes them via Annex-H prediction,
+    and each EXP + SOF7 pair expands the references 2× (normative
+    J.1.1.2 bilinear, trimmed to the frame dims) and adds the decoded
+    differences modulo 2^16 (J.1.1.4).  Supports 1- or 3-component
+    interleaved scans at 1×1 sampling.  Refusal set (untested paths
+    refuse to the byte-view stub): DCT / differential-DCT / arithmetic
+    hierarchical frames (SOF0/1/2/5/6/9-15), restart intervals, point
+    transforms, EXP modes other than 2×2, a differential frame without a
+    preceding EXP, and any frame/DHP dimension mismatch.  Returns the
+    same flat uint8 convention as ``_decode_jpeg``."""
+    import struct  # noqa: PLC0415
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    full = None  # (h, w, comps) from DHP
+    refs: list[np.ndarray] | None = None
+    cur = None  # (h, w, comps, differential) of the frame awaiting its scan
+    pending_exp = False
+    total_budget = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDE:
+            if full is not None:
+                raise ValueError("duplicate DHP segment")
+            full = _parse_sof(body)
+            if any(hs != 1 or vs != 1 for _, hs, vs, _ in full[2]):
+                raise ValueError("subsampled hierarchical scan unsupported")
+            # per-sample pure-Python entropy loops across ALL frames: cap
+            # the PYRAMID total.  Mandatory EXP doubling before every
+            # differential frame bounds the sum at 4/3 × full size, plus a
+            # constant for degenerate tiny pyramids whose halving floors
+            # at 1×1 (frame count ≤ log2(dim) + 1, structurally enforced)
+            total_budget = full[0] * full[1] * len(full[2]) * 2 + 1024
+            if total_budget > 2 * 4_194_304:
+                raise ValueError("JPEG dimensions exceed decode cap")
+        elif marker == 0xDF:
+            if len(body) != 1 or body[0] != 0x11:
+                raise ValueError("EXP mode unsupported")
+            if refs is None:
+                raise ValueError("EXP before any hierarchical frame")
+            pending_exp = True
+        elif marker == 0xC4:
+            _parse_dht(body, htables)
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError(
+                    "restart intervals in hierarchical scans unsupported"
+                )
+        elif marker in (0xC3, 0xC7):
+            if full is None:
+                raise ValueError("hierarchical frame before DHP")
+            if cur is not None:
+                raise ValueError("hierarchical frame missing its scan")
+            fh, fw, fcomps = _parse_sof(body)
+            if [c[0] for c in fcomps] != [c[0] for c in full[2]] or any(
+                hs != 1 or vs != 1 for _, hs, vs, _ in fcomps
+            ):
+                raise ValueError("hierarchical frame component mismatch")
+            if fh > full[0] or fw > full[1]:
+                raise ValueError("hierarchical frame exceeds DHP dims")
+            differential = marker == 0xC7
+            if differential == (refs is None):
+                raise ValueError(
+                    "hierarchical frame order: one non-differential frame "
+                    "first, then differential frames"
+                )
+            cur = (fh, fw, fcomps, differential)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported hierarchical JPEG frame FF{marker:02X}"
+            )
+        elif marker == 0xDA:
+            if cur is None:
+                raise ValueError("hierarchical scan before its frame")
+            fh, fw, fcomps, differential = cur
+            ns = body[0]
+            scan_cids = [body[1 + 2 * si] for si in range(ns)]
+            if scan_cids != [c[0] for c in fcomps]:
+                raise ValueError("lossless scan component order mismatch")
+            tabs = []
+            for si in range(ns):
+                tab = htables.get((0, body[2 + 2 * si] >> 4))
+                if tab is None:
+                    raise ValueError("missing DC huffman table")
+                tabs.append(tab)
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            if se != 0 or (aa >> 4) != 0:
+                raise ValueError("bad lossless scan parameters")
+            if (aa & 0x0F) != 0:
+                raise ValueError("lossless point transform unsupported")
+            n_samples = fh * fw * ns
+            total_budget -= n_samples
+            if total_budget < 0:
+                raise ValueError("JPEG dimensions exceed decode cap")
+            if n_samples > max(0, len(data) - pos) * 4 + 64:
+                raise ValueError("JPEG scan too short for declared dims")
+            if differential:
+                if ss != 0:
+                    raise ValueError(
+                        f"bad differential scan predictor {ss}"
+                    )
+                if pending_exp:
+                    refs = [_hier_expand(r, fh, fw) for r in refs]
+                    pending_exp = False
+                elif refs[0].shape != (fh, fw):
+                    # same-size correction frames are spec-legal but this
+                    # repo's encoder never emits them — refuse, don't guess
+                    raise ValueError(
+                        "differential frame without preceding EXP"
+                    )
+                br = _BitReader(data, pos)
+                refs = _lossless_entropy_scan(
+                    br, fh, fw, tabs, 0, refs=refs
+                )
+            else:
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"bad lossless predictor {ss}")
+                br = _BitReader(data, pos)
+                refs = _lossless_entropy_scan(br, fh, fw, tabs, ss)
+            pos = br.pos
+            cur = None
+    if full is None or refs is None:
+        raise ValueError("JPEG missing DHP/frames")
+    if cur is not None or pending_exp:
+        raise ValueError("hierarchical stream truncated mid-frame")
+    if refs[0].shape != (full[0], full[1]):
+        raise ValueError("hierarchical frames never reached DHP dims")
+    out = [np.clip(p, 0, 255).astype(np.uint8) for p in refs]
+    if len(out) == 1:
         return out[0].reshape(-1)
     return np.stack(out, axis=-1).reshape(-1)
 
@@ -2214,19 +2550,99 @@ def jpeg_lossless_roundtrip_audit(
     )
 
 
+def jpeg_hierarchical_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """Hierarchical-JPEG codec contract — the sixth codec-audit sibling,
+    exercising the Annex-J DHP/EXP/SOF7 pyramid path.  Each qualifying
+    row's first ``side²`` utf-8 bytes become a gray (side, side) image
+    encoded at EVERY level count 1–3 (1 = DHP + single SOF3 frame,
+    2–3 = real pyramids with one/two differential frames), and an RGB
+    derivative (channel 0 = the bytes, 1 = a rolled copy, 2 = the
+    complement — deterministic from the text alone) encoded at
+    levels=2; the contract pins EXACT byte equality on every decode —
+    the self-correcting differential frame makes equality the provable
+    property, so any expansion, residual, or frame-sequencing bug
+    breaks it outright.  Scale: pure Arrow-batched ``mapInPandas``
+    behind an explicit repartition, same as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, dhp, gray_ok, rgb_ok = [], [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                enc2 = encode_jpeg_hierarchical(raw, levels=2)
+                g_ok = all(
+                    np.array_equal(
+                        _decode_jpeg(
+                            encode_jpeg_hierarchical(raw, levels=lv)
+                        ),
+                        raw.reshape(-1),
+                    )
+                    for lv in (1, 2, 3)
+                )
+                rgb = np.stack(
+                    [
+                        raw,
+                        np.roll(raw.reshape(-1), 7).reshape(side, side),
+                        255 - raw,
+                    ],
+                    axis=-1,
+                )
+                r_ok = np.array_equal(
+                    _decode_jpeg(encode_jpeg_hierarchical(rgb, levels=2)),
+                    rgb.reshape(-1),
+                )
+                ids.append(int(i))
+                dhp.append(
+                    0 <= enc2.find(b"\xff\xde") < enc2.find(b"\xff\xc3")
+                    and enc2.count(b"\xff\xc7") == 1
+                )
+                gray_ok.append(bool(g_ok))
+                rgb_ok.append(bool(r_ok))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "is_dhp": dhp,
+                    "gray_exact_all_levels": gray_ok,
+                    "rgb_exact": rgb_ok,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, is_dhp boolean, "
+            "gray_exact_all_levels boolean, rgb_exact boolean",
+        )
+    )
+
+
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
     BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter),
-    and huffman JPEG sequential, progressive AND lossless (canonical
-    huffman + orthonormal IDCT, grayscale or YCbCr at any integer
-    sampling layout incl. 4:2:0, restart intervals in sequential AND
-    progressive scans, 16-bit DQT, SOF2 multi-scan with successive
-    approximation, SOF3 Annex-H predictive with exact round-trips) — so
-    the feature/resize/frame paths run on genuinely decoded samples with
-    zero extra dependencies.  Whatever remains (arithmetic/hierarchical/
-    differential JPEG, mp4 — codec
+    and huffman JPEG sequential, progressive, lossless AND hierarchical
+    (canonical huffman + orthonormal IDCT, grayscale or YCbCr at any
+    integer sampling layout incl. 4:2:0, restart intervals in sequential
+    AND progressive scans, 16-bit DQT, SOF2 multi-scan with successive
+    approximation, SOF3 Annex-H predictive with exact round-trips,
+    Annex-J DHP/EXP/SOF7 differential pyramids with exact round-trips) —
+    so the feature/resize/frame paths run on genuinely decoded samples
+    with zero extra dependencies.  Whatever remains (arithmetic JPEG, the
+    differential-DCT hierarchical frames SOF5/SOF6, mp4 — codec
     libraries this container lacks) falls back to the documented deterministic
     stub: payload bytes viewed as uint8 — same numpy/Arrow data path,
     clearly-marked swap point for a real codec (PIL / soundfile / pyav on

@@ -1203,20 +1203,24 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
 # Round-9 rotation (VERDICT r8 item 1): nothing is red in CORRECTNESS_r08
-# (50/50 green), no new queries this round, so the window is (a) every
-# query whose implementation or oracle changed in round 9 —
-# gini_purchase_concentration (distributed global_index rank replaced the
-# three single-partition windows, VERDICT r8 item 3), jpeg_lossless_contract
-# (RGB SOF3 container now declares Adobe APP14 transform=0 instead of JFIF
-# APP0 — ADVICE r8), and embedding_kmeans / semantic_dedup_keep (planted
-# corpus + oracles gained the empty-below-64-ids completeness degrade —
-# ADVICE r8), then (b) backfill by re-verification AGE: the ENTIRE
-# 40-entry r3-stale cohort (union histogram in VERDICT r8; this retires
-# the r3 tier) plus the 6 alphabetically-first r4 greens.
+# (50/50 green), so the window is (a) the round-9 NEW query
+# (jpeg_hierarchical_contract — T.81 Annex-J DHP/EXP/SOF7 lossless
+# pyramids with exact round-trips), (b) every query whose implementation
+# or oracle changed in round 9 — gini_purchase_concentration (distributed
+# global_index rank replaced the three single-partition windows, VERDICT
+# r8 item 3), jpeg_lossless_contract (RGB SOF3 container now declares
+# Adobe APP14 transform=0 instead of JFIF APP0 — ADVICE r8), and
+# embedding_kmeans / semantic_dedup_keep (planted corpus + oracles gained
+# the empty-below-64-ids completeness degrade — ADVICE r8), then (c)
+# backfill by re-verification AGE: the ENTIRE 40-entry r3-stale cohort
+# (union histogram in VERDICT r8; this retires the r3 tier) plus the 5
+# alphabetically-first r4 greens.
 # Staleness floor after this window: r4.  Every entry below is
-# check_oracle PASS this session at sf0.01 (changed set also at
+# check_oracle PASS this session at sf0.01 (new/changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
+    # round-9 NEW (1)
+    "jpeg_hierarchical_contract",
     # round-9 changed (4)
     "gini_purchase_concentration",
     "jpeg_lossless_contract",
@@ -1263,13 +1267,12 @@ _DRIVER_WINDOW: list[str] = [
     "token_shard_packing",
     "value_dispersion_stats",
     "weighted_behavior_choice",
-    # staleness backfill: alphabetically-first r4 greens (6)
+    # staleness backfill: alphabetically-first r4 greens (5)
     "approx_quantile_contract",
     "asof_next_click_after_view",
     "behavior_resample",
     "bfs_hops_from_hubs",
     "bloom_decontamination",
-    "bm25_topk_search",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

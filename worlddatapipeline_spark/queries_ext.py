@@ -1568,6 +1568,35 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_jpeg_hierarchical_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-JPEG codec contract (round 9 — T.81 Annex J
+    DHP/EXP/SOF7 lossless pyramids, the progressive-resolution
+    transmission shape): every document with >= 256 utf-8 bytes becomes
+    a 16×16 gray image encoded at levels 1-3 plus a text-derived RGB
+    image at levels=2, and the contract pins exact byte equality on
+    every decode — the final differential frame corrects the reference
+    to the exact input, so any expansion (normative J.1.1.2 bilinear),
+    residual, or frame-sequencing bug breaks it outright.  See
+    operators/multimodal.py::jpeg_hierarchical_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.jpeg_hierarchical_roundtrip_audit(
+        documents, "doc_id", "text", side=16
+    )
+
+
+SQL_JPEG_HIERARCHICAL_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS is_dhp,
+       TRUE AS gray_exact_all_levels,
+       TRUE AS rgb_exact
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -5181,3 +5210,5 @@ EXT_QUERIES["jpeg_progressive_contract"] = q_jpeg_progressive_contract
 EXT_ORACLES["jpeg_progressive_contract"] = SQL_JPEG_PROGRESSIVE_CONTRACT
 EXT_QUERIES["jpeg_lossless_contract"] = q_jpeg_lossless_contract
 EXT_ORACLES["jpeg_lossless_contract"] = SQL_JPEG_LOSSLESS_CONTRACT
+EXT_QUERIES["jpeg_hierarchical_contract"] = q_jpeg_hierarchical_contract
+EXT_ORACLES["jpeg_hierarchical_contract"] = SQL_JPEG_HIERARCHICAL_CONTRACT
