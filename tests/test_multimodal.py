@@ -1222,6 +1222,26 @@ def test_jpeg_hierarchical_refusals_to_stub():
     # sequential walk (no reference exists)
     seq = mm.encode_jpeg_gray8(raw)
     expect_stub(seq.replace(b"\xff\xc0", b"\xff\xc7", 1), "SOF type")
+    # EXP followed by a frame that is NOT the 2x expansion of the
+    # reference would expand-then-trim back and silently decode wrong
+    # pixels — must refuse (review catch r9, probe-confirmed)
+    lone = mm.encode_jpeg_hierarchical(raw, levels=1)
+    s3 = lone.index(b"\xff\xc3")
+    import struct as _st
+    (sof_len,) = _st.unpack_from(">H", lone, s3 + 2)
+    sof_seg = lone[s3 : s3 + 2 + sof_len]
+    scan = bytearray(
+        lone[s3 + 2 + sof_len : lone.index(b"\xff\xd9")]
+    )
+    scan[7] = 0  # Ss: differential scans carry predictor 0
+    scan = bytes(scan)
+    diff7 = b"\xff\xc7" + sof_seg[2:]  # same 16x16 dims, differential
+    crafted = (
+        lone[: lone.index(b"\xff\xd9")]
+        + b"\xff\xdf" + _st.pack(">H", 3) + b"\x11"
+        + diff7 + scan + b"\xff\xd9"
+    )
+    expect_stub(crafted, "not a 2x expansion")
 
 
 def test_jpeg_hierarchical_intermediate_levels_are_real_images():

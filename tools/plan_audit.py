@@ -117,11 +117,11 @@ def install_capture() -> None:
 
     orig_lc = DataFrame.localCheckpoint
 
-    def lc(self, eager=True):
+    def lc(self, *args, **kwargs):
         p = _explain_formatted(self)
         if p is not None:
             CAPTURED.append(p)
-        return orig_lc(self, eager=eager)
+        return orig_lc(self, *args, **kwargs)
 
     DataFrame.localCheckpoint = lc
 

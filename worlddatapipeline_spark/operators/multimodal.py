@@ -2445,6 +2445,16 @@ def _decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
                         f"bad differential scan predictor {ss}"
                     )
                 if pending_exp:
+                    # the frame must actually BE the 2x expansion of the
+                    # reference (ceil-halving inverse) — an EXP followed by
+                    # a same-or-smaller frame would expand-then-trim back
+                    # and silently decode wrong pixels (review catch r9)
+                    rh, rw = refs[0].shape
+                    if (fh + 1) // 2 != rh or (fw + 1) // 2 != rw:
+                        raise ValueError(
+                            "EXP frame dims are not a 2x expansion of the "
+                            "reference"
+                        )
                     refs = [_hier_expand(r, fh, fw) for r in refs]
                     pending_exp = False
                 elif refs[0].shape != (fh, fw):
@@ -2577,14 +2587,18 @@ def jpeg_hierarchical_roundtrip_audit(
                     str(t).encode("utf-8")[:n], dtype=np.uint8
                 ).reshape(side, side)
                 enc2 = encode_jpeg_hierarchical(raw, levels=2)
-                g_ok = all(
+                # enc2 serves both the marker check and the lv=2 decode —
+                # the encoder is a per-sample bit loop, don't run it twice
+                g_ok = np.array_equal(
+                    _decode_jpeg(enc2), raw.reshape(-1)
+                ) and all(
                     np.array_equal(
                         _decode_jpeg(
                             encode_jpeg_hierarchical(raw, levels=lv)
                         ),
                         raw.reshape(-1),
                     )
-                    for lv in (1, 2, 3)
+                    for lv in (1, 3)
                 )
                 rgb = np.stack(
                     [

@@ -688,15 +688,25 @@ def ntile_global(
     idx, m = global_index(
         df, order_cols, num_partitions=num_partitions, with_total=True
     )
+    return idx.withColumn(
+        out_col, ntile_expr(F.col("row_idx"), m, n)
+    ).drop("row_idx")
+
+
+def ntile_expr(index_col, m: int, n: int):
+    """SQL-``ntile(n)`` tile id (1-based int) computed arithmetically from
+    a dense 0-based global row index over ``m`` rows: with
+    ``q, r = divmod(m, n)`` the first ``r`` tiles take ``q + 1`` rows and
+    the rest ``q`` — the exact window-function convention.  Shared by
+    :func:`ntile_global` and callers that need the raw index AND the tile
+    (e.g. the gini rank query), so the subtle tiling arithmetic lives in
+    one place."""
     q, r = divmod(m, n)
     big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
-    i = F.col("row_idx")
-    tile = F.when(i < big, i / (q + 1)).otherwise(
+    tile = F.when(index_col < big, index_col / (q + 1)).otherwise(
         # q == 0 can only happen when m < n, where every row lands in the
-        # `i < big` branch (big == m); max(q, 1) just keeps the dead
-        # branch from dividing by zero.
-        r + (i - big) / max(q, 1)
+        # `index_col < big` branch (big == m); max(q, 1) just keeps the
+        # dead branch from dividing by zero.
+        r + (index_col - big) / max(q, 1)
     )
-    return idx.withColumn(
-        out_col, F.floor(tile).cast("int") + F.lit(1)
-    ).drop("row_idx")
+    return F.floor(tile).cast("int") + F.lit(1)

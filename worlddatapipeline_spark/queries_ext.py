@@ -2441,7 +2441,7 @@ _SQL_GROUPS_CTE = "m(vec_id, grp) AS (VALUES {})".format(
 )
 
 
-def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame:
+def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame | None:
     """The orthogonal planted-cluster fixture shared by q_embedding_kmeans
     and q_semantic_dedup_keep: 64 ids, one-hot on 8 basis directions at
     positive magnitudes, group = the id's xxhash64 RANK mod 8 (see the

@@ -292,18 +292,14 @@ def q_gini_purchase_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         [F.col("x_us").asc(), F.col("user_id").asc()],
         with_total=True,
     )
-    # ntile(10) arithmetic on the dense 0-based index (q/r split exactly
-    # as SQL ntile: first r tiles take q+1 rows) — see ntile_global
-    q10, r10 = divmod(m, 10)
-    big = r10 * (q10 + 1)
-    tile = F.when(F.col("row_idx") < big, F.col("row_idx") / (q10 + 1)).otherwise(
-        r10 + (F.col("row_idx") - big) / max(q10, 1)
-    )
+    # ntile(10) via the shared tile arithmetic (windows.ntile_expr) on the
+    # dense 0-based index — kept inline rather than ntile_global because
+    # the gini sum needs the raw index too
     ranked = indexed.select(
         "user_id",
         "x_us",
         (F.col("row_idx") + 1).alias("i"),
-        (F.floor(tile).cast("int") + 1).alias("decile"),
+        win_ops.ntile_expr(F.col("row_idx"), m, 10).alias("decile"),
     )
     gini = ranked.agg(
         F.count(F.lit(1)).alias("n"),
