@@ -215,6 +215,7 @@ LLM = [
     "jpeg_lossless_contract",
     # round-9 additions
     "jpeg_hierarchical_contract",
+    "png_palette_contract",
 ]
 
 

@@ -276,16 +276,23 @@ def test_png_rejects_unsupported_shapes():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # interlaced (Adam7) must raise — not silently misdecode
+    # interlaced (Adam7) gray now DECODES (round 9) — a 1x1 interlaced
+    # image is a single pass-1 pixel
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
     data = (
         mm.PNG_SIG + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(b"\x00\x07")) + chunk(b"IEND", b"")
     )
+    assert mm._decode_png(data).tolist() == [7]
+    # interlace method 2 does not exist — refuse
+    ihdr2 = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
+    data2 = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07")) + chunk(b"IEND", b"")
+    )
     with pytest.raises(ValueError, match="unsupported PNG"):
-        mm._decode_png(data)
-    # ...and _decode_bytes falls back to the byte-view stub instead
-    assert mm._decode_bytes(data).tolist() == list(data)
+        mm._decode_png(data2)
+    assert mm._decode_bytes(data2).tolist() == list(data2)
     # 16-bit depth rejected
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     data16 = (
@@ -294,6 +301,26 @@ def test_png_rejects_unsupported_shapes():
     )
     with pytest.raises(ValueError, match="unsupported PNG"):
         mm._decode_png(data16)
+    # paletted stream whose PLTE is missing — refuse, don't index nothing
+    ihdr3 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    data3 = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr3)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        mm._decode_png(data3)
+    # palette index past the PLTE entry count — refuse, don't wrap
+    import numpy as np
+    pal = np.array([[10, 20, 30]], dtype=np.uint8)
+    short = mm.encode_png_indexed(np.zeros((1, 1), dtype=np.uint8), pal)
+    k = short.index(b"IDAT")
+    oob = (
+        short[: k - 4]
+        + chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mm._decode_png(oob)
 
 
 def test_decode_falls_back_to_stub_for_other_formats():
@@ -1073,6 +1100,8 @@ def test_codec_docstrings_list_same_format_sets():
         "BMP",
         "WAV",
         "PNG",
+        "palette",
+        "Adam7",
         "sequential",
         "progressive",
         "lossless",
@@ -1268,3 +1297,51 @@ def test_jpeg_hierarchical_intermediate_levels_are_real_images():
     )
     got = mm._decode_jpeg(standalone).reshape(16, 16)
     assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Color-type-3 (paletted) PNGs at every legal sub-16 bit depth must
+    decode through the palette to its integer-mean luminance (the BMP
+    paletted convention; identity for a grayscale palette), plain AND
+    Adam7-interlaced, including widths that pad the last packed byte."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    for bitd in (1, 2, 4, 8):
+        n = min(1 << bitd, 256)
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        lum = (pal.astype(np.int32).sum(axis=1) // 3).astype(np.uint8)
+        for shape in [(1, 1), (5, 7), (3, 20), (16, 9)]:
+            idx = rng.integers(0, n, shape, dtype=np.uint8)
+            want = lum[idx].reshape(-1).tolist()
+            for inter in (False, True):
+                enc = mm.encode_png_indexed(
+                    idx, pal, bit_depth=bitd, interlace=inter
+                )
+                assert mm._decode_png(enc).tolist() == want, (bitd, shape, inter)
+    # grayscale palette is the identity mapping
+    gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    idx = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    enc = mm.encode_png_indexed(idx, gray_pal)
+    assert mm._decode_png(enc).tolist() == idx.reshape(-1).tolist()
+    # bit packing is MSB-first per spec §7.2 (external-decoder compat)
+    assert mm._png_pack_row(np.array([0, 1, 2, 3]), 2) == b"\x1b"
+    assert mm._png_pack_row(np.array([1, 0, 1]), 1) == b"\xa0"
+
+
+def test_png_adam7_gray_roundtrip():
+    """Adam7 gray streams must reconstruct exactly for every dimension
+    class — full 8x8 tiles, partial tiles, single row/column (passes
+    with zero pixels are skipped in transmission order)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8), (17, 13), (1, 9), (9, 1), (2, 2), (7, 5)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        enc = mm.encode_png_gray8(px, interlace=True)
+        assert mm._decode_png(enc).tolist() == px.reshape(-1).tolist(), shape
+        # and the interlaced stream differs from the sequential one while
+        # decoding identically
+        assert mm._decode_png(mm.encode_png_gray8(px)).tolist() == (
+            px.reshape(-1).tolist()
+        )

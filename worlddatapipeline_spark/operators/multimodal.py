@@ -7,7 +7,8 @@ Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
 with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
-unfilter), and huffman JPEG sequential, progressive, lossless AND
+unfilter; gray/RGB/palette color types, Adam7 interlace), and huffman
+JPEG sequential, progressive, lossless AND
 hierarchical (canonical huffman + IDCT; grayscale and color at any integer
 sampling layout incl. 4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1,
 SOF2 spectral selection + successive approximation, SOF3 Annex-H
@@ -148,13 +149,73 @@ def encode_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png_gray8(pixels: np.ndarray) -> bytes:
+# Adam7 interlace pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_pack_row(vals: np.ndarray, bitd: int) -> bytes:
+    """Pack per-pixel values into a PNG scanline byte string at bit depth
+    1/2/4/8 — most significant bits carry the leftmost pixel (spec §7.2),
+    last byte zero-padded."""
+    if bitd == 8:
+        return vals.astype(np.uint8).tobytes()
+    per = 8 // bitd
+    pad = (-len(vals)) % per
+    v = np.concatenate(
+        [vals.astype(np.uint16), np.zeros(pad, dtype=np.uint16)]
+    ).reshape(-1, per)
+    out = np.zeros(len(v), dtype=np.uint16)
+    for i in range(per):
+        out = (out << bitd) | v[:, i]
+    return out.astype(np.uint8).tobytes()
+
+
+def _png_unpack_row(row: np.ndarray, n: int, bitd: int) -> np.ndarray:
+    """Inverse of :func:`_png_pack_row`: first ``n`` per-pixel values."""
+    if bitd == 8:
+        return row[:n]
+    per = 8 // bitd
+    mask = (1 << bitd) - 1
+    vals = np.stack(
+        [(row >> (8 - bitd * (i + 1))) & mask for i in range(per)], axis=1
+    ).reshape(-1)
+    return vals[:n]
+
+
+def _png_passes(w: int, h: int, interlace: int):
+    """Non-empty (x0, y0, dx, dy, pass_w, pass_h) tuples in transmission
+    order — the single full-frame pass when non-interlaced."""
+    geo = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in geo:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def encode_png_gray8(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """Encode a (h, w) uint8 array as a REAL 8-bit grayscale PNG.
 
     Pure stdlib: zlib deflate for IDAT, struct for chunk framing,
     zlib.crc32 for chunk CRCs — no codec library.  Scanlines are written
-    with filter type 0 (None); any stock viewer/PIL opens the output and
-    ``_decode_png`` round-trips it exactly.
+    with filter type 0 (None); ``interlace=True`` emits the Adam7
+    seven-pass layout (spec §8.2).  Any stock viewer/PIL opens the output
+    and ``_decode_png`` round-trips it exactly.
     """
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
@@ -163,44 +224,131 @@ def encode_png_gray8(pixels: np.ndarray) -> bytes:
     if px.ndim == 1:
         px = px[None, :]
     h, w = px.shape
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
-    raw = b"".join(b"\x00" + row.tobytes() for row in px)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    raw = b"".join(
+        b"\x00" + px[y0 + i * dy, x0::dx].tobytes()
+        for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace)
+        for i in range(ph)
+    )
     return (
         PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a (h, w) index array + (n, 3) RGB palette as a REAL
+    color-type-3 (paletted) PNG at bit depth 1/2/4/8 — the shape icon
+    and screenshot corpora actually ship.  Sub-byte depths pack most
+    significant bits first per spec §7.2; ``interlace=True`` emits
+    Adam7.  ``_decode_png`` (and any stock viewer) round-trips it."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad PNG palette bit depth {bit_depth}")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with 1 <= n <= 256")
+    if len(pal) > (1 << bit_depth):
+        raise ValueError("palette larger than bit depth allows")
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    if idx.ndim == 1:
+        idx = idx[None, :]
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
+    )
+    raw = b"".join(
+        b"\x00" + _png_pack_row(idx[y0 + i * dy, x0::dx], bit_depth)
+        for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace)
+        for i in range(ph)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(
+    raw: bytes, h: int, stride: int, fbpp: int, offset: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at
+    ``raw[offset]`` (``fbpp`` = the spec's filtering byte distance); returns
+    the (h, stride) byte grid and the new offset.  All five filter types
+    decode: None/Sub/Up are vectorized (Sub is a per-lane uint8 cumsum —
+    numpy's wraparound IS the mod-256 add), Average/Paeth fall back to a
+    per-byte scan (correctness path for foreign encoders; our own encoder
+    emits filter 0)."""
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("PNG scanline length mismatch")
+    scan = np.frombuffer(
+        raw, dtype=np.uint8, count=need, offset=offset
+    ).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(scan[y, 0]), scan[y, 1:]
+        if f == 0:  # None
+            cur = row.copy()
+        elif f == 1:  # Sub: per-lane mod-256 prefix sum
+            cur = np.empty(stride, dtype=np.uint8)
+            for lane in range(fbpp):
+                cur[lane::fbpp] = np.cumsum(row[lane::fbpp], dtype=np.uint8)
+        elif f == 2:  # Up
+            cur = row + prev  # uint8 wraparound = mod-256
+        elif f in (3, 4):  # Average / Paeth: sequential by definition
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - fbpp]) if x >= fbpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - fbpp]) if x >= fbpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out, offset + need
 
 
 def _decode_png(data: bytes) -> np.ndarray:
     """Real PNG decode with stdlib zlib + numpy alone: walks the chunk
     list, inflates the concatenated IDAT stream, and un-filters scanlines
-    per the PNG spec.  Supports 8-bit grayscale (color type 0) and 8-bit
-    truecolor RGB (color type 2), non-interlaced — the shapes a training
-    pipeline's thumbnails/masks actually use.  All five filter types
-    decode: None/Sub/Up are vectorized (Sub is a per-channel-lane uint8
-    cumsum — numpy's wraparound IS the mod-256 add), Average/Paeth fall
-    back to a per-byte scan (correctness path for foreign encoders; our
-    own encoder emits filter 0).  Returns a FLAT uint8 array — grayscale
-    values, or per-channel byte samples for RGB (the `_decode_bmp` 24-bit
-    convention).
+    per the PNG spec.  Supports 8-bit grayscale (color type 0), 8-bit
+    truecolor RGB (color type 2), and PALETTED images (color type 3) at
+    bit depth 1/2/4/8, each with or without ADAM7 interlacing (seven
+    sub-image passes, each filtered independently at its own stride) —
+    the shapes a training pipeline's thumbnails/masks/icons actually use.
+    Returns a FLAT uint8 array — grayscale values, per-channel byte
+    samples for RGB (the `_decode_bmp` 24-bit convention), or — matching
+    the BMP paletted convention — the palette's integer-mean luminance
+    per index for color type 3 (identity for a grayscale palette).
     """
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
     if bytes(data[:8]) != PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w, idat = 8, None, []
+    pos, w, idat, plte = 8, None, [], None
     while pos + 8 <= len(data):
         clen, tag = struct.unpack_from(">I4s", data, pos)
         body = data[pos + 8 : pos + 8 + clen]
@@ -216,6 +364,8 @@ def _decode_png(data: bytes) -> np.ndarray:
             w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -223,47 +373,36 @@ def _decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bitd != 8 or ct not in (0, 2) or interlace != 0:
+    ok = (ct in (0, 2) and bitd == 8) or (ct == 3 and bitd in (1, 2, 4, 8))
+    if not ok or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (bit depth={bitd}, color type={ct}, "
             f"interlace={interlace})"
         )
-    nch = 1 if ct == 0 else 3
-    stride = w * nch
+    if ct == 3:
+        if not plte or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("paletted PNG missing/malformed PLTE")
+    nch = 3 if ct == 2 else 1
+    fbpp = max(1, (nch * bitd) // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace):
+        stride = -(-pw * nch * bitd // 8)
+        rows, offset = _png_unfilter(raw, ph, stride, fbpp, offset)
+        for i in range(ph):
+            vals = _png_unpack_row(rows[i], pw * nch, bitd)
+            img[y0 + i * dy, x0::dx, :] = vals.reshape(pw, nch)
+    if offset != len(raw):
         raise ValueError("PNG scanline length mismatch")
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f, row = int(scan[y, 0]), scan[y, 1:]
-        if f == 0:  # None
-            cur = row.copy()
-        elif f == 1:  # Sub: per-lane mod-256 prefix sum
-            cur = np.empty(stride, dtype=np.uint8)
-            for lane in range(nch):
-                cur[lane::nch] = np.cumsum(row[lane::nch], dtype=np.uint8)
-        elif f == 2:  # Up
-            cur = row + prev  # uint8 wraparound = mod-256
-        elif f in (3, 4):  # Average / Paeth: sequential by definition
-            cur = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = int(prev[x - nch]) if x >= nch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[y] = cur
-        prev = cur
-    return out.reshape(-1)
+    if ct == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        lum = (pal.astype(np.int32).sum(axis=1) // 3).astype(np.uint8)
+        return lum[idx].reshape(-1)
+    return img.reshape(-1)
 
 
 def _decode_bmp(data: bytes) -> np.ndarray:
@@ -2643,11 +2782,82 @@ def jpeg_hierarchical_roundtrip_audit(
     )
 
 
+def png_palette_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """PNG palette/Adam7 codec contract — the paletted-image shape icon
+    and screenshot corpora ship.  Each qualifying row's first ``side²``
+    utf-8 bytes become (a) an 8-bit-indexed image through the identity
+    grayscale palette (decode must equal the raw bytes exactly), (b) a
+    4-bit-indexed image through a 16-step gray ramp (decode ==
+    (byte >> 4) * 17), and (c) a 1-bit image through a black/white
+    palette (decode == (byte >> 7) * 255) — each encoded plain AND
+    Adam7-interlaced, all six streams pinned to exact equality.  Scale:
+    pure Arrow-batched ``mapInPandas`` behind an explicit repartition,
+    same as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        ramp16 = np.stack(
+            [np.arange(16, dtype=np.uint8) * 17] * 3, axis=1
+        )
+        bw = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        cases = [  # (palette, bit depth, index fn, expected fn)
+            (gray, 8, lambda b: b, lambda b: b),
+            (ramp16, 4, lambda b: b >> 4, lambda b: (b >> 4) * 17),
+            (bw, 1, lambda b: b >> 7, lambda b: (b >> 7) * 255),
+        ]
+
+        def ok(raw):
+            for pal, depth, f_idx, f_want in cases:
+                idx = f_idx(raw)
+                want = f_want(raw).reshape(-1)
+                for inter in (False, True):
+                    enc = encode_png_indexed(
+                        idx, pal, bit_depth=depth, interlace=inter
+                    )
+                    if not np.array_equal(_decode_png(enc), want):
+                        return False
+            return True
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, exact = [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                ids.append(int(i))
+                exact.append(bool(ok(raw)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "palette_adam7_exact": exact,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, palette_adam7_exact boolean",
+        )
+    )
+
+
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
-    BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter),
+    BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter;
+    gray/RGB/palette color types at bit depth 1-8, Adam7 interlace),
     and huffman JPEG sequential, progressive, lossless AND hierarchical
     (canonical huffman + orthonormal IDCT, grayscale or YCbCr at any
     integer sampling layout incl. 4:2:0, restart intervals in sequential

@@ -1205,7 +1205,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round-9 rotation (VERDICT r8 item 1): nothing is red in CORRECTNESS_r08
 # (50/50 green), so the window is (a) the round-9 NEW query
 # (jpeg_hierarchical_contract — T.81 Annex-J DHP/EXP/SOF7 lossless
-# pyramids with exact round-trips), (b) every query whose implementation
+# pyramids with exact round-trips) and png_palette_contract (color-type-3
+# palettes at depth 1/4/8 + Adam7 interlace), (b) every query whose implementation
 # or oracle changed in round 9 — gini_purchase_concentration (distributed
 # global_index rank replaced the three single-partition windows, VERDICT
 # r8 item 3), jpeg_lossless_contract (RGB SOF3 container now declares
@@ -1219,8 +1220,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # check_oracle PASS this session at sf0.01 (new/changed set also at
 # sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
-    # round-9 NEW (1)
+    # round-9 NEW (2)
     "jpeg_hierarchical_contract",
+    "png_palette_contract",
     # round-9 changed (4)
     "gini_purchase_concentration",
     "jpeg_lossless_contract",
@@ -1267,12 +1269,11 @@ _DRIVER_WINDOW: list[str] = [
     "token_shard_packing",
     "value_dispersion_stats",
     "weighted_behavior_choice",
-    # staleness backfill: alphabetically-first r4 greens (5)
+    # staleness backfill: alphabetically-first r4 greens (4)
     "approx_quantile_contract",
     "asof_next_click_after_view",
     "behavior_resample",
     "bfs_hops_from_hubs",
-    "bloom_decontamination",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

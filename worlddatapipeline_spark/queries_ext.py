@@ -1597,6 +1597,29 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_png_palette_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG palette/Adam7 codec contract (round 9 — color-type-3 paletted
+    images at bit depth 1/4/8 and the Adam7 seven-pass interlace, both
+    directions): every document with >= 256 utf-8 bytes drives six
+    encode/decode round-trips (identity-gray, 16-step-ramp and
+    black/white palettes, plain and interlaced) whose expected output is
+    closed-form from the raw bytes — exact equality pinned.  See
+    operators/multimodal.py::png_palette_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.png_palette_roundtrip_audit(documents, "doc_id", "text", side=16)
+
+
+SQL_PNG_PALETTE_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS palette_adam7_exact
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -5212,3 +5235,5 @@ EXT_QUERIES["jpeg_lossless_contract"] = q_jpeg_lossless_contract
 EXT_ORACLES["jpeg_lossless_contract"] = SQL_JPEG_LOSSLESS_CONTRACT
 EXT_QUERIES["jpeg_hierarchical_contract"] = q_jpeg_hierarchical_contract
 EXT_ORACLES["jpeg_hierarchical_contract"] = SQL_JPEG_HIERARCHICAL_CONTRACT
+EXT_QUERIES["png_palette_contract"] = q_png_palette_contract
+EXT_ORACLES["png_palette_contract"] = SQL_PNG_PALETTE_CONTRACT
