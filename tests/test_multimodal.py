@@ -1345,3 +1345,160 @@ def test_png_adam7_gray_roundtrip():
         assert mm._decode_png(mm.encode_png_gray8(px)).tolist() == (
             px.reshape(-1).tolist()
         )
+
+
+def test_png_indexed_rejects_out_of_range_indices_before_cast():
+    """encode_png_indexed must range-check the CALLER's index array before
+    any uint8 cast: index 256 with a 4-entry palette would alias mod 256
+    to 0 and pass validation, emitting a wrong-but-well-formed PNG; -1
+    would alias to 255 (ADVICE r9)."""
+    import numpy as np
+    import pytest
+
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170],
+                    [255, 255, 255]], dtype=np.uint8)
+    for bad in (
+        np.array([[0, 256], [1, 2]], dtype=np.int64),
+        np.array([[0, -1], [1, 2]], dtype=np.int64),
+        np.array([[0, 4], [1, 2]], dtype=np.int64),  # == len(pal)
+    ):
+        with pytest.raises(ValueError, match="palette index out of range"):
+            mm.encode_png_indexed(bad, pal, bit_depth=8)
+    # in-range still encodes fine at every depth that fits
+    ok = np.array([[0, 3], [1, 2]], dtype=np.int64)
+    for bitd in (2, 4, 8):
+        enc = mm.encode_png_indexed(ok, pal, bit_depth=bitd)
+        lum = (pal.astype(np.int32).sum(axis=1) // 3).astype(np.uint8)
+        assert mm._decode_png(enc).tolist() == lum[ok].reshape(-1).tolist()
+
+
+def _craft_lossless_1bit_stream(h=160, w=160):
+    """A conformant FOREIGN lossless JPEG our encoder never emits: one
+    DC table with a single 1-bit code for category 0, constant-128 image
+    (every diff is 0, incl. the first sample against the 2^(P-1)=128
+    default prediction) — 1 bit per sample exactly."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    assert (h * w) % 8 == 0
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    sos = bytes([1, 1, 0x00, 1, 0, 0x00])
+    scan = b"\x00" * (h * w // 8)
+    return (b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht)
+            + seg(0xDA, sos) + scan + b"\xff\xd9")
+
+
+def test_jpeg_lossless_one_bit_code_stream_decodes():
+    """The scan-too-short floor must derive from the PARSED DHT tables'
+    shortest code, not a fixed 2-bit assumption: a conformant foreign
+    stream whose category-0 code is 1 bit costs exactly 1 bit/sample and
+    the r9 bound (n_samples > scan_bytes*4 + 64) falsely refused it into
+    the byte-view stub (ADVICE r9)."""
+    import numpy as np
+
+    data = _craft_lossless_1bit_stream()
+    out = mm._decode_jpeg(data)
+    assert out.shape == (160 * 160,) and bool((out == 128).all())
+    # sanity: the old fixed bound WOULD have refused this stream
+    scan_bytes = 160 * 160 // 8 + 2  # entropy bytes + EOI tail
+    assert 160 * 160 > scan_bytes * 4 + 64
+    # and a genuinely-too-short scan still refuses to the stub
+    import pytest
+
+    short = data[: data.index(b"\xff\xda") + 10 + 600] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="too short"):
+        mm._decode_jpeg(short)
+    assert mm._decode_bytes(short).tolist() == list(short)
+
+
+def test_hostile_headers_refuse_per_format():
+    """Standing hostile-input class (VERDICT r9 item 7): for EVERY real
+    codec path, a crafted header must refuse — falling to the byte-view
+    stub — BEFORE any header-sized allocation, inflate, or pure-Python
+    loop can exhaust an executor.  JPEG variants got these guards in
+    r6-r9; this pins the r10 PNG caps alongside them so a future codec
+    addition can't land without its cap."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    def expect_stub(payload, match):
+        with pytest.raises(ValueError, match=match):
+            if bytes(payload[:2]) == b"BM":
+                mm._decode_bmp(bytes(payload))
+            elif bytes(payload[:8]) == mm.PNG_SIG:
+                mm._decode_png(bytes(payload))
+            else:
+                mm._decode_jpeg(bytes(payload))
+        assert mm._decode_bytes(bytes(payload)).tolist() == list(
+            bytes(payload)
+        )
+
+    # --- PNG: IHDR dims bomb (60000x60000x3 ≈ 10.8 GB) with a tiny IDAT
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    bomb = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + mm._png_chunk(b"IEND", b""))
+    expect_stub(bomb, "decode cap")
+
+    # --- PNG: zlib bomb — 64 KB of compressed zeros inflating to ~64 MB
+    # against a 4x4 header; the bounded inflate must stop at expected+1
+    # bytes and the scanline-length check refuses (never materializes MBs)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9))
+            + mm._png_chunk(b"IEND", b""))
+    expect_stub(bomb, "scanline length mismatch")
+
+    # --- PNG: a large foreign Paeth-filtered pass (per-byte Python loop)
+    # must hit the 64x-tighter pure-Python cap; the same image with
+    # filter 0 (vectorized) stays decodable
+    h, w = 2100, 2100  # h*stride = 4.41M > 4.19M cap
+    raw = b"".join(b"\x04" + b"\x00" * w for _ in range(h))
+    paeth = (mm.PNG_SIG
+             + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+             + mm._png_chunk(b"IDAT", zlib.compress(raw, 6))
+             + mm._png_chunk(b"IEND", b""))
+    expect_stub(paeth, "pure-Python decode cap")
+    raw0 = b"".join(b"\x00" + b"\x7f" * w for _ in range(h))
+    ok = (mm.PNG_SIG
+          + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+          + mm._png_chunk(b"IDAT", zlib.compress(raw0, 6))
+          + mm._png_chunk(b"IEND", b""))
+    assert bool((mm._decode_png(ok) == 0x7F).all())
+
+    # --- PNG: palette index past PLTE length refuses (decode-side check)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    good = mm.encode_png_indexed(np.array([[0, 3]]), pal, bit_depth=8)
+    i = good.index(b"PLTE") - 4
+    (plen,) = struct.unpack_from(">I", good, i)
+    trimmed_plte = mm._png_chunk(b"PLTE", pal[:2].tobytes())
+    hostile = good[:i] + trimmed_plte + good[i + 12 + plen:]
+    expect_stub(hostile, "palette index out of range")
+
+    # --- BMP: header declaring more rows than the payload carries
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    bmp = bytearray(mm.encode_bmp_gray8(img))
+    struct.pack_into("<i", bmp, 22, 60000)  # h: 8 -> 60000
+    expect_stub(bytes(bmp), "buffer is smaller|fewer bytes")
+
+    # --- WAV: fmt chunk pointing at a non-PCM codec refuses
+    wav = bytearray(mm.encode_wav_pcm(np.arange(32, dtype=np.uint8), 8000))
+    j = bytes(wav).index(b"fmt ")
+    struct.pack_into("<H", wav, j + 8, 2)  # ADPCM
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        mm._decode_wav(bytes(wav))
+    assert mm._decode_bytes(bytes(wav)).tolist() == list(bytes(wav))
+
+    # --- JPEG sequential / lossless / hierarchical dims bombs are pinned
+    # by their own refusal tests; re-assert the lossless one here so the
+    # hostile class is complete in ONE place
+    loss = bytearray(mm.encode_jpeg_lossless(img))
+    k = bytes(loss).index(b"\xff\xc3")
+    struct.pack_into(">HH", loss, k + 5, 60000, 60000)
+    expect_stub(bytes(loss), "decode cap|too short")

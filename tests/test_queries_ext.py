@@ -83,3 +83,48 @@ def test_planted_corpus_degrades_to_empty_below_64_ids(spark, tmp_path):
     )
     assert con.execute(qx.SQL_EMBEDDING_KMEANS).fetchall() == []
     assert con.execute(qx.SQL_SEMANTIC_DEDUP_KEEP).fetchall() == []
+
+
+def test_planted_corpus_rejects_duplicated_plus_missing_id(spark, tmp_path):
+    """A table with vec_id 5 duplicated and vec_id 7 missing still has
+    count(vec_id<64) == 64 — the r9 gate would have read it as complete
+    and aggregated a corrupt corpus.  The exact gate (count == 64 AND
+    countDistinct == 64, DISTINCT mirrored in the oracle guard) must
+    degrade BOTH engines to empty instead (ADVICE r9)."""
+    import duckdb
+
+    from worlddatapipeline_spark import queries_ext as qx
+
+    sf_dir = tmp_path / "dup"
+    sf_dir.mkdir()
+    ids = [i for i in range(64) if i != 7] + [5]  # 64 rows, 63 distinct
+    spark.createDataFrame(
+        [(i, [float(i)] * 8, 0) for i in ids],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(sf_dir / "embeddings.parquet"))
+
+    assert qx.q_embedding_kmeans(spark, str(sf_dir)).count() == 0
+    assert qx.q_semantic_dedup_keep(spark, str(sf_dir)).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * "
+        "FROM read_parquet('{}/*.parquet')".format(
+            str(sf_dir / "embeddings.parquet")
+        )
+    )
+    assert con.execute(qx.SQL_EMBEDDING_KMEANS).fetchall() == []
+    assert con.execute(qx.SQL_SEMANTIC_DEDUP_KEEP).fetchall() == []
+
+
+def test_planted_corpus_nonempty_at_real_sf(spark):
+    """At sf >= 0.01 the embeddings table carries all 64 planted ids, so
+    the degrade path must NOT trigger — a green-empty result at a scale
+    where the corpus should exist would hide silent data loss behind the
+    tiny-sf guard (ADVICE r9)."""
+    from worlddatapipeline_spark import queries_ext as qx
+
+    corpus = qx._planted_kmeans_corpus(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    )
+    assert corpus is not None
+    assert qx.q_embedding_kmeans(spark, "/root/testdata/sf0.01").count() == 8

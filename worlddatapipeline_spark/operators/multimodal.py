@@ -259,11 +259,18 @@ def encode_png_indexed(
         raise ValueError("palette must be (n, 3) uint8 with 1 <= n <= 256")
     if len(pal) > (1 << bit_depth):
         raise ValueError("palette larger than bit depth allows")
-    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    # Range-check the CALLER's array before any uint8 cast: an
+    # out-of-range index like 256 (or -1) would otherwise alias mod 256
+    # into the valid range and pass validation, emitting a
+    # wrong-but-well-formed PNG (ADVICE r9).
+    src = np.asarray(indices)
+    if src.size and (
+        np.min(src) < 0 or int(np.max(src)) >= len(pal)
+    ):
+        raise ValueError("palette index out of range")
+    idx = np.ascontiguousarray(src, dtype=np.uint8)
     if idx.ndim == 1:
         idx = idx[None, :]
-    if idx.max(initial=0) >= len(pal):
-        raise ValueError("palette index out of range")
     h, w = idx.shape
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
@@ -311,6 +318,16 @@ def _png_unfilter(
         elif f == 2:  # Up
             cur = row + prev  # uint8 wraparound = mod-256
         elif f in (3, 4):  # Average / Paeth: sequential by definition
+            # per-BYTE pure-Python scan ⇒ the 64x-tighter cap class the
+            # JPEG per-sample loops use (4M vs the 256M vectorized cap):
+            # a foreign Paeth-filtered pass above this would pin an
+            # executor in the interpreter; filters 0/1/2 (incl. every
+            # stream our own encoder emits) stay vectorized and uncapped
+            # up to the PNG dims cap (r10, VERDICT r9 item 7)
+            if h * stride > 4_194_304:
+                raise ValueError(
+                    "PNG Average/Paeth pass exceeds pure-Python decode cap"
+                )
             cur = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
                 a = int(cur[x - fbpp]) if x >= fbpp else 0
@@ -384,7 +401,20 @@ def _decode_png(data: bytes) -> np.ndarray:
             raise ValueError("paletted PNG missing/malformed PLTE")
     nch = 3 if ct == 2 else 1
     fbpp = max(1, (nch * bitd) // 8)
-    raw = zlib.decompress(b"".join(idat))
+    # Untrusted-header guards (the JPEG paths had these since r6; PNG
+    # gained them in r10): IHDR dims are attacker/corpus controlled, so
+    # cap the sample allocation BEFORE it happens — same 256M-sample
+    # class cap as the vectorized DCT paths — and inflate the IDAT
+    # stream BOUNDED to the byte count the declared geometry implies, so
+    # a zlib bomb can never materialize gigabytes before the scanline
+    # mismatch check fires.
+    if h * w * nch > 268_435_456:
+        raise ValueError("PNG dimensions exceed decode cap")
+    expected = sum(
+        ph * (-(-pw * nch * bitd // 8) + 1)
+        for _x0, _y0, _dx, _dy, pw, ph in _png_passes(w, h, interlace)
+    )
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     img = np.zeros((h, w, nch), dtype=np.uint8)
     offset = 0
     for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace):
@@ -531,6 +561,26 @@ def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]
         (length, code): sym
         for sym, (code, length) in _huff_codes(bits, vals).items()
     }
+
+
+def _min_bits_per_lossless_sample(
+    tabs: list[dict[tuple[int, int], int]],
+) -> int:
+    """Lower bound on entropy-coded bits per lossless sample, derived from
+    the scan's PARSED DC tables: one huffman symbol per sample (category 0
+    carries no magnitude bits), at the shortest code length any of the
+    scan's tables defines.  A fixed 2-bit assumption would falsely refuse
+    a conformant foreign stream whose category-0 code is 1 bit — and the
+    refusal path silently mis-decodes via the byte-view stub rather than
+    decoding (ADVICE r9).  NB the DCT paths' 2-bits-per-BLOCK floor is
+    exact and needs no such derivation: a block costs at least a DC symbol
+    plus an EOB symbol from two distinct tables, each >= 1 bit."""
+    return max(
+        1,
+        min(
+            min(length for length, _ in tab) if tab else 1 for tab in tabs
+        ),
+    )
 
 
 class _BitWriter:
@@ -1119,6 +1169,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     scan_bytes = max(0, len(data) - scan_pos)
     if n_blocks * 64 > 268_435_456:  # 256M samples ≈ 2 GB float64
         raise ValueError("JPEG dimensions exceed decode cap")
+    # 2 bits/block is the EXACT floor here (DC symbol + EOB symbol from two
+    # distinct tables, each >= 1 bit) — unlike the lossless paths, which
+    # derive theirs from the parsed DHTs (_min_bits_per_lossless_sample)
     if n_blocks > scan_bytes * 4 + 64:  # < 2 bits/block ⇒ header lies
         raise ValueError("JPEG scan too short for declared dimensions")
     planes = [
@@ -2260,14 +2313,17 @@ def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
     # far above any contract/audit input, decodes in seconds.
     if n_samples > 4_194_304:
         raise ValueError("JPEG dimensions exceed decode cap")
-    if n_samples > max(0, len(data) - scan_pos) * 4 + 64:
-        raise ValueError("JPEG scan too short for declared dims")
     tabs = []
     for dc in scan_tabs:
         tab = htables.get((0, dc))
         if tab is None:
             raise ValueError("missing DC huffman table")
         tabs.append(tab)
+    # scan-length floor from the PARSED tables' shortest code, not a fixed
+    # 2-bit assumption (ADVICE r9 — see _min_bits_per_lossless_sample)
+    mb = _min_bits_per_lossless_sample(tabs)
+    if n_samples * mb > max(0, len(data) - scan_pos) * 8 + 64 * mb:
+        raise ValueError("JPEG scan too short for declared dims")
     br = _BitReader(data, scan_pos)
     planes = _lossless_entropy_scan(br, h, w, tabs, predictor)
     out = [np.clip(p, 0, 255).astype(np.uint8) for p in planes]
@@ -2576,7 +2632,10 @@ def _decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
             total_budget -= n_samples
             if total_budget < 0:
                 raise ValueError("JPEG dimensions exceed decode cap")
-            if n_samples > max(0, len(data) - pos) * 4 + 64:
+            # floor from the parsed tables' shortest code (ADVICE r9 —
+            # see _min_bits_per_lossless_sample)
+            mb = _min_bits_per_lossless_sample(tabs)
+            if n_samples * mb > max(0, len(data) - pos) * 8 + 64 * mb:
                 raise ValueError("JPEG scan too short for declared dims")
             if differential:
                 if ss != 0:

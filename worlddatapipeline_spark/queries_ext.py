@@ -2474,7 +2474,12 @@ def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame | None:
     floor this returns None and both consumers emit an EMPTY result —
     mirrored by a completeness guard in their DuckDB oracles — instead of
     hard-failing the harness at tiny scale factors (ADVICE r8; the LSH/
-    IVF planted corpora degrade the same way)."""
+    IVF planted corpora degrade the same way).  The gate is exact:
+    count == 64 AND countDistinct == 64 — plain count alone would let a
+    table with one duplicated and one missing id read as complete
+    (ADVICE r9); tests/test_queries_ext.py additionally pins that the
+    corpus is NON-empty at sf >= 0.01 so silent data loss can't hide
+    behind the degrade."""
     g = F.element_at(
         F.array(*[F.lit(x) for x in _KMEANS_GROUPS]),
         (F.col("vec_id") + 1).cast("int"),
@@ -2486,7 +2491,11 @@ def _planted_kmeans_corpus(embeddings: DataFrame) -> DataFrame | None:
             *[F.when(g == j, m).otherwise(F.lit(0.0)) for j in range(8)]
         ).alias("embedding"),
     )
-    if corpus.count() != 64:
+    stats = corpus.agg(
+        F.count("vec_id").alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).first()
+    if stats["n"] != 64 or stats["nd"] != 64:
         return None
     return corpus
 
@@ -2564,6 +2573,7 @@ planted AS (
   -- empty frame (the planted-init proof needs every group seed), so the
   -- oracle must go empty too rather than aggregate a partial corpus
   WHERE (SELECT count(*) FROM embeddings WHERE vec_id < 64) = 64
+    AND (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 64) = 64
 )
 SELECT CAST(grp AS BIGINT) AS cluster,
        count(*) AS n_vectors,
@@ -4804,6 +4814,7 @@ planted AS (
   JOIN m USING (vec_id)
   -- completeness guard: mirrors the Spark side's empty-below-64 degrade
   WHERE (SELECT count(*) FROM embeddings WHERE vec_id < 64) = 64
+    AND (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 64) = 64
 ),
 keep AS (SELECT grp, min(vec_id) AS keeper FROM planted GROUP BY grp)
 SELECT p.vec_id,
