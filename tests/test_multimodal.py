@@ -1116,6 +1116,16 @@ def test_codec_docstrings_list_same_format_sets():
     for token in real + stub:
         assert token in module_doc, f"module docstring missing {token!r}"
         assert token in fn_doc, f"_decode_bytes docstring missing {token!r}"
+    # The refusal set is FINAL (r10, VERDICT r9 item 4): each refusal must
+    # carry its falsifiability argument in the module docstring so the
+    # decision stops being re-litigated in per-round notes.
+    for token in (
+        "Refusal set — FINAL",
+        "Qe state table",
+        "round-trip is inherently inexact",
+        "external golden corpus",
+    ):
+        assert token in module_doc, f"refusal argument missing {token!r}"
 
 
 def test_jpeg_lossless_container_declares_color_space():

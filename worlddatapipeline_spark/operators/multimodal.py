@@ -13,14 +13,35 @@ hierarchical (canonical huffman + IDCT; grayscale and color at any integer
 sampling layout incl. 4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1,
 SOF2 spectral selection + successive approximation, SOF3 Annex-H
 predictive with exact round-trips, and Annex-J DHP/EXP/SOF7 differential
-pyramids with exact round-trips) — and STUBBED only for what
-genuinely needs a codec library this container lacks (mp4) or an encoder
-this repo cannot yet emit (arithmetic JPEG and the differential-DCT
-hierarchical frames SOF5/SOF6):
+pyramids with exact round-trips) — and STUBBED only for the FINAL
+refusal set (decided r10; test-pinned):
 there the clearly-marked deterministic fake views the payload bytes as
 samples.  A real deployment swaps ONLY that function (e.g. for PIL /
 libav via pip on the cluster image); every Spark-side concern here is
-real and tested:
+real and tested.
+
+Refusal set — FINAL, each refusal falsifiable-or-refused by design:
+
+- **mp4**: environment-bounded — an H.264/container decoder cannot be
+  carried in stdlib + numpy; the stub is the documented swap point.
+- **arithmetic JPEG (SOF9-SOF11)**: the T.81 Qe state table is not
+  verifiable offline — a self-consistent encoder/decoder pair with a
+  WRONG table passes every in-repo round-trip while misdecoding real
+  streams; round-trip goldens prove nothing about table conformance, so
+  an in-repo implementation would be unfalsifiable.  Refused until an
+  external golden corpus exists to test against.
+- **differential-DCT hierarchical frames (SOF5/SOF6)**: unlike the
+  lossless pyramid (SOF3 initial + SOF7 differentials), whose EXACT byte
+  round-trip is the oracle, a differential-DCT frame codes lossy DCT
+  residuals — its round-trip is inherently inexact, so an in-repo
+  encoder/decoder pair can only be tested against itself, and any
+  self-consistent-but-wrong residual scaling/clamping convention passes
+  every in-repo contract while misdecoding real streams.  Same
+  unfalsifiability class as arithmetic coding; refused until an external
+  golden corpus exists.  This decision is permanent absent such a
+  corpus — do not re-litigate it per round.
+
+Spark-side concerns (all real, all tested):
 
 - schema: ``MEDIA_SCHEMA`` (binary payload + struct metadata, nullable rules)
 - partitioning: media ops are pure maps — no shuffle; batch size bounded by
