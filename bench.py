@@ -216,6 +216,7 @@ LLM = [
     # round-9 additions
     "jpeg_hierarchical_contract",
     "png_palette_contract",
+    "png_full_surface_contract",
 ]
 
 

@@ -293,14 +293,21 @@ def test_png_rejects_unsupported_shapes():
     with pytest.raises(ValueError, match="unsupported PNG"):
         mm._decode_png(data2)
     assert mm._decode_bytes(data2).tolist() == list(data2)
-    # 16-bit depth rejected
+    # 16-bit depth DECODES as of r10 (high-byte reduction): 0x0007 -> 0
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     data16 = (
         mm.PNG_SIG + chunk(b"IHDR", ihdr16)
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x07")) + chunk(b"IEND", b"")
     )
+    assert mm._decode_png(data16).tolist() == [0]
+    # ...but an IHDR-illegal combination still refuses (palette at 16)
+    ihdr_bad = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    data_bad = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr_bad)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x07")) + chunk(b"IEND", b"")
+    )
     with pytest.raises(ValueError, match="unsupported PNG"):
-        mm._decode_png(data16)
+        mm._decode_png(data_bad)
     # paletted stream whose PLTE is missing — refuse, don't index nothing
     ihdr3 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
     data3 = (
@@ -1101,6 +1108,10 @@ def test_codec_docstrings_list_same_format_sets():
         "WAV",
         "PNG",
         "palette",
+        "gray+alpha",
+        "RGBA",
+        "1/2/4/8/16",
+        "high byte",
         "Adam7",
         "sequential",
         "progressive",
@@ -1512,3 +1523,81 @@ def test_hostile_headers_refuse_per_format():
     k = bytes(loss).index(b"\xff\xc3")
     struct.pack_into(">HH", loss, k + 5, 60000, 60000)
     expect_stub(bytes(loss), "decode cap|too short")
+
+
+def test_png_full_surface_roundtrip_every_legal_combo():
+    """encode_png/_decode_png must round-trip EVERY IHDR-legal non-palette
+    (color type, bit depth) combination, plain and Adam7: gray 1/2/4/8/16
+    (sub-byte decodes to the exact bit-replication scaling, 16-bit to the
+    high byte with nonzero low bytes in play), RGB / gray+alpha / RGBA at
+    8 and 16 (interleaved per-channel samples out)."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    for d in (1, 2, 4, 8, 16):
+        top = (1 << d) - 1
+        for shape in [(1, 1), (5, 7), (16, 9), (3, 20)]:
+            px = rng.integers(0, top + 1, shape).astype(
+                np.uint16 if d == 16 else np.uint8
+            )
+            if d < 8:
+                want = (px.astype(np.uint16) * (255 // top)).astype(np.uint8)
+            elif d == 8:
+                want = px
+            else:
+                want = (px >> 8).astype(np.uint8)
+            for inter in (False, True):
+                got = mm._decode_png(mm.encode_png(px, 0, d, interlace=inter))
+                assert got.tolist() == want.reshape(-1).tolist(), (d, shape, inter)
+    for ct, nch in [(2, 3), (4, 2), (6, 4)]:
+        for d in (8, 16):
+            top = (1 << d) - 1
+            for shape in [(1, 1), (5, 7), (9, 4)]:
+                px = rng.integers(0, top + 1, shape + (nch,)).astype(
+                    np.uint16 if d == 16 else np.uint8
+                )
+                want = (px >> 8 if d == 16 else px).astype(np.uint8)
+                for inter in (False, True):
+                    got = mm._decode_png(
+                        mm.encode_png(px, ct, d, interlace=inter)
+                    )
+                    assert got.tolist() == want.reshape(-1).tolist(), (
+                        ct, d, shape, inter,
+                    )
+    # encoder validation: out-of-range samples refuse BEFORE the cast
+    # (the encode_png_indexed aliasing lesson), bad type/depth combos refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        mm.encode_png(np.array([[256]]), 0, 8)
+    with pytest.raises(ValueError, match="out of range"):
+        mm.encode_png(np.array([[2]]), 0, 1)
+    with pytest.raises(ValueError, match="out of range"):
+        mm.encode_png(np.array([[-1]]), 0, 8)
+    with pytest.raises(ValueError, match="bad PNG bit depth"):
+        mm.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), 2, 4)
+    with pytest.raises(ValueError, match="color type"):
+        mm.encode_png(np.zeros((2, 2), dtype=np.uint8), 3)
+    with pytest.raises(ValueError, match="needs a"):
+        mm.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), 6, 8)
+    # depth-16 wire format is big-endian per spec §7.1 (external decoders)
+    enc = mm.encode_png(np.array([[0x1234]], dtype=np.uint16), 0, 16)
+    import zlib as _z
+    i = enc.index(b"IDAT") + 4
+    (clen,) = __import__("struct").unpack_from(">I", enc, i - 8)
+    raw = _z.decompress(enc[i : i + clen])
+    assert raw == b"\x00\x12\x34"
+
+
+def test_png_full_surface_audit_operator(spark):
+    """The registry-facing contract runs the full-surface matrix per doc
+    over mapInPandas and pins exact equality on each."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 256), (3, "short")],
+        "doc_id long, text string",
+    )
+    rows = mm.png_full_surface_roundtrip_audit(
+        docs, "doc_id", "text", side=16
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    assert all(r["full_surface_exact"] and r["n_pixels"] == 256 for r in rows)

@@ -7,7 +7,11 @@ Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
 with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
-unfilter; gray/RGB/palette color types, Adam7 interlace), and huffman
+unfilter; the FULL critical-chunk surface as of r10: gray at depth
+1/2/4/8/16, RGB, palette, gray+alpha and RGBA color types at 8/16-bit,
+Adam7 interlace; depth 16 reduces to the high byte, the WAV 16→8
+convention; ancillary chunks like tRNS/gAMA are skipped — the contract
+returns raw samples, which they do not alter), and huffman
 JPEG sequential, progressive, lossless AND
 hierarchical (canonical huffman + IDCT; grayscale and color at any integer
 sampling layout incl. 4:2:0/4:2:2, restart intervals, 16-bit DQT/SOF1,
@@ -310,6 +314,83 @@ def encode_png_indexed(
     )
 
 
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # samples per pixel by color type
+
+
+def encode_png(
+    samples: np.ndarray,
+    color_type: int,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a sample grid as a REAL PNG at ANY IHDR-legal (color type,
+    bit depth) combination except paletted (ct 3 — that is
+    :func:`encode_png_indexed`): grayscale (ct 0) at depth 1/2/4/8/16,
+    truecolor (ct 2), gray+alpha (ct 4) and RGBA (ct 6) at 8/16 — the
+    full critical-chunk surface (r10; closes the gap list from r9).
+
+    ``samples`` is (h, w) for gray or (h, w, nch) for multi-channel —
+    uint8-ranged for depth <= 8 (sub-byte values must fit the depth),
+    uint16-ranged for depth 16 (written big-endian per spec §7.1).
+    Scanlines are written with filter type 0; ``interlace=True`` emits
+    Adam7.  ``_decode_png`` (and any stock viewer) reads the output;
+    note the decode contract reduces depth-16 samples to their high byte
+    (the WAV 16→8 convention), so the exact-round-trip pin at depth 16
+    is on the high bytes."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(f"bad PNG color type {color_type} (3 = indexed)")
+    legal = (1, 2, 4, 8, 16) if color_type == 0 else (8, 16)
+    if bit_depth not in legal:
+        raise ValueError(
+            f"bad PNG bit depth {bit_depth} for color type {color_type}"
+        )
+    nch = _PNG_NCH[color_type]
+    src = np.asarray(samples)
+    if color_type == 0 and src.ndim == 1:
+        src = src[None, :]
+    want_ndim = 2 if color_type == 0 else 3
+    if src.ndim != want_ndim or (want_ndim == 3 and src.shape[2] != nch):
+        raise ValueError(
+            f"color type {color_type} needs a "
+            f"{'(h, w)' if want_ndim == 2 else f'(h, w, {nch})'} array"
+        )
+    # range-check the CALLER's array before any narrowing cast (the
+    # encode_png_indexed aliasing lesson, ADVICE r9)
+    top = (1 << bit_depth) - 1
+    if src.size and (np.min(src) < 0 or int(np.max(src)) > top):
+        raise ValueError(f"sample out of range for bit depth {bit_depth}")
+    px = np.ascontiguousarray(
+        src, dtype=np.uint16 if bit_depth == 16 else np.uint8
+    ).reshape(src.shape[0], src.shape[1], nch)
+    h, w = px.shape[:2]
+
+    def pack(row: np.ndarray) -> bytes:  # row: (pw, nch)
+        flat = row.reshape(-1)
+        if bit_depth == 16:
+            return flat.astype(">u2").tobytes()
+        if bit_depth == 8:
+            return flat.tobytes()
+        return _png_pack_row(flat, bit_depth)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    raw = b"".join(
+        b"\x00" + pack(px[y0 + i * dy, x0::dx])
+        for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace)
+        for i in range(ph)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(
     raw: bytes, h: int, stride: int, fbpp: int, offset: int
 ) -> tuple[np.ndarray, int]:
@@ -411,7 +492,11 @@ def _decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    ok = (ct in (0, 2) and bitd == 8) or (ct == 3 and bitd in (1, 2, 4, 8))
+    ok = (
+        (ct == 0 and bitd in (1, 2, 4, 8, 16))
+        or (ct in (2, 4, 6) and bitd in (8, 16))
+        or (ct == 3 and bitd in (1, 2, 4, 8))
+    )
     if not ok or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (bit depth={bitd}, color type={ct}, "
@@ -420,7 +505,7 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ct == 3:
         if not plte or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("paletted PNG missing/malformed PLTE")
-    nch = 3 if ct == 2 else 1
+    nch = _PNG_NCH[ct]
     fbpp = max(1, (nch * bitd) // 8)
     # Untrusted-header guards (the JPEG paths had these since r6; PNG
     # gained them in r10): IHDR dims are attacker/corpus controlled, so
@@ -442,7 +527,19 @@ def _decode_png(data: bytes) -> np.ndarray:
         stride = -(-pw * nch * bitd // 8)
         rows, offset = _png_unfilter(raw, ph, stride, fbpp, offset)
         for i in range(ph):
-            vals = _png_unpack_row(rows[i], pw * nch, bitd)
+            if bitd == 16:
+                # big-endian samples: the high byte sits at even offsets —
+                # depth-16 reduces to its top byte, the WAV 16→8 convention
+                vals = rows[i][0::2][: pw * nch]
+            else:
+                vals = _png_unpack_row(rows[i], pw * nch, bitd)
+                if ct == 0 and bitd < 8:
+                    # sub-byte GRAY samples scale by bit replication
+                    # (255/(2^d-1): ×255/×85/×17 — exact integers);
+                    # ct-3 values stay raw palette indices
+                    vals = (
+                        vals.astype(np.uint16) * (255 // ((1 << bitd) - 1))
+                    ).astype(np.uint8)
             img[y0 + i * dy, x0::dx, :] = vals.reshape(pw, nch)
     if offset != len(raw):
         raise ValueError("PNG scanline length mismatch")
@@ -2932,12 +3029,90 @@ def png_palette_roundtrip_audit(
     )
 
 
+def png_full_surface_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """PNG full-critical-surface codec contract (r10): every IHDR-legal
+    (color type, bit depth) combination — gray 1/2/4/8/16, truecolor
+    8/16, gray+alpha 8/16, RGBA 8/16 — plain AND Adam7, 22 encode/decode
+    round-trips per qualifying row, all derived closed-form from the
+    row's first ``side²`` utf-8 bytes: sub-byte gray decodes to the
+    bit-replication scaling (×255/×85/×17), depth 16 to the high byte
+    (low bytes deliberately nonzero so a lane/endianness bug breaks the
+    pin), multi-channel to the interleaved per-channel samples.  Scale:
+    pure Arrow-batched ``mapInPandas`` behind an explicit repartition,
+    same as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ok(raw: np.ndarray) -> bool:
+            r16 = raw.astype(np.uint16)
+            gray_cases = [  # (px, depth, want)
+                (raw, 8, raw),
+                ((r16 << 8) | ((r16 * 7 + 3) & 0xFF), 16, raw),
+                (raw >> 7, 1, (raw >> 7) * 255),
+                (raw >> 6, 2, (raw >> 6) * 85),
+                (raw >> 4, 4, (raw >> 4) * 17),
+            ]
+            chans = [raw, 255 - raw, raw >> 1, raw | 1]
+            multi_cases = []
+            for ct, nch in ((2, 3), (4, 2), (6, 4)):
+                px8 = np.stack(chans[:nch], axis=-1)
+                multi_cases.append((px8, ct, 8, px8))
+                px16 = (px8.astype(np.uint16) << 8) | (
+                    (px8.astype(np.uint16) * 11 + 5) & 0xFF
+                )
+                multi_cases.append((px16, ct, 16, px8))
+            for inter in (False, True):
+                for px, depth, want in gray_cases:
+                    dec = _decode_png(encode_png(px, 0, depth, inter))
+                    if not np.array_equal(dec, want.reshape(-1)):
+                        return False
+                for px, ct, depth, want in multi_cases:
+                    dec = _decode_png(encode_png(px, ct, depth, inter))
+                    if not np.array_equal(dec, want.reshape(-1)):
+                        return False
+            return True
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, exact = [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                ids.append(int(i))
+                exact.append(bool(ok(raw)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "full_surface_exact": exact,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, full_surface_exact boolean",
+        )
+    )
+
+
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
     BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter;
-    gray/RGB/palette color types at bit depth 1-8, Adam7 interlace),
+    the full critical-chunk surface: gray at depth 1/2/4/8/16 and
+    RGB/palette/gray+alpha/RGBA color types, Adam7 interlace, depth 16
+    reduced to the high byte),
     and huffman JPEG sequential, progressive, lossless AND hierarchical
     (canonical huffman + orthonormal IDCT, grayscale or YCbCr at any
     integer sampling layout incl. 4:2:0, restart intervals in sequential

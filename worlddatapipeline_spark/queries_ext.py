@@ -1620,6 +1620,33 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_png_full_surface_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG full-critical-surface codec contract (round 10 — every
+    IHDR-legal color-type × bit-depth combination: gray 1/2/4/8/16,
+    truecolor 8/16, gray+alpha 8/16, RGBA 8/16, plain AND Adam7): every
+    document with >= 256 utf-8 bytes drives 22 encode/decode round-trips
+    whose expected output is closed-form from the raw bytes — sub-byte
+    gray by bit-replication scaling, depth 16 by high-byte reduction
+    with deliberately nonzero low bytes, multi-channel interleaved —
+    exact equality pinned.  See
+    operators/multimodal.py::png_full_surface_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.png_full_surface_roundtrip_audit(
+        documents, "doc_id", "text", side=16
+    )
+
+
+SQL_PNG_FULL_SURFACE_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS full_surface_exact
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -5248,3 +5275,5 @@ EXT_QUERIES["jpeg_hierarchical_contract"] = q_jpeg_hierarchical_contract
 EXT_ORACLES["jpeg_hierarchical_contract"] = SQL_JPEG_HIERARCHICAL_CONTRACT
 EXT_QUERIES["png_palette_contract"] = q_png_palette_contract
 EXT_ORACLES["png_palette_contract"] = SQL_PNG_PALETTE_CONTRACT
+EXT_QUERIES["png_full_surface_contract"] = q_png_full_surface_contract
+EXT_ORACLES["png_full_surface_contract"] = SQL_PNG_FULL_SURFACE_CONTRACT
