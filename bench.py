@@ -217,6 +217,7 @@ LLM = [
     "jpeg_hierarchical_contract",
     "png_palette_contract",
     "png_full_surface_contract",
+    "wav_pcm_surface_contract",
 ]
 
 

@@ -1601,3 +1601,60 @@ def test_png_full_surface_audit_operator(spark):
     ).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
     assert all(r["full_surface_exact"] and r["n_pixels"] == 256 for r in rows)
+
+
+def test_wav_pcm_surface_roundtrip_all_depths_and_channels():
+    """encode_wav_pcm/_decode_wav must cover the full integer-PCM surface:
+    8/16/24/32-bit, mono and multi-channel (interleaved frames flat in
+    the output), deeper depths reducing to the top byte of the
+    offset-binary value; 24-bit range-checks BEFORE packing."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(44)
+    for ch in (1, 2, 4):
+        shape = (37,) if ch == 1 else (37, ch)
+        u8 = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert mm._decode_wav(mm.encode_wav_pcm(u8)).tolist() == (
+            u8.reshape(-1).tolist()
+        )
+        s16 = rng.integers(-32768, 32768, shape).astype(np.int16)
+        want = ((s16.reshape(-1).astype(np.int32) + 32768) >> 8).astype(
+            np.uint8
+        )
+        assert mm._decode_wav(mm.encode_wav_pcm(s16)).tolist() == want.tolist()
+        s24 = rng.integers(-(1 << 23), 1 << 23, shape).astype(np.int32)
+        want = (((s24.reshape(-1) + (1 << 23)) >> 16) & 0xFF).astype(np.uint8)
+        assert mm._decode_wav(
+            mm.encode_wav_pcm(s24, bits=24)
+        ).tolist() == want.tolist()
+        s32 = rng.integers(-(1 << 31), 1 << 31, shape, dtype=np.int64).astype(
+            np.int32
+        )
+        want = (
+            ((s32.reshape(-1).astype(np.int64) + (1 << 31)) >> 24) & 0xFF
+        ).astype(np.uint8)
+        assert mm._decode_wav(mm.encode_wav_pcm(s32)).tolist() == want.tolist()
+    # 24-bit wire format: 3-byte little-endian frames, no 4th byte
+    enc = mm.encode_wav_pcm(np.array([0x123456], dtype=np.int32), bits=24)
+    j = enc.index(b"data") + 8
+    assert enc[j : j + 3] == b"\x56\x34\x12" and len(enc) == j + 3
+    # range / shape validation before any narrowing
+    with pytest.raises(ValueError, match="24-bit"):
+        mm.encode_wav_pcm(np.array([1 << 23], dtype=np.int32), bits=24)
+    with pytest.raises(ValueError, match="24-bit"):
+        mm.encode_wav_pcm(np.array([-(1 << 23) - 1], dtype=np.int32), bits=24)
+    with pytest.raises(ValueError, match="channels"):
+        mm.encode_wav_pcm(np.zeros((2, 2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="dtype"):
+        mm.encode_wav_pcm(np.zeros(4, dtype=np.float64))
+
+
+def test_wav_pcm_surface_audit_operator(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 256), (3, "short")],
+        "doc_id long, text string",
+    )
+    rows = mm.wav_pcm_surface_roundtrip_audit(docs, "doc_id", "text").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    assert all(r["pcm_surface_exact"] and r["n_samples"] == 256 for r in rows)

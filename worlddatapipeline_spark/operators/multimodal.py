@@ -6,7 +6,9 @@ runs decode / feature-extract / resize / frame-sample as Arrow-batched
 Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
-with stdlib + numpy alone — BMP, RIFF/WAV, PNG (zlib inflate + scanline
+with stdlib + numpy alone — BMP, RIFF/WAV (integer PCM 8/16/24/32-bit,
+any channel count, deeper depths reduced to the offset-binary top
+byte), PNG (zlib inflate + scanline
 unfilter; the FULL critical-chunk surface as of r10: gray at depth
 1/2/4/8/16, RGB, palette, gray+alpha and RGBA color types at 8/16-bit,
 Adam7 interlace; depth 16 reduces to the high byte, the WAV 16→8
@@ -142,24 +144,49 @@ def encode_bmp_gray8(pixels: np.ndarray) -> bytes:
     return header + info + palette + rows[::-1].tobytes()  # bottom-up
 
 
-def encode_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """Encode a mono sample array as a REAL PCM WAV (RIFF) container.
+def encode_wav_pcm(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int | None = None
+) -> bytes:
+    """Encode a sample array as a REAL PCM WAV (RIFF) container — the
+    full integer-PCM surface as of r10.
 
-    uint8 input → 8-bit PCM; int16 input → 16-bit little-endian PCM.  Plain
-    struct packing, no codec library; any audio tool opens the output and
-    ``_decode_wav`` round-trips it.
+    ``samples`` is 1-D (mono) or (n_frames, channels) interleaved.
+    Depth from dtype: uint8 → 8-bit offset-binary; int16 → 16-bit
+    little-endian; int32 → 32-bit, or 24-bit packed 3-byte little-endian
+    frames when ``bits=24`` (values range-checked against ±2^23 BEFORE
+    packing — the narrowing-cast aliasing lesson).  Plain struct packing,
+    no codec library; any audio tool opens the output and ``_decode_wav``
+    round-trips it (depths > 8 reduce to the top byte of the
+    offset-binary value, the standard PCM reduction).
     """
     import struct  # noqa: PLC0415
 
     s = np.ascontiguousarray(samples)
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    if s.ndim > 2 or not 1 <= channels <= 16:
+        raise ValueError("samples must be 1-D mono or (frames, channels<=16)")
     if s.dtype == np.uint8:
         bits, payload = 8, s.tobytes()
     elif s.dtype == np.int16:
         bits, payload = 16, s.astype("<i2").tobytes()
+    elif s.dtype == np.int32 and bits == 24:
+        flat = s.reshape(-1)
+        if flat.size and (
+            int(flat.min()) < -(1 << 23) or int(flat.max()) >= (1 << 23)
+        ):
+            raise ValueError("sample out of range for 24-bit PCM")
+        le4 = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+        payload = np.ascontiguousarray(le4[:, :3]).tobytes()
+    elif s.dtype == np.int32:
+        bits, payload = 32, s.astype("<i4").tobytes()
     else:
-        raise ValueError(f"unsupported sample dtype {s.dtype} (uint8/int16)")
-    block = bits // 8
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * block, block, bits)
+        raise ValueError(
+            f"unsupported sample dtype {s.dtype} (uint8/int16/int32)"
+        )
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
     data_len = len(payload)
     riff_len = 4 + (8 + len(fmt)) + (8 + data_len)
     return (
@@ -585,10 +612,12 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 
 
 def _decode_wav(data: bytes) -> np.ndarray:
-    """Real WAV decode with numpy alone (PCM 8/16-bit): walks the RIFF
-    chunk list to the fmt/data chunks and returns a FLAT uint8 amplitude
-    view — 8-bit samples as-is, 16-bit mapped to the top byte of the
-    offset-binary value (the standard 16→8-bit PCM reduction)."""
+    """Real WAV decode with numpy alone (integer PCM 8/16/24/32-bit, any
+    channel count — frames stay interleaved in the flat output): walks
+    the RIFF chunk list to the fmt/data chunks and returns a FLAT uint8
+    amplitude view — 8-bit samples as-is, deeper samples mapped to the
+    top byte of the offset-binary value (the standard PCM bit-depth
+    reduction)."""
     import struct  # noqa: PLC0415
 
     if data[8:12] != b"WAVE":
@@ -611,6 +640,16 @@ def _decode_wav(data: bytes) -> np.ndarray:
     if bits == 16:
         s = np.frombuffer(payload, dtype="<i2").astype(np.int32)
         return ((s + 32768) >> 8).astype(np.uint8)
+    if bits == 24:
+        # 3-byte little-endian frames: the top byte of (s + 2^23) is the
+        # signed high byte with its sign bit flipped — pure byte algebra,
+        # no unpacking loop
+        n = len(payload) - len(payload) % 3
+        b = np.frombuffer(payload, dtype=np.uint8, count=n)
+        return (b[2::3] ^ 0x80).astype(np.uint8)
+    if bits == 32:
+        s = np.frombuffer(payload, dtype="<i4")
+        return (((s >> 24).astype(np.int32) + 128) & 0xFF).astype(np.uint8)
     raise ValueError(f"unsupported WAV bit depth {bits}")
 
 
@@ -3105,11 +3144,95 @@ def png_full_surface_roundtrip_audit(
     )
 
 
+def wav_pcm_surface_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, n: int = 256
+) -> DataFrame:
+    """WAV integer-PCM surface contract (r10): 8/16/24/32-bit PCM, mono
+    and stereo, 8 encode/decode round-trips per qualifying row, expected
+    output closed-form from the row's first ``n`` utf-8 bytes — each
+    deeper depth plants the byte in the TOP byte of the offset-binary
+    value with deliberately nonzero low bytes, so the decode reduction
+    must recover the byte exactly (an endianness, packing, or sign-flip
+    bug breaks the pin).  Scale: pure Arrow-batched ``mapInPandas``
+    behind an explicit repartition, same as the other codec audits."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ok(raw: np.ndarray) -> bool:
+            r = raw.astype(np.int64)
+            cases = [  # (samples array, bits kwarg, expected flat bytes)
+                (raw, None, raw),
+                (
+                    (((r - 128) << 8) + ((r * 3 + 1) & 0xFF)).astype(np.int16),
+                    None,
+                    raw,
+                ),
+                (
+                    (((r - 128) << 16) + ((r * 5 + 7) & 0xFFFF)).astype(
+                        np.int32
+                    ),
+                    24,
+                    raw,
+                ),
+                (
+                    (((r - 128) << 24) + ((r * 9 + 11) & 0xFFFFFF)).astype(
+                        np.int32
+                    ),
+                    None,
+                    raw,
+                ),
+            ]
+            for mono, bits, want in cases:
+                stereo = np.stack(
+                    [mono, mono[::-1]], axis=1
+                )  # (n, 2) interleaved frames
+                want2 = np.stack([want, want[::-1]], axis=1).reshape(-1)
+                for s, w in ((mono, want), (stereo, want2)):
+                    enc = (
+                        encode_wav_pcm(s, bits=bits)
+                        if bits
+                        else encode_wav_pcm(s)
+                    )
+                    if not np.array_equal(_decode_wav(enc), w):
+                        return False
+            return True
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, exact = [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                )
+                ids.append(int(i))
+                exact.append(bool(ok(raw)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": [n] * len(ids),
+                    "pcm_surface_exact": exact,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_samples long, pcm_surface_exact boolean",
+        )
+    )
+
+
 def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
-    BMP (magic ``BM``), RIFF/WAVE, PNG (zlib inflate + per-row unfilter;
+    BMP (magic ``BM``), RIFF/WAVE (integer PCM 8/16/24/32-bit, any
+    channel count), PNG (zlib inflate + per-row unfilter;
     the full critical-chunk surface: gray at depth 1/2/4/8/16 and
     RGB/palette/gray+alpha/RGBA color types, Adam7 interlace, depth 16
     reduced to the high byte),

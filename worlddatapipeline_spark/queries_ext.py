@@ -1647,6 +1647,29 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_wav_pcm_surface_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV integer-PCM surface contract (round 10 — 8/16/24/32-bit PCM,
+    mono and stereo): every document with >= 256 utf-8 bytes drives 8
+    encode/decode round-trips whose expected output is closed-form from
+    the raw bytes — each depth plants the byte in the TOP byte of the
+    offset-binary value with nonzero low bytes, so the standard PCM
+    bit-depth reduction must recover it exactly.  See
+    operators/multimodal.py::wav_pcm_surface_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.wav_pcm_surface_roundtrip_audit(documents, "doc_id", "text")
+
+
+SQL_WAV_PCM_SURFACE_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       TRUE AS pcm_surface_exact
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -5277,3 +5300,5 @@ EXT_QUERIES["png_palette_contract"] = q_png_palette_contract
 EXT_ORACLES["png_palette_contract"] = SQL_PNG_PALETTE_CONTRACT
 EXT_QUERIES["png_full_surface_contract"] = q_png_full_surface_contract
 EXT_ORACLES["png_full_surface_contract"] = SQL_PNG_FULL_SURFACE_CONTRACT
+EXT_QUERIES["wav_pcm_surface_contract"] = q_wav_pcm_surface_contract
+EXT_ORACLES["wav_pcm_surface_contract"] = SQL_WAV_PCM_SURFACE_CONTRACT
