@@ -218,6 +218,7 @@ LLM = [
     "png_palette_contract",
     "png_full_surface_contract",
     "wav_pcm_surface_contract",
+    "bmp_surface_contract",
 ]
 
 

@@ -6,7 +6,8 @@ runs decode / feature-extract / resize / frame-sample as Arrow-batched
 Pandas operations over ``mapInPandas``.
 
 The codec step behind ``_decode_bytes`` is REAL for every format parseable
-with stdlib + numpy alone — BMP, RIFF/WAV (integer PCM 8/16/24/32-bit,
+with stdlib + numpy alone — BMP (indexed 1/4/8-bit incl. RLE8 runs,
+24/32-bit truecolor), RIFF/WAV (integer PCM 8/16/24/32-bit,
 any channel count, deeper depths reduced to the offset-binary top
 byte), PNG (zlib inflate + scanline
 unfilter; the FULL critical-chunk surface as of r10: gray at depth
@@ -142,6 +143,83 @@ def encode_bmp_gray8(pixels: np.ndarray) -> bytes:
     rows = np.zeros((h, row_size), dtype=np.uint8)
     rows[:, :w] = px
     return header + info + palette + rows[::-1].tobytes()  # bottom-up
+
+
+def encode_bmp_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    rle: bool = False,
+) -> bytes:
+    """Encode a (h, w) index array + (n, 3) RGB palette as a REAL
+    indexed BMP at bit depth 1/4/8 — packed most-significant-bits-first
+    within each byte for sub-byte depths (spec), rows bottom-up and
+    4-byte padded; ``rle=True`` (8-bit only) emits BI_RLE8 compression:
+    maximal encoded runs per row, 00 00 end-of-line, 00 01
+    end-of-bitmap.  Completes the BMP surface alongside PNG/WAV (r10).
+    ``_decode_bmp`` (and any stock viewer) round-trips it."""
+    import struct  # noqa: PLC0415
+
+    if bit_depth not in (1, 4, 8):
+        raise ValueError(f"bad BMP palette bit depth {bit_depth}")
+    if rle and bit_depth != 8:
+        raise ValueError("RLE encoding is 8-bit only (BI_RLE8)")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with 1 <= n <= 256")
+    if len(pal) > (1 << bit_depth):
+        raise ValueError("palette larger than bit depth allows")
+    src = np.asarray(indices)
+    if src.size and (np.min(src) < 0 or int(np.max(src)) >= len(pal)):
+        raise ValueError("palette index out of range")
+    idx = np.ascontiguousarray(src, dtype=np.uint8)
+    if idx.ndim == 1:
+        idx = idx[None, :]
+    h, w = idx.shape
+    if rle:
+        out = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            x = 0
+            row = idx[y]
+            while x < w:
+                v = row[x]
+                run = 1
+                while x + run < w and row[x + run] == v and run < 255:
+                    run += 1
+                out += bytes((run, int(v)))
+                x += run
+            out += b"\x00\x00" if y else b"\x00\x01"  # EOL / EOB
+        body = bytes(out)
+        compression = 1
+    else:
+        if bit_depth == 8:
+            packed = idx
+        else:
+            per = 8 // bit_depth
+            padw = (-w) % per
+            grid = np.pad(idx, ((0, 0), (0, padw)))
+            cells = grid.reshape(h, -1, per).astype(np.uint16)
+            acc = np.zeros((h, cells.shape[1]), dtype=np.uint16)
+            for i in range(per):
+                acc = (acc << bit_depth) | cells[:, :, i]
+            packed = acc.astype(np.uint8)
+        row_size = (packed.shape[1] + 3) & ~3
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, : packed.shape[1]] = packed
+        body = rows[::-1].tobytes()
+        compression = 0
+    n_pal = len(pal)
+    offset = 14 + 40 + n_pal * 4
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(body), 0, 0, offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bit_depth, compression,
+        len(body), 2835, 2835, n_pal, 0,
+    )
+    bgra = np.zeros((n_pal, 4), dtype=np.uint8)
+    bgra[:, 0], bgra[:, 1], bgra[:, 2] = pal[:, 2], pal[:, 1], pal[:, 0]
+    return header + info + bgra.tobytes() + body
 
 
 def encode_wav_pcm(
@@ -581,34 +659,95 @@ def _decode_png(data: bytes) -> np.ndarray:
 
 
 def _decode_bmp(data: bytes) -> np.ndarray:
-    """Real BMP decode with numpy alone (uncompressed 8-bit paletted and
-    24-bit): parses both headers, honors bottom-up vs top-down row order and
-    the 4-byte row padding, and returns a FLAT uint8 intensity array —
-    8-bit pixels map through the palette's integer-mean luminance (identity
-    for a grayscale palette), 24-bit returns the per-channel byte samples.
+    """Real BMP decode with numpy alone — the full classic surface as of
+    r10: indexed 1/4/8-bit (packed MSB-first for sub-byte depths),
+    BI_RLE8 runs (encoded + absolute mode, EOL/EOB; delta moves REFUSE —
+    no in-repo encoder emits them, and a wrong cursor model would decode
+    silently shifted pixels), 24-bit and 32-bit BI_RGB truecolor.
+    Parses both headers, honors bottom-up vs top-down row order, the
+    4-byte row padding, and biClrUsed-sized palettes; returns a FLAT
+    uint8 intensity array — indexed pixels map through the palette's
+    integer-mean luminance (identity for a grayscale palette), 24/32-bit
+    return the per-channel byte samples as stored (BGR / BGRx).
     """
     import struct  # noqa: PLC0415
 
     offset = struct.unpack_from("<I", data, 10)[0]
+    info_size = struct.unpack_from("<I", data, 14)[0]
     w, h = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    if compression != 0 or bpp not in (8, 24):
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    clr_used = struct.unpack_from("<I", data, 46)[0] if info_size >= 36 else 0
+    ok = (compression == 0 and bpp in (1, 4, 8, 24, 32)) or (
+        compression == 1 and bpp == 8
+    )
+    if not ok:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
     top_down = h < 0
     h = abs(h)
+    # untrusted-header cap before any h*w allocation (RLE especially:
+    # tiny payloads can declare huge dims) — same class as the PNG cap
+    if h * w * (bpp // 8 or 1) > 268_435_456:
+        raise ValueError("BMP dimensions exceed decode cap")
+
+    def lum_lut() -> np.ndarray:
+        n = clr_used or (1 << bpp)
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n * 4, offset=14 + info_size
+        )
+        pal = pal.reshape(n, 4)[:, :3].astype(np.uint16)  # B, G, R
+        return (pal.sum(axis=1) // 3).astype(np.uint8)
+
+    if compression == 1:  # BI_RLE8 (always bottom-up per spec)
+        grid = np.zeros((h, w), dtype=np.uint8)
+        pos, x, y = offset, 0, h - 1
+        while pos + 1 < len(data):
+            n, v = data[pos], data[pos + 1]
+            pos += 2
+            if n:  # encoded run
+                end = min(x + n, w)
+                grid[y, x:end] = v
+                x = end
+            elif v == 0:  # end of line
+                x, y = 0, y - 1
+                if y < 0:
+                    break
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:
+                raise ValueError("BMP RLE delta moves unsupported")
+            else:  # absolute mode: v literal bytes, word-aligned
+                end = min(x + v, w)
+                lit = np.frombuffer(data, np.uint8, count=v, offset=pos)
+                grid[y, x:end] = lit[: end - x]
+                x = end
+                pos += v + (v & 1)
+        return lum_lut()[grid].reshape(-1)
+
     row_size = ((bpp * w + 31) // 32) * 4
     rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
     rows = rows.reshape(h, row_size)
     if not top_down:
         rows = rows[::-1]
-    px = rows[:, : w * (bpp // 8)]
+    if bpp in (24, 32):
+        px = rows[:, : w * (bpp // 8)]
+        return np.ascontiguousarray(px).reshape(-1)
     if bpp == 8:
-        pal = np.frombuffer(data, dtype=np.uint8, count=256 * 4, offset=14 + 40)
-        pal = pal.reshape(256, 4)[:, :3].astype(np.uint16)  # B, G, R
-        lut = (pal.sum(axis=1) // 3).astype(np.uint8)
-        return lut[px].reshape(-1)
-    return np.ascontiguousarray(px).reshape(-1)
+        px = rows[:, :w]
+    else:  # 1/4-bit: unpack MSB-first, first w values per row
+        per = 8 // bpp
+        mask = (1 << bpp) - 1
+        packed = rows[:, : -(-w // per)]
+        px = np.stack(
+            [(packed >> (8 - bpp * (i + 1))) & mask for i in range(per)],
+            axis=2,
+        ).reshape(h, -1)[:, :w]
+    lut = lum_lut()
+    if int(px.max(initial=0)) >= len(lut):
+        raise ValueError("BMP palette index out of range")
+    return lut[px].reshape(-1)
 
 
 def _decode_wav(data: bytes) -> np.ndarray:
@@ -3144,6 +3283,76 @@ def png_full_surface_roundtrip_audit(
     )
 
 
+def bmp_surface_roundtrip_audit(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """BMP classic-surface codec contract (r10): indexed 1/4/8-bit
+    (sub-byte MSB-first packing), BI_RLE8 (run-heavy AND high-entropy
+    inputs, so both the run and the many-short-runs paths execute), and
+    the pre-existing gray8 path — 6 encode/decode round-trips per
+    qualifying row, expected output closed-form from the row's first
+    ``side²`` utf-8 bytes through the same palette conventions as the
+    PNG contract.  Scale: pure Arrow-batched ``mapInPandas`` behind an
+    explicit repartition, same as the other codec audits."""
+    n = side * side
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        ramp16 = np.stack([np.arange(16, dtype=np.uint8) * 17] * 3, axis=1)
+        bw = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+
+        def ok(raw: np.ndarray) -> bool:
+            cases = [  # (palette, depth, rle, index fn, expected fn)
+                (gray, 8, False, lambda b: b, lambda b: b),
+                (gray, 8, True, lambda b: b, lambda b: b),
+                # run-heavy RLE: quantized rows compress into long runs
+                (gray, 8, True, lambda b: b & 0xF0, lambda b: b & 0xF0),
+                (ramp16, 4, False, lambda b: b >> 4, lambda b: (b >> 4) * 17),
+                (bw, 1, False, lambda b: b >> 7, lambda b: (b >> 7) * 255),
+            ]
+            for pal, depth, rle, f_idx, f_want in cases:
+                enc = encode_bmp_indexed(
+                    f_idx(raw), pal, bit_depth=depth, rle=rle
+                )
+                if not np.array_equal(
+                    _decode_bmp(enc), f_want(raw).reshape(-1)
+                ):
+                    return False
+            return np.array_equal(
+                _decode_bmp(encode_bmp_gray8(raw)), raw.reshape(-1)
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, exact = [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = np.frombuffer(
+                    str(t).encode("utf-8")[:n], dtype=np.uint8
+                ).reshape(side, side)
+                ids.append(int(i))
+                exact.append(bool(ok(raw)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pixels": [n] * len(ids),
+                    "bmp_surface_exact": exact,
+                }
+            )
+
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (
+        df.filter(F.octet_length(F.col(text_col)) >= n)
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(width)
+        .mapInPandas(
+            fn,
+            "doc_id long, n_pixels long, bmp_surface_exact boolean",
+        )
+    )
+
+
 def wav_pcm_surface_roundtrip_audit(
     df: DataFrame, id_col: str, text_col: str, n: int = 256
 ) -> DataFrame:
@@ -3231,7 +3440,8 @@ def _decode_bytes(data: bytes) -> np.ndarray:
     """Decode a media payload to a flat uint8 intensity/amplitude array.
 
     REAL decode for the formats parseable with stdlib + numpy alone —
-    BMP (magic ``BM``), RIFF/WAVE (integer PCM 8/16/24/32-bit, any
+    BMP (magic ``BM``; indexed 1/4/8-bit incl. RLE8 runs, 24/32-bit
+    truecolor), RIFF/WAVE (integer PCM 8/16/24/32-bit, any
     channel count), PNG (zlib inflate + per-row unfilter;
     the full critical-chunk surface: gray at depth 1/2/4/8/16 and
     RGB/palette/gray+alpha/RGBA color types, Adam7 interlace, depth 16

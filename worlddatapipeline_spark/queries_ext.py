@@ -1670,6 +1670,28 @@ WHERE strlen(text) >= 256
 """
 
 
+def q_bmp_surface_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP classic-surface codec contract (round 10 — indexed 1/4/8-bit
+    with MSB-first sub-byte packing, BI_RLE8 on both run-heavy and
+    high-entropy inputs, gray8): every document with >= 256 utf-8 bytes
+    drives 6 encode/decode round-trips whose expected output is
+    closed-form from the raw bytes — exact equality pinned.  See
+    operators/multimodal.py::bmp_surface_roundtrip_audit."""
+    from .operators import multimodal as mm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mm.bmp_surface_roundtrip_audit(documents, "doc_id", "text", side=16)
+
+
+SQL_BMP_SURFACE_CONTRACT = """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_pixels,
+       TRUE AS bmp_surface_exact
+FROM documents
+WHERE strlen(text) >= 256
+"""
+
+
 def q_exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
     Catalyst rewrites both to semi/anti joins (same physical plan the
@@ -5302,3 +5324,5 @@ EXT_QUERIES["png_full_surface_contract"] = q_png_full_surface_contract
 EXT_ORACLES["png_full_surface_contract"] = SQL_PNG_FULL_SURFACE_CONTRACT
 EXT_QUERIES["wav_pcm_surface_contract"] = q_wav_pcm_surface_contract
 EXT_ORACLES["wav_pcm_surface_contract"] = SQL_WAV_PCM_SURFACE_CONTRACT
+EXT_QUERIES["bmp_surface_contract"] = q_bmp_surface_contract
+EXT_ORACLES["bmp_surface_contract"] = SQL_BMP_SURFACE_CONTRACT
