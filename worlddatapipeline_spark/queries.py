@@ -1202,78 +1202,85 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver hash-checks only the FIRST 50 entries of queries() per round.
-# Round-9 rotation (VERDICT r8 item 1): nothing is red in CORRECTNESS_r08
-# (50/50 green), so the window is (a) the round-9 NEW query
-# (jpeg_hierarchical_contract — T.81 Annex-J DHP/EXP/SOF7 lossless
-# pyramids with exact round-trips) and png_palette_contract (color-type-3
-# palettes at depth 1/4/8 + Adam7 interlace), (b) every query whose implementation
-# or oracle changed in round 9 — gini_purchase_concentration (distributed
-# global_index rank replaced the three single-partition windows, VERDICT
-# r8 item 3), jpeg_lossless_contract (RGB SOF3 container now declares
-# Adobe APP14 transform=0 instead of JFIF APP0 — ADVICE r8), and
-# embedding_kmeans / semantic_dedup_keep (planted corpus + oracles gained
-# the empty-below-64-ids completeness degrade — ADVICE r8), then (c)
-# backfill by re-verification AGE: the ENTIRE 40-entry r3-stale cohort
-# (union histogram in VERDICT r8; this retires the r3 tier) plus the 5
-# alphabetically-first r4 greens.
-# Staleness floor after this window: r4.  Every entry below is
-# check_oracle PASS this session at sf0.01 (new/changed set also at
-# sf0.001/sf0.1 + a plain-session probe).
+# Round-10 rotation (VERDICT r9 item 1): nothing is red in CORRECTNESS_r09
+# (50/50 green), so the window is (a) the three round-10 NEW queries —
+# png_full_surface_contract (every IHDR-legal color-type × depth combo),
+# wav_pcm_surface_contract (integer PCM 8/16/24/32-bit, mono+stereo) and
+# bmp_surface_contract (indexed 1/4/8-bit + BI_RLE8 + gray8); (b) every
+# query whose implementation changed in round 10 — embedding_kmeans /
+# semantic_dedup_keep (planted-corpus gate tightened to
+# count+countDistinct, DISTINCT mirrored in the oracle guards — ADVICE
+# r9), jpeg_lossless_contract / jpeg_hierarchical_contract (scan-length
+# floor now derived from the parsed DHT tables' shortest code — ADVICE
+# r9), png_palette_contract (pre-cast palette-index range check + the new
+# PNG dims/inflate/Paeth caps sit on its code path), audio_dominant_bins
+# (encode_wav_pcm generalized to the full PCM surface),
+# image_ahash_dedup and multimodal_features_checked (_decode_bmp
+# rewritten for the indexed/RLE surface); then (c) backfill by
+# re-verification AGE: 39 of the 43-entry r4-stale cohort (union
+# histogram recomputed from CORRECTNESS_r01..r09 this session;
+# multimodal_features_checked is the cohort's 40th, counted in (b)).
+# The 3 alphabetically-last cohort entries (variant_props_extract,
+# weighted_sample_wor, zorder_cell_keys) did not fit the 50-slot window
+# and are the FIRST backfill for round 11 — after them the r4 tier is
+# retired and the staleness floor is r5.
+# Every entry below is check_oracle PASS this session at sf0.01
+# (new/changed set also at sf0.001/sf0.1 + a plain-session probe).
 _DRIVER_WINDOW: list[str] = [
-    # round-9 NEW (2)
-    "jpeg_hierarchical_contract",
-    "png_palette_contract",
-    # round-9 changed (4)
-    "gini_purchase_concentration",
-    "jpeg_lossless_contract",
+    # round-10 NEW (3)
+    "png_full_surface_contract",
+    "wav_pcm_surface_contract",
+    "bmp_surface_contract",
+    # round-10 changed (8)
     "embedding_kmeans",
     "semantic_dedup_keep",
-    # staleness backfill: the whole r3-stale cohort (40)
-    "approx_distinct_contract",
-    "behavior_resample_checked",
-    "bucketed_cosine_dedup",
-    "chunk_dedup_rewrite",
-    "cumulative_user_value",
-    "customer_value_deciles",
-    "dedup_cluster_keep",
-    "duplicate_span_stats",
-    "embedding_decontamination",
-    "embedding_norm_stats",
-    "event_id_islands",
-    "event_type_pivot",
-    "exists_subquery_customers",
-    "fixed_speed_truncate",
-    "heavy_hitters_contract",
-    "kmeans_objective_check",
-    "length_band_filter",
-    "measure_unpivot",
-    "minhash_recall_check",
-    "mixture_weights",
-    "multimodal_meta_stats",
-    "ngram_jaccard_pairs",
-    "reachability_probe",
-    "rolling_hour_event_rate",
-    "salted_skew_join",
-    "scene_search",
-    "segment_clip_after_truncate",
-    "segment_cube_stats",
-    "segment_set_ops",
-    "semantic_dedup_contract",
-    "simhash_exact_containment",
-    "sliding_event_windows",
-    "sql_api_revenue",
-    "streaming_dedup_counts",
-    "streaming_session_windows",
-    "streaming_stall_audit",
-    "time_grid_ffill",
-    "token_shard_packing",
-    "value_dispersion_stats",
-    "weighted_behavior_choice",
-    # staleness backfill: alphabetically-first r4 greens (4)
-    "approx_quantile_contract",
-    "asof_next_click_after_view",
-    "behavior_resample",
-    "bfs_hops_from_hubs",
+    "jpeg_lossless_contract",
+    "jpeg_hierarchical_contract",
+    "png_palette_contract",
+    "audio_dominant_bins",
+    "image_ahash_dedup",
+    "multimodal_features_checked",
+    # staleness backfill: r4-stale cohort, alphabetical (39 of 43;
+    # multimodal_features_checked counted above, 3 carried to r11)
+    "bloom_decontamination",
+    "bm25_topk_search",
+    "cdc_snapshot_apply",
+    "char_entropy_score",
+    "cohort_retention",
+    "csv_roundtrip_stats",
+    "curation_pipeline_stats",
+    "doc_chunk_windows",
+    "embedding_quantize_audit",
+    "event_rate_zscore",
+    "event_value_rank_bands",
+    "ewma_event_value",
+    "funnel_conversion",
+    "gopher_quality_flags",
+    "incremental_agg_maintenance",
+    "incremental_dedup_audit",
+    "join_skew_diagnosis",
+    "jsonl_roundtrip_stats",
+    "k_anonymity_audit",
+    "last_touch_attribution",
+    "lateral_topk_suppliers",
+    "orc_roundtrip_stats",
+    "pagerank_scores",
+    "partition_pruned_stats",
+    "pit_customer_status",
+    "recursive_discount_chain",
+    "reservoir_sample_groups",
+    "scd2_status_history",
+    "sentence_split_udtf",
+    "session_funnel",
+    "simulate_contract",
+    "simulate_trajectories",
+    "sql_udf_tokens",
+    "streaming_cdc_parity",
+    "streaming_ewma_parity",
+    "table_stats_contract",
+    "triangle_count",
+    "value_band_bucketed",
+    "value_histogram",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
