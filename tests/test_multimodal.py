@@ -1717,7 +1717,32 @@ def test_bmp_surface_roundtrip_indexed_and_rle():
     delta[off : off + 2] = b"\x00\x02"
     with pytest.raises(ValueError, match="delta"):
         mm._decode_bmp(bytes(delta))
-    oob = base[:off] + b"\x01\xff\x00\x01"  # index 255, 256-entry pal ok...
+    # boundary: index 255 against a full 256-entry palette DECODES (RLE)
+    offb = struct.unpack_from("<I", base, 10)[0]
+    boundary = base[:offb] + b"\x01\xff\x00\x01"
+    assert mm._decode_bmp(boundary).tolist()[0] == 255
+    # ...but an RLE index past biClrUsed refuses with the same ValueError
+    # contract as the plain path (review catch r10: was a bare IndexError)
+    rle4 = mm.encode_bmp_indexed(
+        np.zeros((1, 1), dtype=np.uint8), pal[:4], rle=True
+    )
+    offr = struct.unpack_from("<I", rle4, 10)[0]
+    rle_oob = rle4[:offr] + b"\x01\x09\x00\x01"
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mm._decode_bmp(rle_oob)
+    # negative width must refuse, not bypass the cap via a negative
+    # product and silently decode empty (review catch r10)
+    neg = bytearray(mm.encode_bmp_gray8(np.zeros((4, 4), dtype=np.uint8)))
+    struct.pack_into("<i", neg, 18, -4)
+    with pytest.raises(ValueError, match="bad BMP dimensions"):
+        mm._decode_bmp(bytes(neg))
+    assert mm._decode_bytes(bytes(neg)).tolist() == list(bytes(neg))
+    # explicit bits mismatching the dtype-derived depth refuses instead of
+    # silently emitting a different depth (review catch r10)
+    with pytest.raises(ValueError, match="unsupported for dtype"):
+        mm.encode_wav_pcm(np.zeros(4, dtype=np.int16), bits=24)
+    with pytest.raises(ValueError, match="unsupported for dtype"):
+        mm.encode_wav_pcm(np.zeros(4, dtype=np.int32), bits=16)
     pal4 = mm.encode_bmp_indexed(np.zeros((1, 1), dtype=np.uint8), pal[:4])
     off4 = struct.unpack_from("<I", pal4, 10)[0]
     oob4 = pal4[:off4] + b"\x05\x00\x00\x00"

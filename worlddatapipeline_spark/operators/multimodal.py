@@ -243,6 +243,13 @@ def encode_wav_pcm(
     channels = 1 if s.ndim == 1 else s.shape[1]
     if s.ndim > 2 or not 1 <= channels <= 16:
         raise ValueError("samples must be 1-D mono or (frames, channels<=16)")
+    # an explicit `bits` must MATCH the dtype-derived depth — silently
+    # emitting a different depth than the caller asked for is the
+    # wrong-but-valid-output class (review catch r10)
+    allowed = {np.dtype(np.uint8): (8,), np.dtype(np.int16): (16,),
+               np.dtype(np.int32): (24, 32)}.get(s.dtype, ())
+    if bits is not None and bits not in allowed:
+        raise ValueError(f"bits={bits} unsupported for dtype {s.dtype}")
     if s.dtype == np.uint8:
         bits, payload = 8, s.tobytes()
     elif s.dtype == np.int16:
@@ -687,6 +694,11 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         )
     top_down = h < 0
     h = abs(h)
+    # negative/zero width would BYPASS the cap below (negative product)
+    # and silently decode to an empty sample array instead of refusing
+    # (review catch r10) — biWidth is positive by spec
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
     # untrusted-header cap before any h*w allocation (RLE especially:
     # tiny payloads can declare huge dims) — same class as the PNG cap
     if h * w * (bpp // 8 or 1) > 268_435_456:
@@ -724,7 +736,12 @@ def _decode_bmp(data: bytes) -> np.ndarray:
                 grid[y, x:end] = lit[: end - x]
                 x = end
                 pos += v + (v & 1)
-        return lum_lut()[grid].reshape(-1)
+        lut = lum_lut()
+        # same refusal contract as the plain path: ValueError, never a
+        # bare IndexError out of the lut indexing (review catch r10)
+        if int(grid.max(initial=0)) >= len(lut):
+            raise ValueError("BMP palette index out of range")
+        return lut[grid].reshape(-1)
 
     row_size = ((bpp * w + 31) // 32) * 4
     rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
