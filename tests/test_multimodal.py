@@ -1763,3 +1763,119 @@ def test_bmp_surface_audit_operator(spark):
     rows = mm.bmp_surface_roundtrip_audit(docs, "doc_id", "text").collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
     assert all(r["bmp_surface_exact"] and r["n_pixels"] == 256 for r in rows)
+
+
+def test_png_full_surface_property_roundtrip():
+    """Property pin over the r10 PNG surface: ANY (color type, depth,
+    interlace, shape, content) combination round-trips to its closed-form
+    expectation — sub-byte gray by bit replication, depth 16 by high
+    byte, multi-channel interleaved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    combos = [(0, d) for d in (1, 2, 4, 8, 16)] + [
+        (ct, d) for ct in (2, 4, 6) for d in (8, 16)
+    ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        combo=st.sampled_from(combos),
+        h=st.integers(min_value=1, max_value=19),
+        w=st.integers(min_value=1, max_value=19),
+        interlace=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(combo, h, w, interlace, seed):
+        ct, d = combo
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        shape = (h, w) if ct == 0 else (h, w, nch)
+        top = (1 << d) - 1
+        px = np.random.default_rng(seed).integers(
+            0, top + 1, shape
+        ).astype(np.uint16 if d == 16 else np.uint8)
+        if d < 8:
+            want = (px.astype(np.uint16) * (255 // top)).astype(np.uint8)
+        elif d == 8:
+            want = px
+        else:
+            want = (px >> 8).astype(np.uint8)
+        got = mm._decode_png(mm.encode_png(px, ct, d, interlace=interlace))
+        assert got.tolist() == want.reshape(-1).tolist()
+
+    prop()
+
+
+def test_wav_pcm_property_roundtrip():
+    """Property pin over the r10 WAV surface: any depth × channel count ×
+    length reduces to the exact offset-binary top bytes, interleaved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        bits=st.sampled_from([8, 16, 24, 32]),
+        ch=st.integers(min_value=1, max_value=6),
+        n=st.integers(min_value=1, max_value=64),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(bits, ch, n, seed):
+        rng = np.random.default_rng(seed)
+        shape = (n,) if ch == 1 else (n, ch)
+        if bits == 8:
+            s = rng.integers(0, 256, shape, dtype=np.uint8)
+            want = s.reshape(-1)
+            enc = mm.encode_wav_pcm(s)
+        elif bits == 16:
+            s = rng.integers(-32768, 32768, shape).astype(np.int16)
+            want = ((s.reshape(-1).astype(np.int32) + 32768) >> 8).astype(
+                np.uint8
+            )
+            enc = mm.encode_wav_pcm(s)
+        elif bits == 24:
+            s = rng.integers(-(1 << 23), 1 << 23, shape).astype(np.int32)
+            want = (((s.reshape(-1) + (1 << 23)) >> 16) & 0xFF).astype(
+                np.uint8
+            )
+            enc = mm.encode_wav_pcm(s, bits=24)
+        else:
+            s = rng.integers(
+                -(1 << 31), 1 << 31, shape, dtype=np.int64
+            ).astype(np.int32)
+            want = (
+                ((s.reshape(-1).astype(np.int64) + (1 << 31)) >> 24) & 0xFF
+            ).astype(np.uint8)
+            enc = mm.encode_wav_pcm(s)
+        assert mm._decode_wav(enc).tolist() == want.tolist()
+
+    prop()
+
+
+def test_bmp_indexed_property_roundtrip():
+    """Property pin over the r10 BMP surface: any depth × palette size ×
+    shape × rle maps through the palette luminance exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        d=st.sampled_from([1, 4, 8]),
+        rle=st.booleans(),
+        h=st.integers(min_value=1, max_value=19),
+        w=st.integers(min_value=1, max_value=19),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(d, rle, h, w, seed):
+        if rle and d != 8:
+            rle = False
+        rng = np.random.default_rng(seed)
+        npal = rng.integers(1, (1 << d) + 1)
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        lum = (pal.astype(np.int32).sum(axis=1) // 3).astype(np.uint8)
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        enc = mm.encode_bmp_indexed(idx, pal, bit_depth=d, rle=rle)
+        assert mm._decode_bmp(enc).tolist() == lum[idx].reshape(-1).tolist()
+
+    prop()
