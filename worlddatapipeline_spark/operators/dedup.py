@@ -386,10 +386,10 @@ def ngram_jaccard_pairs(
     Physical notes: shingles travel as 64-bit hashes
     (``exploded_shingle_hashes`` — one Arrow-batched mapInPandas pass, ~2x
     the interpreted-lambda expression form), so the posting shuffle key is 8
-    bytes.  Three downstream branches (postings, size lookup x2) re-run the
-    shingle pass; persisting the exploded frame was measured SLOWER at bench
-    scale (cache materialization + read beats three cheap recomputes) — at
-    100 TB flip to persist/checkpoint when the corpus scan dominates.
+    bytes.  The capped path persists ONE (id, sh, df) frame that feeds the
+    prefix build, both sides of the exact-verify join and the size lookups
+    (released via the materializing checkpoint on the way out); the
+    uncapped/candidate paths re-run the cheap shingle pass per branch.
 
     ``max_df`` bounds the quadratic tail: posting lists longer than
     ``max_df`` are excluded from pair GENERATION only (the quadratic term is
@@ -406,82 +406,112 @@ def ngram_jaccard_pairs(
     """
     sh = exploded_shingle_hashes(df, text_col, id_col, n=n)
     if max_df is not None and candidate_pairs is None:
-        # Capped GENERATION, exact VALUES, all from ONE persisted posting
-        # aggregate (an earlier formulation verified candidates by
-        # re-joining the full shingle frame twice and measured ~6x slower
-        # at sf0.1):
-        #   - pairs + intersection counts come from sub-cap posting lists
-        #     exactly as the uncapped path does (the size() filter is free);
-        #   - the contribution of OVER-cap shingles to those pairs is added
-        #     back from the (typically tiny) over-cap postings exploded to
-        #     (sh, id) — so surfaced Jaccard values equal the uncapped
-        #     result exactly;
-        #   - per-doc totals come from exploding the same postings frame.
-        # A true pair is missed only if EVERY shared shingle is over-cap —
-        # pure boilerplate overlap (documented contract).  No reducer is
-        # ever quadratic in a boilerplate shingle's document frequency.
-        postings = (
-            sh.groupBy("sh")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .persist()
+        # r11 rewrite: PREFIX-FILTERED candidate generation (the published
+        # prefix-filtering principle — Chaudhuri/Ganti/Kaushik ICDE'06,
+        # Bayardo et al. WWW'07 — over the ascending (df, sh) global
+        # order), producing the IDENTICAL output to the previous sub-cap
+        # posting-list fan-out: surfaced values stay exact and the
+        # surfacing contract is unchanged (a pair appears iff jaccard >=
+        # threshold AND it shares at least one shingle with document
+        # frequency <= max_df).  What changed is WHO generates candidates:
+        # previously every sub-cap posting list fanned out |ids|² pairs,
+        # so mid-frequency shingles made pair generation quadratic in
+        # corpus growth until they saturated the cap (BENCH_SCALING_r10
+        # x10 = 12.45 over the sf0.1→1.0 decade).  Now a shingle generates
+        # a candidate only from documents whose PREFIX it occupies: each
+        # document keeps its first |A| - ceil(t·|A|) + 1 shingles in the
+        # global rarity order.
+        #
+        # Completeness (no output pair can be missed):
+        #   J(A,B) >= t  ⇒  o = |A∩B| >= t·|A∪B| >= t·max(|A|,|B|), so
+        #   o >= ceil(t·|A|) and o >= ceil(t·|B|).  Let c1 be the SMALLEST
+        #   shared shingle in the global (df, sh) order; at least o-1
+        #   shared shingles sit above it, so c1's rank within A is
+        #   <= |A| - o + 1 <= |A| - ceil(t·|A|) + 1 — c1 is in A's prefix —
+        #   and symmetrically in B's.  A surfaced pair also shares some
+        #   sub-cap shingle, and c1 minimizes df over the shared set
+        #   ((df, sh) ascending), so df(c1) <= max_df as well.  Hence
+        #   pair generation over prefix occurrences of sub-cap shingles
+        #   reaches every output pair.  Conversely every candidate is
+        #   generated FROM a shared sub-cap shingle, so the old path's
+        #   surfacing test (>= 1 shared sub-cap shingle) holds by
+        #   construction, and the per-pair array_intersect verify below
+        #   recomputes the full intersection, so false candidates cannot
+        #   leak and surfaced values equal the uncapped result exactly.
+        #
+        # Scale shape: a boilerplate shingle (df ≫ max_df) sorts LAST in
+        # every document and never enters a prefix, so the old quadratic
+        # offenders generate nothing; a prefix posting list is a subset of
+        # the old sub-cap list, so the worst-case per-shingle fan-out only
+        # tightened (measured at sf0.1: 1.27M generated pair rows → 122k).
+        # The verify is one row per candidate against per-doc shingle
+        # arrays (AQE broadcasts them at bench scale; at cluster scale the
+        # two joins shuffle each doc's set once per candidate side).
+        shf = sh.join(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")), "sh"
+        ).persist()
+        w_id = Window.partitionBy("id")
+        ranked = shf.select(
+            "id",
+            "sh",
+            F.count(F.lit(1)).over(w_id).alias("sz"),
+            F.row_number()
+            .over(w_id.orderBy(F.col("df").asc(), F.col("sh").asc()))
+            .alias("rk"),
+            (F.col("df") <= max_df).alias("lo"),
         )
-        sizes = (
-            postings.select(F.explode("ids").alias("id"))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("sz"))
-        )
-        low = postings.filter(
-            (F.size("ids") > 1) & (F.size("ids") <= max_df)
-        )
-        inter_low = (
-            _pairs_from_posting_lists(low)
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter_lo"))
-        )
-        high = postings.filter(F.size("ids") > max_df).select(
-            "sh", F.explode("ids").alias("id")
-        )
-        inter_hi = (
-            inter_low.select("id_a", "id_b")
-            .join(high.alias("ha"), F.col("ha.id") == F.col("id_a"))
-            .join(
-                high.alias("hb"),
-                (F.col("hb.id") == F.col("id_b"))
-                & (F.col("ha.sh") == F.col("hb.sh")),
+        # prefix length |A| - ceil(t·|A|) + 1; the -1e-6 guard keeps a
+        # float product that rounds UP across an integer boundary from
+        # shortening the prefix (a longer prefix only adds candidates,
+        # which the exact verify discards — never drops one)
+        prefix = ranked.filter(
+            (
+                F.col("rk")
+                <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
             )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("ih"))
-        )
-        inter = (
-            inter_low.join(inter_hi, ["id_a", "id_b"], "left")
+            & F.col("lo")
+        ).select("id", "sh")
+        cand = _posting_list_pairs(prefix).distinct()
+        # per-doc shingle sets, derived from the window output so the
+        # groupBy reuses the id-hash partitioning (no extra exchange)
+        docsets = ranked.groupBy("id").agg(F.collect_list("sh").alias("shs"))
+        out = (
+            cand.join(
+                docsets.select(
+                    F.col("id").alias("id_a"), F.col("shs").alias("sa")
+                ),
+                "id_a",
+            )
+            .join(
+                docsets.select(
+                    F.col("id").alias("id_b"), F.col("shs").alias("sb")
+                ),
+                "id_b",
+            )
             .select(
                 "id_a",
                 "id_b",
-                (F.col("inter_lo") + F.coalesce(F.col("ih"), F.lit(0))).alias(
-                    "inter"
-                ),
+                F.size(F.array_intersect("sa", "sb")).alias("inter"),
+                F.size("sa").alias("sza"),
+                F.size("sb").alias("szb"),
             )
-        )
-        out = (
-            inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
-            .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
             .select(
                 "id_a",
                 "id_b",
                 (
                     F.col("inter")
-                    / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                    / (F.col("sza") + F.col("szb") - F.col("inter"))
                 ).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
         )
         # Materialize the (candidate-bounded) pair set and release the
-        # posting cache — also means downstream iterative consumers
+        # shingle+df cache — also means downstream iterative consumers
         # (dup_cluster_representatives' star rounds) re-read a checkpointed
         # pair frame instead of re-deriving postings each round.
         from ..session import materialize_and_release  # noqa: PLC0415
 
-        return materialize_and_release(out, postings)
+        return materialize_and_release(out, shf)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidate_pairs is not None:
         cand = candidate_pairs

@@ -712,16 +712,34 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage with blocking + edit distance, self-contained with
     a checkable ground truth: a deterministic one-character deletion
     corrupts each customer name (position keyed off custkey), then the
-    dirty roster is linked back to the clean one by BLOCK-KEY equi-join
+    dirty roster is linked back to the clean one by block agreement
     (last 4 chars — digits, so blocks are ~uniform) + levenshtein ≤ 1.
-    At 100 TB the blocking join is the whole point: candidate pairs are
-    O(n²/#blocks) instead of n², and the edit distance (JVM codegen'd in
-    both engines) runs only inside blocks.  The corruption position is
-    confined to chars 10–14 so it can NEVER move the last-4 block key —
-    recall audits the LINKER; when the corruption model can touch the
-    block key, add a second blocking pass on a rotated key (SCALE.md).  Output is the audit summary —
-    candidate count, matches, true matches (same key), precision and
-    recall in integer ppm — one row, all exact."""
+    The corruption position is confined to chars 10–14 so it can NEVER
+    move the last-4 block key — recall audits the LINKER.  Output is the
+    audit summary — candidate count, matches, true matches (same key),
+    precision and recall in integer ppm — one row, all exact.
+
+    Scale shape (r11 rewrite; BENCH_SCALING_r10 measured the original
+    block equi-join at x10 = 22.1 — the last-4-digit key fixes #blocks
+    at 10⁴, so candidate pairs grow n²/10⁴).  The rewrite computes the
+    IDENTICAL result without materializing the candidate set:
+
+    * ``n_candidates`` — the blocked-pair count — is Σ_blk |clean_blk| ×
+      |dirty_blk| over per-block counts: two linear aggregates and a
+      10⁴-row join, never the pairs themselves.
+    * matches use the deletion-neighborhood method (FastSS/SymSpell
+      family): every string emits {s} ∪ del1(s) as join keys, and
+      lev(s,t) ≤ 1 ⟹ the key sets intersect (equal: s itself; deletion
+      t ∈ del1(s): t in both; insertion symmetric; substitution at i:
+      del_at(s,i) = del_at(t,i)).  Candidates from the variant equi-join
+      are then verified with the SAME predicates as the original —
+      block equality AND levenshtein ≤ 1 — and deduped per (key, dkey)
+      (each pair appeared exactly once in the original block join), so
+      false candidates cannot leak and completeness is the theorem
+      above.  Work is O(n·L) rows with L ≈ name length, linear in the
+      corpus at every scale; the DuckDB oracle keeps the reference
+      block-join formulation, so the driver's hash check is the
+      equivalence proof."""
     (customer,) = _t(spark, sf_dir, "customer")
     clean = customer.select(
         F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
@@ -734,25 +752,75 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(name, 11 + CAST(key % 5 AS INT))"),
         ).alias("dname"),
     )
-    blocked = clean.withColumn("blk", F.expr("right(name, 4)")).join(
-        dirty.withColumn("blk", F.expr("right(dname, 4)")), "blk"
+    # Blocked-pair COUNT and roster size from ONE per-block tally (exact,
+    # no pair fan-out): n_candidates = Σ_blk |clean_blk|·|dirty_blk| and
+    # n_rec = Σ_blk |clean_blk| — a single union-tag shuffle.
+    tallies = (
+        clean.select(
+            F.expr("right(name, 4)").alias("blk"), F.lit(1).alias("is_clean")
+        )
+        .unionByName(
+            dirty.select(
+                F.expr("right(dname, 4)").alias("blk"),
+                F.lit(0).alias("is_clean"),
+            )
+        )
+        .groupBy("blk")
+        .agg(
+            F.sum("is_clean").alias("n_clean"),
+            F.sum(F.lit(1) - F.col("is_clean")).alias("n_dirty"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("n_clean") * F.col("n_dirty")),
+                F.lit(0).cast("long"),
+            ).alias("n_candidates"),
+            F.coalesce(F.sum("n_clean"), F.lit(0).cast("long")).alias(
+                "n_rec"
+            ),
+        )
     )
-    scored = blocked.select(
+    # Deletion-neighborhood keys: the string itself plus every single-char
+    # deletion, shuffled as 8-byte xxhash64 digests (hash equality is
+    # implied by string equality, so candidates are a superset; collisions
+    # only add rows for the exact verify below to discard).
+    _variants = (
+        "transform(array_distinct(concat(array({c}),"
+        " transform(sequence(1, length({c})),"
+        " i -> concat(substr({c}, 1, i - 1), substr({c}, i + 1))))),"
+        " s -> xxhash64(s))"
+    )
+    cvar = clean.select(
         "key",
-        "dkey",
-        (F.levenshtein(F.col("name"), F.col("dname")) <= 1).alias("match"),
+        "name",
+        F.expr("right(name, 4)").alias("blk"),
+        F.explode(F.expr(_variants.format(c="name"))).alias("v"),
     )
-    n_records = clean.agg(F.count(F.lit(1)).alias("n_rec"))
+    dvar = dirty.select(
+        "dkey",
+        "dname",
+        F.expr("right(dname, 4)").alias("dblk"),
+        F.explode(F.expr(_variants.format(c="dname"))).alias("v"),
+    )
+    matched = (
+        cvar.join(dvar, "v")
+        .filter(
+            (F.col("blk") == F.col("dblk"))
+            & (F.levenshtein(F.col("name"), F.col("dname")) <= 1)
+        )
+        .select("key", "dkey")
+        .distinct()
+    )
     return (
-        scored.agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.when(F.col("match"), 1).otherwise(0)).alias("n_matches"),
+        matched.agg(
+            # sum-of-ones, not count: NULL on an empty match set, exactly as
+            # the original sum(CASE WHEN match ...) read on an empty block join
+            F.sum(F.lit(1)).alias("n_matches"),
             F.sum(
-                F.when(F.col("match") & (F.col("key") == F.col("dkey")), 1)
-                .otherwise(0)
+                F.when(F.col("key") == F.col("dkey"), 1).otherwise(0)
             ).alias("n_true"),
         )
-        .crossJoin(F.broadcast(n_records))
+        .crossJoin(F.broadcast(tallies))
         .select(
             "n_candidates",
             "n_matches",
