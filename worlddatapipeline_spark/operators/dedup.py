@@ -447,18 +447,26 @@ def ngram_jaccard_pairs(
         # The verify is one row per candidate against per-doc shingle
         # arrays (AQE broadcasts them at bench scale; at cluster scale the
         # two joins shuffle each doc's set once per candidate side).
-        shf = sh.join(
-            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")), "sh"
-        ).persist()
+        #
+        # Physical shape (r11 tuning, measured at sf1.0): document
+        # frequency comes from a window count over sh — one exchange, no
+        # groupBy+join branch — and the persisted frame is RANKED (the
+        # window output), so the id-exchange + sort runs once and both
+        # consumers (prefix pairs, docsets) read it back.
+        w_sh = Window.partitionBy("sh")
         w_id = Window.partitionBy("id")
-        ranked = shf.select(
-            "id",
-            "sh",
-            F.count(F.lit(1)).over(w_id).alias("sz"),
-            F.row_number()
-            .over(w_id.orderBy(F.col("df").asc(), F.col("sh").asc()))
-            .alias("rk"),
-            (F.col("df") <= max_df).alias("lo"),
+        ranked = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+            .select(
+                "id",
+                "sh",
+                "df",
+                F.count(F.lit(1)).over(w_id).alias("sz"),
+                F.row_number()
+                .over(w_id.orderBy(F.col("df").asc(), F.col("sh").asc()))
+                .alias("rk"),
+            )
+            .persist()
         )
         # prefix length |A| - ceil(t·|A|) + 1; the -1e-6 guard keeps a
         # float product that rounds UP across an integer boundary from
@@ -469,9 +477,60 @@ def ngram_jaccard_pairs(
                 F.col("rk")
                 <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
             )
-            & F.col("lo")
-        ).select("id", "sh")
-        cand = _posting_list_pairs(prefix).distinct()
+            & (F.col("df") <= max_df)
+        ).select("id", "sh", "sz", "rk")
+        # Positional filter (the ppjoin bound, Xiao et al. WWW'08) during
+        # pair generation: shared shingles sort IDENTICALLY in both
+        # documents under the global (df, sh) order, so at the minimal
+        # shared shingle c1 every other shared shingle ranks above c1's
+        # rank in BOTH docs — o <= 1 + min(szA - rkA, szB - rkB).  A true
+        # pair needs o >= t/(1+t)·(szA+szB), so rows violating
+        # 1 + min(szA-rkA, szB-rkB) >= t/(1+t)·(szA+szB) - 1e-6 cannot be
+        # a true pair's c1 row and are pruned BEFORE the distinct; c1's
+        # row always survives, so completeness is unchanged (false
+        # survivors die in the exact verify).  Measured: cuts candidates
+        # ~7x at sf1.0 / threshold 0.8.
+        tcoef = threshold / (1.0 + threshold)
+        postings = (
+            prefix.groupBy(F.col("sh"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("id", "sz", "rk"))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") > 1)
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        )
+        ms = F.col("ms")
+        pair_arr = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.filter(
+                        F.slice(
+                            ms,
+                            i + 2,
+                            F.greatest(F.size(ms) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: (
+                            F.lit(1.0)
+                            + F.least(x["sz"] - x["rk"], y["sz"] - y["rk"])
+                        )
+                        >= (x["sz"] + y["sz"]) * F.lit(tcoef) - F.lit(1e-6),
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"), y["id"].alias("id_b")
+                    ),
+                ),
+            )
+        )
+        cand = (
+            postings.select(F.explode(pair_arr).alias("p"))
+            .select(
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+            )
+            .distinct()
+        )
         # per-doc shingle sets, derived from the window output so the
         # groupBy reuses the id-hash partitioning (no extra exchange)
         docsets = ranked.groupBy("id").agg(F.collect_list("sh").alias("shs"))
@@ -511,7 +570,7 @@ def ngram_jaccard_pairs(
         # pair frame instead of re-deriving postings each round.
         from ..session import materialize_and_release  # noqa: PLC0415
 
-        return materialize_and_release(out, shf)
+        return materialize_and_release(out, ranked)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidate_pairs is not None:
         cand = candidate_pairs
