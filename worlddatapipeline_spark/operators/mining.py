@@ -23,7 +23,7 @@ posting-list shape as `dedup.py`'s n-gram pipeline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,12 +41,20 @@ def basket_incidence(
     every downstream ratio refers to one consistent population — the
     alternative (capping pairs only) silently skews confidence.
     """
+    # Window count instead of groupBy+join-back (r11): the size filter
+    # rides the SAME basket-keyed exchange the distinct already paid for
+    # partially, and the incidence source is derived ONCE — the join-back
+    # form re-derived the (possibly fact-fact-join) source a second time
+    # for the sizes branch (guide §2.4: share one exchange, drop a scan).
     inc = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
-    sizes = inc.groupBy("basket").agg(F.count(F.lit(1)).alias("sz"))
-    kept = sizes.filter(F.col("sz") <= max_items).select("basket")
-    return inc.join(kept, "basket")
+    w = Window.partitionBy("basket")
+    return (
+        inc.withColumn("sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("sz") <= max_items)
+        .select("basket", "item")
+    )
 
 
 def association_rules(

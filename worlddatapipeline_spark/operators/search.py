@@ -7,10 +7,13 @@ against a (small) set of text queries with Lucene-style BM25 and return the
 top-k per query.
 
 Scale design (100 TB corpus, thousands of queries):
-- The corpus text is scanned ONCE: tokenize → explode → (doc, term, tf)
-  postings with the per-doc length carried through the grouping key, so no
-  second scan and no join back to the text column.  Only 8-byte-ish
-  (id, term) pairs ever shuffle — never the document body.
+- The corpus is never shuffled at full vocabulary: the broadcast query-term
+  prune applies to the raw token stream BEFORE the tf groupBy, so the only
+  (id, term)-keyed exchange carries query-vocabulary tokens (~0.1% of the
+  stream).  Corpus stats (N, avgdl) come from a separate zero-shuffle scalar
+  pass — one extra columnar scan in exchange for removing the full-corpus
+  postings shuffle, the right trade at every scale past a few GB.  The
+  document body itself never shuffles anywhere.
 - The query side is tiny by construction and is BROADCAST onto the postings
   (an inverted-index semi-join): documents sharing no term with any query
   are pruned at the join, never scored.
@@ -73,29 +76,37 @@ def bm25_topk(
     Returns (query_id, doc_id, score, rank) with score rounded to 6 dp and
     rank 1..k ordered by (rounded score DESC, doc_id ASC).
 
-    The postings frame has three consumers (corpus stats, df, scoring);
-    without a persist each would re-tokenize the corpus.  It is persisted
-    for the duration of the call and released via an eager materialize of
-    the (≤ k·|queries|-row) result — no cache leak (ADVICE r3 rule).
-    ``materialize=False`` returns the fully lazy plan with NO persist at
-    all (the three consumers re-derive the postings lineage): use it for
-    plan inspection, or persist/checkpoint the pipeline yourself when
-    composing — at corpus scale an unpersisted compose pays two extra
-    tokenization passes.
+    Physical shape (r11): the broadcast query-vocabulary prune runs on the
+    exploded TOKEN stream, BEFORE the tf groupBy — a broadcast hash join is
+    map-side, so the only shuffle keyed on (id, term) carries the ~0.1% of
+    tokens matching a query term instead of the full corpus vocabulary
+    (guide §2.3 "aggregate before you shuffle" applied in reverse: prune
+    before you aggregate).  Corpus stats (N, avgdl) come from a separate
+    zero-shuffle scalar aggregate over the per-doc token counts — that pass
+    re-tokenizes the corpus, which costs one more scan but removes the
+    full-vocabulary postings shuffle AND the postings persist entirely; at
+    100 TB a full-corpus (id, term, tf) exchange dwarfs a second columnar
+    scan.  ``materialize`` now only controls the eager materialization of
+    the (≤ k·|queries|-row) result (plan-inspection callers pass False).
     """
     from ..session import materialize_and_release
 
-    postings = build_postings(docs, text_col, id_col)
-    if materialize:
-        postings = postings.persist()
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("ts")
+    )
 
-    # Corpus stats over distinct (id, dl) pairs: map-side combine collapses
-    # the postings to one pair per doc per partition before the shuffle, so
-    # this never re-scans the text and shuffles ~12 bytes per document.
+    # Corpus stats: one map-side pass, single-row result — no (id, dl)
+    # distinct shuffle (ids are unique upstream, so per-doc rows are
+    # already distinct; dl per id is constant by construction).  The
+    # size > 0 filter preserves the original explode semantics exactly:
+    # a token-less document produced no posting row, so it never entered
+    # n_docs/avgdl.
     stats = (
-        postings.select("id", "dl")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        toks.filter(F.size("ts") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size("ts")).alias("avgdl"),
+        )
     )
 
     qterms = queries.select(
@@ -103,11 +114,21 @@ def bm25_topk(
         F.explode(F.array_distinct(tokenize(F.col(qtext_col)))).alias("term"),
     )
 
-    # Inverted-index prune FIRST (broadcast semi-join on the distinct query
-    # vocabulary), then df over the pruned frame — df(t) only matters for
-    # query terms, and the pruned count per term IS the full-corpus df.
-    # dfreq is then ≤ |query vocab| rows → broadcast, not a shuffle join.
-    qp = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # Inverted-index prune on the raw token stream (broadcast semi-join on
+    # the distinct query vocabulary), THEN the tf groupBy over survivors:
+    # df(t) only matters for query terms, and the pruned per-(id, term)
+    # count IS the full-corpus tf.  dfreq is ≤ |query vocab| rows →
+    # broadcast, not a shuffle join.
+    qp = (
+        toks.select("id", F.size("ts").alias("dl"), F.explode("ts").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # qp feeds two consumers (df, scoring) but is query-vocab-bounded —
+    # persisting it costs KBs and saves the second corpus pass.
+    if materialize:
+        qp = qp.persist()
     dfreq = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
@@ -143,4 +164,4 @@ def bm25_topk(
     )
     if not materialize:
         return out
-    return materialize_and_release(out, postings)
+    return materialize_and_release(out, qp)

@@ -78,23 +78,25 @@ def bloom_decontamination_frame(
             ).alias("h"),
         )
     )
+    # ONE persisted per-doc-distinct shingle frame (r11): the b>=90 filter
+    # applies after the per-doc explode, so the previous two separately
+    # persisted children (test distinct + train distinct) each re-shingled
+    # every document — two full md5-explode passes.  Deduping (doc_id, b,
+    # h) once up front costs the same exchange the train distinct already
+    # paid and makes both splits cheap cache filters; the train side needs
+    # NO further distinct (already per-doc distinct).
+    sh_d = shingled.distinct().persist()
     # persisted: the ref side is read THREE times (bloom sizing count,
-    # position collect, exact verify join) — without this each action
-    # re-shingles every document, because the b>=90 filter applies after
-    # the per-doc explode.
+    # position collect, exact verify join); the global distinct over the
+    # (already per-doc-deduped) test slice is a small second exchange.
     test_shingles = (
-        shingled.filter(F.col("b") >= 90).select("h").distinct().persist()
+        sh_d.filter(F.col("b") >= 90).select("h").distinct().persist()
     )
-    # persisted: both the per-doc totals and the bloom-pruned candidate
-    # branch read this frame — one explode+distinct instead of two.  At
-    # 100 TB prefer writing it bucketed by doc_id once per corpus release
-    # rather than caching (same two-reader pattern, durable).
-    train = (
-        shingled.filter(F.col("b") < 80)
-        .select("doc_id", "h")
-        .distinct()
-        .persist()
-    )
+    # Both the per-doc totals and the bloom-pruned candidate branch read
+    # the sh_d cache — at 100 TB prefer writing sh_d bucketed by doc_id
+    # once per corpus release rather than caching (durable form of the
+    # same multi-reader pattern).
+    train = sh_d.filter(F.col("b") < 80).select("doc_id", "h")
 
     totals = train.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
@@ -120,7 +122,7 @@ def bloom_decontamination_frame(
             ),
         )
     )
-    return out, (test_shingles, train)
+    return out, (test_shingles, sh_d)
 
 
 def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,13 +710,17 @@ def count_triangles_in_projection(ps: DataFrame) -> DataFrame:
     q_triangle_count and its known-graph unit test both call, so the test
     exercises the shipped algorithm rather than a copy."""
     a, b = ps.alias("a"), ps.alias("b")
+    # edges feeds all three triangle-join aliases — persist so the O(d²)
+    # projection self-join + distinct runs once, not three times (r11; the
+    # plan previously scanned the source six times).
     edges = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .persist()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    return (
+    out = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
         .join(
             e3,
@@ -723,6 +729,7 @@ def count_triangles_in_projection(ps: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    return materialize_and_release(out, edges)
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2215,12 +2222,20 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram decontamination → per-(split, lang) release stats.  Every stage
     reuses an individually-oracle-checked operator (text.token_count/
     punct_ratio, dedup.normalize_text, the md5-bucket split rule, the
-    decontamination shingle join), demonstrating they compose into a single
-    Catalyst plan: filters fuse into the scan, the dedup and shingle joins
-    shuffle 16-byte hashes only, and nothing materializes between stages.
+    decontamination shingle test), composed into one pipeline where only
+    16-byte hashes ever shuffle.  Physical shape (r11): the filtered,
+    fingerprint-deduped, split doc-level frame (with its shingle digests,
+    never the text) is computed ONCE and persisted — the previous fully
+    lazy form re-derived the documents scan ~6x (dedup join-back, two
+    shingle branches, final join); dedup is a window row_number, and the
+    train-vs-test shingle test is one max-over-shingle-window exchange
+    instead of distinct+join.  At 100 TB the persisted frame is
+    hash-digest-sized; prefer writing it bucketed once per release if
+    executors are memory-tight.
     """
     from .operators import text as text_ops
     from .operators.dedup import normalize_text
+    from .session import materialize_and_release
 
     (documents,) = _t(spark, sf_dir, "documents")
     kept = documents.filter(
@@ -2231,8 +2246,16 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "text",
         F.md5(normalize_text(F.col("text"))).alias("fp"),
     )
-    reps = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = with_fp.join(reps, ["fp", "doc_id"])
+    # Window dedup instead of groupBy(min)+join-back (r11): identical
+    # keep-min-doc_id semantics (doc_id is unique), ONE derivation of the
+    # filtered+fingerprinted scan instead of two, one exchange instead of
+    # agg + join (guide §2.4).
+    w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = (
+        with_fp.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     bucket = (
         F.conv(
@@ -2240,37 +2263,57 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
-    sp = deduped.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
-    )
-
     words = F.split(F.col("text"), " ")
-    sh = (
-        sp.filter(F.size(words) >= 5)
-        .select(
-            "doc_id",
-            "split",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 4),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))),
-                )
-            ).alias("sh"),
+    # One persisted doc-level frame carries the split AND the shingle
+    # array, so the quality filter + md5 fingerprint + dedup window run
+    # ONCE; the shingle branch and the final stats branch both read the
+    # cache instead of re-deriving the scan (the plan previously scanned
+    # documents ~6x).  Cached rows hold 16-byte binary shingle digests
+    # (collision-identical to the md5 hex the comparison is defined on),
+    # never the text column.
+    sp = deduped.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+        F.when(
+            F.size(words) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 4),
+                lambda i: F.unhex(
+                    F.md5(F.concat_ws(" ", F.slice(words, i, 5)))
+                ),
+            ),
         )
-    )
-    test_sh = sh.filter(F.col("split") == "test").select("sh").distinct()
+        .otherwise(F.array().cast("array<binary>"))
+        .alias("shs"),
+    ).persist()
+
+    sh = sp.select("doc_id", "split", F.explode("shs").alias("sh"))
+    # Contamination via ONE shingle-keyed exchange: a train doc is
+    # contaminated iff any of its shingles also appears in a test doc —
+    # max(is-test) over the shingle's window replaces the
+    # distinct-test-set + join branch (which re-derived the shingle
+    # explode a second time).
+    w_sh = Window.partitionBy("sh")
     contaminated = (
-        sh.filter(F.col("split") == "train")
-        .join(test_sh, "sh")
+        sh.withColumn(
+            "_has_test",
+            F.max((F.col("split") == "test").cast("int")).over(w_sh),
+        )
+        .filter((F.col("split") == "train") & (F.col("_has_test") == 1))
         .select("doc_id")
         .distinct()
     )
     final = sp.join(contaminated, "doc_id", "left_anti")
-    return final.groupBy("split", "lang").agg(
+    out = final.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+    return materialize_and_release(out, sp)
 
 
 SQL_CURATION_PIPELINE_STATS = """

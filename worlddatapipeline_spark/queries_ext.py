@@ -2042,41 +2042,47 @@ def q_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grow with the corpus or the contract itself turns quadratic — at
     # sf0.5 the unbounded %50 form was 14x the sf0.1 cost (observed in the
     # scaling bench).  Identical predicate on the oracle.
+    def _norm(col):
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    # Norms are hoisted out of the probe x corpus product (r11): the probe
+    # norm depends only on the probe row and the candidate norm only on the
+    # candidate row, yet the row-wise fold recomputed BOTH per pair — 2/3
+    # of the O(probes x corpus x dim) array-fold work.  The hoisted values
+    # are the same doubles from the same fold, and the score stays
+    # dot / (nq * nc) with identical grouping, so every comparison the
+    # window makes is bit-identical to the unhoisted form.
     probes = corpus.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("nq"),
+    )
     deq = sim_ops.int8_quantize(embeddings, "embedding", "vec_id").select(
         "vec_id",
         sim_ops.int8_dequantize(F.col("codes"), F.col("scale")).alias("v"),
     )
-
-    def fold_cos(qv, cv):
-        dot = F.aggregate(
-            F.zip_with(qv, cv, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        nq = F.sqrt(
-            F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        nc = F.sqrt(
-            F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        return dot / (nq * nc)
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
 
     def top5(cand):
+        cand_n = cand.select("vec_id", "v", _norm(F.col("v")).alias("nc"))
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         scored = (
             F.broadcast(probes)
-            .crossJoin(cand)
+            .crossJoin(cand_n)
             .filter(F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "vec_id",
-                fold_cos(F.col("qv"), F.col("v")).alias("cos"),
+                (dot / (F.col("nq") * F.col("nc"))).alias("cos"),
             )
         )
         return (
@@ -4501,14 +4507,19 @@ def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = sim_ops.cosine_topk_batched(corpus, queries, k=5).select(
-        "query_id", "vec_id"
+    # exact feeds two consumers (count + semi-join): persist the
+    # (5·|queries|-row) frame so the brute-force GEMM pass runs once
+    # instead of twice (r11; plan showed the corpus scanned 7x).
+    exact = (
+        sim_ops.cosine_topk_batched(corpus, queries, k=5)
+        .select("query_id", "vec_id")
+        .persist()
     )
     approx = sim_ops.lsh_topk(
         corpus, queries, k=5, dim=64, n_planes=6, seed=42, n_tables=16
     ).select("query_id", "vec_id")
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
-    return (
+    out = (
         exact.agg(F.count(F.lit(1)).alias("__n_exact"))
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
         .crossJoin(queries.agg(F.count(F.lit(1)).alias("n_queries")))
@@ -4519,6 +4530,9 @@ def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from .session import materialize_and_release  # noqa: PLC0415
+
+    return materialize_and_release(out, exact)
 
 
 SQL_EMBEDDING_LSH_RECALL = """
@@ -4540,14 +4554,17 @@ def q_embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = sim_ops.cosine_topk_batched(corpus, queries, k=5).select(
-        "query_id", "vec_id"
+    # Same two-consumer persist as q_embedding_lsh_recall (r11).
+    exact = (
+        sim_ops.cosine_topk_batched(corpus, queries, k=5)
+        .select("query_id", "vec_id")
+        .persist()
     )
     approx = sim_ops.ivf_topk(
         corpus, queries, k=5, n_centroids=16, n_probe=4
     ).select("query_id", "vec_id")
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
-    return (
+    out = (
         exact.agg(F.count(F.lit(1)).alias("__n_exact"))
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
         .crossJoin(queries.agg(F.count(F.lit(1)).alias("n_queries")))
@@ -4558,6 +4575,9 @@ def q_embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from .session import materialize_and_release  # noqa: PLC0415
+
+    return materialize_and_release(out, exact)
 
 
 SQL_EMBEDDING_IVF_RECALL = """

@@ -790,26 +790,25 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(substr({c}, 1, i - 1), substr({c}, i + 1))))),"
         " s -> xxhash64(s))"
     )
+    # The variant join ships ONLY (key, 8-byte hash) rows — the O(n·L)
+    # fan-out never carries name strings (guide §8: decide with small rows,
+    # attach the payload once).  Names re-attach to the (distinct, match-
+    # sized) candidate pair set for the exact block + levenshtein verify.
     cvar = clean.select(
-        "key",
-        "name",
-        F.expr("right(name, 4)").alias("blk"),
-        F.explode(F.expr(_variants.format(c="name"))).alias("v"),
+        "key", F.explode(F.expr(_variants.format(c="name"))).alias("v")
     )
     dvar = dirty.select(
-        "dkey",
-        "dname",
-        F.expr("right(dname, 4)").alias("dblk"),
-        F.explode(F.expr(_variants.format(c="dname"))).alias("v"),
+        "dkey", F.explode(F.expr(_variants.format(c="dname"))).alias("v")
     )
+    cand = cvar.join(dvar, "v").select("key", "dkey").distinct()
     matched = (
-        cvar.join(dvar, "v")
+        cand.join(clean, "key")
+        .join(dirty.withColumnRenamed("dkey", "dk2"), F.col("dkey") == F.col("dk2"))
         .filter(
-            (F.col("blk") == F.col("dblk"))
+            (F.expr("right(name, 4)") == F.expr("right(dname, 4)"))
             & (F.levenshtein(F.col("name"), F.col("dname")) <= 1)
         )
         .select("key", "dkey")
-        .distinct()
     )
     return (
         matched.agg(
@@ -2343,6 +2342,11 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, part = _t(
         spark, sf_dir, "lineitem", "orders", "part"
     )
+    # interacted feeds two consumers (the users projection and the
+    # anti-join), so without a persist the lineitem ⋈ orders fact-fact
+    # join ran TWICE (plan showed 7 parquet scans).  The frame is
+    # dimension-bounded (≤ |customers| × 25 brands) — persist + eager
+    # release (r11, guide §2.4).
     interacted = (
         lineitem.join(
             orders.select("o_orderkey", "o_custkey"),
@@ -2354,6 +2358,7 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("cust"), "p_brand")
         .distinct()
+        .persist()
     )
     users = interacted.select("cust").distinct()
     brands = part.select("p_brand").distinct()
@@ -2367,10 +2372,11 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = candidates.withColumn("rk", F.row_number().over(wr)).filter(
         F.col("rk") <= 2
     )
-    return sampled.groupBy("p_brand", "rk").agg(
+    out = sampled.groupBy("p_brand", "rk").agg(
         F.count(F.lit(1)).alias("n_negatives"),
         F.min("cust").alias("min_cust"),
     )
+    return materialize_and_release(out, interacted)
 
 
 SQL_NEGATIVE_SAMPLING_PAIRS = """
