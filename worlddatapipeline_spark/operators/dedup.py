@@ -386,10 +386,11 @@ def ngram_jaccard_pairs(
     Physical notes: shingles travel as 64-bit hashes
     (``exploded_shingle_hashes`` — one Arrow-batched mapInPandas pass, ~2x
     the interpreted-lambda expression form), so the posting shuffle key is 8
-    bytes.  The capped path persists ONE (id, sh, df) frame that feeds the
-    prefix build, both sides of the exact-verify join and the size lookups
-    (released via the materializing checkpoint on the way out); the
-    uncapped/candidate paths re-run the cheap shingle pass per branch.
+    bytes.  The pair-generation path (capped or not) persists ONE
+    (id, sh, df) frame that feeds the prefix build, both sides of the
+    exact-verify join and the size lookups (released via the materializing
+    checkpoint on the way out); the candidate-verify path re-runs the
+    cheap shingle pass per branch.
 
     ``max_df`` bounds the quadratic tail: posting lists longer than
     ``max_df`` are excluded from pair GENERATION only (the quadratic term is
@@ -401,11 +402,15 @@ def ngram_jaccard_pairs(
     two docs share occurs in more than ``max_df`` documents — at any
     meaningful threshold that means the overlap is pure boilerplate.  The
     default is finite so no composition is silently quadratic; pass
-    ``max_df=None`` to opt out (exact single-stage counting path, no
-    verify join).  Ignored when ``candidate_pairs`` is given.
+    ``max_df=None`` to opt out of the GENERATION cut (the df <= max_df
+    prefix condition drops out; candidates still come from the prefix
+    filter, whose completeness proof below needs no df cap, and the exact
+    per-pair verify makes the output the full uncapped pair set — the
+    r10 posting-list fan-out this replaces was quadratic in every
+    posting list's length).  Ignored when ``candidate_pairs`` is given.
     """
     sh = exploded_shingle_hashes(df, text_col, id_col, n=n)
-    if max_df is not None and candidate_pairs is None:
+    if candidate_pairs is None:
         # r11 rewrite: PREFIX-FILTERED candidate generation (the published
         # prefix-filtering principle — Chaudhuri/Ganti/Kaushik ICDE'06,
         # Bayardo et al. WWW'07 — over the ascending (df, sh) global
@@ -472,13 +477,18 @@ def ngram_jaccard_pairs(
         # float product that rounds UP across an integer boundary from
         # shortening the prefix (a longer prefix only adds candidates,
         # which the exact verify discards — never drops one)
-        prefix = ranked.filter(
-            (
-                F.col("rk")
-                <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
-            )
-            & (F.col("df") <= max_df)
-        ).select("id", "sh", "sz", "rk")
+        in_prefix = (
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
+        )
+        # max_df=None (the uncapped audit path, e.g. minhash_verified_dups)
+        # keeps every prefix shingle: the completeness argument never used
+        # the cap, and the exact verify already recomputes full
+        # intersections, so the output equals the old single-stage counting
+        # path bit-for-bit while pair generation stays prefix-bounded.
+        if max_df is not None:
+            in_prefix = in_prefix & (F.col("df") <= max_df)
+        prefix = ranked.filter(in_prefix).select("id", "sh", "sz", "rk")
         # Positional filter (the ppjoin bound, Xiao et al. WWW'08) during
         # pair generation: shared shingles sort IDENTICALLY in both
         # documents under the global (df, sh) order, so at the minimal
@@ -572,24 +582,17 @@ def ngram_jaccard_pairs(
 
         return materialize_and_release(out, ranked)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    if candidate_pairs is not None:
-        cand = candidate_pairs
-        inter = (
-            sh.alias("a")
-            .join(cand, F.col("a.id") == F.col("id_a"))
-            .join(
-                sh.alias("b"),
-                (F.col("b.id") == F.col("id_b")) & (F.col("a.sh") == F.col("b.sh")),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+    cand = candidate_pairs
+    inter = (
+        sh.alias("a")
+        .join(cand, F.col("a.id") == F.col("id_a"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.id") == F.col("id_b")) & (F.col("a.sh") == F.col("b.sh")),
         )
-    else:
-        inter = (
-            _posting_list_pairs(sh)
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     out = (
         inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))

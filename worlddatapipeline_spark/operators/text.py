@@ -143,7 +143,13 @@ def repetition_stats(
     (map-side partial combine absorbs the repetition itself) → ranking
     window per doc on the counted frame (shuffle carries (doc, bigram,
     count), never text) → broadcast-friendly join back to the per-doc base
-    stats.  Complements ``quality_score`` (length/punct/stopword signals —
+    stats.  An r11 zero-shuffle variant (per-row run-length scan over the
+    sorted bigram array via ``F.aggregate``) was A/B-measured 4x SLOWER at
+    sf0.1 (1.8 s → 7.7 s): higher-order-function lambdas are
+    CodegenFallback, so the per-element interpreted struct scan loses to
+    the codegen'd hash aggregate despite the extra exchanges — kept the
+    relational form (guide §1.1: the "ideal" plan lost empirically).
+    Complements ``quality_score`` (length/punct/stopword signals —
     `navmesh_injector.py`-style threshold classification analog).
     """
     t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
@@ -304,21 +310,28 @@ def tfidf_terms(
     """Per-(doc, term) TF-IDF over the corpus — the tokenize/TF-IDF step of
     the LLM-pipeline surface (SURVEY.md §7 step 10).
 
-    All relational: explode tokens → tf = count per (doc, term); df = distinct
-    docs per term; idf = ln(N/df) with N from a 1-row broadcast aggregate.
-    Two shuffles total (by (doc, term) and by term); the corpus text never
+    All relational: explode tokens → tf = count per (doc, term); df = count
+    over each term's WINDOW of the tf frame (r11: the previous
+    groupBy(term) + join-back derived the tokenize → explode → tf lineage
+    TWICE — two full corpus passes — where the window form derives it once
+    and pays the same term-keyed exchange the join needed anyway, guide
+    §2.4); idf = ln(N/df) with N from a 1-row broadcast aggregate.  Two
+    shuffles total (by (doc, term) and by term); the corpus text never
     shuffles — only (doc_id, term) pairs do.
     Returns (id, term, tf, tfidf).
     """
+    from pyspark.sql import Window
+
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("term"),
     )
     tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",

@@ -1495,7 +1495,12 @@ def q_char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — broadcast back), then bits/char = Σ c·(−log2 p) / len summed as
     DECIMAL(28,12) so summation order cannot move the hash (verify-skill
     float rule).  At 100 TB: one shuffle of (doc, char) pairs — bounded by
-    alphabet size per doc, never text — and one broadcast join."""
+    alphabet size per doc, never text — and one broadcast join.  dc feeds
+    TWO consumers (corpus freq + per-doc scoring) but both aggregate
+    subtrees are byte-identical (doc_id is a grouping key, so pruning
+    cannot specialize them) and ReuseExchange computes the explode once —
+    an r11 persist+checkpoint variant measured SLOWER (1.33 → 1.76 s at
+    sf0.1: it paid the materialization without removing any work)."""
     documents, = _t(spark, sf_dir, "documents")
     chars = documents.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")

@@ -4001,12 +4001,17 @@ def q_train_test_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard benchmark-leakage check run before every training-data release.
 
     Composes the deterministic md5-bucket split (dataset_split_stats rule:
-    bucket <80 train, >=90 test) with a shingle-hash semi-overlap join.
-    Scale: both sides shuffle only 16-byte md5 shingle hashes, never text;
-    the train side is `distinct` first (one combine-heavy aggregate) and at
-    100 TB would be written bucketed by hash so repeated decontamination
-    runs join shuffle-free.  Per test doc: distinct shingles, contaminated
-    shingles, ratio."""
+    bucket <80 train, >=90 test) with a shingle-hash overlap test.
+    Physical shape (r11): ONE shingle derivation — the previous
+    train-distinct + test-distinct + semi-overlap join re-ran the
+    md5-shingle explode once per branch (two full corpus passes).  Now the
+    valid-split docs (the 80-89 slice is dropped BEFORE the explode) are
+    shingled once, deduped per doc, and contamination is a max(is-train)
+    over each shingle's window — the same single h-keyed exchange the join
+    paid, minus the second explode pass.  Only md5 hashes ever shuffle,
+    never text; at 100 TB write the deduped shingle frame bucketed by hash
+    once per release so repeated decontamination runs skip the exchange.
+    Per test doc: distinct shingles, contaminated shingles, ratio."""
     (documents,) = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     bucket = (
@@ -4017,6 +4022,7 @@ def q_train_test_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = (
         documents.select("doc_id", bucket.alias("b"), words.alias("words"))
+        .filter((F.col("b") < 80) | (F.col("b") >= 90))
         .filter(F.size("words") >= 5)
         .select(
             "doc_id",
@@ -4028,15 +4034,18 @@ def q_train_test_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
+        .distinct()
     )
-    train = shingled.filter(F.col("b") < 80).select("h").distinct()
-    test = shingled.filter(F.col("b") >= 90).select("doc_id", "h").distinct()
+    w_h = Window.partitionBy("h")
     per_doc = (
-        test.join(train.withColumn("in_train", F.lit(1)), "h", "left")
+        shingled.withColumn(
+            "in_train", F.max((F.col("b") < 80).cast("int")).over(w_h)
+        )
+        .filter(F.col("b") >= 90)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce(F.col("in_train"), F.lit(0))).alias("n_contaminated"),
+            F.sum("in_train").alias("n_contaminated"),
         )
     )
     return per_doc.withColumn(

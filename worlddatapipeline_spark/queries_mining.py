@@ -905,6 +905,16 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("txt"),
     )
     recs = clean.unionByName(var_a).unionByName(var_b)
+    # r11 measured note: a FastSS deletion-neighborhood candidate
+    # generator (the fuzzy_record_linkage treatment) was built and
+    # A/B-timed here — SLOWER at both sf0.1 (4.8 vs 4.1 s) and sf1.0
+    # (15.9 vs 11.7 s): this roster is 3 deterministic variants per base
+    # record, so the O(n·L) variant fan-out (~19 rows/record/side) costs
+    # more than the block join's n²/10⁴ candidate term until far beyond
+    # the measured decade (2.25e6 lev calls at sf1.0 — still linear-stage
+    # dominated).  Kept the block join per guide §1.1; the crossover is
+    # documented, and the FastSS form exists measured in
+    # q_fuzzy_record_linkage if the corpus ever outgrows it.
     blocked = recs.withColumn("blk", F.expr("right(txt, 4)"))
     pairs = (
         blocked.alias("a")
@@ -2985,7 +2995,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ppm from DECIMAL integer moments — the same sqrt-free
     discipline as the autocorrelation family.  Node ids use the disjoint
     2k/2k+1 encoding; degrees join back to edges broadcast-free on the
-    node key (one shuffle each side)."""
+    node key (one shuffle each side).
+
+    r11 measured note: a degree-table-algebra variant (sx = Σdeg²,
+    sxx = Σdeg³ from the degree frame alone; sxy via a neighbour-degree-
+    sum join) was built and A/B-timed — SLOWER at both sf0.1 (3.0 vs
+    2.5 s) and sf1.0 (5.2 vs 3.7 s): the degree table is node-sized and
+    broadcasts, so the "two edge-sized joins" it removed were already
+    map-side, while its neighbour-sum stage ADDED a real edge-sized
+    exchange (groupBy dst).  Kept the pair-join form per guide §1.1."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     edges = lineitem.select(
         (F.col("l_partkey") * 2).alias("src"),
