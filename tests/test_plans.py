@@ -11,11 +11,40 @@ from worlddatapipeline_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name):
-    df = QUERIES[name](spark, SF)
+def _fmt(spark, df):
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def _plan(spark, name):
+    """Formatted plan of a registry query.  Queries that eagerly
+    materialize (persist + localCheckpoint release, the r11 multi-reader
+    pattern) return a lineage-truncated ExistingRDD scan — for those,
+    capture the PRE-checkpoint plan at the truncation point (the same
+    interception tools/plan_audit.py uses) and assert over captured +
+    final text together."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    captured = []
+    orig = _CDF.localCheckpoint
+
+    def lc(self, *a, **k):
+        try:
+            captured.append(_fmt(spark, self))
+        except Exception:
+            pass
+        return orig(self, *a, **k)
+
+    _CDF.localCheckpoint = lc
+    try:
+        df = QUERIES[name](spark, SF)
+    finally:
+        _CDF.localCheckpoint = orig
+    final = _fmt(spark, df)
+    if "Scan ExistingRDD" in final and captured:
+        return "\n".join(captured + [final])
+    return final
 
 
 def _hash_exchanges(plan):

@@ -32,15 +32,53 @@ def main() -> None:
 
     spark = get_spark(app_name="wdp-capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Queries that eagerly materialize (persist + localCheckpoint release)
+    # return a lineage-truncated ExistingRDD scan; capture the
+    # PRE-checkpoint plan at each truncation point (the plan_audit /
+    # test_plans interception) so the committed file shows the physical
+    # plan that actually executed.
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    def _fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
+        captured: list[str] = []
+        orig = _CDF.localCheckpoint
+
+        def lc(self, *a, **k):
+            try:
+                captured.append(_fmt(self))
+            except Exception:
+                pass
+            return orig(self, *a, **k)
+
+        _CDF.localCheckpoint = lc
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        finally:
+            _CDF.localCheckpoint = orig
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
+        text = buf.getvalue()
+        if "Scan ExistingRDD" in text and captured:
+            text = (
+                "-- pre-checkpoint plan(s) captured at localCheckpoint "
+                "(lineage is truncated in the final frame) --\n\n"
+                + "\n".join(captured)
+                + "\n-- final (post-checkpoint) frame --\n"
+                + text
+            )
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w", encoding="utf-8") as fh:
-            fh.write(buf.getvalue())
-        print(f"wrote {path} ({len(buf.getvalue())} bytes)")
+            fh.write(text)
+        print(f"wrote {path} ({len(text)} bytes)")
 
 
 if __name__ == "__main__":

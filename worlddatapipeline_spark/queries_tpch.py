@@ -131,10 +131,15 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-nation x customer-nation shipping volume (TPC-H Q7 shape).
 
     Operator class: multi-way status-annotation join
-    (`scene_scanner.py:242-331` 3-way join family).  Scale: the two fact
-    tables join on orderkey (shuffle); all four dimension hops
-    (supplier/customer/nation x2) are broadcast.  Nation filter applies
-    before grouping so the shuffle carries only matching pairs.
+    (`scene_scanner.py:242-331` 3-way join family).  Scale (r11 reorder):
+    the pair predicate implies supp_nation ∈ {N1, N2} AND cust_nation ∈
+    {N1, N2}, so each fact side is pruned to the two nations' share
+    (≈2/25) by its OWN broadcast hops BEFORE the orderkey exchange —
+    supplier ⋈ n1 onto lineitem, customer ⋈ n2 onto orders — cutting both
+    shuffle sides ~12x (guide §2.3: reduce the big side before shuffling
+    it); previously all four dimension hops ran after the full fact-fact
+    join.  The cross-pair disjunction still applies after the join, so
+    the row set is identical.
     """
     lineitem, orders, customer, supplier, nation = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
@@ -145,17 +150,24 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
-    pairs = (
+    l_side = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    o_side = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    pairs = (
+        l_side.join(o_side, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
@@ -326,14 +338,17 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Operator class: threshold-from-aggregate predicate — the reference
     computes a scene-volume threshold then filters actors against it
     (`navmesh_injector.py:463-486`).  Scale: the one-row global aggregate is
-    crossJoin-broadcast against the per-part aggregate; both aggregates reuse
-    the same scan (Spark caches the shuffle via reused exchange).  Sums are
-    DECIMAL so the two aggregation orders agree bit-for-bit.
+    crossJoin-broadcast against the per-part aggregate.  r11: the total is
+    re-aggregated FROM per_part (Σ_parts Σ_rows = Σ_rows exactly — DECIMAL
+    sums are associative) so both branches share the per-part subtree via
+    ReuseExchange and lineitem is scanned ONCE; previously the total branch
+    re-scanned the fact table and re-did the per-row multiply (guide §2.4).
+    Sums are DECIMAL so the two aggregation orders agree bit-for-bit.
     """
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     value = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
     per_part = lineitem.groupBy("l_partkey").agg(F.sum(value).alias("part_value"))
-    total = lineitem.agg(F.sum(value).alias("total_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("total_value") * 0.0007)
@@ -709,8 +724,14 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H Q8 shape): conditional revenue ratio inside a 6-table star join.
 
     Operator class: ratio classification (`navmesh_injector.py:324-340`)
-    over the full join family.  Scale: region filter prunes the customer
-    side before its broadcast join; the share is a CASE-ratio inside one
+    over the full join family.  Scale (r11 reorder): the region-filtered
+    customer broadcast prunes ORDERS before the fact-fact shuffle — inner
+    equi-joins commute, so attaching customer ⋈ region to orders first
+    (both map-side broadcasts) cuts the orders side of the orderkey
+    exchange to the region's ≈1/5 share and shrinks the SMJ output feeding
+    the supplier broadcasts; previously the pruning joins ran AFTER the
+    full-size lineitem ⋈ orders join (guide §2.3: reduce the big side
+    before shuffling it).  The share is a CASE-ratio inside one
     aggregate — no second pass.  DECIMAL sums for engine-identical ratios.
     """
     lineitem, orders, customer, supplier, nation, region = _t(
@@ -726,11 +747,14 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
-    joined = (
-        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    orders_pruned = (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders_pruned, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
     )
@@ -862,10 +886,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Operator class: the reference's status-annotation join family
     (`scene_scanner.py:242-331`) with the distinctive *cyclic* equality —
-    customer.nation == supplier.nation — closing the join graph.  Scale:
-    the cycle predicate rides the supplier broadcast join (no extra
-    shuffle); region pruning shrinks the nation build side before any fact
-    touches it.
+    customer.nation == supplier.nation — closing the join graph.  Scale
+    (r11 reorder): the cycle + region predicates imply BOTH endpoints sit
+    in an ASIA nation, so each fact side is pruned to the region's ≈1/5
+    share by its own broadcast hops BEFORE the orderkey exchange —
+    supplier ⋈ asia_nations onto lineitem, customer ⋈ asia_nations onto
+    orders — and the cycle equality applies as a post-join filter; row
+    set identical, both shuffle sides ~5x smaller (guide §2.3).
     """
     lineitem, orders, customer, supplier, nation, region = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
@@ -875,22 +902,29 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
-    return (
+    l_side = (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ).select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
             F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    o_side = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_nations.select(F.col("n_nationkey").alias("cn_key"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+    )
+    return (
+        l_side.join(o_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
