@@ -140,3 +140,29 @@ def test_cooccurrence_cosine_matches_bruteforce_on_seeded_random(spark):
                     (n_ab * n_ab * 1000000) // (item_n[a] * item_n[b]),
                 )
         assert got == want, f"seed {seed}"
+
+
+def test_fuzzy_record_linkage_router_branches_identical(spark, monkeypatch):
+    """The size-routed hybrid (r11) must return the SAME one-row audit
+    from both physical plans: the reference block equi-join (roster at
+    or under SPARK_GRAFT_FUZZY_FASTSS_MIN) and the FastSS
+    deletion-neighborhood form (above it)."""
+    from worlddatapipeline_spark.queries_mining import q_fuzzy_record_linkage
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_FASTSS_MIN", "1000000000")
+    block = q_fuzzy_record_linkage(spark, sf_dir)
+    block_rows = [tuple(r) for r in block.collect()]
+    block_plan = block._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_FASTSS_MIN", "0")
+    fastss = q_fuzzy_record_linkage(spark, sf_dir)
+    fastss_rows = [tuple(r) for r in fastss.collect()]
+    fastss_plan = fastss._jdf.queryExecution().executedPlan().toString()
+
+    assert block_rows == fastss_rows
+    assert block.columns == fastss.columns
+    # the router really switched plans: FastSS explodes xxhash64 variant
+    # keys, the block join does not
+    assert "xxhash64" in fastss_plan
+    assert "xxhash64" not in block_plan

@@ -719,27 +719,42 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit summary — candidate count, matches, true matches (same key),
     precision and recall in integer ppm — one row, all exact.
 
-    Scale shape (r11 rewrite; BENCH_SCALING_r10 measured the original
-    block equi-join at x10 = 22.1 — the last-4-digit key fixes #blocks
-    at 10⁴, so candidate pairs grow n²/10⁴).  The rewrite computes the
-    IDENTICAL result without materializing the candidate set:
+    Scale shape (r11, size-routed hybrid).  Two physical plans compute
+    the IDENTICAL one-row result (A/B-verified equal at sf0.1 and
+    sf1.0; the DuckDB oracle keeps the reference block-join
+    formulation, so the driver's hash check is the standing
+    equivalence proof):
 
-    * ``n_candidates`` — the blocked-pair count — is Σ_blk |clean_blk| ×
-      |dirty_blk| over per-block counts: two linear aggregates and a
-      10⁴-row join, never the pairs themselves.
-    * matches use the deletion-neighborhood method (FastSS/SymSpell
-      family): every string emits {s} ∪ del1(s) as join keys, and
-      lev(s,t) ≤ 1 ⟹ the key sets intersect (equal: s itself; deletion
-      t ∈ del1(s): t in both; insertion symmetric; substitution at i:
-      del_at(s,i) = del_at(t,i)).  Candidates from the variant equi-join
-      are then verified with the SAME predicates as the original —
-      block equality AND levenshtein ≤ 1 — and deduped per (key, dkey)
-      (each pair appeared exactly once in the original block join), so
+    * **Block equi-join** (the reference shape): candidate pairs grow
+      n²/10⁴ because the last-4-digit key fixes the block count at
+      10⁴.  Quadratic — but with a tiny constant: measured r11
+      (interleaved best-of-3, noop sink) 0.28 s at sf0.1 and 6.99 s at
+      sf1.0 (n = 150 k).
+    * **FastSS deletion-neighborhood** (the linear form): every string
+      emits {s} ∪ del1(s) as 8-byte xxhash64 join keys, and
+      lev(s,t) ≤ 1 ⟹ the key sets intersect (equal: s itself;
+      deletion: t ∈ del1(s); insertion symmetric; substitution at i:
+      del_at(s,i) = del_at(t,i)).  Variant-join candidates are
+      verified with the SAME predicates as the block join — block
+      equality AND levenshtein ≤ 1 — and deduped per (key, dkey), so
       false candidates cannot leak and completeness is the theorem
-      above.  Work is O(n·L) rows with L ≈ name length, linear in the
-      corpus at every scale; the DuckDB oracle keeps the reference
-      block-join formulation, so the driver's hash check is the
-      equivalence proof."""
+      above; ``n_candidates`` is reproduced exactly as
+      Σ_blk |clean_blk|·|dirty_blk| from per-block tallies.  O(n·L)
+      rows, but ~8 stages of fixed overhead: measured 1.01 s at sf0.1
+      and 8.5 s at sf1.0 — SLOWER than the quadratic plan at both
+      bench scales; its win starts at the ~sf2 crossover.
+
+    The router picks the block join while the roster count is at or
+    under ``SPARK_GRAFT_FUZZY_FASTSS_MIN`` (default 200 000 — just
+    above the measured sf1.0 roster, below the extrapolated ~sf2
+    crossover where the n²/10⁴ term overtakes FastSS's fixed stages)
+    and the FastSS form above it, so a 100× corpus runs the linear
+    plan instead of 22.5 G levenshtein pairs.  The roster size is read
+    from the parquet footer on the driver (the statistic Spark's own
+    planner uses) — no job, no data pass; a count() action here cost
+    0.35 s, more than the whole routed query."""
+    import os  # noqa: PLC0415
+
     (customer,) = _t(spark, sf_dir, "customer")
     clean = customer.select(
         F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
@@ -752,6 +767,48 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(name, 11 + CAST(key % 5 AS INT))"),
         ).alias("dname"),
     )
+    from .session import parquet_num_rows  # noqa: PLC0415
+
+    n_roster = parquet_num_rows(sf_dir, "customer")
+    if n_roster <= int(
+        os.environ.get("SPARK_GRAFT_FUZZY_FASTSS_MIN", "200000")
+    ):
+        # Reference block-join plan: fastest while n²/10⁴ lev pairs cost
+        # less than FastSS's fixed stages (measured: wins at sf0.1 AND
+        # sf1.0; see docstring table).
+        blocked = clean.join(
+            dirty, F.expr("right(name, 4)") == F.expr("right(dname, 4)")
+        ).select(
+            "key",
+            "dkey",
+            (F.levenshtein(F.col("name"), F.col("dname")) <= 1).alias(
+                "match"
+            ),
+        )
+        total = clean.agg(F.count("*").alias("n_rec"))
+        return (
+            blocked.agg(
+                F.count("*").alias("n_candidates"),
+                F.sum(F.when(F.col("match"), 1).otherwise(0)).alias(
+                    "n_matches"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("match") & (F.col("key") == F.col("dkey")), 1
+                    ).otherwise(0)
+                ).alias("n_true"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "n_candidates",
+                "n_matches",
+                "n_true",
+                F.expr("(n_true * 1000000) div n_matches").alias(
+                    "precision_ppm"
+                ),
+                F.expr("(n_true * 1000000) div n_rec").alias("recall_ppm"),
+            )
+        )
     # Blocked-pair COUNT and roster size from ONE per-block tally (exact,
     # no pair fan-out): n_candidates = Σ_blk |clean_blk|·|dirty_blk| and
     # n_rec = Σ_blk |clean_blk| — a single union-tag shuffle.

@@ -137,6 +137,26 @@ def streaming_events(spark: SparkSession, sf_dir: str):
     return stream
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one input table from the parquet FOOTER — the
+    same statistic Spark's own scan planning reads — without scheduling
+    a job.  Used by size-routed plan choices (e.g. the
+    ``fuzzy_record_linkage`` hybrid), where a full count action would
+    cost more than the routing decision saves.  Handles both a single
+    ``<name>.parquet`` file (the driver's testdata layout) and a
+    Spark-written directory of part files."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views and return them.
 
