@@ -466,3 +466,89 @@ def test_topk_self_contract_columns(spark):
         )
     )
     assert broken.filter(~F.col("rank_contiguous")).count() > 0
+
+
+def test_int8_ann_recall_kernel_matches_expression_fold(spark):
+    """r11: the Arrow partial-top5 kernel in q_int8_ann_recall must
+    reproduce the original interpreted F.aggregate/zip_with expression
+    form bit-for-bit — same strict left fold, same Double.compare tie
+    order, same int8 quantization math — so the final recall rows are
+    identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from worlddatapipeline_spark.operators import similarity as sim_ops
+    from worlddatapipeline_spark.queries_ext import q_int8_ann_recall
+    from worlddatapipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_int8_ann_recall(spark, sf_dir).collect())
+
+    # the pre-r11 expression form, verbatim
+    embeddings = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _norm(col):
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    probes = corpus.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("nq"),
+    )
+    deq = sim_ops.int8_quantize(embeddings, "embedding", "vec_id").select(
+        "vec_id",
+        sim_ops.int8_dequantize(F.col("codes"), F.col("scale")).alias("v"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+
+    def top5(cand):
+        cand_n = cand.select("vec_id", "v", _norm(F.col("v")).alias("nc"))
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            F.broadcast(probes)
+            .crossJoin(cand_n)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                (dot / (F.col("nq") * F.col("nc"))).alias("cos"),
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "vec_id")
+        )
+
+    exact = top5(corpus)
+    quant = top5(deq)
+    hits = (
+        exact.join(quant, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in probes.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .collect()
+    )
+    assert got == want

@@ -2031,8 +2031,25 @@ def q_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold cosine (bit-identical to DuckDB's list_sum fold) ordered by the
     raw double with a vec_id tie-break, so ranks are deterministic even
     where quantization collapses scores into exact ties.  The batched
-    numpy / LSH operators stay the 100 TB scoring path; the expression
-    form here exists precisely to make the recall contract exact."""
+    numpy / LSH operators stay the 100 TB scoring path; the form here
+    exists precisely to make the recall contract exact.
+
+    r11 kernel: the probe×corpus scoring moved from interpreted
+    ``F.aggregate``/``zip_with`` lambdas (CodegenFallback — ~128 M
+    interpreted fold steps at sf1.0) into an Arrow ``mapInPandas``
+    kernel whose ``np.add.accumulate`` is the SAME strict left fold —
+    identical addends in identical order, so every double is
+    bit-identical to the expression form (pinned by
+    ``test_int8_ann_recall_kernel_matches_expression_fold``).  The
+    kernel also emits only a per-batch partial top-5 per probe (the
+    union of per-batch top-5s contains the global top-5 a fortiori;
+    ties are impossible to mis-order because selection uses Java's
+    ``Double.compare`` total order — the bit-twiddle key below — which
+    is exactly Spark's sort semantics including -0.0 < 0.0), so the
+    window shuffle carries ≤ 5·probes·batches rows instead of
+    probes×corpus."""
+    import numpy as np  # noqa: PLC0415
+
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2042,59 +2059,120 @@ def q_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grow with the corpus or the contract itself turns quadratic — at
     # sf0.5 the unbounded %50 form was 14x the sf0.1 cost (observed in the
     # scaling bench).  Identical predicate on the oracle.
-    def _norm(col):
-        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
-
-    # Norms are hoisted out of the probe x corpus product (r11): the probe
-    # norm depends only on the probe row and the candidate norm only on the
-    # candidate row, yet the row-wise fold recomputed BOTH per pair — 2/3
-    # of the O(probes x corpus x dim) array-fold work.  The hoisted values
-    # are the same doubles from the same fold, and the score stays
-    # dot / (nq * nc) with identical grouping, so every comparison the
-    # window makes is bit-identical to the unhoisted form.
     probes = corpus.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("nq"),
-    )
-    deq = sim_ops.int8_quantize(embeddings, "embedding", "vec_id").select(
-        "vec_id",
-        sim_ops.int8_dequantize(F.col("codes"), F.col("scale")).alias("v"),
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # Probe panel to the driver ONCE — ≤ 50 rows by construction at any
+    # scale (the same bounded-collect class as the Bloom position
+    # collect); the kernel closure ships it to executors per task.
+    probe_rows = probes.collect()
+    q_ids = np.array([r["query_id"] for r in probe_rows], dtype=np.int64)
+    q_mat = np.array(
+        [r["qv"] for r in probe_rows], dtype=np.float64
+    ) if probe_rows else np.zeros((0, 1))
+    nq = (
+        np.sqrt(np.add.accumulate(q_mat * q_mat, axis=1)[:, -1])
+        if q_ids.size
+        else np.zeros(0)
     )
 
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy("which", "query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
 
-    def top5(cand):
-        cand_n = cand.select("vec_id", "v", _norm(F.col("v")).alias("nc"))
-        dot = F.aggregate(
-            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = (
-            F.broadcast(probes)
-            .crossJoin(cand_n)
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                (dot / (F.col("nq") * F.col("nc"))).alias("cos"),
-            )
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-            .select("query_id", "vec_id")
-        )
+    def _desc_key(x):
+        # Java Double.compare total order (= Spark's double sort:
+        # -0.0 < 0.0, NaN above +inf), descending, as an int64 key:
+        # flip the magnitude bits of negatives, then complement.
+        b = np.ascontiguousarray(x).view(np.int64)
+        asc = np.where(b >= 0, b, b ^ np.int64(0x7FFFFFFFFFFFFFFF))
+        return ~asc
 
-    exact = top5(corpus)
-    quant = top5(deq)
-    hits = exact.join(quant, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    def _rank_partials(vid, V, which, out):
+        # same strict left fold as F.aggregate(acc + x*x) / (acc + a*b)
+        nc = np.sqrt(np.add.accumulate(V * V, axis=1)[:, -1])
+        for qi in range(q_ids.size):
+            cos = np.add.accumulate(q_mat[qi] * V, axis=1)[:, -1] / (
+                nq[qi] * nc
+            )
+            mask = vid != q_ids[qi]
+            cvid, ccos = vid[mask], cos[mask]
+            if cvid.size == 0:
+                continue
+            top = np.lexsort((cvid, _desc_key(ccos)))[:5]
+            out[0].append(np.full(top.size, which, dtype=np.int32))
+            out[1].append(np.full(top.size, q_ids[qi], dtype=np.int64))
+            out[2].append(cvid[top])
+            out[3].append(ccos[top])
+
+    def _partial_top5(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0 or q_ids.size == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            # int8 SQ dequantization, reproducing sim_ops.int8_quantize /
+            # int8_dequantize bit-for-bit with elementwise IEEE ops: the
+            # max-|x| fold is EXACT in any order (max never rounds), then
+            # scale = max/127.0, codes = clip(floor(x/scale + 0.5)) as in
+            # the Catalyst form, reconstruction = codes * scale.
+            max_abs = np.max(np.abs(V), axis=1)
+            scale = max_abs / 127.0
+            safe = np.where(scale > 0.0, scale, 1.0)[:, None]
+            codes = np.where(
+                (scale > 0.0)[:, None],
+                np.clip(np.floor(V / safe + 0.5), -127.0, 127.0),
+                0.0,
+            )
+            Vq = codes * (scale[:, None])
+            out = ([], [], [], [])
+            _rank_partials(vid, V, 0, out)
+            _rank_partials(vid, Vq, 1, out)
+            if out[0]:
+                yield pd.DataFrame(
+                    {
+                        "which": np.concatenate(out[0]),
+                        "query_id": np.concatenate(out[1]),
+                        "vec_id": np.concatenate(out[2]),
+                        "cos": np.concatenate(out[3]),
+                    }
+                )
+
+    # ONE scan + ONE kernel pass scores BOTH rankings (the dequantized
+    # corpus is derived per batch inside the kernel), spread across
+    # defaultParallelism instead of the narrow scan split (one ~10 MB
+    # parquet file = 1-2 tasks pinning the probe×corpus product on one
+    # core).  The shuffle moves only (vec_id, 64 doubles) once, and the
+    # window sees ≤ 2·5·probes·batches partial rows.
+    width = spark.sparkContext.defaultParallelism
+    scored = (
+        corpus.select("vec_id", "v")
+        .repartition(width)
+        .mapInPandas(
+            _partial_top5,
+            "which int, query_id long, vec_id long, cos double",
+        )
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+    )
+    # a recall hit = the pair appears in BOTH rankings; vec_id is unique
+    # within one ranking's top-5, so "count == 2 over the union" ⟺ the
+    # original exact⋈quant inner join — ONE aggregation instead of two
+    # which-filters whose pushdown would split (and re-run) the kernel
+    # subtree under each branch.
+    hits = (
+        ranked.groupBy("query_id", "vec_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == 2)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         probes.select("query_id")
