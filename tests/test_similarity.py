@@ -552,3 +552,61 @@ def test_int8_ann_recall_kernel_matches_expression_fold(spark):
         .collect()
     )
     assert got == want
+
+
+def test_embedding_quantize_audit_kernel_matches_expression_fold(spark):
+    """r11: the Arrow audit kernel in q_embedding_quantize_audit must
+    reproduce the original join + interpreted-fold expression form
+    bit-for-bit (same quantization math, same strict left folds)."""
+    from pyspark.sql import functions as F
+
+    from worlddatapipeline_spark.operators import similarity as sim_ops
+    from worlddatapipeline_spark.queries_ext import q_embedding_quantize_audit
+    from worlddatapipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in q_embedding_quantize_audit(spark, sf_dir).collect()
+    )
+
+    embeddings = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = sim_ops.int8_quantize(embeddings, "embedding", "vec_id")
+    j = embeddings.select("vec_id", "label", "embedding").join(q, "vec_id")
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("codes"),
+            lambda x, c: (x.cast("double") - c.cast("double") * F.col("scale"))
+            * (x.cast("double") - c.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    ss = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    maxc = F.aggregate(
+        F.col("codes"), F.lit(0), lambda acc, c: F.greatest(acc, F.abs(c))
+    )
+    per_vec = j.select(
+        "label",
+        maxc.alias("max_code"),
+        F.when(ss > 0, F.sqrt(err / ss)).otherwise(F.lit(0.0)).alias("rel_rmse"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("max_code").alias("max_code"),
+            F.round(
+                F.sum(F.col("rel_rmse").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rel_rmse"),
+        )
+        .collect()
+    )
+    assert got == want

@@ -1953,32 +1953,64 @@ def q_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean relative RMSE of the dequantized vectors.  Codes use
     ``floor(x/scale + 0.5)`` so rounding is the same IEEE op on every
     engine; error sums are sequential folds and label sums are DECIMAL, so
-    the audit hash-matches bit-for-bit."""
+    the audit hash-matches bit-for-bit.
+
+    r11 kernel: the quantize + reconstruction-error folds moved from
+    interpreted Catalyst lambdas (plus a corpus self-join to re-attach
+    codes) into ONE Arrow ``mapInPandas`` pass — ``np.add.accumulate``
+    is the same strict left fold, the quantization the same elementwise
+    IEEE math (max-|x| is exact in any order), so every per-vector
+    double is bit-identical and the unchanged DuckDB oracle remains the
+    proof.  No join, no second scan; the groupBy(label) DECIMAL
+    summation stays in Spark unchanged."""
+    import numpy as np  # noqa: PLC0415
+
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    q = sim_ops.int8_quantize(embeddings, "embedding", "vec_id")
-    j = embeddings.select("vec_id", "label", "embedding").join(q, "vec_id")
-    err = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("codes"),
-            lambda x, c: (x.cast("double") - c.cast("double") * F.col("scale"))
-            * (x.cast("double") - c.cast("double") * F.col("scale")),
-        ),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
-    )
-    ss = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-    maxc = F.aggregate(
-        F.col("codes"), F.lit(0), lambda acc, c: F.greatest(acc, F.abs(c))
-    )
-    per_vec = j.select(
-        "label",
-        maxc.alias("max_code"),
-        F.when(ss > 0, F.sqrt(err / ss)).otherwise(F.lit(0.0)).alias("rel_rmse"),
+
+    def _audit(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            # sim_ops.int8_quantize math, elementwise-identical
+            max_abs = np.max(np.abs(V), axis=1)
+            scale = max_abs / 127.0
+            safe_s = np.where(scale > 0.0, scale, 1.0)[:, None]
+            codes = np.where(
+                (scale > 0.0)[:, None],
+                np.clip(np.floor(V / safe_s + 0.5), -127.0, 127.0),
+                0.0,
+            )
+            # same strict left folds as the F.aggregate lambdas
+            d = V - codes * scale[:, None]
+            err = np.add.accumulate(d * d, axis=1)[:, -1]
+            ss = np.add.accumulate(V * V, axis=1)[:, -1]
+            rel = np.where(
+                ss > 0.0,
+                np.sqrt(err / np.where(ss > 0.0, ss, 1.0)),
+                0.0,
+            )
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "max_code": np.max(np.abs(codes), axis=1).astype(
+                        np.int32
+                    ),
+                    "rel_rmse": rel,
+                }
+            )
+
+    width = spark.sparkContext.defaultParallelism
+    per_vec = (
+        embeddings.select(
+            "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .repartition(width)
+        .mapInPandas(_audit, "label int, max_code int, rel_rmse double")
     )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
