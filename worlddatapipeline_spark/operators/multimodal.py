@@ -305,33 +305,46 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+def _png_pack_rows(vals: np.ndarray, bitd: int) -> np.ndarray:
+    """Pack a (h, n) grid of per-pixel values into the (h, stride) PNG
+    scanline byte grid at bit depth 1/2/4/8 — most significant bits carry
+    the leftmost pixel (spec §7.2), last byte zero-padded.  One vectorized
+    shift-fold over the whole pass (the per-row form made every 16×16
+    audit image pay ~h Python calls; r11 guide §4.2)."""
+    if bitd == 8:
+        return np.ascontiguousarray(vals, dtype=np.uint8)
+    h, n = vals.shape
+    per = 8 // bitd
+    pad = (-n) % per
+    v = vals.astype(np.uint16)
+    if pad:
+        v = np.concatenate(
+            [v, np.zeros((h, pad), dtype=np.uint16)], axis=1
+        )
+    v = v.reshape(h, -1, per)
+    out = np.zeros(v.shape[:2], dtype=np.uint16)
+    for i in range(per):
+        out = (out << bitd) | v[:, :, i]
+    return out.astype(np.uint8)
+
+
 def _png_pack_row(vals: np.ndarray, bitd: int) -> bytes:
     """Pack per-pixel values into a PNG scanline byte string at bit depth
-    1/2/4/8 — most significant bits carry the leftmost pixel (spec §7.2),
-    last byte zero-padded."""
-    if bitd == 8:
-        return vals.astype(np.uint8).tobytes()
-    per = 8 // bitd
-    pad = (-len(vals)) % per
-    v = np.concatenate(
-        [vals.astype(np.uint16), np.zeros(pad, dtype=np.uint16)]
-    ).reshape(-1, per)
-    out = np.zeros(len(v), dtype=np.uint16)
-    for i in range(per):
-        out = (out << bitd) | v[:, i]
-    return out.astype(np.uint8).tobytes()
+    1/2/4/8 (single-row convenience over :func:`_png_pack_rows`)."""
+    return _png_pack_rows(np.asarray(vals).reshape(1, -1), bitd).tobytes()
 
 
-def _png_unpack_row(row: np.ndarray, n: int, bitd: int) -> np.ndarray:
-    """Inverse of :func:`_png_pack_row`: first ``n`` per-pixel values."""
+def _png_unpack_rows(rows: np.ndarray, n: int, bitd: int) -> np.ndarray:
+    """Inverse of :func:`_png_pack_rows`: the first ``n`` per-pixel values
+    of each scanline of a (h, stride) byte grid, as (h, n)."""
     if bitd == 8:
-        return row[:n]
+        return rows[:, :n]
     per = 8 // bitd
     mask = (1 << bitd) - 1
     vals = np.stack(
-        [(row >> (8 - bitd * (i + 1))) & mask for i in range(per)], axis=1
-    ).reshape(-1)
-    return vals[:n]
+        [(rows >> (8 - bitd * (i + 1))) & mask for i in range(per)], axis=2
+    ).reshape(rows.shape[0], -1)
+    return vals[:, :n]
 
 
 def _png_passes(w: int, h: int, interlace: int):
@@ -343,6 +356,32 @@ def _png_passes(w: int, h: int, interlace: int):
         ph = (h - y0 + dy - 1) // dy
         if pw > 0 and ph > 0:
             yield x0, y0, dx, dy, pw, ph
+
+
+def _png_raw_scanlines(px: np.ndarray, bitd: int, interlace: bool) -> bytes:
+    """Filter-type-0 scanline stream for every pass of ``px`` — (h, w)
+    or (h, w, nch), uint8 (depth <= 8) or uint16 (depth 16, written
+    big-endian).  Each pass is built as ONE (ph, 1 + stride) byte grid
+    (filter column + packed samples) instead of a per-row pack + join —
+    byte-identical output, ~h fewer Python calls per pass (r11 §4.2)."""
+    h, w = px.shape[:2]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    parts = []
+    for x0, y0, dx, dy, pw, ph in _png_passes(w, h, 1 if interlace else 0):
+        flat = px[y0::dy, x0::dx].reshape(ph, pw * nch)
+        if bitd == 16:
+            grid = (
+                np.ascontiguousarray(flat, dtype=">u2")
+                .view(np.uint8)
+                .reshape(ph, -1)
+            )
+        else:
+            grid = _png_pack_rows(flat, bitd)
+        out = np.empty((ph, grid.shape[1] + 1), dtype=np.uint8)
+        out[:, 0] = 0
+        out[:, 1:] = grid
+        parts.append(out.tobytes())
+    return b"".join(parts)
 
 
 def encode_png_gray8(pixels: np.ndarray, interlace: bool = False) -> bytes:
@@ -362,11 +401,7 @@ def encode_png_gray8(pixels: np.ndarray, interlace: bool = False) -> bytes:
         px = px[None, :]
     h, w = px.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
-    raw = b"".join(
-        b"\x00" + px[y0 + i * dy, x0::dx].tobytes()
-        for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace)
-        for i in range(ph)
-    )
+    raw = _png_raw_scanlines(px, 8, interlace)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -412,11 +447,7 @@ def encode_png_indexed(
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
     )
-    raw = b"".join(
-        b"\x00" + _png_pack_row(idx[y0 + i * dy, x0::dx], bit_depth)
-        for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace)
-        for i in range(ph)
-    )
+    raw = _png_raw_scanlines(idx, bit_depth, interlace)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -479,22 +510,10 @@ def encode_png(
     ).reshape(src.shape[0], src.shape[1], nch)
     h, w = px.shape[:2]
 
-    def pack(row: np.ndarray) -> bytes:  # row: (pw, nch)
-        flat = row.reshape(-1)
-        if bit_depth == 16:
-            return flat.astype(">u2").tobytes()
-        if bit_depth == 8:
-            return flat.tobytes()
-        return _png_pack_row(flat, bit_depth)
-
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
     )
-    raw = b"".join(
-        b"\x00" + pack(px[y0 + i * dy, x0::dx])
-        for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace)
-        for i in range(ph)
-    )
+    raw = _png_raw_scanlines(px, bit_depth, interlace)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -519,6 +538,11 @@ def _png_unfilter(
     scan = np.frombuffer(
         raw, dtype=np.uint8, count=need, offset=offset
     ).reshape(h, stride + 1)
+    # fast path: every scanline filter type 0 (None) — the only stream
+    # our own encoder emits — decodes as one slice instead of a per-row
+    # loop (r11 §4.2); any other filter byte falls to the general scan
+    if not scan[:, 0].any():
+        return scan[:, 1:], offset + need
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -638,21 +662,20 @@ def _decode_png(data: bytes) -> np.ndarray:
     for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace):
         stride = -(-pw * nch * bitd // 8)
         rows, offset = _png_unfilter(raw, ph, stride, fbpp, offset)
-        for i in range(ph):
-            if bitd == 16:
-                # big-endian samples: the high byte sits at even offsets —
-                # depth-16 reduces to its top byte, the WAV 16→8 convention
-                vals = rows[i][0::2][: pw * nch]
-            else:
-                vals = _png_unpack_row(rows[i], pw * nch, bitd)
-                if ct == 0 and bitd < 8:
-                    # sub-byte GRAY samples scale by bit replication
-                    # (255/(2^d-1): ×255/×85/×17 — exact integers);
-                    # ct-3 values stay raw palette indices
-                    vals = (
-                        vals.astype(np.uint16) * (255 // ((1 << bitd) - 1))
-                    ).astype(np.uint8)
-            img[y0 + i * dy, x0::dx, :] = vals.reshape(pw, nch)
+        if bitd == 16:
+            # big-endian samples: the high byte sits at even offsets —
+            # depth-16 reduces to its top byte, the WAV 16→8 convention
+            vals = rows[:, 0::2][:, : pw * nch]
+        else:
+            vals = _png_unpack_rows(rows, pw * nch, bitd)
+            if ct == 0 and bitd < 8:
+                # sub-byte GRAY samples scale by bit replication
+                # (255/(2^d-1): ×255/×85/×17 — exact integers);
+                # ct-3 values stay raw palette indices
+                vals = (
+                    vals.astype(np.uint16) * (255 // ((1 << bitd) - 1))
+                ).astype(np.uint8)
+        img[y0::dy, x0::dx, :] = vals.reshape(ph, pw, nch)
     if offset != len(raw):
         raise ValueError("PNG scanline length mismatch")
     if ct == 3:
