@@ -1879,3 +1879,145 @@ def test_bmp_indexed_property_roundtrip():
         assert mm._decode_bmp(enc).tolist() == lum[idx].reshape(-1).tolist()
 
     prop()
+
+
+def test_pack_bits_np_matches_bitwriter():
+    """The vectorized entropy packer must be bit-identical to the
+    per-symbol _BitWriter reference: same MSB-first concatenation, same
+    1-bit flush padding, same 0xFF00 stuffing (r11 §4.2 rewrite)."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    for _ in range(40):
+        n = int(rng.randint(0, 400))
+        nbits = rng.randint(1, 17, size=n)
+        vals = np.array(
+            [int(rng.randint(0, 1 << b)) for b in nbits], dtype=np.int64
+        )
+        bw = mm._BitWriter()
+        for v, b in zip(vals.tolist(), nbits.tolist()):
+            bw.write(v, b)
+        assert mm._pack_bits_np(vals, nbits.astype(np.int64)) == bw.flush()
+
+
+def test_fastbits_lut_walk_matches_bitreader():
+    """_FastBits + _huff_lut symbol/amplitude reads must replay exactly
+    what _BitReader + _read_huff_sym decode from the same stuffed stream,
+    and orig_pos must land where the old byte-at-a-time cursor stood."""
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+    dc = mm._huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    dec_tab = mm._huff_lookup(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    for _ in range(25):
+        cats = rng.randint(0, 12, size=int(rng.randint(1, 300)))
+        amps = np.array(
+            [int(rng.randint(0, 1 << c)) if c else 0 for c in cats]
+        )
+        bw = mm._BitWriter()
+        for c, a in zip(cats.tolist(), amps.tolist()):
+            code, length = dc[int(c)]
+            bw.write(code, length)
+            if c:
+                bw.write(int(a), int(c))
+        stream = b"\x00\x00" + bw.flush() + b"\xff\xd9"
+        # reference walk
+        br = mm._BitReader(stream, 2)
+        ref = []
+        for c in cats.tolist():
+            s = mm._read_huff_sym(br, dec_tab)
+            ref.append((s, br.bits(s) if s else 0))
+        # fast walk
+        fb = mm._FastBits(stream, 2)
+        syms, lens, max_len = mm._huff_lut(dec_tab)
+        words, navail, p = fb.words, fb.nbits, 0
+        got = []
+        for _i in range(len(cats)):
+            win = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            idx = win >> (16 - max_len)
+            ln = lens[idx]
+            assert ln and p + ln <= navail
+            p += ln
+            s = syms[idx]
+            a = 0
+            if s:
+                a = (words[p >> 3] >> (32 - s - (p & 7))) & ((1 << s) - 1)
+                p += s
+            got.append((s, a))
+        assert got == ref
+        fb.pos = p
+        assert fb.orig_pos() == br.pos
+        assert fb.term == 0xD9
+
+
+def test_lossless_scan_matches_per_sample_reference():
+    """The vectorized/cumsum lossless reconstruction must equal the
+    verbatim pre-r11 per-sample loop for every predictor 0-7 (0 =
+    differential with refs), including the mod-2^16 wraparound the >>1
+    predictors read back."""
+    import numpy as np
+
+    def reference_scan(br, h, w, tabs, predictor, refs=None):
+        n_comp = len(tabs)
+        planes = [np.zeros((h, w), dtype=np.int32) for _ in range(n_comp)]
+        predict = mm._LOSSLESS_PREDICTORS[predictor] if predictor else None
+        for y in range(h):
+            for x in range(w):
+                for ci in range(n_comp):
+                    size = mm._read_huff_sym(br, tabs[ci])
+                    if size == 16:
+                        d = 32768
+                    else:
+                        d = mm._jpeg_extend(br.bits(size), size)
+                    p = planes[ci]
+                    if predict is None:
+                        pred = int(refs[ci][y, x])
+                    elif y == 0 and x == 0:
+                        pred = 128
+                    elif y == 0:
+                        pred = int(p[0, x - 1])
+                    elif x == 0:
+                        pred = int(p[y - 1, 0])
+                    else:
+                        pred = predict(
+                            int(p[y, x - 1]),
+                            int(p[y - 1, x]),
+                            int(p[y - 1, x - 1]),
+                        )
+                    p[y, x] = (pred + d) & 0xFFFF
+        return planes
+
+    rng = np.random.RandomState(13)
+    dc = mm._huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    dec_tab = mm._huff_lookup(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    for trial in range(30):
+        h = int(rng.randint(1, 14))
+        w = int(rng.randint(1, 14))
+        n_comp = int(rng.choice([1, 3]))
+        predictor = trial % 8
+        refs = None
+        if predictor == 0:
+            refs = [
+                rng.randint(0, 65536, (h, w)).astype(np.int32)
+                for _ in range(n_comp)
+            ]
+        # random residual stream in the DC-category convention, with
+        # large magnitudes so the mod-2^16 wrap genuinely fires
+        d = rng.randint(-2047, 2048, size=h * w * n_comp)
+        bw = mm._BitWriter()
+        for v in d.tolist():
+            size, amp = mm._jpeg_magnitude(int(v))
+            code, length = dc[size]
+            bw.write(code, length)
+            if size:
+                bw.write(amp, size)
+        stream = bw.flush() + b"\xff\xd9"
+        tabs = [dec_tab] * n_comp
+        ref = reference_scan(
+            mm._BitReader(stream, 0), h, w, tabs, predictor, refs=refs
+        )
+        br = mm._BitReader(stream, 0)
+        got = mm._lossless_entropy_scan(br, h, w, tabs, predictor, refs=refs)
+        for a, b in zip(ref, got):
+            assert np.array_equal(a, b), (predictor, h, w, n_comp)
+        assert br.pos == len(stream) - 2

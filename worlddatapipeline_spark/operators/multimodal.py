@@ -960,6 +960,77 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
+def _jpeg_magnitude_arrays(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`_jpeg_magnitude` over an int64 array: (size, amp)
+    arrays with the identical category / one's-complement convention."""
+    a = np.abs(d)
+    size = np.zeros(d.shape, dtype=np.int64)
+    for k in range(1, 18):  # exact bit_length for |d| < 2^17
+        size += a >= (1 << (k - 1))
+    amp = np.where(d >= 0, d, d + np.left_shift(1, size) - 1)
+    return size, amp
+
+
+def _pack_bits_np(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Bit-identical vectorized form of a ``_BitWriter`` stream: each
+    value's low ``nbits`` bits MSB-first in order, flush-padded with
+    1-bits to a byte boundary, every 0xFF data byte stuffed with 0x00
+    (T.81 B.1.1.5) — one numpy pass instead of a per-symbol loop."""
+    vals = vals.astype(np.int64, copy=False)
+    nbits = nbits.astype(np.int64, copy=False)
+    total = int(nbits.sum())
+    pad = (-total) % 8
+    if pad:
+        vals = np.append(vals, (1 << pad) - 1)
+        nbits = np.append(nbits, pad)
+        total += pad
+    if total == 0:
+        return b""
+    starts = np.cumsum(nbits) - nbits
+    rep_bits = np.repeat(nbits, nbits)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(starts, nbits)
+    bits = ((np.repeat(vals, nbits) >> (rep_bits - 1 - intra)) & 1).astype(
+        np.uint8
+    )
+    packed = np.packbits(bits)
+    ff = np.flatnonzero(packed == 0xFF)
+    if len(ff):
+        packed = np.insert(packed, ff + 1, 0)
+    return packed.tobytes()
+
+
+def _lossless_scan_bits(
+    diffs: list[np.ndarray], dc_codes: dict[int, tuple[int, int]]
+) -> bytes:
+    """Entropy-coded bytes of one interleaved 1×1-sampling lossless scan
+    (category code + amplitude per sample, component-interleaved in
+    row-major order) — bit-identical to the per-sample ``_BitWriter``
+    loop, vectorized (§4.2)."""
+    d = (
+        np.stack([df.reshape(-1) for df in diffs], axis=1)
+        .reshape(-1)
+        .astype(np.int64)
+    )
+    size, amp = _jpeg_magnitude_arrays(d)
+    top = int(size.max(initial=0))
+    ctab = np.zeros(top + 1, dtype=np.int64)
+    ltab = np.zeros(top + 1, dtype=np.int64)
+    for s in range(top + 1):
+        if s in dc_codes:
+            ctab[s], ltab[s] = dc_codes[s]
+    lens = ltab[size]
+    if not lens.all():  # category outside the table = the old KeyError
+        raise KeyError(int(size[np.argmin(lens)]))
+    vals2 = np.empty(2 * len(d), dtype=np.int64)
+    nb2 = np.empty(2 * len(d), dtype=np.int64)
+    vals2[0::2] = ctab[size]
+    nb2[0::2] = lens
+    vals2[1::2] = amp
+    nb2[1::2] = size
+    keep = nb2 > 0
+    return _pack_bits_np(vals2[keep], nb2[keep])
+
+
 def _encode_block(
     bw: _BitWriter,
     block: np.ndarray,
@@ -1393,6 +1464,100 @@ def _jpeg_extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(
+    tab: dict[tuple[int, int], int],
+) -> tuple[list[int], list[int], int]:
+    """Flat decode table for a canonical-huffman dict {(length, code):
+    sym}: ``(syms, lens, L)`` where indexing with the next ``L`` stream
+    bits yields the symbol and its true length in one lookup (length 0 =
+    invalid prefix).  Prefix-freeness makes this exactly equivalent to
+    the bit-at-a-time :func:`_read_huff_sym` walk.  Cached — the Annex-K
+    tables recur on every decode call (§4.5)."""
+    key = tuple(sorted(tab.items()))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    max_len = max((ln for ln, _ in tab), default=1)
+    syms = np.zeros(1 << max_len, dtype=np.int32)
+    lens = np.zeros(1 << max_len, dtype=np.int32)
+    for (ln, code), sym in key:
+        base = code << (max_len - ln)
+        span = 1 << (max_len - ln)
+        syms[base : base + span] = sym
+        lens[base : base + span] = ln
+    if len(_HUFF_LUT_CACHE) > 64:  # foreign corpora: bound the cache
+        _HUFF_LUT_CACHE.clear()
+    out = (syms.tolist(), lens.tolist(), max_len)
+    _HUFF_LUT_CACHE[key] = out
+    return out
+
+
+class _FastBits:
+    """Sequential bit cursor over ONE unstuffed entropy segment,
+    preprocessed in numpy: the segment runs from ``start`` to the first
+    real marker (0xFF followed by neither 0x00 nor another 0xFF fill
+    byte); 0xFF00 pairs are unstuffed up front.  ``words`` holds the
+    32-bit big-endian window starting at every unstuffed byte offset
+    (python list — low per-access overhead in the per-symbol loops), so
+    reading ``k ≤ 16`` bits at bit position ``p`` is
+    ``(words[p >> 3] >> (32 - k - (p & 7))) & ((1 << k) - 1)``.
+    ``orig_pos`` maps bits consumed back to the stuffed byte offset the
+    old byte-at-a-time reader would have reached — the contract the
+    hierarchical decoder's scan-to-scan walk relies on."""
+
+    __slots__ = (
+        "words", "nbits", "pos", "start", "_drops", "term", "term_pos"
+    )
+
+    def __init__(self, data: bytes, start: int) -> None:
+        arr = np.frombuffer(data, dtype=np.uint8)[start:]
+        ff = np.flatnonzero(arr == 0xFF)
+        end = len(arr)
+        drops = []
+        self.term = None  # marker byte ending the segment (None = data end)
+        self.term_pos = start + end  # abs offset of the terminating 0xFF
+        for p in ff.tolist():
+            if p + 1 >= len(arr):
+                end = p  # trailing 0xFF at data end: not readable anyway
+                self.term_pos = start + p
+                break
+            if arr[p + 1] == 0x00:
+                drops.append(p + 1)
+                continue
+            end = p  # real marker terminates the segment
+            self.term = int(arr[p + 1])
+            self.term_pos = start + p
+            break
+        drops = [d for d in drops if d < end]
+        seg = np.delete(arr[:end], drops) if drops else arr[:end]
+        buf = np.zeros(len(seg) + 4, dtype=np.uint32)
+        buf[: len(seg)] = seg
+        self.words = (
+            (buf[:-3] << 24) | (buf[1:-2] << 16) | (buf[2:-1] << 8) | buf[3:]
+        ).tolist()
+        self.nbits = len(seg) * 8
+        self.pos = 0
+        self.start = start
+        # unstuffed index of each 0xFF whose stuffed 0x00 was dropped
+        self._drops = [d - 1 - i for i, d in enumerate(drops)]
+
+    def orig_pos(self) -> int:
+        """Stuffed-stream byte offset after the bytes actually consumed —
+        identical to the old reader's ``pos`` (which consumed each byte,
+        plus its stuffed 0x00, the moment any of its bits was read)."""
+        consumed = (self.pos + 7) >> 3
+        import bisect  # noqa: PLC0415
+
+        return (
+            self.start
+            + consumed
+            + bisect.bisect_left(self._drops, consumed)
+        )
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     """Real baseline-JPEG decode with stdlib struct + numpy alone: marker
     walk, canonical huffman entropy decode, dequantize, inverse zigzag,
@@ -1469,14 +1634,38 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if h is None or scan_pos is None or not comps:
         raise ValueError("JPEG missing SOF/SOS")
 
-    def read_block(br, dc_tab, ac_tab, pred):
+    def read_block(p, dc_lut, ac_lut, pred):
+        # table-driven fast form of the old _read_huff_sym/bits walk over
+        # the preprocessed _FastBits segment (§4.2) — one LUT hit per
+        # symbol; prefix-freeness makes it exactly equivalent
         zz = np.zeros(64, dtype=np.int64)
-        size = _read_huff_sym(br, dc_tab)
-        pred += _jpeg_extend(br.bits(size), size)
+        dsyms, dlens, dl = dc_lut
+        asyms, alens, al = ac_lut
+        idx = ((words[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - dl)
+        ln = dlens[idx]
+        if ln == 0 or p + ln > navail:
+            raise ValueError("bad huffman code")
+        p += ln
+        size = dsyms[idx]
+        if size:
+            if p + size > navail:
+                raise ValueError("unexpected end of JPEG scan")
+            amp = (words[p >> 3] >> (32 - size - (p & 7))) & (
+                (1 << size) - 1
+            )
+            p += size
+            pred += (
+                amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+            )
         zz[0] = pred
         k = 1
         while k < 64:
-            rs = _read_huff_sym(br, ac_tab)
+            idx = ((words[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - al)
+            ln = alens[idx]
+            if ln == 0 or p + ln > navail:
+                raise ValueError("bad huffman code")
+            p += ln
+            rs = asyms[idx]
             run, size = rs >> 4, rs & 0x0F
             if size == 0:
                 if run == 15:  # ZRL
@@ -1486,9 +1675,17 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             k += run
             if k > 63:
                 raise ValueError("AC run past block end")
-            zz[k] = _jpeg_extend(br.bits(size), size)
+            if p + size > navail:
+                raise ValueError("unexpected end of JPEG scan")
+            amp = (words[p >> 3] >> (32 - size - (p & 7))) & (
+                (1 << size) - 1
+            )
+            p += size
+            zz[k] = (
+                amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+            )
             k += 1
-        return zz, pred
+        return zz, pred, p
 
     a = _dct_basis()
     inv_zz = np.argsort(_JPEG_ZIGZAG)
@@ -1514,9 +1711,16 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
         for _, hs, vs, _ in comps
     ]
-    br = _BitReader(data, scan_pos)
+    fbr = _FastBits(data, scan_pos)
+    words, navail = fbr.words, fbr.nbits
+    p = 0
     preds = [0] * len(comps)
     tabs = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    luts = [
+        (_huff_lut(htables[(0, tabs[cid][0])]),
+         _huff_lut(htables[(1, tabs[cid][1])]))
+        for cid, _hs, _vs, _tq in comps
+    ]
     mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1524,19 +1728,32 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 # RSTm between every `restart_interval` MCUs: byte-align,
                 # check the 0–7 marker cycle, reset every DC predictor
                 # (T.81 §E.2.4 — the property that makes restart spans
-                # independently decodable, i.e. parallelizable).
-                m = br.restart_sync()
-                if m != (mcu_idx // restart_interval - 1) & 0x07:
+                # independently decodable, i.e. parallelizable).  The
+                # marker must terminate THIS segment exactly where the
+                # bit cursor stands (= the old restart_sync position
+                # check), then decoding resumes in the next segment.
+                fbr.pos = p
+                if (
+                    fbr.term is None
+                    or not 0xD0 <= fbr.term <= 0xD7
+                    or fbr.orig_pos() != fbr.term_pos
+                ):
+                    raise ValueError("missing JPEG restart marker")
+                if (fbr.term & 0x07) != (
+                    mcu_idx // restart_interval - 1
+                ) & 0x07:
                     raise ValueError("JPEG restart marker out of sequence")
+                fbr = _FastBits(data, fbr.term_pos + 2)
+                words, navail = fbr.words, fbr.nbits
+                p = 0
                 preds = [0] * len(comps)
             mcu_idx += 1
             for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_t, ac_t = tabs[cid]
+                dc_lut, ac_lut = luts[ci]
                 for byy in range(vs):
                     for bxx in range(hs):
-                        zz, preds[ci] = read_block(
-                            br, htables[(0, dc_t)], htables[(1, ac_t)],
-                            preds[ci],
+                        zz, preds[ci], p = read_block(
+                            p, dc_lut, ac_lut, preds[ci]
                         )
                         coef = (zz * qtables[tq])[inv_zz].reshape(8, 8)
                         by = (my * vs + byy) * 8
@@ -2516,19 +2733,10 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
     h, w = planes[0].shape
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     diffs = _lossless_residuals(planes, int(predictor))
-    bw = _BitWriter()
     n_comp = len(planes)
-    # interleaved MCU order at 1×1 sampling: one sample per component
-    for y in range(h):
-        for x in range(w):
-            for ci in range(n_comp):
-                d = int(diffs[ci][y, x])
-                size, amp = _jpeg_magnitude(d)
-                code, length = dc_codes[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(amp, size)
-    entropy = bw.flush()
+    # interleaved MCU order at 1×1 sampling: one sample per component —
+    # vectorized, bit-identical to the per-sample _BitWriter loop (§4.2)
+    entropy = _lossless_scan_bits(diffs, dc_codes)
 
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -2684,34 +2892,120 @@ def _lossless_entropy_scan(
     no spatial prediction — each decoded difference adds to the
     ``refs`` reference component, modulo 2^16 (J.1.1.4)."""
     n_comp = len(tabs)
-    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(n_comp)]
-    # selected once, not a 7-way tuple per sample (review catch r8 —
-    # this loop is the per-sample hot path)
-    predict = _LOSSLESS_PREDICTORS[predictor] if predictor else None
-    for y in range(h):
-        for x in range(w):
-            for ci in range(n_comp):
-                size = _read_huff_sym(br, tabs[ci])
-                if size == 16:  # 16-bit-precision special case (H.1.2.2)
-                    d = 32768
-                else:
-                    d = _jpeg_extend(br.bits(size), size)
-                p = planes[ci]
-                if predict is None:
-                    pred = int(refs[ci][y, x])
-                elif y == 0 and x == 0:
-                    pred = 128
-                elif y == 0:
-                    pred = int(p[0, x - 1])
-                elif x == 0:
-                    pred = int(p[y - 1, 0])
-                else:
-                    pred = predict(
-                        int(p[y, x - 1]),
-                        int(p[y - 1, x]),
-                        int(p[y - 1, x - 1]),
+    # ---- 1. huffman-decode every residual (flat, interleaved order) ----
+    # table-driven fast scan: one LUT lookup per symbol over a
+    # preprocessed unstuffed segment instead of ~length bit() calls
+    # (§4.2); prefix-freeness makes the LUT walk exactly equivalent to
+    # _read_huff_sym, and _FastBits.orig_pos restores the byte cursor
+    # the hierarchical scan-to-scan walk needs.
+    fb = _FastBits(br.data, br.pos)
+    words, nbits_total = fb.words, fb.nbits
+    luts = [_huff_lut(t) for t in tabs]
+    n = h * w
+    res = [0] * (n * n_comp)
+    p = 0
+    i = 0
+    for _ in range(n):
+        for syms, lens, max_len in luts:
+            win = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            idx = win >> (16 - max_len)
+            ln = lens[idx]
+            if ln == 0 or p + ln > nbits_total:
+                raise ValueError("bad huffman code")
+            p += ln
+            size = syms[idx]
+            if size == 16:  # 16-bit-precision special case (H.1.2.2)
+                res[i] = 32768
+            elif size:
+                if p + size > nbits_total:
+                    raise ValueError(
+                        "unexpected marker in lossless scan"
                     )
-                p[y, x] = (pred + d) & 0xFFFF
+                amp = (words[p >> 3] >> (32 - size - (p & 7))) & (
+                    (1 << size) - 1
+                )
+                p += size
+                res[i] = (
+                    amp
+                    if amp >= (1 << (size - 1))
+                    else amp - (1 << size) + 1
+                )
+            i += 1
+    fb.pos = p
+    br.pos = fb.orig_pos()
+    d3 = np.array(res, dtype=np.int64).reshape(n, n_comp)
+    # ---- 2. reconstruct each plane from its residual grid ----------------
+    # mod-2^16 adds are associative, so every predictor whose recurrence
+    # is LINEAR in earlier samples (0,1,2,3,4) reconstructs with int64
+    # cumsums masked once at the end; 5 masks per row (its >>1 reads
+    # masked prior-row values but is row-linear); 6 and 7 shift the
+    # in-row neighbor and stay per-sample.  Bit-identical to the
+    # per-sample loop by construction (pinned by the kernel tests).
+    planes = []
+    for ci in range(n_comp):
+        dd = d3[:, ci].reshape(h, w)
+        if predictor == 0:
+            grid = (refs[ci].astype(np.int64) + dd) & 0xFFFF
+        elif predictor == 1:  # a: col-0 chain seeds per-row cumsum
+            grid = dd.copy()
+            grid[0, 0] += 128
+            grid[:, 0] = np.cumsum(grid[:, 0])
+            grid = np.cumsum(grid, axis=1) & 0xFFFF
+        elif predictor == 2:  # b: row-0 chain seeds per-col cumsum
+            grid = dd.copy()
+            grid[0, 0] += 128
+            grid[0, :] = np.cumsum(grid[0, :])
+            grid = np.cumsum(grid, axis=0) & 0xFFFF
+        elif predictor == 4:  # a + b - c: 2-D prefix sum
+            grid = dd.copy()
+            grid[0, 0] += 128
+            grid = np.cumsum(np.cumsum(grid, axis=0), axis=1) & 0xFFFF
+        elif predictor == 3:  # c: per-row diagonal shift
+            grid = np.empty((h, w), dtype=np.int64)
+            grid[0] = 128 + np.cumsum(dd[0])
+            for y in range(1, h):
+                grid[y, 0] = grid[y - 1, 0] + dd[y, 0]
+                if w > 1:
+                    grid[y, 1:] = grid[y - 1, :-1] + dd[y, 1:]
+            grid &= 0xFFFF
+        elif predictor == 5:  # a + ((b - c) >> 1): row-linear cumsum
+            grid = np.empty((h, w), dtype=np.int64)
+            grid[0] = (128 + np.cumsum(dd[0])) & 0xFFFF
+            for y in range(1, h):
+                prev = grid[y - 1]
+                row = np.empty(w, dtype=np.int64)
+                row[0] = prev[0] + dd[y, 0]
+                if w > 1:
+                    t = (prev[1:] - prev[:-1]) >> 1
+                    row[1:] = row[0] + np.cumsum(t + dd[y, 1:])
+                grid[y] = row & 0xFFFF
+        else:  # 6: b + ((a - c) >> 1), 7: (a + b) >> 1 — in-row shifts
+            rows = [
+                ((128 + np.cumsum(dd[0])) & 0xFFFF).tolist()
+            ]
+            for y in range(1, h):
+                prev = rows[-1]
+                drow = dd[y].tolist()
+                cur = [(prev[0] + drow[0]) & 0xFFFF]
+                if predictor == 6:
+                    for x in range(1, w):
+                        cur.append(
+                            (
+                                prev[x]
+                                + ((cur[x - 1] - prev[x - 1]) >> 1)
+                                + drow[x]
+                            )
+                            & 0xFFFF
+                        )
+                else:
+                    for x in range(1, w):
+                        cur.append(
+                            (((cur[x - 1] + prev[x]) >> 1) + drow[x])
+                            & 0xFFFF
+                        )
+                rows.append(cur)
+            grid = np.array(rows, dtype=np.int64)
+        planes.append(grid.astype(np.int32))
     return planes
 
 
@@ -2810,23 +3104,14 @@ def encode_jpeg_hierarchical(
         )
 
     def scan_seg(diffs, ss):
-        bw = _BitWriter()
-        fh, fw = diffs[0].shape
-        for y in range(fh):
-            for x in range(fw):
-                for ci in range(n_comp):
-                    size, amp = _jpeg_magnitude(int(diffs[ci][y, x]))
-                    code, length = dc_codes[size]
-                    bw.write(code, length)
-                    if size:
-                        bw.write(amp, size)
         sos = seg(
             0xFFDA,
             bytes([n_comp])
             + b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
             + bytes([ss, 0, 0]),
         )
-        return sos + bw.flush()
+        # vectorized, bit-identical to the per-sample _BitWriter loop (§4.2)
+        return sos + _lossless_scan_bits(diffs, dc_codes)
 
     if n_comp == 3:  # raw R,G,B — declare via Adobe APP14 transform=0
         app = seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
