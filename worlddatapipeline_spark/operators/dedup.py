@@ -969,11 +969,17 @@ def duplicate_spans(
             ).alias("h"),
         )
     )
-    span_df = wins.groupBy("h").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("cross_doc")
-    )
+    # cross-doc flag as min/max windows over h instead of groupBy(h) +
+    # join-back: pruning specializes the two branches' explode subtrees
+    # (h-only vs doc_id+h), so ReuseExchange could NOT share them and the
+    # normalize+split+md5 window generation ran TWICE (r11 §2.4 — same
+    # rewrite as doc_tfidf_topterms / curation_pipeline_stats, A/B'd there)
+    w_h = Window.partitionBy("h")
     per_doc = (
-        wins.join(span_df, "h")
+        wins.withColumn(
+            "cross_doc",
+            F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -1036,14 +1042,18 @@ def chunk_dedup_rewrite(
             F.length("chunk").alias("chunk_len"),
         )
     )
-    owners = chunks.groupBy("h").agg(
-        F.min("doc_id").alias("keeper"),
-        F.max("doc_id").alias("last_doc"),
-    )
-    marked = chunks.join(owners, "h").withColumn(
-        "removed",
-        (F.col("keeper") != F.col("last_doc"))
-        & (F.col("doc_id") != F.col("keeper")),
+    # keeper/last_doc as min/max windows over h instead of groupBy(h) +
+    # join-back — one derivation of the chunk explode instead of two
+    # (r11 §2.4, same rewrite as duplicate_spans above)
+    w_h = Window.partitionBy("h")
+    marked = (
+        chunks.withColumn("keeper", F.min("doc_id").over(w_h))
+        .withColumn("last_doc", F.max("doc_id").over(w_h))
+        .withColumn(
+            "removed",
+            (F.col("keeper") != F.col("last_doc"))
+            & (F.col("doc_id") != F.col("keeper")),
+        )
     )
     kept_len = F.sum(
         F.when(F.col("removed"), 0).otherwise(F.col("chunk_len"))

@@ -3449,9 +3449,14 @@ def q_paragraph_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     ).select("doc_id", F.md5("chunk").alias("h"))
-    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    # corpus-wide chunk frequency as a count window over h instead of
+    # groupBy(h) + join-back: the split/transform/md5 chunk derivation ran
+    # twice because pruning specialized the two branches (r11 §2.4 — same
+    # rewrite as doc_tfidf_topterms)
     per_doc = (
-        chunks.join(freq, "h")
+        chunks.withColumn(
+            "freq", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
