@@ -222,6 +222,35 @@ LLM = [
 ]
 
 
+def _compact_summary_line(summary: dict, all_q: dict, budget: int = 1950) -> str:
+    """Final-line serializer: fold as many per-query durations as fit
+    `budget` bytes into summary["queries"], slowest first, and return the
+    compact JSON string (guaranteed <= budget unless the fixed fields alone
+    exceed it, in which case the per-query block is shed entirely).
+
+    The driver parses the LAST stdout line out of a 2000-char tail; per-query
+    durations must live there or round-over-round/c32-vs-c8 comparisons come
+    back empty (VERDICT r11 item 1 / PERF_r11 per_query: {}).
+    """
+    by_cost = sorted(
+        (q for q in all_q if all_q[q] is not None),
+        key=lambda q: all_q[q],
+        reverse=True,
+    )
+    summary["n_queries"] = len(all_q)
+    summary["queries"] = {}
+    for q in by_cost:
+        summary["queries"][q] = all_q[q]
+        if len(json.dumps(summary, separators=(",", ":"))) > budget:
+            del summary["queries"][q]
+            break
+    out = json.dumps(summary, separators=(",", ":"))
+    if len(out) > budget:  # pathological error/regression volume: shed the
+        summary["queries"] = {}  # per-query block, keep the graded scalars
+        out = json.dumps(summary, separators=(",", ":"))
+    return out
+
+
 def _run_one(queries, name, spark, sf_dir) -> float:
     t0 = time.monotonic()
     queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -393,29 +422,65 @@ def main() -> None:
             }
         )
     )
+    # Full per-query detail additionally rotated into a sidecar artifact
+    # next to this file (named per core count, so the driver's main and
+    # low-core runs don't clobber each other).  The stdout contract is
+    # unchanged; this is the lossless copy of the first line's data for
+    # readers who only get the 2000-char stdout tail (VERDICT r11 item 1).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "default")
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_LASTRUN_c{cpus}.json",
+    )
+    try:
+        with open(sidecar, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "queries": timings,
+                    "tpch_queries": tpch,
+                    "llm_queries": llm,
+                    "cold": cold,
+                    "exec_trace": exec_trace,
+                    "vs_baseline": vs_baseline,
+                    "regressions": regressions,
+                    "errors": errors,
+                    "sf": sf,
+                    "cpus": cpus,
+                },
+                fh,
+            )
+    except OSError:
+        pass  # read-only checkout must never kill the bench line
+
     # Compact summary-only line LAST, size-bounded so the driver's
     # 2000-char stdout tail always contains it whole (and a last-line JSON
     # parse succeeds).  Regressions capped at 10 entries and error strings
     # at 60 chars; the uncapped detail is in the full line above.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": tot(timings),
-                "unit": "sec",
-                "cold_total_sec": tot(cold),
-                "tpch_total_sec": tot(tpch),
-                "llm_total_sec": tot(llm),
-                "vs_baseline": vs_baseline,
-                "n_regressions": len(regressions),
-                "regressions": regressions[:10],
-                "n_new_queries": len(new_queries),
-                "n_failed": len(errors),
-                "errors": {k: v[:60] for k, v in list(errors.items())[:8]},
-                "sf": sf,
-            }
-        )
-    )
+    #
+    # Per-query durations (VERDICT r11 item 1): the driver's round-over-
+    # round and c32-vs-c8 comparators read per-query times from the parsed
+    # LAST line, and PERF_r11 came back with an empty per_query because
+    # durations only existed in the oversized first line.  All ~185 names
+    # cannot fit in 2000 chars, so the last line carries as many per-query
+    # durations as fit a fixed byte budget, slowest queries first (they
+    # carry the total and are the ones whose regressions matter); the full
+    # dict is in the first line and the sidecar.  Serialized compactly.
+    summary = {
+        "metric": "headline_total_sec",
+        "value": tot(timings),
+        "unit": "sec",
+        "cold_total_sec": tot(cold),
+        "tpch_total_sec": tot(tpch),
+        "llm_total_sec": tot(llm),
+        "vs_baseline": vs_baseline,
+        "n_regressions": len(regressions),
+        "regressions": regressions[:10],
+        "n_new_queries": len(new_queries),
+        "n_failed": len(errors),
+        "errors": {k: v[:60] for k, v in list(errors.items())[:8]},
+        "sf": sf,
+    }
+    print(_compact_summary_line(summary, {**timings, **tpch, **llm}))
 
 
 if __name__ == "__main__":
