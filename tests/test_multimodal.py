@@ -2021,3 +2021,136 @@ def test_lossless_scan_matches_per_sample_reference():
         for a, b in zip(ref, got):
             assert np.array_equal(a, b), (predictor, h, w, n_comp)
         assert br.pos == len(stream) - 2
+
+
+def test_jpeg_entropy_encode_matches_per_block_reference():
+    """The r12 vectorized baseline entropy encoder must be BYTE-IDENTICAL
+    to the verbatim pre-r12 per-block _BitWriter loop (below) across
+    gray/RGB planes, every supported sampling layout, restart intervals,
+    and q tables — the same differential-pinning discipline as the r11
+    _pack_bits_np / _lossless_scan rewrites."""
+    import numpy as np
+
+    def reference_encode_block(bw, block, qmat, a, dc_codes, ac_codes, pred):
+        qc = np.round((a @ block @ a.T) / qmat).astype(np.int64)
+        zz = qc.reshape(-1)[mm._JPEG_ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        size, amp = mm._jpeg_magnitude(diff)
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(amp, size)
+        run = 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                bw.write(zc, zl)
+                run -= 16
+            size, amp = mm._jpeg_magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(amp, size)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+        return pred
+
+    def reference_entropy_encode(planes, q, sampling=None, restart_interval=0):
+        sampling = sampling or [(1, 1)] * len(planes)
+        a = mm._dct_basis()
+        qmat = q[np.argsort(mm._JPEG_ZIGZAG)].reshape(8, 8)
+        dc_codes = mm._huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+        ac_codes = mm._huff_codes(mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)
+        h0, w0 = planes[0].shape
+        hs0, vs0 = sampling[0]
+        mcus_y, mcus_x = h0 // (8 * vs0), w0 // (8 * hs0)
+        bw = mm._BitWriter()
+        preds = [0] * len(planes)
+        mcu_idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_idx
+                    and mcu_idx % restart_interval == 0
+                ):
+                    bw.restart((mcu_idx // restart_interval - 1) & 7)
+                    preds = [0] * len(planes)
+                mcu_idx += 1
+                for ci, plane in enumerate(planes):
+                    hs, vs = sampling[ci]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            by = (my * vs + byy) * 8
+                            bx = (mx * hs + bxx) * 8
+                            block = plane[by : by + 8, bx : bx + 8] - 128.0
+                            preds[ci] = reference_encode_block(
+                                bw, block, qmat, a, dc_codes, ac_codes,
+                                preds[ci],
+                            )
+        return bw.flush()
+
+    rng = np.random.RandomState(123)
+    std_lum = np.array(mm._JPEG_STD_LUM_Q, dtype=np.int64) if hasattr(
+        mm, "_JPEG_STD_LUM_Q"
+    ) else None
+    quants = [None, np.full(64, 3, dtype=np.int64)]
+    if std_lum is not None:
+        quants.append(std_lum)
+    n_cases = 0
+    for trial in range(60):
+        h = int(rng.randint(1, 41))
+        w = int(rng.randint(1, 41))
+        color = bool(rng.randint(0, 2))
+        sub = ["4:4:4", "4:2:0"][trial % 2] if color else "4:4:4"
+        ri = [0, 0, 1, 2, 5][trial % 5]
+        quant = quants[trial % len(quants)]
+        if color:
+            px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        else:
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        q = mm._jpeg_quant(quant)
+        _h, _w, planes, sampling = mm._jpeg_prepare_planes(px, sub)
+        ref = reference_entropy_encode(planes, q, sampling, ri)
+        got = mm._jpeg_entropy_encode(planes, q, sampling, ri)
+        assert got == ref, (h, w, color, sub, ri)
+        n_cases += 1
+    assert n_cases == 60
+    # gradient / constant planes: all-zero AC and long-run edge shapes
+    for px in [
+        np.zeros((16, 16), dtype=np.uint8),
+        np.full((24, 8), 255, dtype=np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), 4).reshape(32, 32),
+    ]:
+        q = mm._jpeg_quant(None)
+        _h, _w, planes, sampling = mm._jpeg_prepare_planes(px, "4:4:4")
+        for ri in (0, 1, 3):
+            assert mm._jpeg_entropy_encode(
+                planes, q, sampling, ri
+            ) == reference_entropy_encode(planes, q, sampling, ri)
+
+
+def test_pack_bits_np_chunked_matches_single_pass(monkeypatch):
+    """The r12 chunked packer (transient-memory cap) must produce the same
+    bytes as the reference _BitWriter when symbols span chunk boundaries,
+    including carry bits that are not byte-aligned."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    monkeypatch.setattr(mm, "_PACK_CHUNK_SYMS", 7)  # force many chunks
+    for _ in range(30):
+        n = int(rng.randint(0, 120))
+        nbits = rng.randint(1, 17, size=n)
+        vals = np.array(
+            [int(rng.randint(0, 1 << b)) for b in nbits], dtype=np.int64
+        )
+        bw = mm._BitWriter()
+        for v, b in zip(vals.tolist(), nbits.tolist()):
+            bw.write(v, b)
+        assert mm._pack_bits_np(vals, nbits.astype(np.int64)) == bw.flush()

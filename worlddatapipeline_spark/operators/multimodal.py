@@ -62,6 +62,7 @@ Spark-side concerns (all real, all tested):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -868,13 +869,17 @@ _JPEG_ZIGZAG = [
 ]
 
 
+@functools.lru_cache(maxsize=1)
 def _dct_basis() -> np.ndarray:
     """Orthonormal 8-point DCT-II matrix A — identical to the JPEG spec's
-    scaling: F = A · f · Aᵀ (forward), f = Aᵀ · F · A (inverse)."""
+    scaling: F = A · f · Aᵀ (forward), f = Aᵀ · F · A (inverse).  Cached
+    (deterministic constant rebuilt on every encode/decode call — §4.5)
+    and frozen so no caller can mutate the shared instance."""
     x = np.arange(8)
     a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
     a *= np.sqrt(2.0 / 8.0)
     a[0] = np.sqrt(1.0 / 8.0)
+    a.setflags(write=False)
     return a
 
 
@@ -897,6 +902,12 @@ def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]
         (length, code): sym
         for sym, (code, length) in _huff_codes(bits, vals).items()
     }
+
+
+# Annex-K encoder tables, derived once at import (every encode call was
+# rebuilding these deterministic dicts — §4.5).  Read-only by convention.
+_JPEG_DC_CODES_K = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_JPEG_AC_CODES_K = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
 
 def _min_bits_per_lossless_sample(
@@ -971,11 +982,23 @@ def _jpeg_magnitude_arrays(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return size, amp
 
 
+_PACK_CHUNK_SYMS = 1 << 20  # symbols per packing slice (transient-memory cap)
+
+
 def _pack_bits_np(vals: np.ndarray, nbits: np.ndarray) -> bytes:
     """Bit-identical vectorized form of a ``_BitWriter`` stream: each
     value's low ``nbits`` bits MSB-first in order, flush-padded with
     1-bits to a byte boundary, every 0xFF data byte stuffed with 0x00
-    (T.81 B.1.1.5) — one numpy pass instead of a per-symbol loop."""
+    (T.81 B.1.1.5) — numpy passes instead of a per-symbol loop.
+
+    Packed in ``_PACK_CHUNK_SYMS``-symbol slices with a sub-byte bit
+    remainder carried between them: the single-pass form materialized
+    several int64 arrays of length total-bits (~25× the output stream in
+    transient memory), which an uncapped encoder-side image could turn
+    into hundreds of MB (ADVICE r11).  Slicing bounds the transient to
+    the chunk while producing the identical bit stream — only the final
+    padded total is byte-aligned, so the remainder never survives the
+    last chunk."""
     vals = vals.astype(np.int64, copy=False)
     nbits = nbits.astype(np.int64, copy=False)
     total = int(nbits.sum())
@@ -986,13 +1009,24 @@ def _pack_bits_np(vals: np.ndarray, nbits: np.ndarray) -> bytes:
         total += pad
     if total == 0:
         return b""
-    starts = np.cumsum(nbits) - nbits
-    rep_bits = np.repeat(nbits, nbits)
-    intra = np.arange(total, dtype=np.int64) - np.repeat(starts, nbits)
-    bits = ((np.repeat(vals, nbits) >> (rep_bits - 1 - intra)) & 1).astype(
-        np.uint8
-    )
-    packed = np.packbits(bits)
+    pieces: list[np.ndarray] = []
+    carry = np.empty(0, dtype=np.uint8)
+    for lo in range(0, len(vals), _PACK_CHUNK_SYMS):
+        v = vals[lo : lo + _PACK_CHUNK_SYMS]
+        nb = nbits[lo : lo + _PACK_CHUNK_SYMS]
+        tot = int(nb.sum())
+        starts = np.cumsum(nb) - nb
+        rep_bits = np.repeat(nb, nb)
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(starts, nb)
+        bits = ((np.repeat(v, nb) >> (rep_bits - 1 - intra)) & 1).astype(
+            np.uint8
+        )
+        if carry.size:
+            bits = np.concatenate([carry, bits])
+        keep = (len(bits) // 8) * 8
+        pieces.append(np.packbits(bits[:keep]))
+        carry = bits[keep:]
+    packed = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
     ff = np.flatnonzero(packed == 0xFF)
     if len(ff):
         packed = np.insert(packed, ff + 1, 0)
@@ -1031,45 +1065,23 @@ def _lossless_scan_bits(
     return _pack_bits_np(vals2[keep], nb2[keep])
 
 
-def _encode_block(
-    bw: _BitWriter,
-    block: np.ndarray,
-    qmat: np.ndarray,
-    a: np.ndarray,
-    dc_codes: dict,
-    ac_codes: dict,
-    pred: int,
-) -> int:
-    """FDCT + quantize + huffman-code one level-shifted 8×8 block; returns
-    the new DC predictor for the block's component."""
-    qc = np.round((a @ block @ a.T) / qmat).astype(np.int64)
-    zz = qc.reshape(-1)[_JPEG_ZIGZAG]
-    diff = int(zz[0]) - pred
-    pred = int(zz[0])
-    size, amp = _jpeg_magnitude(diff)
-    code, length = dc_codes[size]
-    bw.write(code, length)
-    if size:
-        bw.write(amp, size)
-    run = 0
-    for i in range(1, 64):
-        v = int(zz[i])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            zc, zl = ac_codes[0xF0]  # ZRL
-            bw.write(zc, zl)
-            run -= 16
-        size, amp = _jpeg_magnitude(v)
-        code, length = ac_codes[(run << 4) | size]
-        bw.write(code, length)
-        bw.write(amp, size)
-        run = 0
-    if run:
-        code, length = ac_codes[0x00]  # EOB
-        bw.write(code, length)
-    return pred
+def _codes_as_arrays(
+    codes: dict[int, tuple[int, int]], top: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(code, length) lookup arrays over symbols 0..top for vectorized
+    encoding; length 0 marks a symbol absent from the table (the old
+    per-symbol dict access raised KeyError there — callers reproduce it)."""
+    ctab = np.zeros(top + 1, dtype=np.int64)
+    ltab = np.zeros(top + 1, dtype=np.int64)
+    for s, (code, length) in codes.items():
+        if s <= top:
+            ctab[s], ltab[s] = code, length
+    return ctab, ltab
+
+
+# Annex-K lookup arrays, derived once at import for the vectorized encoder.
+_JPEG_DC_ARRS_K = _codes_as_arrays(_JPEG_DC_CODES_K, 16)
+_JPEG_AC_ARRS_K = _codes_as_arrays(_JPEG_AC_CODES_K, 255)
 
 
 def _jpeg_entropy_encode(
@@ -1093,30 +1105,146 @@ def _jpeg_entropy_encode(
     sampling = sampling or [(1, 1)] * len(planes)
     a = _dct_basis()
     qmat = q[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     h0, w0 = planes[0].shape
     hs0, vs0 = sampling[0]
     mcus_y, mcus_x = h0 // (8 * vs0), w0 // (8 * hs0)
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    mcu_idx = 0
+
+    # Phase 1 — FDCT + quantize every block in MCU-interleaved order,
+    # with the EXACT per-block 2-D matmul expression the old _encode_block
+    # used (a batched einsum differs in the last ulp and flips np.round at
+    # .5 boundaries — see _quantized_block_coefs), collecting the zigzag
+    # coefficient rows and each block's component index.
+    n_per_mcu = sum(hs * vs for hs, vs in sampling)
+    nb = mcus_y * mcus_x * n_per_mcu
+    if nb == 0:
+        return _BitWriter().flush()
+    zz = np.empty((nb, 64), dtype=np.int64)
+    comp = np.empty(nb, dtype=np.int64)
+    i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bw.restart((mcu_idx // restart_interval - 1) & 7)
-                preds = [0] * len(planes)
-            mcu_idx += 1
             for ci, plane in enumerate(planes):
                 hs, vs = sampling[ci]
                 for byy in range(vs):
                     for bxx in range(hs):
                         by, bx = (my * vs + byy) * 8, (mx * hs + bxx) * 8
                         block = plane[by : by + 8, bx : bx + 8] - 128.0
-                        preds[ci] = _encode_block(
-                            bw, block, qmat, a, dc_codes, ac_codes, preds[ci]
+                        qc = np.round((a @ block @ a.T) / qmat).astype(
+                            np.int64
                         )
-    return bw.flush()
+                        zz[i] = qc.reshape(-1)[_JPEG_ZIGZAG]
+                        comp[i] = ci
+                        i += 1
+
+    # Phase 2 — vectorized huffman symbol generation (§4.2: the per-symbol
+    # _BitWriter loop was >70 % of encode time).  Pure integer work, so the
+    # stream is bit-identical by construction; a differential test pins it
+    # against the verbatim pre-r12 per-block loop.
+    if restart_interval:
+        seg_id = (
+            np.repeat(np.arange(mcus_y * mcus_x), n_per_mcu)
+            // restart_interval
+        )
+    else:
+        seg_id = np.zeros(nb, dtype=np.int64)
+
+    # DC: per-component first differences, reset to 0 at segment starts.
+    dc = zz[:, 0]
+    dc_diff = np.empty(nb, dtype=np.int64)
+    for ci in range(len(planes)):
+        m = comp == ci
+        dcc, sg = dc[m], seg_id[m]
+        pr = np.concatenate(([0], dcc[:-1]))
+        pr[np.concatenate(([True], sg[1:] != sg[:-1]))] = 0
+        dc_diff[m] = dcc - pr
+    dc_size, dc_amp = _jpeg_magnitude_arrays(dc_diff)
+    if int(dc_size.max(initial=0)) > 16:  # beyond any DHT = old KeyError
+        raise KeyError(int(dc_size.max()))
+    dcc_tab, dcl_tab = _JPEG_DC_ARRS_K
+    dc_lens = dcl_tab[dc_size]
+    if not dc_lens.all():  # category outside the table = the old KeyError
+        raise KeyError(int(dc_size[np.argmin(dc_lens)]))
+
+    # AC: run-lengths between nonzeros per block, ZRL splits, EOB flags.
+    acs = zz[:, 1:]
+    bi, pj = np.nonzero(acs)  # row-major: sorted by (block, position)
+    pos = pj + 1
+    prevpos = np.empty(len(pos), dtype=np.int64)
+    if len(pos):
+        prevpos[0] = 0
+        prevpos[1:] = pos[:-1]
+        prevpos[np.concatenate(([True], bi[1:] != bi[:-1]))] = 0
+    run = pos - prevpos - 1
+    ac_size, ac_amp = _jpeg_magnitude_arrays(acs[bi, pj])
+    nzrl = run >> 4
+    # (run & 15) << 4 | size is always <= 255 (size <= 17 for int64 input
+    # sets only low bits 0-4), so the 0..255 table covers every symbol
+    sym = ((run & 15) << 4) | ac_size
+    acc_tab, acl_tab = _JPEG_AC_ARRS_K
+    ac_lens = acl_tab[sym]
+    if not ac_lens.all():  # (run, size) outside the table = old KeyError
+        raise KeyError(int(sym[np.argmin(ac_lens)]))
+    zrl_code, zrl_len = _JPEG_AC_CODES_K[0xF0]
+    eob_code, eob_len = _JPEG_AC_CODES_K[0x00]
+    lastpos = np.zeros(nb, dtype=np.int64)
+    lastpos[bi] = pos  # duplicate fancy-index writes keep the LAST = max
+    eob_blocks = np.flatnonzero(lastpos < 63)
+
+    # Assemble the symbol stream in block order via unique sort keys:
+    # (block, zigzag position, sub-slot) with DC at position 0 and EOB at
+    # 64; sub-slots order ZRLs (0..2, run <= 62 so <= 3 of them) before
+    # the (run,size) code (4) and its amplitude (5).
+    def key(b, p, s):
+        return (b * 65 + p) * 8 + s
+
+    n_zrl_total = int(nzrl.sum())
+    zidx = np.repeat(np.arange(len(bi)), nzrl)
+    zsub = (
+        np.arange(n_zrl_total, dtype=np.int64)
+        - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+    )
+    blocks = np.arange(nb, dtype=np.int64)
+    vals = np.concatenate([
+        dcc_tab[dc_size],
+        dc_amp,
+        np.full(n_zrl_total, zrl_code, dtype=np.int64),
+        acc_tab[sym],
+        ac_amp,
+        np.full(len(eob_blocks), eob_code, dtype=np.int64),
+    ])
+    nbits = np.concatenate([
+        dc_lens,
+        dc_size,
+        np.full(n_zrl_total, zrl_len, dtype=np.int64),
+        ac_lens,
+        ac_size,
+        np.full(len(eob_blocks), eob_len, dtype=np.int64),
+    ])
+    keys = np.concatenate([
+        key(blocks, 0, 0),
+        key(blocks, 0, 1),
+        key(bi[zidx], pos[zidx], zsub),
+        key(bi, pos, 4),
+        key(bi, pos, 5),
+        key(eob_blocks, 64, 0),
+    ])
+    order = np.argsort(keys)
+    vals, nbits = vals[order], nbits[order]
+    item_seg = seg_id[keys[order] // (65 * 8)]
+    live = nbits > 0  # zero-size DC amplitudes carry no bits
+    vals, nbits, item_seg = vals[live], nbits[live], item_seg[live]
+
+    # Per restart segment: pack (flush-padded with 1-bits, 0xFF00-stuffed —
+    # exactly _BitWriter.restart/flush semantics), RSTm (m cycling 0-7)
+    # between segments, raw marker bytes never stuffed (T.81 §B.2.1).
+    n_seg = int(seg_id[-1]) + 1
+    out = bytearray()
+    for s in range(n_seg):
+        lo, hi = np.searchsorted(item_seg, [s, s + 1])
+        if s:
+            out += bytes([0xFF, 0xD0 + ((s - 1) & 7)])
+        out += _pack_bits_np(vals[lo:hi], nbits[lo:hi])
+    return bytes(out)
 
 
 def _jpeg_container(h: int, w: int, q: np.ndarray, n_comp: int,
@@ -1498,8 +1626,11 @@ def _huff_lut(
 class _FastBits:
     """Sequential bit cursor over ONE unstuffed entropy segment,
     preprocessed in numpy: the segment runs from ``start`` to the first
-    real marker (0xFF followed by neither 0x00 nor another 0xFF fill
-    byte); 0xFF00 pairs are unstuffed up front.  ``words`` holds the
+    0xFF that is not a stuffed 0xFF00 pair (T.81 B.1.1.2 fill bytes —
+    0xFF before another 0xFF — are NOT skipped: they terminate the
+    segment like any marker prefix, exactly as the old byte-at-a-time
+    reader rejected them; this repo's encoders never emit them); 0xFF00
+    pairs are unstuffed up front.  ``words`` holds the
     32-bit big-endian window starting at every unstuffed byte offset
     (python list — low per-access overhead in the per-symbol loops), so
     reading ``k ≤ 16`` bits at bit position ``p`` is
@@ -1512,27 +1643,40 @@ class _FastBits:
         "words", "nbits", "pos", "start", "_drops", "term", "term_pos"
     )
 
-    def __init__(self, data: bytes, start: int) -> None:
-        arr = np.frombuffer(data, dtype=np.uint8)[start:]
-        ff = np.flatnonzero(arr == 0xFF)
-        end = len(arr)
+    def __init__(
+        self, data: bytes, start: int, ff_abs: np.ndarray | None = None
+    ) -> None:
+        """``ff_abs`` (optional): precomputed absolute offsets of every
+        0xFF byte in ``data`` — decoders that re-anchor a reader per
+        restart segment pass it so each segment's marker scan is
+        O(segment) instead of O(rest-of-buffer) (quadratic for small
+        restart intervals — ADVICE r11)."""
+        n = len(data) - start
+        if ff_abs is None:
+            ff_rel = np.flatnonzero(
+                np.frombuffer(data, dtype=np.uint8)[start:] == 0xFF
+            )
+        else:
+            ff_rel = ff_abs[np.searchsorted(ff_abs, start):] - start
+        end = n
         drops = []
         self.term = None  # marker byte ending the segment (None = data end)
         self.term_pos = start + end  # abs offset of the terminating 0xFF
-        for p in ff.tolist():
-            if p + 1 >= len(arr):
+        for p in ff_rel.tolist():
+            if p + 1 >= n:
                 end = p  # trailing 0xFF at data end: not readable anyway
                 self.term_pos = start + p
                 break
-            if arr[p + 1] == 0x00:
+            if data[start + p + 1] == 0x00:
                 drops.append(p + 1)
                 continue
             end = p  # real marker terminates the segment
-            self.term = int(arr[p + 1])
+            self.term = data[start + p + 1]
             self.term_pos = start + p
             break
+        arr = np.frombuffer(data, dtype=np.uint8)[start : start + end]
         drops = [d for d in drops if d < end]
-        seg = np.delete(arr[:end], drops) if drops else arr[:end]
+        seg = np.delete(arr, drops) if drops else arr
         buf = np.zeros(len(seg) + 4, dtype=np.uint32)
         buf[: len(seg)] = seg
         self.words = (
@@ -1711,7 +1855,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
         for _, hs, vs, _ in comps
     ]
-    fbr = _FastBits(data, scan_pos)
+    # all 0xFF offsets found once: each restart segment's reader then scans
+    # only its own bytes (was O(rest-of-buffer) per segment — ADVICE r11)
+    ff_abs = np.flatnonzero(np.frombuffer(data, dtype=np.uint8) == 0xFF)
+    fbr = _FastBits(data, scan_pos, ff_abs)
     words, navail = fbr.words, fbr.nbits
     p = 0
     preds = [0] * len(comps)
@@ -1743,7 +1890,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     mcu_idx // restart_interval - 1
                 ) & 0x07:
                     raise ValueError("JPEG restart marker out of sequence")
-                fbr = _FastBits(data, fbr.term_pos + 2)
+                fbr = _FastBits(data, fbr.term_pos + 2, ff_abs)
                 words, navail = fbr.words, fbr.nbits
                 p = 0
                 preds = [0] * len(comps)
