@@ -2154,3 +2154,105 @@ def test_pack_bits_np_chunked_matches_single_pass(monkeypatch):
         for v, b in zip(vals.tolist(), nbits.tolist()):
             bw.write(v, b)
         assert mm._pack_bits_np(vals, nbits.astype(np.int64)) == bw.flush()
+
+
+def test_progressive_decoder_matches_bitreader_reference():
+    """The r12 _FastBits/LUT progressive decoder must reproduce the
+    verbatim pre-r12 _BitReader decoder exactly — same pixels on every
+    conformant stream, same refuse-vs-decode outcome on every truncation
+    and every single-bit corruption (messages may differ; the audit
+    contract is the ValueError refusal itself)."""
+    import numpy as np
+
+    from ref_progressive_r11 import decode_jpeg_progressive_r11 as ref_dec
+
+    rng = np.random.RandomState(4242)
+
+    def both(payload):
+        # refusal class is irrelevant in production: _decode_bytes catches
+        # Exception and falls to the byte-view stub either way — parity is
+        # decode-vs-refuse, mirrored here
+        try:
+            a = ref_dec(payload)
+        except Exception:
+            a = None
+        try:
+            b = mm._decode_jpeg_progressive(payload)
+        except Exception:
+            b = None
+        return a, b
+
+    # conformant grid: dims x color x restart x band splits
+    n_equal = 0
+    for trial in range(36):
+        h = int(rng.randint(1, 33))
+        w = int(rng.randint(1, 33))
+        color = trial % 3 == 2
+        sub = "4:2:0" if (color and trial % 2) else "4:4:4"
+        ri = [0, 0, 1, 2, 5][trial % 5]
+        bands = [None, [(1, 5), (6, 63)], [(1, 2), (3, 20), (21, 63)]][
+            trial % 3
+        ]
+        if color:
+            px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        else:
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        payload = mm.encode_jpeg_progressive(
+            px, subsampling=sub, restart_interval=ri, ac_bands=bands
+        )
+        a, b = both(payload)
+        assert a is not None and b is not None, (trial, h, w)
+        assert np.array_equal(a, b), (trial, h, w, color, sub, ri)
+        n_equal += 1
+    assert n_equal == 36
+
+    # truncation parity: every prefix of two payloads (with/without RSTm)
+    for ri in (0, 2):
+        px = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        payload = mm.encode_jpeg_progressive(px, restart_interval=ri)
+        for cut in range(len(payload)):
+            a, b = both(payload[:cut])
+            if a is None:
+                assert b is None, (ri, cut)
+            else:
+                assert b is not None and np.array_equal(a, b), (ri, cut)
+
+    # bit-flip parity: every bit of one small payload
+    px = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    payload = bytearray(mm.encode_jpeg_progressive(px, restart_interval=1))
+    for byte_i in range(len(payload)):
+        for bit_i in range(8):
+            corrupt = bytearray(payload)
+            corrupt[byte_i] ^= 1 << bit_i
+            a, b = both(bytes(corrupt))
+            if a is None:
+                assert b is None, (byte_i, bit_i)
+            else:
+                assert b is not None and np.array_equal(a, b), (
+                    byte_i,
+                    bit_i,
+                )
+
+
+def test_buffered_bitwriter_matches_bitwriter():
+    """_BufferedBitWriter (pairs buffered through _pack_bits_np) must emit
+    the identical byte stream as the per-symbol _BitWriter across random
+    write/restart/flush sequences, including empty segments, 0xFF pad
+    stuffing, and marker placement."""
+    import numpy as np
+
+    rng = np.random.RandomState(5151)
+    for _ in range(50):
+        ref, got = mm._BitWriter(), mm._BufferedBitWriter()
+        m = 0
+        for _op in range(int(rng.randint(0, 200))):
+            if rng.randint(0, 12) == 0:
+                ref.restart(m & 7)
+                got.restart(m & 7)
+                m += 1
+            else:
+                length = int(rng.randint(1, 17))
+                v = int(rng.randint(0, 1 << length))
+                ref.write(v, length)
+                got.write(v, length)
+        assert got.flush() == ref.flush()

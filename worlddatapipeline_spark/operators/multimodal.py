@@ -1084,6 +1084,45 @@ _JPEG_DC_ARRS_K = _codes_as_arrays(_JPEG_DC_CODES_K, 16)
 _JPEG_AC_ARRS_K = _codes_as_arrays(_JPEG_AC_CODES_K, 255)
 
 
+class _BufferedBitWriter:
+    """Drop-in ``_BitWriter`` replacement that records (value, nbits)
+    pairs and packs each segment through :func:`_pack_bits_np` at
+    flush/restart — bit-identical by construction (same MSB-first order,
+    1-bit flush padding, 0xFF00 stuffing, raw unstuffed RSTm bytes), at
+    a fraction of the per-call cost (§4.2: the per-symbol ``write`` loop
+    dominated the progressive encoder).  Pinned against ``_BitWriter``
+    by a differential test over random write/restart sequences."""
+
+    __slots__ = ("_vals", "_nbits", "_chunks")
+
+    def __init__(self) -> None:
+        self._vals: list[int] = []
+        self._nbits: list[int] = []
+        self._chunks: list[bytes] = []
+
+    def write(self, code: int, length: int) -> None:
+        self._vals.append(code)
+        self._nbits.append(length)
+
+    def _pack_segment(self) -> None:
+        if self._vals:
+            self._chunks.append(
+                _pack_bits_np(
+                    np.array(self._vals, dtype=np.int64),
+                    np.array(self._nbits, dtype=np.int64),
+                )
+            )
+            self._vals, self._nbits = [], []
+
+    def restart(self, m: int) -> None:
+        self._pack_segment()
+        self._chunks.append(bytes([0xFF, 0xD0 + (m & 7)]))
+
+    def flush(self) -> bytes:
+        self._pack_segment()
+        return b"".join(self._chunks)
+
+
 def _jpeg_entropy_encode(
     planes: list[np.ndarray],
     q: np.ndarray,
@@ -2037,8 +2076,8 @@ def encode_jpeg_progressive(
     mcus_y = planes[0].shape[0] // (8 * vs0)
     mcus_x = planes[0].shape[1] // (8 * hs0)
     coefs = _quantized_block_coefs(planes, q)
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_codes = _JPEG_DC_CODES_K
+    ac_codes = _JPEG_AC_CODES_K
 
     def mcu_units():
         """Interleaved DC-scan order grouped by MCU (the unit restart
@@ -2071,7 +2110,7 @@ def encode_jpeg_progressive(
         )
 
     # scan 1: DC first, Al=1 (signed arithmetic shift per G.1.2.1)
-    bw1 = _BitWriter()
+    bw1 = _BufferedBitWriter()
     preds = [0] * n_comp
 
     def reset_preds():
@@ -2091,7 +2130,7 @@ def encode_jpeg_progressive(
     scans.append((sos_body(range(1, n_comp + 1), 0, 0, 0, 1), bw1.flush()))
 
     # scan 2: DC refinement — the deferred low bit, raw, one per block
-    bw2 = _BitWriter()
+    bw2 = _BufferedBitWriter()
     for unit_i, unit in enumerate(mcu_units()):
         maybe_restart(bw2, unit_i)
         for ci, by, bx in unit:
@@ -2104,7 +2143,7 @@ def encode_jpeg_progressive(
             bh_t, bw_t = _true_block_grid(h, w, hs, vs, hmax, vmax)
             # AC first over [ss, se], Al=1 (magnitude shift);
             # non-interleaved scan ⇒ restart interval counts single blocks
-            bwa = _BitWriter()
+            bwa = _BufferedBitWriter()
             blk_i = 0
             for by in range(bh_t):
                 for bx in range(bw_t):
@@ -2140,7 +2179,7 @@ def encode_jpeg_progressive(
             # buffered-correction-bit algorithm; flush after every
             # symbol); pending bits never span blocks, so restarts are
             # state-clean
-            bwr = _BitWriter()
+            bwr = _BufferedBitWriter()
             blk_i = 0
             for by in range(bh_t):
                 for bx in range(bw_t):
@@ -2253,6 +2292,8 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
     preds_dc: list[int] = []
     restart_interval = 0
     got_scan = False
+    # all 0xFF offsets once for every per-scan/per-restart-segment reader
+    ff_abs = np.flatnonzero(np.frombuffer(data, dtype=np.uint8) == 0xFF)
 
     def next_marker(p):
         while p + 1 < len(data):
@@ -2311,14 +2352,38 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
             ah, al = aa >> 4, aa & 0x0F
             if ss > se or se > 63 or al > 13:
                 raise ValueError("bad progressive scan parameters")
-            br = _BitReader(data, pos + 2 + seglen)
+            # Table-driven fast reads over preprocessed _FastBits segments
+            # (§4.2) — the same LUT treatment the baseline/lossless
+            # decoders got in r11; per-bit _BitReader calls were ~90 % of
+            # progressive decode time.  Prefix-freeness makes the LUT walk
+            # exactly equivalent to _read_huff_sym; a differential test
+            # pins this decoder against the verbatim pre-r12 form
+            # (including truncation and bit-flip refusal parity).
+            fbr = _FastBits(data, pos + 2 + seglen, ff_abs)
+            words, navail = fbr.words, fbr.nbits
+            p = 0
 
             def sync_restart(unit_i):
-                """Byte-align + consume the RSTm due before scan-MCU
-                ``unit_i``, verify the 0–7 cycle (T.81 §E.2.4)."""
-                m = br.restart_sync()
-                if m != (unit_i // restart_interval - 1) & 0x07:
+                """Byte-align at the segment's terminating RSTm, verify
+                the 0–7 cycle (T.81 §E.2.4), re-anchor the reader on the
+                next segment — the _FastBits replay of the old
+                ``restart_sync`` (marker must stand exactly where the bit
+                cursor does, pad bits discarded)."""
+                nonlocal fbr, words, navail, p
+                fbr.pos = p
+                if (
+                    fbr.term is None
+                    or not 0xD0 <= fbr.term <= 0xD7
+                    or fbr.orig_pos() != fbr.term_pos
+                ):
+                    raise ValueError("missing JPEG restart marker")
+                if (fbr.term & 0x07) != (
+                    unit_i // restart_interval - 1
+                ) & 0x07:
                     raise ValueError("JPEG restart marker out of sequence")
+                fbr = _FastBits(data, fbr.term_pos + 2, ff_abs)
+                words, navail = fbr.words, fbr.nbits
+                p = 0
 
             if ss == 0:
                 if se != 0:
@@ -2354,7 +2419,14 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                         for by in range(bh_t)
                         for bx in range(bw_t)
                     ]
-                dctabs = {ci: htables.get((0, dc)) for ci, dc, _ in scom}
+                dcluts = {
+                    ci: (
+                        _huff_lut(htables[(0, dc)])
+                        if (0, dc) in htables
+                        else None
+                    )
+                    for ci, dc, _ in scom
+                }
                 p1 = 1 << al
                 unit_i = 0
                 for unit in units:
@@ -2368,14 +2440,32 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                     unit_i += 1
                     for ci, by, bx in unit:
                         if ah == 0:
-                            tab = dctabs[ci]
-                            if tab is None:
+                            lut = dcluts[ci]
+                            if lut is None:
                                 raise ValueError("missing DC huffman table")
-                            size = _read_huff_sym(br, tab)
-                            preds_dc[ci] += _jpeg_extend(br.bits(size), size)
+                            dsyms, dlens, dl = lut
+                            idx = (
+                                (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                            ) >> (16 - dl)
+                            ln = dlens[idx]
+                            if ln == 0 or p + ln > navail:
+                                raise ValueError("bad huffman code")
+                            p += ln
+                            size = dsyms[idx]
+                            if p + size > navail:
+                                raise ValueError("unexpected end of JPEG scan")
+                            amp = (
+                                words[p >> 3] >> (32 - size - (p & 7))
+                            ) & ((1 << size) - 1)
+                            p += size
+                            preds_dc[ci] += _jpeg_extend(amp, size)
                             coefs[ci][by, bx, 0] = preds_dc[ci] << al
-                        elif br.bit():
-                            coefs[ci][by, bx, 0] |= p1
+                        else:
+                            if p >= navail:
+                                raise ValueError("unexpected end of JPEG scan")
+                            if (words[p >> 3] >> (31 - (p & 7))) & 1:
+                                coefs[ci][by, bx, 0] |= p1
+                            p += 1
             else:
                 if ns != 1:
                     raise ValueError("interleaved AC scan is illegal")
@@ -2383,6 +2473,7 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                 tab = htables.get((1, ac_t))
                 if tab is None:
                     raise ValueError("missing AC huffman table")
+                asyms, alens, aL = _huff_lut(tab)
                 bh_t, bw_t = _true_block_grid(
                     h, w, comps[ci0][1], comps[ci0][2], hmax, vmax
                 )
@@ -2409,7 +2500,15 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                                 continue
                             k = ss
                             while k <= se:
-                                sym = _read_huff_sym(br, tab)
+                                idx = (
+                                    (words[p >> 3] >> (16 - (p & 7)))
+                                    & 0xFFFF
+                                ) >> (16 - aL)
+                                ln = alens[idx]
+                                if ln == 0 or p + ln > navail:
+                                    raise ValueError("bad huffman code")
+                                p += ln
+                                sym = asyms[idx]
                                 r, s = sym >> 4, sym & 0x0F
                                 if s == 0:
                                     if r == 15:
@@ -2417,36 +2516,92 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                                         continue
                                     eobrun = (1 << r) - 1
                                     if r:
-                                        eobrun += br.bits(r)
+                                        if p + r > navail:
+                                            raise ValueError(
+                                                "unexpected end of JPEG scan"
+                                            )
+                                        eobrun += (
+                                            words[p >> 3]
+                                            >> (32 - r - (p & 7))
+                                        ) & ((1 << r) - 1)
+                                        p += r
                                     break
                                 k += r
                                 if k > se:
                                     raise ValueError("AC run past band end")
-                                zz[k] = _jpeg_extend(br.bits(s), s) << al
+                                if p + s > navail:
+                                    raise ValueError(
+                                        "unexpected end of JPEG scan"
+                                    )
+                                amp = (
+                                    words[p >> 3] >> (32 - s - (p & 7))
+                                ) & ((1 << s) - 1)
+                                p += s
+                                zz[k] = _jpeg_extend(amp, s) << al
                                 k += 1
                         else:
                             k = ss
                             if eobrun == 0:
                                 while k <= se:
-                                    sym = _read_huff_sym(br, tab)
+                                    idx = (
+                                        (words[p >> 3] >> (16 - (p & 7)))
+                                        & 0xFFFF
+                                    ) >> (16 - aL)
+                                    ln = alens[idx]
+                                    if ln == 0 or p + ln > navail:
+                                        raise ValueError("bad huffman code")
+                                    p += ln
+                                    sym = asyms[idx]
                                     r, s = sym >> 4, sym & 0x0F
                                     if s:
                                         if s != 1:
                                             raise ValueError(
                                                 "bad refinement symbol"
                                             )
-                                        val = p1 if br.bit() else m1
+                                        if p >= navail:
+                                            raise ValueError(
+                                                "unexpected end of JPEG scan"
+                                            )
+                                        val = (
+                                            p1
+                                            if (
+                                                words[p >> 3]
+                                                >> (31 - (p & 7))
+                                            )
+                                            & 1
+                                            else m1
+                                        )
+                                        p += 1
                                     else:
                                         if r != 15:
                                             eobrun = 1 << r
                                             if r:
-                                                eobrun += br.bits(r)
+                                                if p + r > navail:
+                                                    raise ValueError(
+                                                        "unexpected end of"
+                                                        " JPEG scan"
+                                                    )
+                                                eobrun += (
+                                                    words[p >> 3]
+                                                    >> (32 - r - (p & 7))
+                                                ) & ((1 << r) - 1)
+                                                p += r
                                             break
                                         val = 0
                                     while k <= se:
                                         c = int(zz[k])
                                         if c != 0:
-                                            if br.bit() and not (c & p1):
+                                            if p >= navail:
+                                                raise ValueError(
+                                                    "unexpected end of"
+                                                    " JPEG scan"
+                                                )
+                                            bit = (
+                                                words[p >> 3]
+                                                >> (31 - (p & 7))
+                                            ) & 1
+                                            p += 1
+                                            if bit and not (c & p1):
                                                 zz[k] = c + (
                                                     p1 if c >= 0 else m1
                                                 )
@@ -2462,12 +2617,21 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                                 while k <= se:
                                     c = int(zz[k])
                                     if c != 0:
-                                        if br.bit() and not (c & p1):
+                                        if p >= navail:
+                                            raise ValueError(
+                                                "unexpected end of JPEG scan"
+                                            )
+                                        bit = (
+                                            words[p >> 3] >> (31 - (p & 7))
+                                        ) & 1
+                                        p += 1
+                                        if bit and not (c & p1):
                                             zz[k] = c + (p1 if c >= 0 else m1)
                                     k += 1
                                 eobrun -= 1
             got_scan = True
-            pos = next_marker(br.pos)
+            fbr.pos = p
+            pos = next_marker(fbr.orig_pos())
             continue
         pos += 2 + seglen
     if h is None or not got_scan or not coefs:
@@ -2878,7 +3042,7 @@ def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
     else:
         raise ValueError("encode_jpeg_lossless expects (h,w) or (h,w,3)")
     h, w = planes[0].shape
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dc_codes = _JPEG_DC_CODES_K
     diffs = _lossless_residuals(planes, int(predictor))
     n_comp = len(planes)
     # interleaved MCU order at 1×1 sampling: one sample per component —
@@ -3240,7 +3404,7 @@ def encode_jpeg_hierarchical(
     pyr = [planes]
     for _ in range(int(levels) - 1):
         pyr.append([_hier_downsample(p) for p in pyr[-1]])
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dc_codes = _JPEG_DC_CODES_K
 
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
