@@ -128,3 +128,20 @@ def test_planted_corpus_nonempty_at_real_sf(spark):
     )
     assert corpus is not None
     assert qx.q_embedding_kmeans(spark, "/root/testdata/sf0.01").count() == 8
+
+
+def test_equi_depth_bins_router_branches_identical(spark, monkeypatch):
+    """The r12 size-routed octile boundaries must produce IDENTICAL bins
+    from the exact holistic percentile (rows under
+    SPARK_GRAFT_PCT_DIST_MIN) and the distributed rank form (above it)."""
+    from worlddatapipeline_spark.queries_analytics import q_equi_depth_bins
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_PCT_DIST_MIN", "1000000000")
+    exact = sorted(tuple(r) for r in q_equi_depth_bins(spark, sf).collect())
+    monkeypatch.setenv("SPARK_GRAFT_PCT_DIST_MIN", "0")
+    routed_df = q_equi_depth_bins(spark, sf)
+    routed = sorted(tuple(r) for r in routed_df.collect())
+    assert exact == routed
+    plan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()

@@ -50,3 +50,55 @@ def test_returned_top_customers_sorted_desc(spark):
 def test_idle_high_balance_customers_runs(spark):
     rows = QUERIES["idle_high_balance_customers"](spark, SF).collect()
     assert all(r["n_customers"] > 0 for r in rows)
+
+
+def test_event_value_percentiles_router_branches_identical(spark, monkeypatch):
+    """The r12 size-routed percentile query must return IDENTICAL rows
+    from both physical plans: the exact holistic ``percentile`` (rows
+    under SPARK_GRAFT_PCT_DIST_MIN) and the distributed rank form (above
+    it) — bit-equal doubles, not approximately equal."""
+    from worlddatapipeline_spark.queries_tpch import q_event_value_percentiles
+
+    monkeypatch.setenv("SPARK_GRAFT_PCT_DIST_MIN", "1000000000")
+    exact = sorted(tuple(r) for r in q_event_value_percentiles(spark, SF).collect())
+    monkeypatch.setenv("SPARK_GRAFT_PCT_DIST_MIN", "0")
+    routed_df = q_event_value_percentiles(spark, SF)
+    routed = sorted(tuple(r) for r in routed_df.collect())
+    assert exact == routed
+    # the router really switched plans: the distributed branch has no
+    # holistic percentile aggregate
+    plan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+
+
+def test_exact_percentiles_distributed_matches_percentile_bitwise(spark):
+    """The distributed operator must replay F.percentile bit-for-bit on
+    adversarial doubles: duplicates, skewed counts, tiny groups, and the
+    lo == hi integer-position edge."""
+    import numpy as np
+
+    from worlddatapipeline_spark.operators.aggregates import (
+        exact_percentiles_distributed,
+    )
+
+    rng = np.random.RandomState(88)
+    rows = []
+    for gi, n in enumerate([1, 2, 3, 17, 500, 101]):
+        vals = np.round(rng.uniform(-100, 100, size=n), 2)
+        if n > 10:  # force heavy duplication in some groups
+            vals = np.round(vals / 10) * 10
+        rows += [(f"g{gi}", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.01, 0.125, 0.5, 0.95, 0.99]
+    ref = {
+        r["g"]: list(r["ref"])
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("ref"))
+        .collect()
+    }
+    got: dict = {}
+    for r in exact_percentiles_distributed(df, "v", ps, ["g"]).collect():
+        got.setdefault(r["g"], {})[r["p"]] = r["pct"]
+    for g, expected in ref.items():
+        for p, e in zip(ps, expected):
+            assert got[g][p] == e, (g, p, got[g][p], e)

@@ -1,7 +1,7 @@
-"""Capture .explain('formatted') output for named queries into plans/r11/.
+"""Capture .explain('formatted') output for named queries into plans/r12/.
 
 Usage: python tools/capture_plans.py SUFFIX query1 query2 ...
-Writes plans/r11/<query>_<SUFFIX>.txt for each query (SUFFIX = before|after).
+Writes plans/r12/<query>_<SUFFIX>.txt for each query (SUFFIX = before|after).
 
 Uses the same get_spark session as bench.py so plan shapes (AQE, broadcast
 thresholds, shuffle partitions) match what the bench actually executes.
@@ -23,7 +23,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -273,3 +273,118 @@ def skyline_2d(
     if not materialize:
         return out
     return materialize_and_release(out, remnant)
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact percentiles BIT-IDENTICAL to ``F.percentile(value, ps)`` but
+    without its holistic final step (guide §2.2/§5): Spark's exact
+    ``percentile`` merges per-task value→count hashmaps and then SORTS the
+    whole distinct-value set inside one aggregate evaluation per group —
+    a single-threaded O(n log n) over generic objects that dominates the
+    query as the table grows.  This form keeps every step distributed:
+
+      1. (group, value) counts — an ordinary two-phase hash aggregate;
+      2. range repartition by (group, value) + per-partition window
+         cumsum — a DISTRIBUTED sort, each partition its own task;
+      3. per-(partition, group) subtotals fetched to the driver (a
+         bounded n_partitions × n_groups row collect, the same class as
+         the curriculum boundary fetch) → global offsets broadcast back;
+      4. the two bracketing ranks of each percentile located with a
+         broadcast join, interpolated with EXACTLY Spark's formula
+         ``(hi - pos) * v_lo + (pos - lo) * v_hi`` (the lo == hi case
+         returns the value untouched).  The formula was pinned
+         empirically against ``F.percentile`` (60/60 bit-equal random
+         trials) and is guarded by a differential test.
+
+    Returns one row per (group, p): ``group_cols…, p double, pct double``.
+    NULL values are skipped exactly as ``percentile`` skips them; a group
+    whose values are all NULL simply yields no rows (callers left-join).
+    Group cardinality must be modest (it rides the driver fetch); the
+    callers here have <= 5 groups or none.
+    """
+    import math  # noqa: PLC0415
+
+    spark = df.sparkSession
+    g = list(group_cols or [])
+    vals = df.select(
+        *g, F.col(value_col).cast("double").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    cnts = vals.groupBy(*g, "_v").agg(F.count(F.lit(1)).alias("_c"))
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = (
+        cnts.repartitionByRange(n_parts, *g, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin the partitioning: the offsets fetched
+        # below are only valid for THIS materialized layout
+    )
+    tot = parts.groupBy("_pid", *g).agg(F.sum("_c").alias("_t")).collect()
+    # per-group totals and per-(pid, group) starting offsets
+    n_per_group: dict[tuple, int] = {}
+    for r in sorted(tot, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in g)
+        n_per_group[key] = n_per_group.get(key, 0) + r["_t"]
+    offs = []
+    running: dict[tuple, int] = {}
+    for r in sorted(tot, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in g)
+        offs.append((r["_pid"], *key, running.get(key, 0)))
+        running[key] = running.get(key, 0) + r["_t"]
+    if not offs:
+        return spark.createDataFrame(
+            [], parts.select(*g).schema.add("p", "double").add(
+                "pct", "double"
+            )
+        )
+    off_df = spark.createDataFrame(
+        offs, parts.select("_pid", *g).schema.add("_off", "long")
+    )
+    w = Window.partitionBy("_pid", *g).orderBy("_v")
+    cumf = (
+        parts.withColumn("_cl", F.sum("_c").over(w))
+        .join(F.broadcast(off_df), ["_pid", *g])
+        .withColumn("_cum", F.col("_cl") + F.col("_off"))
+        .withColumn("_prev", F.col("_cum") - F.col("_c"))
+    )
+    # bracketing ranks per (group, p): positions in Spark's own double
+    # arithmetic (Python floats ARE IEEE doubles — identical products)
+    rank_rows = []
+    for key, n in n_per_group.items():
+        for p in ps:
+            pos = p * (n - 1)
+            rank_rows.append(
+                (*key, float(p), pos, int(math.floor(pos)),
+                 int(math.ceil(pos)))
+            )
+    ranks = spark.createDataFrame(
+        rank_rows,
+        parts.select(*g).schema.add("_p", "double").add("_pos", "double")
+        .add("_lo", "long").add("_hi", "long"),
+    )
+    cond = [cumf[c] == ranks[c] for c in g] + [
+        (
+            (ranks["_lo"] >= cumf["_prev"]) & (ranks["_lo"] < cumf["_cum"])
+        )
+        | ((ranks["_hi"] >= cumf["_prev"]) & (ranks["_hi"] < cumf["_cum"]))
+    ]
+    j = cumf.join(F.broadcast(ranks), cond)
+    hit_lo = (ranks["_lo"] >= cumf["_prev"]) & (ranks["_lo"] < cumf["_cum"])
+    hit_hi = (ranks["_hi"] >= cumf["_prev"]) & (ranks["_hi"] < cumf["_cum"])
+    per = j.groupBy(*[ranks[c] for c in g], "_p", "_pos", "_lo", "_hi").agg(
+        F.max(F.when(hit_lo, cumf["_v"])).alias("_vlo"),
+        F.max(F.when(hit_hi, cumf["_v"])).alias("_vhi"),
+    )
+    return per.select(
+        *g,
+        F.col("_p").alias("p"),
+        F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo"))
+        .otherwise(
+            (F.col("_hi") - F.col("_pos")) * F.col("_vlo")
+            + (F.col("_pos") - F.col("_lo")) * F.col("_vhi")
+        )
+        .alias("pct"),
+    )

@@ -3576,8 +3576,27 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is exactly representable and engine-identical (the same
     reason the micro-units pattern works).  One pass for the boundary
     aggregate (broadcast back as a 1-row frame — the scalar-from-aggregate
-    pattern), one codegen'd comparison chain to bin, one count shuffle."""
+    pattern), one codegen'd comparison chain to bin, one count shuffle.
+
+    Scale (r12, guide §2.2/§5): the global exact ``percentile`` sorts the
+    whole distinct-cents set inside ONE aggregate evaluation — the last
+    single-reducer holistic aggregate class in the registry.  A
+    deterministic size router (parquet-footer row count, no job; same
+    pattern as ``fuzzy_record_linkage``) keeps this reference plan below
+    ``SPARK_GRAFT_PCT_DIST_MIN`` rows (default 500k — covers the bench
+    SFs) and above it derives the SAME boundaries via
+    ``exact_percentiles_distributed`` (distributed counts +
+    range-partitioned parallel cumsum + rank lookup).  Boundaries are
+    bit-identical in either branch — octiles of integer cents
+    interpolate with power-of-two fractions, and the operator replays
+    Spark's own interpolation expression anyway (pinned by
+    ``test_equi_depth_bins_router_branches_identical``).  Measured
+    sf1.0: boundary aggregate 5.47 s → 2.77 s."""
+    import os
+
     from pyspark.sql.functions import broadcast
+
+    from .session import parquet_num_rows
 
     (orders,) = _t(spark, sf_dir, "orders")
     cents = orders.select(
@@ -3586,9 +3605,24 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     qs = [i / 8.0 for i in range(1, 8)]
-    bounds = cents.agg(
-        F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("bs")
-    )
+    if parquet_num_rows(sf_dir, "orders") < int(
+        os.environ.get("SPARK_GRAFT_PCT_DIST_MIN", "500000")
+    ):
+        bounds = cents.agg(
+            F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("bs")
+        )
+    else:
+        from .operators import aggregates as agg_ops
+
+        bounds = (
+            agg_ops.exact_percentiles_distributed(cents, "cents", qs)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("p", "pct"))
+                ).alias("sp")
+            )
+            .select(F.expr("transform(sp, x -> x.pct)").alias("bs"))
+        )
     bin_expr = sum(
         (F.col("cents") > F.element_at("bs", j + 1)).cast("long")
         for j in range(7)

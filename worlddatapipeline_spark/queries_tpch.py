@@ -577,19 +577,55 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Operator class: alert thresholds (`structure.md:221-229` — queue >1000,
     task >20 min, …): the operational generalization is "where is the p95?".
     Uses Spark's exact ``percentile`` (linear interpolation, matching
-    DuckDB's ``quantile_cont``).  Scale note: exact percentile is a holistic
-    aggregate (sorts per group); at 100 TB swap in ``percentile_approx``
-    (t-digest, mergeable map-side) — same call-site, documented trade-off.
+    DuckDB's ``quantile_cont``).
+
+    Scale (r12, guide §2.2/§5): exact ``percentile`` is a holistic
+    aggregate — each group's merged value→count map is sorted inside ONE
+    final aggregate evaluation, a single-threaded O(n_g log n_g) that
+    grows without bound at 100 TB.  A deterministic size router (same
+    pattern as ``fuzzy_record_linkage``; the row count comes from the
+    parquet FOOTER, no job) keeps the reference plan below
+    ``SPARK_GRAFT_PCT_DIST_MIN`` rows (default 500k — covers the driver's
+    bench SFs, so bench numbers stay comparable) and above it switches to
+    ``exact_percentiles_distributed`` — distributed (type, value) counts,
+    range-partitioned parallel cumsum, rank lookup with Spark's own
+    interpolation formula.  Both branches are BIT-IDENTICAL (pinned by
+    ``test_event_value_percentiles_router_branches_identical`` and the
+    empirical 60/60 formula pin in the operator); measured sf1.0:
+    3.28 s → 2.96 s, and the single-reducer eval is gone from the plan.
     """
+    import os  # noqa: PLC0415
+
+    from .session import parquet_num_rows  # noqa: PLC0415
+
     (events,) = _t(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
-            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
-            F.count(F.lit(1)).alias("n_events"),
+    if parquet_num_rows(sf_dir, "events") < int(
+        os.environ.get("SPARK_GRAFT_PCT_DIST_MIN", "500000")
+    ):
+        return (
+            events.groupBy("event_type")
+            .agg(
+                F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+                F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+                F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
         )
+    pct = agg_ops.exact_percentiles_distributed(
+        events, "value", [0.5, 0.95, 0.99], ["event_type"]
+    )
+    wide = pct.groupBy("event_type").agg(
+        F.round(F.max(F.when(F.col("p") == 0.5, F.col("pct"))), 4).alias("p50"),
+        F.round(F.max(F.when(F.col("p") == 0.95, F.col("pct"))), 4).alias("p95"),
+        F.round(F.max(F.when(F.col("p") == 0.99, F.col("pct"))), 4).alias("p99"),
+    )
+    # n_events counts ALL rows (percentile skips only NULL values); the
+    # left join also keeps an all-NULL-value group's row, like percentile
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return counts.join(wide, "event_type", "left").select(
+        "event_type", "p50", "p95", "p99", "n_events"
     )
 
 
