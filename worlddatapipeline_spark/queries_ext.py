@@ -1810,9 +1810,12 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # result-identical, mirrored in the oracle
         & (F.abs(F.length("name_a") - F.length("name_b")) <= 4)
     )
+    # banded threshold form (r12): exact distance for every surviving
+    # row (<= 4 returns the true value, > 4 returns -1), so the min/count
+    # are unchanged while far pairs exit the DP early
     scored = pairs.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).filter(F.col("dist") <= 4)
+        "dist", F.levenshtein("name_a", "name_b", 4)
+    ).filter(F.col("dist") >= 0)
     sizes = blocked.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count(F.lit(1)).alias("n_block")
     )

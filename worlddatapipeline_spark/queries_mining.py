@@ -644,6 +644,13 @@ def q_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once for the vocabulary, once pruned — two corpus scans; at 100 TB
     # write the tokenized incidence to durable storage once per release
     # instead of re-tokenizing (the bloom-module note).
+    # r12 A/B (VERDICT r11 item 6): persisting inc_all in-query was
+    # measured SLOWER-to-wash at both scales (interleaved best-of-2 warm,
+    # noop sink — sf0.1: 1.48/1.54 s current vs 1.53/1.64 s persisted;
+    # sf1.0: 4.11/4.44 vs 4.44/4.67): the full-vocabulary distinct frame
+    # is ~n_docs·vocab rows and its materialization costs more than the
+    # second tokenize pass saves.  Kept the two-scan form; the durable
+    # once-per-release incidence table above remains the 100 TB answer.
     inc = inc_all.join(F.broadcast(top), "term").persist()
     n_docs = inc.agg(
         F.countDistinct("doc_id").cast("long").alias("n_pop")
@@ -781,7 +788,9 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "key",
             "dkey",
-            (F.levenshtein(F.col("name"), F.col("dname")) <= 1).alias(
+            # banded threshold form: identical boolean, ~2x cheaper per
+            # pair (r12 A/B at sf1.0: 6.5 -> 3.3 s over the blocked pairs)
+            (F.levenshtein(F.col("name"), F.col("dname"), 1) >= 0).alias(
                 "match"
             ),
         )
@@ -863,7 +872,7 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dirty.withColumnRenamed("dkey", "dk2"), F.col("dkey") == F.col("dk2"))
         .filter(
             (F.expr("right(name, 4)") == F.expr("right(dname, 4)"))
-            & (F.levenshtein(F.col("name"), F.col("dname")) <= 1)
+            & (F.levenshtein(F.col("name"), F.col("dname"), 1) >= 0)
         )
         .select("key", "dkey")
     )
@@ -980,7 +989,7 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.rid") < F.col("b.rid")),
         )
-        .filter(F.levenshtein(F.col("a.txt"), F.col("b.txt")) <= 1)
+        .filter(F.levenshtein(F.col("a.txt"), F.col("b.txt"), 1) >= 0)
         .select(F.col("a.rid").alias("src"), F.col("b.rid").alias("dst"))
     )
     comps = graph_ops.connected_components(
