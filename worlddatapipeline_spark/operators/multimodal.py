@@ -1441,18 +1441,32 @@ def _parse_dqt(body: bytes, qtables: dict[int, np.ndarray]) -> None:
         i += 65
 
 
+_DHT_CACHE: dict = {}
+
+
 def _parse_dht(
     body: bytes, htables: dict[tuple[int, int], dict[tuple[int, int], int]]
 ) -> None:
     """DHT segment parse shared by both decoders: one or more canonical
-    tables per segment, keyed (tc, th)."""
+    tables per segment, keyed (tc, th).  The decoder dict for each table
+    payload is cached (bounded, keyed on the raw bits+vals bytes): every
+    stream this repo's encoders emit carries the same Annex-K pair, so
+    per-image re-derivation was pure waste (§4.5); foreign tables still
+    build correctly and the cache clears itself at 64 entries."""
     i = 0
     while i < len(body):
         tc, th = body[i] >> 4, body[i] & 0x0F
         bits = [0] + list(body[i + 1 : i + 17])
         nv = sum(bits)
-        vals = list(body[i + 17 : i + 17 + nv])
-        htables[(tc, th)] = _huff_lookup(bits, vals)
+        key = bytes(body[i + 1 : i + 17 + nv])
+        hit = _DHT_CACHE.get(key)
+        if hit is None:
+            vals = list(body[i + 17 : i + 17 + nv])
+            hit = _huff_lookup(bits, vals)
+            if len(_DHT_CACHE) > 64:
+                _DHT_CACHE.clear()
+            _DHT_CACHE[key] = hit
+        htables[(tc, th)] = hit
         i += 17 + nv
 
 
