@@ -28,8 +28,15 @@ def main() -> None:
         # bench.py emits the full-detail line first and a compact
         # summary-only line last; take the last line that carries the
         # per-query dicts.
-        lines = [json.loads(l) for l in fh.read().strip().splitlines() if l]
-        run = next((r for r in reversed(lines) if "queries" in r), None)
+        lines = [
+            json.loads(l)
+            for l in fh.read().strip().splitlines()
+            if l.startswith("{")
+        ]
+        # r12: the compact summary line ALSO carries a (truncated)
+        # "queries" dict now — key on exec_trace, which only the
+        # full-detail line has
+        run = next((r for r in reversed(lines) if "exec_trace" in r), None)
     if run is None:
         sys.exit(
             f"{run_path}: no full-detail bench line found (a summary-only "
