@@ -3,6 +3,17 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
 
+Output layout (r12): the FULL-detail line prints first (complete
+per-query/cold/exec_trace dicts — unchanged from every prior round), then
+a compact summary line LAST, sized to survive the driver's 2000-char
+stdout tail.  Since r12 the compact line also carries per-query durations
+("queries", slowest-first, as many as fit a 1950-byte budget, plus
+"n_queries") because the driver's per-query comparators parse the LAST
+line only — PERF_r11 came back with an empty per_query for exactly this
+reason (VERDICT r11 item 1).  The full dict is additionally rotated into
+a BENCH_LASTRUN_c<cpus>.json sidecar.  Timing methodology, query set, and
+the first line's schema are untouched.
+
 Each query executes to completion through the noop sink (no result pruning,
 no driver collect overhead) — what a cluster job would do, minus the write.
 

@@ -3592,11 +3592,11 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's own interpolation expression anyway (pinned by
     ``test_equi_depth_bins_router_branches_identical``).  Measured
     sf1.0: boundary aggregate 5.47 s → 2.77 s."""
-    import os
+    import os  # noqa: PLC0415
 
-    from pyspark.sql.functions import broadcast
+    from pyspark.sql.functions import broadcast  # noqa: PLC0415
 
-    from .session import parquet_num_rows
+    from .session import parquet_num_rows  # noqa: PLC0415
 
     (orders,) = _t(spark, sf_dir, "orders")
     cents = orders.select(
@@ -3612,7 +3612,7 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("bs")
         )
     else:
-        from .operators import aggregates as agg_ops
+        from .operators import aggregates as agg_ops  # noqa: PLC0415
 
         bounds = (
             agg_ops.exact_percentiles_distributed(cents, "cents", qs)
